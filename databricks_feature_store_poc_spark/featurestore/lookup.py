@@ -1,0 +1,156 @@
+"""FeatureLookup + training-set assembly: the reference's core operator (J1).
+
+Reference parity (citations into /root/reference):
+- ``FeatureLookup(table_name, feature_names, lookup_key)``:
+  notebooks/02_model_training.py:72-84 (config), 02:176-180 (construction).
+- ``create_training_set(df, feature_lookups, label, exclude_columns)``:
+  02:231-275 (242-247). Semantics: for each lookup, the spine is enriched
+  with the selected features via a *left* equi-join on the lookup key;
+  unmatched spine rows keep NULL features; the spine's row count is
+  preserved even when spine keys repeat (the reference's training_labels
+  has 21 duplicate pairs — SURVEY.md §1.3), because feature-table PKs are
+  unique. ``exclude_columns`` (02:69,246) are dropped from the final
+  matrix; the label column rides along.
+- ``TrainingSet.load_df()``: 02:250 — stays lazy until the caller acts.
+
+Spark-first compilation (SURVEY.md §2 J1/P1/P2): each lookup becomes
+``spine.join(broadcast(table.select(key, *features)), key, "left")``.
+The explicit ``.select`` narrows the feature table *before* the join so
+column pruning survives any metadata layer; ``broadcast()`` is applied when
+the feature side is plausibly dimension-sized, which is the feature-store
+shape (dims ≪ spine). At 100 TB spine scale the broadcast hint keeps the
+plan shuffle-free on the spine side — the spine never repartitions; only
+the small dim tables move. For dims too large to broadcast, pass
+``broadcast=False`` and Catalyst/AQE picks sort-merge with skew handling.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class FeatureLookup:
+    """Declarative enrichment spec (reference 02:176-180).
+
+    ``lookup_key`` maps spine column(s) -> feature-table PK(s). When the
+    spine column name equals the PK name (the reference's case), pass the
+    shared name; otherwise pass a dict {spine_col: table_pk}.
+    """
+
+    table_name: str
+    feature_names: tuple[str, ...]
+    lookup_key: tuple[str, ...]
+    # Spine columns carrying the key, when named differently from the
+    # feature table's PK (the reference's spine shares names, 02:76,83).
+    spine_keys: tuple[str, ...] = ()
+    rename: dict = field(default_factory=dict)  # feature -> output name
+
+    @staticmethod
+    def of(table_name: str, feature_names: list[str], lookup_key) -> "FeatureLookup":
+        keys = (lookup_key,) if isinstance(lookup_key, str) else tuple(lookup_key)
+        return FeatureLookup(table_name, tuple(feature_names), keys)
+
+
+class TrainingSet:
+    """Lazy spine ⋈ lookups composition (reference 02:242-250)."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        lookups: list[FeatureLookup],
+        label: str | None,
+        exclude_columns: list[str],
+    ):
+        self._df = df
+        self.lookups = lookups
+        self.label = label
+        self.exclude_columns = exclude_columns
+
+    def load_df(self) -> DataFrame:
+        """Return the lazy training DataFrame (materialize with an action)."""
+        return self._df
+
+    def lineage(self) -> dict:
+        """JSON-serializable lookup lineage, persisted by ``log_model`` so
+        scoring can replay the same joins (reference ML3, 02:478-484)."""
+        return {
+            "lookups": [
+                {
+                    "table_name": lk.table_name,
+                    "feature_names": list(lk.feature_names),
+                    "lookup_key": list(lk.lookup_key),
+                }
+                for lk in self.lookups
+            ],
+            "label": self.label,
+            "exclude_columns": list(self.exclude_columns),
+        }
+
+
+def apply_lookup(
+    spine: DataFrame,
+    feature_table: DataFrame,
+    lookup: FeatureLookup,
+    *,
+    use_broadcast: bool = True,
+) -> DataFrame:
+    """Compile one FeatureLookup into a projected left equi-join.
+
+    When ``spine_keys`` is set, the spine carries the key under different
+    names than the feature table's PK (e.g. ``o_custkey`` -> ``c_custkey``);
+    the join condition equates them positionally and only the spine's copy
+    survives — the reference's output has exactly spine columns + selected
+    features.
+    """
+    keys = list(lookup.lookup_key)
+    skeys = list(lookup.spine_keys) if lookup.spine_keys else keys
+    if len(skeys) != len(keys):
+        raise ValueError(f"spine_keys {skeys} != lookup_key {keys} arity")
+    feats = [f for f in lookup.feature_names if f not in keys]
+    narrowed = feature_table.select(*keys, *feats)
+    if use_broadcast:
+        narrowed = F.broadcast(narrowed)
+    if skeys == keys:
+        out = spine.join(narrowed, on=keys, how="left")
+    else:
+        cond = None
+        for sk, fk in zip(skeys, keys):
+            c = spine[sk] == narrowed[fk]
+            cond = c if cond is None else (cond & c)
+        out = spine.join(narrowed, on=cond, how="left").drop(*[
+            narrowed[fk] for fk in keys
+        ])
+    for old, new in lookup.rename.items():
+        out = out.withColumnRenamed(old, new)
+    return out
+
+
+def create_training_set(
+    spark: SparkSession,
+    spine: DataFrame,
+    feature_lookups: list[FeatureLookup],
+    label: str | None = None,
+    exclude_columns: list[str] | None = None,
+    *,
+    resolve_table=None,
+    use_broadcast: bool = True,
+) -> TrainingSet:
+    """Reference ``fs.create_training_set`` (02:242-247), lazily compiled.
+
+    ``resolve_table`` maps a lookup's table_name to a DataFrame; defaults to
+    ``spark.table`` (registered feature tables).
+    """
+    exclude_columns = exclude_columns or []
+    if label is not None and label not in spine.columns:
+        raise ValueError(f"label column {label!r} not in spine {spine.columns}")
+    resolve = resolve_table or spark.table
+    df = spine
+    for lk in feature_lookups:
+        df = apply_lookup(df, resolve(lk.table_name), lk, use_broadcast=use_broadcast)
+    if exclude_columns:
+        df = df.drop(*[c for c in exclude_columns if c in df.columns])
+    return TrainingSet(df, feature_lookups, label, exclude_columns)

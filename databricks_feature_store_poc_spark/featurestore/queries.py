@@ -1,0 +1,87 @@
+"""Flagship feature-store queries over the driver testdata.
+
+The flagship transposes the reference's E2 training-set assembly
+(SURVEY.md §3: ``labels LEFT JOIN customer_features USING(customer_id)
+LEFT JOIN product_features USING(product_id)``, notebooks/
+02_model_training.py:242-247) onto the TPC-H-ish testdata: spine =
+``orders``, feature tables = ``customer`` (features ``c_acctbal``,
+``c_mktsegment``, key ``o_custkey``) and ``nation`` reached through the
+customer (categorical ``n_name``) — the mapping documented in
+FIXTURES.md §B.
+
+Physical shape at scale: the spine (orders — the 100 TB fact side) never
+shuffles; both feature tables are dimension-sized and broadcast, so the
+whole training-set assembly is a map-only pipeline over the spine scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from databricks_feature_store_poc_spark.featurestore.lookup import (
+    FeatureLookup,
+    create_training_set,
+)
+from databricks_feature_store_poc_spark.registry import query
+from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+
+@query(
+    "training_set_flagship",
+    oracle="""
+    SELECT o.o_orderkey,
+           o.o_totalprice,
+           o.o_orderstatus,
+           c.c_acctbal,
+           c.c_mktsegment,
+           n.n_name
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def training_set_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference J1 (create_training_set) on the testdata star schema.
+
+    Two chained FeatureLookups: orders -> customer features, then
+    customer.c_nationkey -> nation categorical. ``exclude_columns`` drops
+    the intermediate join keys, exactly like the reference drops
+    customer_id/product_id (02:69,246). ``o_totalprice`` plays the
+    passthrough role of ``on_sales``; ``o_orderstatus`` the label.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    spine = orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    lookups = [
+        FeatureLookup(
+            table_name="customer",
+            feature_names=("c_acctbal", "c_mktsegment", "c_nationkey"),
+            lookup_key=("c_custkey",),
+            spine_keys=("o_custkey",),
+        ),
+        FeatureLookup(
+            table_name="nation",
+            feature_names=("n_name",),
+            lookup_key=("n_nationkey",),
+            spine_keys=("c_nationkey",),
+        ),
+    ]
+    tables = {"customer": customer, "nation": nation}
+    ts = create_training_set(
+        spark,
+        spine,
+        lookups,
+        label="o_orderstatus",
+        exclude_columns=["o_custkey", "c_nationkey"],
+        resolve_table=tables.__getitem__,
+    )
+    return ts.load_df().select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderstatus",
+        "c_acctbal",
+        "c_mktsegment",
+        "n_name",
+    )

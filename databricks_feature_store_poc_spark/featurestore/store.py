@@ -1,0 +1,139 @@
+"""Feature-table registry: the open-Spark equivalent of the reference's
+``databricks.feature_store.FeatureStoreClient`` table operations.
+
+Reference parity (citations into /root/reference):
+- S4 create database:  01_feature_table_creation.py:109-115 (``CREATE
+  DATABASE IF NOT EXISTS``) — identical SQL here.
+- S5 create_table:     01:162-191 passes name, primary_keys, df, schema,
+  description to ``fs.create_table``; PK *presence* is checked driver-side
+  (01:172-174) but uniqueness is delegated to the managed service
+  (SURVEY.md §4). Here uniqueness is enforced explicitly with one
+  aggregate before the write.
+- S6 drop_table:       01:153-160 (idempotent drop).
+- S8 read_table:       02_model_training.py:140-148.
+
+Storage: managed tables via ``saveAsTable`` (parquet; Delta is not in this
+container) + a JSON metadata sidecar per table carrying primary keys /
+description / lineage — the role Databricks' catalog service plays for the
+reference.
+
+Scale: the PK-uniqueness gate is a single hash aggregate
+(groupBy(pk).count > 1) — one shuffle, partial-agg'd map-side, and AQE
+handles skewed keys. The write itself is a distributed parquet write; no
+driver materialization anywhere.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class PrimaryKeyViolation(ValueError):
+    """Raised when a feature table's declared PK is absent or non-unique."""
+
+
+@dataclass
+class FeatureTableMetadata:
+    name: str
+    primary_keys: list[str]
+    description: str = ""
+    schema_json: str = ""
+    extra: dict = field(default_factory=dict)
+
+
+def _default_meta_dir(spark: SparkSession) -> str:
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    return os.path.join(warehouse, "_feature_store_meta")
+
+
+class FeatureStore:
+    """Minimal feature-store client over a Spark catalog.
+
+    >>> fs = FeatureStore(spark)
+    >>> fs.create_database("sales")
+    >>> fs.create_table("sales.customer_features", ["customer_id"], df,
+    ...                 description="7/30-day purchase aggregates")
+    >>> feat = fs.read_table("sales.customer_features")
+    """
+
+    def __init__(self, spark: SparkSession, meta_dir: str | None = None):
+        self.spark = spark
+        self.meta_dir = meta_dir or _default_meta_dir(spark)
+        os.makedirs(self.meta_dir, exist_ok=True)
+
+    # -- S4 -----------------------------------------------------------------
+    def create_database(self, name: str) -> None:
+        """Idempotent namespace creation (reference 01:112)."""
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
+
+    # -- S5 + S7 ------------------------------------------------------------
+    def create_table(
+        self,
+        name: str,
+        primary_keys: list[str],
+        df: DataFrame,
+        description: str = "",
+        mode: str = "overwrite",
+    ) -> FeatureTableMetadata:
+        """Register + write a feature table.
+
+        Validates PK presence (reference 01:172-174) and — stronger than the
+        reference, which delegates this to the managed service — PK
+        uniqueness, via one distributed aggregate.
+        """
+        missing = [k for k in primary_keys if k not in df.columns]
+        if missing:
+            raise PrimaryKeyViolation(
+                f"primary keys {missing} not in columns {df.columns}"
+            )
+        dupes = (
+            df.groupBy(*primary_keys)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") > 1)
+        )
+        if not dupes.isEmpty():
+            sample = [r.asDict() for r in dupes.limit(5).collect()]
+            raise PrimaryKeyViolation(
+                f"duplicate primary-key values in {name}: sample={sample}"
+            )
+        df.write.format("parquet").mode(mode).saveAsTable(name)
+        meta = FeatureTableMetadata(
+            name=name,
+            primary_keys=list(primary_keys),
+            description=description,
+            schema_json=df.schema.json(),
+        )
+        self._write_meta(meta)
+        return meta
+
+    # -- S8 -----------------------------------------------------------------
+    def read_table(self, name: str) -> DataFrame:
+        """Load a registered feature table (reference 02:145)."""
+        return self.spark.table(name)
+
+    # -- S6 -----------------------------------------------------------------
+    def drop_table(self, name: str) -> None:
+        """Idempotent drop (reference 01:156 wraps in try/except)."""
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        path = self._meta_path(name)
+        if os.path.exists(path):
+            os.remove(path)
+
+    # -- metadata sidecar -----------------------------------------------------
+    def get_metadata(self, name: str) -> FeatureTableMetadata:
+        with open(self._meta_path(name)) as f:
+            return FeatureTableMetadata(**json.load(f))
+
+    def _meta_path(self, name: str) -> str:
+        return os.path.join(self.meta_dir, f"{name}.json")
+
+    def _write_meta(self, meta: FeatureTableMetadata) -> None:
+        with open(self._meta_path(meta.name), "w") as f:
+            json.dump(asdict(meta), f, indent=2)

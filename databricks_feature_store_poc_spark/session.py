@@ -1,0 +1,76 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference inherits its runtime from Databricks (SURVEY.md §4); here we
+pin the equivalent open-source Spark settings explicitly so the same plans
+hold from local[32] test runs up to a 1000-executor cluster:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic join strategy).
+- Arrow on for any driver materialization / pandas UDF path.
+- ``spark.sql.legacy.parquet.nanosAsLong``: the driver's ``events`` table
+  stores TIMESTAMP(NANOS) which vanilla Spark 4 refuses to read; we read the
+  raw int64 and normalize to TimestampType in the source catalog
+  (sources/catalog.py), truncating ns -> us exactly like DuckDB does.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # Local test runs only; a real deployment sizes these per-cluster.
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(
+    app_name: str = "feature-store-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    for tests/bench; on a cluster, pass ``master=None`` with an external
+    conf or set the env accordingly.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    confs = dict(DEFAULT_CONFS)
+    confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_confs:
+        confs.update(extra_confs)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    """Apply the engine's *runtime-settable* confs to an externally-created
+    session (the driver hands us one in ``__spark_entry__.entry``).
+
+    Static confs (driver memory, nanosAsLong is session-settable in Spark 4)
+    are applied best-effort; failures on truly static confs are ignored.
+    """
+    for k, v in DEFAULT_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark

@@ -1,0 +1,59 @@
+"""Parquet source catalog for the driver test tables.
+
+Centralizes the one real cross-engine hazard in the testdata: the ``events``
+table stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark 4 only reads
+via ``spark.sql.legacy.parquet.nanosAsLong=true`` (raw int64 nanoseconds).
+``load_table`` normalizes that to TimestampType truncated to microseconds —
+byte-identical to what DuckDB produces when it reads the same file — so the
+driver's value-hash comparison sees the same instants from both engines.
+
+Scale note: these are plain ``spark.read.parquet`` scans, so Catalyst's
+predicate pushdown / column pruning / partition pruning all apply to every
+query built on top (SURVEY.md §4). Nothing here materializes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver test table, normalizing types for cross-engine parity.
+
+    - ``events.ts``: int64 nanoseconds (via nanosAsLong) -> TimestampType at
+      microsecond precision (integer division truncates, matching DuckDB).
+    - ``embeddings.embedding``: already ``array<float>``; left as-is.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view (for spark.sql queries)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

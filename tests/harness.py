@@ -1,0 +1,161 @@
+"""Dev-loop harness mimicking the driver's correctness gate.
+
+Runs a registered Spark query and its DuckDB oracle side-by-side on the
+same parquet tables and compares row count, column names/types, and an
+order-insensitive value hash — the same three checks the driver records in
+CORRECTNESS_r{N}.json. Usable as a pytest helper and as a CLI:
+
+    python tests/harness.py [query ...] [--sf /root/testdata/sf0.01]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from databricks_feature_store_poc_spark.registry import (  # noqa: E402
+    ORACLES,
+    QUERIES,
+    load_all_queries,
+)
+from databricks_feature_store_poc_spark.sources.catalog import TABLES  # noqa: E402
+
+DEFAULT_SF = "/root/testdata/sf0.01"
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm_cell(v) -> str:
+    """Normalize one cell for order-insensitive hashing (engine-agnostic)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(round(v, 9))
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def value_hash(rows: list[tuple], colnames: list[str]) -> str:
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted(
+        "|".join(_norm_cell(row[i]) for i in order) for row in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def compare(name: str, spark, sf_dir: str = DEFAULT_SF, verbose: bool = True) -> dict:
+    load_all_queries()
+    fn = QUERIES[name]
+    sdf = fn(spark, sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    result = {
+        "name": name,
+        "rows_spark": len(spark_rows),
+        "cols_spark": spark_cols,
+        "ok": None,
+    }
+    if name not in ORACLES:
+        result["ok"] = len(spark_rows) >= 0
+        result["mode"] = "rows-only"
+        if verbose:
+            print(f"  {name}: rows-only, {len(spark_rows)} rows")
+        return result
+
+    con = duckdb_conn(sf_dir)
+    rel = con.sql(ORACLES[name])
+    duck_cols = list(rel.columns)
+    duck_rows = rel.fetchall()
+    con.close()
+
+    issues = []
+    if len(spark_rows) != len(duck_rows):
+        issues.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
+    if sorted(spark_cols) != sorted(duck_cols):
+        issues.append(f"cols spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+    else:
+        hs = value_hash(spark_rows, spark_cols)
+        hd = value_hash(duck_rows, duck_cols)
+        if hs != hd:
+            issues.append("value-hash mismatch")
+            if verbose:
+                _show_diff(spark_rows, spark_cols, duck_rows, duck_cols)
+    result["ok"] = not issues
+    result["issues"] = issues
+    result["mode"] = "oracle"
+    if verbose:
+        status = "OK" if result["ok"] else f"FAIL {issues}"
+        print(f"  {name}: {status} ({len(spark_rows)} rows)")
+    return result
+
+
+def _show_diff(srows, scols, drows, dcols, limit=5):
+    sorder = sorted(range(len(scols)), key=lambda i: scols[i])
+    dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    sset = {"|".join(_norm_cell(r[i]) for i in sorder) for r in srows}
+    dset = {"|".join(_norm_cell(r[i]) for i in dorder) for r in drows}
+    cols = sorted(scols)
+    print(f"    columns: {cols}")
+    for line in list(sset - dset)[:limit]:
+        print(f"    spark-only: {line}")
+    for line in list(dset - sset)[:limit]:
+        print(f"    duck-only:  {line}")
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = DEFAULT_SF
+    for a in sys.argv[1:]:
+        if a.startswith("--sf="):
+            sf_dir = a.split("=", 1)[1]
+
+    from databricks_feature_store_poc_spark.session import get_spark
+
+    spark = get_spark("oracle-harness")
+    load_all_queries()
+    names = args or sorted(QUERIES)
+    failed = []
+    for name in names:
+        try:
+            r = compare(name, spark, sf_dir)
+            if not r["ok"]:
+                failed.append(name)
+        except Exception as e:
+            print(f"  {name}: ERROR {type(e).__name__}: {e}")
+            failed.append(name)
+    print(f"\n{len(names) - len(failed)}/{len(names)} passed"
+          + (f"; FAILED: {failed}" if failed else ""))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
