@@ -1,1 +1,350 @@
-"""Placeholder — queries land here."""
+"""Scalar function suite + the UDF surface (SURVEY.md §2 tier 2).
+
+String / date / math / CASE / JSON / array / map expressions — all
+JVM-side built-ins (`pyspark.sql.functions`) that stay inside whole-stage
+codegen; plus the three-point UDF surface the engine exposes when built-ins
+can't express the semantics: `pandas_udf` (scalar, Arrow-batched),
+`applyInPandas` (grouped aggregate), and `mapInPandas` (table function).
+Row-at-a-time Python UDFs are deliberately absent — they are never the
+right call at 100 TB (SURVEY.md §4).
+
+Oracle conventions: functions whose cross-engine type differs are cast
+explicitly (DuckDB year() is BIGINT, Spark's is INT); map lookups are
+oracled by their value-equivalent expression (the oracle checks semantics,
+not that DuckDB also used a map).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from databricks_feature_store_poc_spark.registry import query
+from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+
+def _dec(col: str | F.Column, scale: int = 2) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# Built-in scalar functions
+# ---------------------------------------------------------------------------
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_mktsegment) AS seg_upper,
+           substr(c_name, 10, 9) AS id_digits,
+           c_mktsegment || ':' || c_name AS seg_name,
+           CAST(length(c_name) AS INT) AS name_len,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           CAST(len(string_split(c_name, '#')) AS INT) AS n_parts
+    FROM customer
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/substr/concat/length/regexp_extract/split — all codegen'd
+    JVM expressions, no Python in the row path."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.substring("c_name", 10, 9).alias("id_digits"),
+        F.concat_ws(":", "c_mktsegment", "c_name").alias("seg_name"),
+        F.length("c_name").alias("name_len"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.size(F.split("c_name", "#")).alias("n_parts"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(day(o_orderdate) AS INT) AS dom,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INT)
+               AS days_to_98,
+           CAST(o_orderdate AS DATE) + INTERVAL 30 DAYS AS due_ts
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract/trunc/diff/add on the order date. DuckDB's extracts return
+    BIGINT and Spark's INT — both sides cast to INT explicitly."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.lit("1998-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .alias("days_to_98"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30)
+        .cast("timestamp")
+        .alias("due_ts"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1) AS price_r1,
+           abs(l_discount - 0.05) AS disc_dist,
+           sqrt(l_quantity) AS qty_sqrt,
+           floor(l_extendedprice) AS price_floor,
+           ceil(l_extendedprice) AS price_ceil,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod7
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/abs/sqrt/floor/ceil/mod. sqrt is IEEE-correctly-rounded so it
+    is bit-identical cross-engine (unlike ln/exp, which are deliberately
+    not in an oracle-checked query). round(x, 1) of a 2-decimal double hits
+    .x5 ties — but l_extendedprice's cents are data, not computed, so the
+    double is the *nearest* representation and both engines see the same
+    side of the tie."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(_dec("l_extendedprice"), 1).cast("double").alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dist"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+    )
+
+
+@query(
+    "fn_case",
+    oracle="""
+    SELECT CASE WHEN o_totalprice > 300000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END AS tier,
+           o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def fn_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN tiering feeding a group-by."""
+    o = load_table(spark, sf_dir, "orders")
+    tier = (
+        F.when(F.col("o_totalprice") > 300000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+    )
+    return (
+        o.withColumn("tier", tier)
+        .groupBy("tier", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+           CAST(json_extract_string(props, '$.missing') AS INT) AS k_missing
+    FROM events
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object over the events.props JSON column; missing paths
+    yield NULL on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.get_json_object("props", "$.missing").cast("int").alias("k_missing"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           embedding[1] AS first_elem,
+           embedding[64] AS last_elem,
+           list_max(embedding) AS elem_max,
+           list_min(embedding) AS elem_min,
+           round(list_sum(CAST(embedding AS DOUBLE[])), 4) AS elem_sum
+    FROM embeddings
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array ops over the 64-dim embedding column: size, 1-indexed
+    element_at, array_min/max, and a higher-order fold for the sum — the
+    pattern the similarity operators build on. Both engines fold the 64
+    floats sequentially in index order; round(…,4) absorbs any last-ulp
+    wobble."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_elem"),
+        F.element_at("embedding", 64).alias("last_elem"),
+        F.array_max("embedding").alias("elem_max"),
+        F.array_min("embedding").alias("elem_min"),
+        F.round(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+            4,
+        ).alias("elem_sum"),
+    )
+
+
+@query(
+    "fn_map",
+    oracle="""
+    SELECT event_id,
+           event_type AS type_from_map,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_from_map,
+           2 AS n_keys
+    FROM events
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType construction + element_at lookup + map_keys. The oracle
+    pins the *values* the map ops must produce (DuckDB's MAP type is not
+    hash-comparable cross-engine; the semantics are)."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("k"), F.get_json_object("props", "$.k"),
+    )
+    return e.withColumn("m", m).select(
+        "event_id",
+        F.element_at("m", "type").alias("type_from_map"),
+        F.element_at("m", "k").cast("int").alias("k_from_map"),
+        F.size(F.map_keys("m")).alias("n_keys"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# UDF surface (Arrow-batched only)
+#
+# Every Python body below is a *closure*, not a module-level function:
+# cloudpickle serializes closures by value, so executor workers never need
+# this package importable — the external driver's workers only have
+# pyspark on their path.
+# ---------------------------------------------------------------------------
+
+@query(
+    "udf_scalar",
+    oracle="""
+    SELECT event_id, value,
+           least(greatest(value, 0.0), 50.0) AS clipped
+    FROM events
+    """,
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas_udf scalar path; the oracle is the equivalent pure-SQL
+    expression, proving the UDF computes what it claims. Arrow ships whole
+    batches; pandas computes columnar — ~10-100x a row-at-a-time UDF."""
+
+    @F.pandas_udf(T.DoubleType())
+    def clip_0_50(v: pd.Series) -> pd.Series:
+        return v.clip(0.0, 50.0)
+
+    e = load_table(spark, sf_dir, "events")
+    return e.select("event_id", "value", clip_0_50("value").alias("clipped"))
+
+
+@query(
+    "udaf_grouped",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped aggregate: one shuffle on user_id, then each
+    group lands in a pandas frame executor-side. At 100 TB the constraint
+    is that a single group fits in one task's memory — true for per-user
+    groups; for skewed keys pre-aggregate or salt first.
+
+    round(sum, 2) in the body is exact because inputs are 2-decimal values
+    and per-user groups are small (float error ≪ half a cent); the oracle
+    accumulates in DECIMAL and lands on the same cents."""
+
+    def user_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "total_value": [round(float(pdf["value"].sum()), 2)],
+                "max_value": [float(pdf["value"].max())],
+            }
+        )
+
+    e = load_table(spark, sf_dir, "events")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+            T.StructField("max_value", T.DoubleType()),
+        ]
+    )
+    return e.select("user_id", "value").groupBy("user_id").applyInPandas(user_stats, schema)
+
+
+@query(
+    "udtf_explode_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS token
+    FROM documents
+    """,
+)
+def udtf_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-function surface: 1 document row -> N token rows via
+    mapInPandas — an Arrow-batched table function: n input rows -> m
+    output rows with no driver involvement and no shuffle; batch size is
+    bounded by arrow.maxRecordsPerBatch so memory stays flat regardless of
+    table size. The oracle is the engine-native unnest of the same
+    whitespace tokenization."""
+
+    def tokenize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, toks = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for tok in text.split():
+                    ids.append(doc_id)
+                    toks.append(tok)
+            yield pd.DataFrame({"doc_id": ids, "token": toks})
+
+    d = load_table(spark, sf_dir, "documents")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("token", T.StringType())]
+    )
+    return d.select("doc_id", "text").mapInPandas(tokenize_batches, schema)

@@ -1,1 +1,128 @@
-"""Placeholder — queries land here."""
+"""Rolling-window feature computation (SURVEY.md §2 tier 2, M3).
+
+The reference's entire feature content — ``total_purchase_7d`` /
+``total_purchase_30d`` (/root/reference/data/customer_features.csv:1) —
+arrives pre-computed; the windowing happened upstream of the POC. This
+module makes that upstream computation explicit: per-key trailing
+time-range sums over the ``events`` stream table.
+
+Scale design: a RANGE-frame window shuffles once on the partition key
+(user_id) and sorts within partitions — no self-join, no per-day explode.
+At 100 TB the key cardinality (users) dwarfs executor count, so partitions
+balance; a single hot user would need pre-aggregation to (user, hour)
+grain first, which is what `feature_rolling_hourly` demonstrates.
+
+Precision: events.ts carries microseconds, so the frame is expressed in
+epoch-micros on BOTH engines (a seconds-granularity frame would disagree
+with DuckDB's INTERVAL arithmetic on every sub-second boundary). Sums
+accumulate in DECIMAL (exact) and cast to DOUBLE at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from databricks_feature_store_poc_spark.registry import query
+from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+_US = 1_000_000
+_DAY_US = 86_400 * _US
+
+
+def rolling_range_sum(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    days: int,
+    out_col: str,
+) -> DataFrame:
+    """Reusable trailing-``days`` sum of ``value_col`` per ``key``.
+
+    This is the engine's generalization of the reference's
+    total_purchase_{7,30}d columns: any (key, timestamp, value) relation
+    gains a trailing-window feature with one shuffle.
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(-days * _DAY_US, 0)
+    )
+    return df.withColumn(
+        out_col,
+        F.sum(F.col(value_col).cast("decimal(18,2)")).over(w).cast("double"),
+    )
+
+
+@query(
+    "feature_rolling_sum",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w7 AS DOUBLE) AS sum_7d,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w30 AS DOUBLE) AS sum_30d,
+           CAST(COUNT(*) OVER w7 AS BIGINT) AS n_7d
+    FROM events
+    WINDOW
+      w7 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW),
+      w30 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def feature_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7d/30d value sums + 7d count per user — the reference's
+    customer_features content (total_purchase_7d/30d) computed from raw
+    events. One shuffle on user_id serves all three windows."""
+    e = load_table(spark, sf_dir, "events")
+    order = F.unix_micros(F.col("ts"))
+    w7 = Window.partitionBy("user_id").orderBy(order).rangeBetween(-7 * _DAY_US, 0)
+    w30 = Window.partitionBy("user_id").orderBy(order).rangeBetween(-30 * _DAY_US, 0)
+    dec_val = F.col("value").cast("decimal(18,2)")
+    return e.select(
+        "event_id", "user_id", "ts",
+        F.sum(dec_val).over(w7).cast("double").alias("sum_7d"),
+        F.sum(dec_val).over(w30).cast("double").alias("sum_30d"),
+        F.count(F.lit(1)).over(w7).alias("n_7d"),
+    )
+
+
+@query(
+    "feature_rolling_hourly",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+               SUM(CAST(value AS DECIMAL(18,2))) AS hour_sum
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT user_id, hour_start,
+           CAST(SUM(hour_sum) OVER w AS DOUBLE) AS sum_24h
+    FROM hourly
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(hour_start)
+                 RANGE BETWEEN 82800000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def feature_rolling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe variant: pre-aggregate to (user, hour) grain, then a
+    trailing 24h window over the *compacted* relation. This is the 100 TB
+    answer to a hot key: the window's input is bounded by hours x users,
+    not raw event volume, so a billion-event user costs the same as a
+    hundred-event one past the first aggregate. Frame is 23h preceding:
+    the current hour bucket plus 23 = a 24-hour trailing window."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("hour_sum"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("hour_start")))
+        .rangeBetween(-23 * 3600 * _US, 0)
+    )
+    return hourly.select(
+        "user_id", "hour_start",
+        F.sum("hour_sum").over(w).cast("double").alias("sum_24h"),
+    )

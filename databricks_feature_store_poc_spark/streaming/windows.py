@@ -1,1 +1,265 @@
-"""Placeholder — queries land here."""
+"""Streaming window semantics on ``events`` (SURVEY.md §2 tier 2, M6).
+
+Four registered queries cover the windowed-aggregation semantics of
+Structured Streaming — tumbling, sliding, session (gap-based), and
+watermark late-data drop — each in its *batch-equivalent* form so the
+DuckDB oracle can check exact values. The genuinely-streaming execution of
+the same plans (``readStream`` -> ``withWatermark`` -> windowed agg ->
+``availableNow`` trigger) lives in :func:`run_tumbling_stream` /
+:func:`run_session_stream` below and is asserted equal to the batch
+results in tests/test_streaming.py — the parity Structured Streaming
+guarantees by design (same Catalyst plan, incrementalized).
+
+Scale notes: windowed aggregation shuffles on (window, keys) with partial
+aggregation map-side; session windows shuffle on user_id then merge
+per-key sorted runs; state size in the true streaming run is bounded by
+the watermark horizon, which is exactly what `stream_late_data` models.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from databricks_feature_store_poc_spark.registry import query
+from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR AS win_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h windows x event_type. `F.window` assigns each row to
+    exactly one epoch-aligned bucket — for 1h widths that bucket equals
+    date_trunc('hour'), which is the oracle's formulation."""
+    e = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    return (
+        e.groupBy(win, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+    WITH assigned AS (
+        SELECT make_timestamp((epoch_us(ts) // 1800000000 - j) * 1800000000)
+                   AS win_start,
+               value
+        FROM events, (VALUES (0), (1)) AS shifts(j)
+    )
+    SELECT win_start,
+           win_start + INTERVAL 1 HOUR AS win_end,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM assigned
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h windows every 30min: each event lands in exactly two
+    windows, whose starts are the two slide-aligned points at or before
+    ts. The oracle materializes that 2-way assignment explicitly
+    (floor-to-slide minus j*slide for j in {0,1})."""
+    e = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "30 minutes")
+    return (
+        e.groupBy(win)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "n", "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_session",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTES
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTES AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts after >30min of
+    user inactivity; the session closes 30min after its last event
+    (exactly `session_window`'s [start, last+gap) contract). The oracle
+    derives the same sessions via the classic lag + running-flag-sum
+    construction."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n", "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_late_data",
+    oracle="""
+    WITH arrivals AS (
+        SELECT ts, value,
+               MAX(ts) OVER (ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   - INTERVAL 10 MINUTES AS watermark
+        FROM events
+    )
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM arrivals
+    WHERE watermark IS NULL OR ts >= watermark
+    GROUP BY 1
+    """,
+)
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data drop, modeled exactly: arrival order =
+    event_id; the watermark after each arrival is max(event time seen) -
+    10min; a row is dropped if its event time is behind the watermark at
+    its arrival. Survivors aggregate into tumbling 1h windows.
+
+    The global ORDER BY event_id window is the *semantic spec*, not the
+    production plan — it exists so DuckDB can check the drop rule exactly.
+    The production path is `readStream.withWatermark("ts", "10 minutes")`
+    (see run_tumbling_stream), where the watermark is tracked per
+    micro-batch with no global sort.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    wm = F.max("ts").over(w) - F.expr("INTERVAL 10 MINUTES")
+    kept = e.withColumn("watermark", wm).filter(
+        F.col("watermark").isNull() | (F.col("ts") >= F.col("watermark"))
+    )
+    return kept.groupBy(F.date_trunc("hour", "ts").alias("win_start")).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# True Structured Streaming execution (used by tests/test_streaming.py)
+# ---------------------------------------------------------------------------
+
+def run_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the stream_tumbling aggregation through a real streaming plan:
+    readStream over the events parquet -> withWatermark -> windowed agg ->
+    availableNow trigger into a memory sink. Returns the sink contents.
+
+    Structured Streaming incrementalizes the identical Catalyst plan, so
+    the result must equal the batch query — asserted in tests. Complete
+    output mode + availableNow processes all existing files then stops.
+    """
+    batch = load_table(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(f"{sf_dir}/events.parquet")
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":  # nanosAsLong read path
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type", "n", "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("tumbling_sink")
+
+
+def run_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_session through a real streaming plan (session_window +
+    watermark + availableNow). Session windows require watermark +
+    append/update mode; with availableNow over a static file set, all
+    sessions close once the stream drains."""
+    batch = load_table(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(f"{sf_dir}/events.parquet")
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("session_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("session_sink")
