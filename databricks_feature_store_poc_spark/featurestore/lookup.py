@@ -83,6 +83,10 @@ class TrainingSet:
                     "table_name": lk.table_name,
                     "feature_names": list(lk.feature_names),
                     "lookup_key": list(lk.lookup_key),
+                    # spine_keys must survive the round-trip or score_batch
+                    # replays the join with the wrong spine columns.
+                    "spine_keys": list(lk.spine_keys),
+                    "rename": dict(lk.rename),
                 }
                 for lk in self.lookups
             ],

@@ -1,0 +1,410 @@
+"""ML-path parity: everything after `load_df()` in the reference
+(SURVEY.md §2 tier 1: A1, T2, T3, A2, A3, ML3).
+
+The reference materializes the training set to pandas and goes
+single-node (/root/reference/notebooks/02_model_training.py:250 onward);
+this module re-expresses each post-materialization step as a distributed
+Spark computation so the same pipeline holds at 100 TB:
+
+- A1 class distribution            (02:260-261, `value_counts`)
+- T2 dtype column classification   (02:311-328, `select_dtypes`)
+- T3 missing-value scan            (02:340-341, `isnull().any()`)
+- A2 eval-metric aggregates        (02:367-387, `calculate_metrics`)
+- A3 feature-importance sort       (02:462-465)
+- ML3 model-with-lineage sink + score_batch (02:478-484, `fs.log_model`)
+
+ML1 (CatBoost train, 02:422-436) and ML2 (MLflow registry, 02:389-395)
+stay driver-side and optional per SURVEY §7 M4: `train_gbt` wraps
+pyspark.ml's distributed GBT behind a feature gate and is exercised in
+tests, not as a correctness query (fit results are not oracle-able).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+
+try:  # cloudpickle serializes closures/local classes by value (models are
+    import cloudpickle as pickle  # rarely plain importable module globals)
+except ImportError:  # pragma: no cover
+    from pyspark import cloudpickle as pickle
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from databricks_feature_store_poc_spark.featurestore.lookup import TrainingSet
+from databricks_feature_store_poc_spark.registry import QUERIES, query
+from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+
+# -- A1 ---------------------------------------------------------------------
+
+@query(
+    "class_distribution",
+    oracle="""
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           COUNT(*) * 1.0 / (SELECT COUNT(*) FROM embeddings) AS pct
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def class_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference `y.value_counts()` (02:260-261) as a distributed
+    group-by + a windowed share — one partial-agg'd shuffle."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("pct", F.col("n") / F.sum("n").over(Window.partitionBy()))
+    )
+
+
+# -- T2 ---------------------------------------------------------------------
+
+def classify_dtypes(df: DataFrame) -> dict[str, list[str]]:
+    """Reference `select_dtypes` (02:311-328) over the Spark schema:
+    Strings -> categorical, numerics -> numeric, the rest -> other.
+    Driver-side metadata only — no job runs."""
+    out: dict[str, list[str]] = {"categorical": [], "numeric": [], "other": []}
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.StringType):
+            out["categorical"].append(field.name)
+        elif isinstance(field.dataType, T.NumericType):
+            out["numeric"].append(field.name)
+        else:
+            out["other"].append(field.name)
+    return out
+
+
+@query(
+    "dtype_classification",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('l_orderkey', 'numeric'), ('l_partkey', 'numeric'),
+        ('l_suppkey', 'numeric'), ('l_linenumber', 'numeric'),
+        ('l_quantity', 'numeric'), ('l_extendedprice', 'numeric'),
+        ('l_discount', 'numeric'), ('l_tax', 'numeric'),
+        ('l_returnflag', 'categorical'), ('l_linestatus', 'categorical'),
+        ('l_shipdate', 'other')
+    ) AS t(column_name, col_class)
+    """,
+)
+def dtype_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 as a query: classify lineitem's columns; the oracle pins the
+    expected classification literally (schema-derived, so the differential
+    check is Spark-schema vs declared truth)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    classes = classify_dtypes(li)
+    rows = [
+        (name, cls)
+        for cls, names in (
+            ("numeric", classes["numeric"]),
+            ("categorical", classes["categorical"]),
+            ("other", classes["other"]),
+        )
+        for name in names
+    ]
+    return spark.createDataFrame(rows, ["column_name", "col_class"])
+
+
+# -- T3 ---------------------------------------------------------------------
+
+@query(
+    "missing_value_scan",
+    oracle="""
+    WITH ts AS (
+        SELECT o.o_orderkey, o.o_totalprice, o.o_orderstatus,
+               c.c_acctbal, c.c_mktsegment, n.n_name
+        FROM orders o
+        LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_acctbal,
+           CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_mktsegment,
+           CAST(SUM(CASE WHEN n_name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_n_name
+    FROM ts
+    """,
+)
+def missing_value_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference `X.isnull().any().any()` (02:340-341) distributed: one
+    pass over the flagship training set counting NULLs per feature column
+    — conditional aggregates, single job, no materialization."""
+    ts = QUERIES["training_set_flagship"](spark, sf_dir)
+    return ts.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("c_acctbal").isNull(), 1).otherwise(0)).alias("null_acctbal"),
+        F.sum(F.when(F.col("c_mktsegment").isNull(), 1).otherwise(0)).alias("null_mktsegment"),
+        F.sum(F.when(F.col("n_name").isNull(), 1).otherwise(0)).alias("null_n_name"),
+    )
+
+
+# -- A2 ---------------------------------------------------------------------
+
+@query(
+    "eval_metrics",
+    oracle="""
+    WITH scored AS (
+        SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+               CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END AS pred
+        FROM embeddings
+    ),
+    cm AS (
+        SELECT CAST(SUM(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(SUM(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM scored
+    )
+    SELECT tp, fp, fn, tn,
+           (tp + tn) * 1.0 / (tp + fp + fn + tn) AS accuracy,
+           tp * 1.0 / (tp + fp) AS precision_1,
+           tp * 1.0 / (tp + fn) AS recall_1,
+           2.0 * (tp * 1.0 / (tp + fp)) * (tp * 1.0 / (tp + fn))
+               / ((tp * 1.0 / (tp + fp)) + (tp * 1.0 / (tp + fn))) AS f1_1
+    FROM cm
+    """,
+)
+def eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference `calculate_metrics` (02:367-387) as SQL aggregates over
+    (label, prediction): confusion counts, accuracy, precision/recall/F1.
+    The predictions come from a fixed deterministic rule (first embedding
+    coordinate sign) so the metric math — not a model fit — is what the
+    oracle checks. Integer-count ratios divide identically cross-engine."""
+    e = load_table(spark, sf_dir, "embeddings")
+    scored = e.select(
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+        F.when(F.element_at("embedding", 1) > 0, 1).otherwise(0).alias("pred"),
+    )
+    cm = scored.agg(
+        F.sum(F.when((F.col("y") == 1) & (F.col("pred") == 1), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("pred") == 1), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when((F.col("y") == 1) & (F.col("pred") == 0), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("pred") == 0), 1).otherwise(0)).alias("tn"),
+    )
+    p = F.col("tp") / (F.col("tp") + F.col("fp"))
+    r = F.col("tp") / (F.col("tp") + F.col("fn"))
+    return cm.select(
+        "tp", "fp", "fn", "tn",
+        ((F.col("tp") + F.col("tn")) / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn"))).alias("accuracy"),
+        p.alias("precision_1"),
+        r.alias("recall_1"),
+        (F.lit(2.0) * p * r / (p + r)).alias("f1_1"),
+    )
+
+
+# -- A3 ---------------------------------------------------------------------
+
+@query(
+    "feature_importance",
+    oracle="""
+    WITH unpivoted AS (
+        SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+               i.i AS dim,
+               CAST(ROUND(CAST(embedding[i.i] AS DOUBLE), 6) AS DECIMAL(18,6)) AS val
+        FROM embeddings, range(1, 65) AS i(i)
+    ),
+    per_dim AS (
+        SELECT dim,
+               CAST(SUM(CASE WHEN y = 1 THEN val END) AS DOUBLE)
+                   / SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS mean_pos,
+               CAST(SUM(CASE WHEN y = 0 THEN val END) AS DOUBLE)
+                   / SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS mean_neg
+        FROM unpivoted
+        GROUP BY dim
+    )
+    SELECT CAST(dim AS INT) AS dim, abs(mean_pos - mean_neg) AS importance
+    FROM per_dim
+    ORDER BY importance DESC, dim
+    LIMIT 10
+    """,
+)
+def feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference feature-importance sort (02:462-465) with a
+    model-free importance: |mean(dim | y=1) - mean(dim | y=0)| per
+    embedding dimension, top-10. Unpivot via posexplode (no 64-way
+    self-join). Floats are rounded as doubles to 6 places *before* the
+    decimal cast: a direct float->decimal cast goes through Java's
+    shortest-string repr in Spark but the exact binary expansion in
+    DuckDB, which flips the 6th decimal on occasional values; rounding the
+    (exactly-converted) double first makes both engines quantize the same
+    number, and the decimal sums after it are exact."""
+    e = load_table(spark, sf_dir, "embeddings")
+    unpivoted = e.select(
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        "y",
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("val").cast("double"), 6).cast("decimal(18,6)").alias("val"),
+    )
+    per_dim = unpivoted.groupBy("dim").agg(
+        (
+            F.sum(F.when(F.col("y") == 1, F.col("val"))).cast("double")
+            / F.sum(F.when(F.col("y") == 1, 1).otherwise(0))
+        ).alias("mean_pos"),
+        (
+            F.sum(F.when(F.col("y") == 0, F.col("val"))).cast("double")
+            / F.sum(F.when(F.col("y") == 0, 1).otherwise(0))
+        ).alias("mean_neg"),
+    )
+    return (
+        per_dim.select(
+            F.col("dim").cast("int").alias("dim"),
+            F.abs(F.col("mean_pos") - F.col("mean_neg")).alias("importance"),
+        )
+        .orderBy(F.desc("importance"), F.asc("dim"))
+        .limit(10)
+    )
+
+
+# -- ML3: model-with-lineage sink + score_batch -----------------------------
+
+def log_model(model, artifact_dir: str, training_set: TrainingSet) -> str:
+    """Reference `fs.log_model(..., training_set=...)` (02:478-484): write
+    the model artifact next to the feature-lookup lineage so scoring can
+    replay the exact joins. Plain pickle + JSON — MLflow, when installed,
+    wraps this same layout (SURVEY §7 M4 keeps it optional)."""
+    os.makedirs(artifact_dir, exist_ok=True)
+    with open(os.path.join(artifact_dir, "model.pkl"), "wb") as f:
+        pickle.dump(model, f)
+    with open(os.path.join(artifact_dir, "lineage.json"), "w") as f:
+        json.dump(training_set.lineage(), f, indent=2)
+    return artifact_dir
+
+
+def score_batch(
+    spark: SparkSession,
+    artifact_dir: str,
+    spine: DataFrame,
+    resolve_table,
+    predict_cols: list[str],
+) -> DataFrame:
+    """Reference `score_batch`: load lineage, replay the lookup joins on a
+    new spine (the POC's 'Automated Feature Joins' selling point,
+    /root/reference/README.md:100-102), then apply the model via an
+    Arrow-batched pandas UDF — predictions computed executor-side, spine
+    never collected."""
+    from databricks_feature_store_poc_spark.featurestore.lookup import (
+        FeatureLookup,
+        create_training_set,
+    )
+
+    with open(os.path.join(artifact_dir, "lineage.json")) as f:
+        lineage = json.load(f)
+    with open(os.path.join(artifact_dir, "model.pkl"), "rb") as f:
+        model = pickle.load(f)
+
+    lookups = [
+        FeatureLookup(
+            table_name=lk["table_name"],
+            feature_names=tuple(lk["feature_names"]),
+            lookup_key=tuple(lk["lookup_key"]),
+            spine_keys=tuple(lk.get("spine_keys", ())),
+        )
+        for lk in lineage["lookups"]
+    ]
+    ts = create_training_set(
+        spark, spine, lookups,
+        label=None,
+        exclude_columns=lineage["exclude_columns"],
+        resolve_table=resolve_table,
+    )
+    enriched = ts.load_df()
+
+    # Struct input -> the UDF receives one pandas DataFrame of features
+    # per Arrow batch (a *args signature is not supported by pandas_udf).
+    @F.pandas_udf(T.DoubleType())
+    def predict_udf(feats: pd.DataFrame) -> pd.Series:
+        return pd.Series(model.predict(feats))
+
+    return enriched.withColumn(
+        "prediction", predict_udf(F.struct(*predict_cols))
+    )
+
+
+@query(
+    "score_batch_replay",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(CASE WHEN COALESCE(c.c_acctbal, 0.0) > 0 THEN 1 ELSE 0 END
+                AS DOUBLE) AS prediction
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def score_batch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ML3: log a model with the flagship lineage, then
+    score_batch a fresh spine — the reference's automated-feature-join
+    inference path (02:478-484 + README.md:100-102). The stub model is a
+    deterministic threshold rule so the whole replay (lineage load ->
+    join -> pandas_udf predict) is oracle-checkable."""
+    import tempfile
+
+    from databricks_feature_store_poc_spark.featurestore.lookup import (
+        FeatureLookup,
+        create_training_set,
+    )
+
+    class ThresholdModel:
+        """Deterministic stand-in model: predict 1 if first feature > 0.
+        Defined inside the function so cloudpickle serializes the CLASS by
+        value — the scoring UDF's closure captures an instance, and
+        executors in an external driver session can't import this
+        package."""
+
+        def predict(self, feats):
+            col = feats.iloc[:, 0].fillna(0.0)
+            return (col > 0).astype(float)
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    spine = orders.select("o_orderkey", "o_custkey")
+    lookups = [
+        FeatureLookup(
+            table_name="customer",
+            feature_names=("c_acctbal",),
+            lookup_key=("c_custkey",),
+            spine_keys=("o_custkey",),
+        )
+    ]
+    ts = create_training_set(
+        spark, spine, lookups, label=None, exclude_columns=["o_custkey"],
+        resolve_table={"customer": customer}.__getitem__,
+    )
+    artifact_dir = os.path.join(tempfile.gettempdir(), "spark_graft_model_replay")
+    log_model(ThresholdModel(), artifact_dir, ts)
+    scored = score_batch(
+        spark, artifact_dir, spine,
+        resolve_table={"customer": customer}.__getitem__,
+        predict_cols=["c_acctbal"],
+    )
+    return scored.select("o_orderkey", "prediction")
+
+
+# -- ML1 (feature-gated, exercised in tests) --------------------------------
+
+def train_gbt(train_df: DataFrame, feature_cols: list[str], label_col: str):
+    """Distributed gradient-boosted trees on the training set — the scale
+    replacement for the reference's driver-side CatBoost (02:422-436,
+    SURVEY §7: `toPandas` train is the 100 TB cliff). Returns the fitted
+    pipeline model; gated behind pyspark.ml availability."""
+    from pyspark.ml.classification import GBTClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    assembler = VectorAssembler(inputCols=feature_cols, outputCol="features")
+    assembled = assembler.transform(train_df)
+    gbt = GBTClassifier(
+        labelCol=label_col, featuresCol="features",
+        maxIter=10, maxDepth=3, seed=42,
+    )
+    return gbt.fit(assembled)

@@ -1,1 +1,328 @@
-"""Placeholder — queries land here."""
+"""Document deduplication operators (north-star LLM pipeline, SURVEY §2/M5).
+
+Four dedup families over ``documents`` + one over ``embeddings``:
+
+- ``dedup_exact``        — content-hash grouping (oracle-checked).
+- ``dedup_ngram_jaccard``— EXACT near-dup pairs by 5-word-shingle Jaccard,
+  found via an inverted-index join (oracle-checked). This is the
+  scale-correct exact algorithm: a pair can have Jaccard > 0 only if it
+  shares a shingle, so joining on shingles loses nothing, and the join
+  fan-out is bounded by capping shingle document-frequency (stop-shingle
+  removal, applied identically in the oracle).
+- ``dedup_near_minhash`` — MinHash-LSH candidates, then exact-Jaccard
+  verification. Probabilistic recall => rows-only check; but every emitted
+  pair is exact-verified, so output ⊆ dedup_ngram_jaccard output — the
+  containment invariant tests/test_llm.py pins.
+- ``dedup_simhash``      — 64-bit SimHash fingerprints + banded Hamming
+  pairs (rows-only; fingerprint bits depend on xxhash64).
+- ``dedup_embedding_cosine`` — near-dup by embedding cosine (oracle via
+  DuckDB list ops on DOUBLE[]).
+
+At 100 TB none of these ever materializes an all-pairs product: exact and
+minhash pair generation go through bucket joins (shingle / LSH-band keys),
+and the embedding variant guards its quadratic path behind a row-count cap
+with the LSH route above it (llm/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_feature_store_poc_spark.registry import query
+from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+# Stop-shingle cap: shingles appearing in more documents than this are
+# dropped from BOTH the signature and the pair search (on both engines).
+# Bounds inverted-index join fan-out to DF_CAP^2 pairs per shingle.
+DF_CAP = 50
+SHINGLE_WORDS = 5
+JACCARD_THRESHOLD = 0.3
+
+# Shared Spark-side shingle pipeline --------------------------------------
+
+_WORDS = r"filter(split(text, '\\s+'), x -> x != '')"
+_SHINGLES = (
+    f"array_distinct(transform(sequence(1, greatest(size({_WORDS}) - {SHINGLE_WORDS - 1}, 0)), "
+    f"i -> concat_ws(' ', slice({_WORDS}, i, {SHINGLE_WORDS}))))"
+)
+
+# Same pipeline in DuckDB SQL (list slicing is 1-based inclusive, so
+# w[i : i + SHINGLE_WORDS - 1] is a SHINGLE_WORDS-long slice).
+_DUCK_SHINGLES = rf"""
+    WITH words AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS w
+        FROM documents
+    ),
+    shingled AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(w[i : i + {SHINGLE_WORDS - 1}], ' ')
+                              FOR i IN range(1, greatest(len(w) - {SHINGLE_WORDS - 2}, 1))])
+                   AS shingles
+        FROM words
+    ),
+    exploded AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+    ),
+    kept AS (
+        SELECT doc_id, shingle
+        FROM exploded
+        QUALIFY COUNT(DISTINCT doc_id) OVER (PARTITION BY shingle) <= {DF_CAP}
+    ),
+    doc_sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM kept GROUP BY doc_id
+    )
+"""
+
+
+def shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) inverted index with stop-shingles removed.
+
+    One explode + one group-filter; no driver materialization. The DF cap
+    is computed with a window over the exploded index (count distinct docs
+    per shingle) — a single shuffle on shingle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.explode(F.expr(_SHINGLES)).alias("shingle"))
+    df_counts = ex.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        ex.join(df_counts.filter(F.col("df") <= DF_CAP).select("shingle"), "shingle")
+        .select("doc_id", "shingle")
+    )
+
+
+def _jaccard_pairs_from_index(idx: DataFrame) -> DataFrame:
+    """Exact Jaccard pairs from a (doc_id, shingle) index via self-join."""
+    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = idx.alias("a")
+    b = idx.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Operators
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM documents
+    GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group on sha2(text), keep the lowest doc_id.
+
+    Hash-groupBy is the 100 TB shape: the shuffle carries 32-byte digests
+    instead of full documents (the oracle groups by raw text — same
+    partition, since sha2 is injective modulo collisions).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2(F.col("text").cast("binary"), 256).alias("h"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select("keep_doc_id", "dup_count")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_DUCK_SHINGLES + f"""
+    , shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+        FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT s.doc_a, s.doc_b,
+           s.shared * 1.0 / (sa.n_shingles + sb.n_shingles - s.shared) AS jaccard
+    FROM shared s
+    JOIN doc_sizes sa ON s.doc_a = sa.doc_id
+    JOIN doc_sizes sb ON s.doc_b = sb.doc_id
+    WHERE s.shared * 1.0 / (sa.n_shingles + sb.n_shingles - s.shared)
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-dup pairs: Jaccard >= 0.3 on 5-word shingle sets.
+
+    Candidate generation is an inverted-index self-join on shingle — exact
+    because jaccard > 0 requires a shared shingle — with stop-shingles
+    (df > DF_CAP) removed on both engines. The jaccard value itself is an
+    integer ratio, so the double division is bit-identical cross-engine.
+    """
+    return _jaccard_pairs_from_index(shingle_index(spark, sf_dir))
+
+
+@query("dedup_near_minhash")  # LSH recall is probabilistic: rows-only check
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup: 16 minhashes over the shingle set, banded
+    4x4; docs sharing a band bucket become candidates; candidates are
+    verified with EXACT Jaccard before emission.
+
+    The 100 TB contract: pair generation cost is (bucket size)^2 summed
+    over buckets — never all-pairs — and verification touches only
+    candidates. Because emitted pairs are exact-verified, the output is a
+    subset of dedup_ngram_jaccard's (containment pinned in tests); LSH
+    with these parameters catches ~all pairs at jaccard >= 0.5 and most at
+    0.3 (p = 1-(1-j^4)^4).
+    """
+    idx = shingle_index(spark, sf_dir)
+    # 16 minhash values per doc: min over shingles of xxhash64(i, shingle).
+    sigs = idx.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+            for i in range(16)
+        ]
+    )
+    # 4 bands of 4 rows; band key = hash of the band's minhash 4-tuple.
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(*[F.col(f"mh{b * 4 + r}") for r in range(4)]).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    exact = _jaccard_pairs_from_index(idx)
+    return candidates.join(exact, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+
+
+@query("dedup_simhash")  # fingerprint bits depend on xxhash64: rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup: per-doc fingerprint from word hashes
+    (bit b of the fingerprint = sign of the sum of ±1 contributions of
+    each distinct word's hash bit b), then banded Hamming search: 4 bands
+    of 16 bits; a pair sharing any exact band becomes a candidate
+    (guarantees recall for Hamming distance <= 3 by pigeonhole, since 4
+    bands can't all differ); candidates within Hamming <= 8 are emitted.
+
+    Everything is JVM higher-order functions — fold/zip_with over the
+    64-bit lanes — no Python in the row path; pair search is a bucket
+    join on band values, never all-pairs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = "array_distinct(filter(split(text, '\\\\s+'), x -> x != ''))"
+    # counts[b] = sum over words of (2*bit_b(xxhash64(word)) - 1)
+    counts = (
+        f"aggregate({words}, array_repeat(0L, 64), "
+        f"(acc, w) -> zip_with(acc, transform(sequence(0, 63), "
+        f"b -> shiftright(xxhash64(w), b) & 1L), (c, bit) -> c + 2 * bit - 1))"
+    )
+    fp = (
+        f"concat_ws('', transform({counts}, c -> CASE WHEN c > 0 THEN '1' ELSE '0' END))"
+    )
+    docs = d.select("doc_id", F.expr(fp).alias("simhash"))
+    bands = docs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.substring("simhash", i * 16 + 1, 16).alias("key"),
+                )
+                for i in range(4)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.expr(
+        "size(filter(zip_with(split(a_fp, ''), split(b_fp, ''), (x, y) -> x <> y), v -> v))"
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("a_fp"),
+            F.col("b.simhash").alias("b_fp"),
+        )
+        .distinct()
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= 8)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: pairs with cosine >= 0.4, brute-force within a
+    guarded cap. The quadratic path is the *correctness baseline*; above
+    the cap the LSH-bucketed route (llm/similarity.sim_ann_lsh) is the
+    scale path — refusing here is deliberate, not a TODO.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    if n > 20_000:
+        raise ValueError(
+            f"brute-force pair scan refused at {n} rows (cap 20000); "
+            "use sim_ann_lsh's bucketed candidate generation instead"
+        )
+    dot = "aggregate(zip_with(a_e, b_e, (x, y) -> x * y), 0D, (s, x) -> s + x)"
+    v = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+    ).withColumn("nrm", F.sqrt(F.expr("aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (s, x) -> s + x)")))
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("a_e"), F.col("nrm").alias("a_n"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("b_e"), F.col("nrm").alias("b_n"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = F.expr(dot) / (F.col("a_n") * F.col("b_n"))
+    return (
+        pairs.withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.4)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
+    )

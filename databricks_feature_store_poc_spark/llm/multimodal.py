@@ -1,1 +1,159 @@
-"""Placeholder — queries land here."""
+"""Multimodal column operators (north-star, SURVEY §2/M5).
+
+The engine's multimodal contract: media payloads are opaque ``binary``
+columns with typed metadata alongside; embeddings are
+``array<float>`` columns. Three operators:
+
+- ``mm_embedding_norm``  — L2 norm + normalization over the embedding
+  column (oracle-checked) — JVM higher-order functions only.
+- ``mm_binary_meta``     — bytes + typed metadata extraction from a binary
+  payload column (oracle-checked via octet_length/md5 on the same bytes).
+- ``mm_decode_stub``     — the decode/feature-extract plumbing: a
+  mapInPandas pipeline with a real Arrow batch boundary, real output
+  schema, and a *deterministic fake decoder* (the image/audio libs are
+  not in this container — see :func:`decode_image_real`, which raises
+  NotImplementedError behind an import guard). The Spark-side shape —
+  schema, batching, partition parallelism — is real and tested.
+
+Scale: per-row media decode is embarrassingly parallel; the design rule
+is to keep payloads OUT of shuffles (decode-then-project before any join;
+never groupBy a binary column) and bound Arrow batch memory with
+spark.sql.execution.arrow.maxRecordsPerBatch when payloads are large.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from databricks_feature_store_poc_spark.registry import query
+from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+
+def decode_image_real(payload: bytes) -> dict:
+    """Real image decode — requires PIL, which is deliberately absent here.
+
+    The engine ships the plumbing (schema, batching, UDF signature); the
+    codec is a deployment concern. Swap this in for `fake_decode` inside
+    mm_decode_stub's mapInPandas body on a cluster with codecs installed.
+    """
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "image codecs are not installed in this environment; "
+            "mm_decode_stub uses a deterministic fake decoder instead"
+        ) from exc
+    raise NotImplementedError("wire PIL.Image.open(io.BytesIO(payload)) here")
+
+
+@query(
+    "mm_embedding_norm",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(len(e) AS INT) AS dim,
+           round(sqrt(list_dot_product(e, e)), 6) AS l2_norm,
+           round(e[1] / sqrt(list_dot_product(e, e)), 6) AS first_normalized,
+           round(list_aggregate(e, 'sum') / len(e), 6) AS mean_elem
+    FROM v
+    """,
+)
+def mm_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm / unit-normalization / mean over the embedding column —
+    the vector hygiene ops every similarity pipeline runs first. All
+    higher-order-function folds over the 64 lanes, JVM-side."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("e")
+    )
+    dot = "aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (s, x) -> s + x)"
+    ssum = "aggregate(e, 0D, (s, x) -> s + x)"
+    return v.select(
+        "vec_id",
+        F.size("e").alias("dim"),
+        F.round(F.sqrt(F.expr(dot)), 6).alias("l2_norm"),
+        F.round(F.element_at("e", 1) / F.sqrt(F.expr(dot)), 6).alias("first_normalized"),
+        F.round(F.expr(ssum) / F.size("e"), 6).alias("mean_elem"),
+    )
+
+
+@query(
+    "mm_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5,
+           'application/octet-stream' AS content_type
+    FROM documents
+    """,
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-binary column pattern: build a binary payload column (UTF-8
+    bytes of text stand in for a media blob), extract byte length + md5 +
+    content-type metadata. The payload column is projected away before
+    any wide operation — binary never crosses a shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("payload", F.encode("text", "UTF-8"))
+        .select(
+            "doc_id",
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("payload_md5"),
+            F.lit("application/octet-stream").alias("content_type"),
+        )
+    )
+
+
+@query("mm_decode_stub")  # fake decoder: plumbing is real, codec is stubbed
+def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract plumbing over a binary media column.
+
+    Deterministic fake decode: 'image' dimensions derived from payload
+    bytes (first/last byte + length), a 4-bin byte histogram as the
+    'feature vector'. Every piece of Spark machinery is production-real:
+    Arrow-batched mapInPandas, explicit output schema with an
+    array<float> feature column, per-partition parallelism; only the
+    codec call is fake (see decode_image_real for where the real one
+    goes)."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
+            n = len(payload)
+            width = 16 + payload[0] % 64 if n else 16
+            height = 16 + payload[-1] % 64 if n else 16
+            hist = [0, 0, 0, 0]
+            for by in payload:
+                hist[by // 64] += 1
+            tot = max(n, 1)
+            return width, height, [h / tot for h in hist]
+
+        for pdf in batches:
+            rows = [fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "byte_hist": [r[2] for r in rows],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("byte_hist", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return payloads.mapInPandas(decode_batches, schema)

@@ -1,1 +1,176 @@
-"""Placeholder — queries land here."""
+"""Similarity search over the embeddings table (north-star, SURVEY §2/M5).
+
+Two routes to top-k cosine neighbors:
+
+- ``sim_cosine_topk`` — brute-force: broadcast the (small) query set
+  against the full corpus, JVM higher-order-function dot products, window
+  top-k. Exact; oracle-checked against DuckDB `list_dot_product`. This is
+  the correctness baseline AND the right plan whenever |queries| is small:
+  cost is |Q| x |corpus| map-side work with zero shuffle of the corpus.
+- ``sim_ann_lsh`` — random-hyperplane LSH: 4 hash tables x 4 signed
+  projections = 4-bit bucket keys; candidates are corpus vectors sharing
+  any table bucket with the query; exact cosine rerank on candidates only.
+  At 100 TB this is the scale path: bucket join instead of cross product,
+  cost ~ |Q| x (corpus / 2^bits) per table. Probabilistic recall =>
+  rows-only check, with recall-vs-brute-force pinned in tests/test_llm.py.
+
+The hyperplanes are deterministic (seeded from sha256, generated
+driver-side as literals) so every run and both the batch and test paths
+see identical buckets.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_feature_store_poc_spark.registry import query
+from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+N_QUERIES = 10      # vec_id < 10 are the query vectors
+TOP_K = 5
+DIM = 64
+N_TABLES = 4
+BITS_PER_TABLE = 4
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (s, x) -> s + x)"
+
+
+def _as_double(col: str) -> F.Column:
+    return F.expr(f"transform({col}, x -> cast(x as double))")
+
+
+def _with_norm(df: DataFrame, vec: str = "e") -> DataFrame:
+    return df.withColumn("nrm", F.sqrt(F.expr(_DOT.format(a=vec, b=vec))))
+
+
+def hyperplane(table: int, bit: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane: 64 weights in
+    [-1, 1), each derived from sha256(table, bit, dim). No RNG state —
+    reproducible across processes, executors, and rounds."""
+    w = []
+    for d in range(DIM):
+        digest = hashlib.sha256(f"lsh:{table}:{bit}:{d}".encode()).digest()
+        (u,) = struct.unpack("<Q", digest[:8])
+        w.append((u % 2_000_000) / 1_000_000.0 - 1.0)
+    return w
+
+
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    )
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cosine
+    FROM v q JOIN v c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm) DESC, c.vec_id
+    ) <= {TOP_K}
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for the 10 query vectors.
+
+    Plan shape: the query side is broadcast (it is tiny by construction),
+    so the corpus scan is map-only — each corpus partition computes dots
+    against all queries locally; the only shuffle is the per-query top-k
+    window over |Q| x k candidate rows. Ranking ties break on neighbor_id
+    so the cut is deterministic.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = _with_norm(e.select("vec_id", _as_double("embedding").alias("e")))
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("q_e"), F.col("nrm").alias("q_n")
+    )
+    c = v.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("c_e"), F.col("nrm").alias("c_n")
+    )
+    pairs = F.broadcast(q).join(c, F.col("neighbor_id") != F.col("query_id"))
+    cos = F.expr(_DOT.format(a="q_e", b="c_e")) / (F.col("q_n") * F.col("c_n"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("cos_raw", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+@query("sim_ann_lsh")  # probabilistic recall: rows-only + recall test
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors via random-hyperplane LSH.
+
+    Each vector gets N_TABLES bucket keys (one per hash table; each key is
+    BITS_PER_TABLE sign bits of projections onto fixed hyperplanes).
+    Query x corpus candidates = equi-join on (table, bucket) — the 100 TB
+    move: the corpus is hashed once and the join touches only same-bucket
+    rows (expected corpus/2^bits per table). Candidates are reranked with
+    exact cosine; per-query top-5 of the candidate set is emitted.
+    Output schema matches sim_cosine_topk so the recall test can diff.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = _with_norm(e.select("vec_id", _as_double("embedding").alias("e")))
+
+    planes = [
+        [hyperplane(t, b) for b in range(BITS_PER_TABLE)] for t in range(N_TABLES)
+    ]
+
+    def bucket_expr(t: int) -> F.Column:
+        bits = []
+        for b in range(BITS_PER_TABLE):
+            arr = "array({})".format(
+                ", ".join(f"{w!r}D" for w in planes[t][b])
+            )
+            proj = _DOT.format(a="e", b=arr)
+            bits.append(f"(CASE WHEN {proj} > 0 THEN {1 << b} ELSE 0 END)")
+        return F.expr(" + ".join(bits)).alias(f"bkt{t}")
+
+    hashed = v.select(
+        "vec_id", "e", "nrm", *[bucket_expr(t) for t in range(N_TABLES)]
+    )
+    buckets = hashed.select(
+        "vec_id", "e", "nrm",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("tbl"), F.col(f"bkt{t}").alias("bkt"))
+                for t in range(N_TABLES)
+            ])
+        ).alias("tb"),
+    ).select("vec_id", "e", "nrm", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+
+    q = buckets.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("q_e"),
+        F.col("nrm").alias("q_n"), "tbl", "bkt",
+    )
+    c = buckets.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("c_e"),
+        F.col("nrm").alias("c_n"), "tbl", "bkt",
+    )
+    candidates = (
+        F.broadcast(q)
+        .join(c, ["tbl", "bkt"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "q_e", "q_n", "c_e", "c_n")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cos = F.expr(_DOT.format(a="q_e", b="c_e")) / (F.col("q_n") * F.col("c_n"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        candidates.withColumn("cos_raw", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"))
+    )

@@ -1,1 +1,262 @@
-"""Placeholder — queries land here."""
+"""Text-analysis operators for LLM data pipelines (SURVEY §2/M5).
+
+Per-document statistics, corpus language distribution, heuristic
+language-ID, quality scoring, tokenizer-style token counting, polynomial
+fingerprinting, top n-grams, and TF-IDF top terms — all over the
+``documents`` table, all pure JVM expressions (split / higher-order
+functions / window) with no Python in the row path.
+
+Tokenization contract shared by every operator here AND by each DuckDB
+oracle: words = whitespace-split with empty strings dropped. Ratios are
+integer-over-integer double divisions (bit-identical cross-engine);
+TF-IDF needs ln(), which is NOT a cross-engine bit contract, so that one
+query is rows-only with its invariants pinned in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from databricks_feature_store_poc_spark.registry import query
+from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+_WORDS = r"filter(split(text, '\\s+'), x -> x != '')"
+_DUCK_WORDS = r"list_filter(string_split_regex(text, '\s+'), x -> x != '')"
+
+# Tiny embedded stopword list: deterministic, same literal on both engines.
+STOPWORDS = ("a", "the", "of", "to", "and", "in", "is", "on")
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(len({_DUCK_WORDS}) AS BIGINT) AS n_words,
+           CAST(len(list_distinct({_DUCK_WORDS})) AS BIGINT) AS n_distinct_words,
+           list_aggregate([CAST(length(w) AS BIGINT) FOR w IN {_DUCK_WORDS}], 'sum')
+               * 1.0 / len({_DUCK_WORDS}) AS avg_word_len,
+           len(list_distinct({_DUCK_WORDS})) * 1.0 / len({_DUCK_WORDS}) AS ttr
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats: char/word/distinct-word counts, mean word
+    length, type-token ratio. All divisions are int/int -> double (exact
+    cross-engine)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_calc"),
+        F.expr(f"cast(size({_WORDS}) as long)").alias("n_words"),
+        F.expr(f"cast(size(array_distinct({_WORDS})) as long)").alias("n_distinct_words"),
+        F.expr(
+            f"aggregate({_WORDS}, 0L, (acc, w) -> acc + length(w)) / size({_WORDS})"
+        ).alias("avg_word_len"),
+        F.expr(f"size(array_distinct({_WORDS})) / size({_WORDS})").alias("ttr"),
+    )
+
+
+@query(
+    "text_lang_dist",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           SUM(n_chars) * 1.0 / COUNT(*) AS avg_chars,
+           COUNT(*) * 1.0 / (SELECT COUNT(*) FROM documents) AS pct_docs
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus language distribution — the A1 class-distribution shape
+    (reference 02_model_training.py:260-261) on document metadata."""
+    d = load_table(spark, sf_dir, "documents")
+    total = Window.partitionBy()
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars") / F.count(F.lit(1))).alias("avg_chars"),
+    ).withColumn("pct_docs", F.col("n_docs") / F.sum("n_docs").over(total))
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, lang, {_DUCK_WORDS} AS words FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN len(list_intersect(words, [{_STOP_SQL}])) * 1.0
+                     / greatest(len(list_distinct(words)), 1) >= 0.1
+                THEN 'en' ELSE 'other' END AS predicted
+    FROM w
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-hit ratio over distinct words
+    (the classic n-gram/stopword-profile approach reduced to one profile).
+    The deterministic rule — not its accuracy on this synthetic corpus —
+    is the operator under test; accuracy vs the `lang` label is measured
+    in tests, not asserted."""
+    d = load_table(spark, sf_dir, "documents")
+    stop_arr = "array({})".format(", ".join(f"'{w}'" for w in STOPWORDS))
+    ratio = (
+        f"size(array_intersect(array_distinct({_WORDS}), {stop_arr})) / "
+        f"greatest(size(array_distinct({_WORDS})), 1)"
+    )
+    return d.select(
+        "doc_id", "lang",
+        F.when(F.expr(ratio) >= 0.1, "en").otherwise("other").alias("predicted"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {_DUCK_WORDS} AS words, length(text) AS nc FROM documents
+    )
+    SELECT doc_id,
+           least(len(words) / 100.0, 1.0) * 0.4
+           + (len(list_distinct(words)) * 1.0 / len(words)) * 0.4
+           + (len(list_intersect(words, [{_STOP_SQL}])) * 1.0
+              / greatest(len(list_distinct(words)), 1)) * 0.2 AS quality
+    FROM w
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: 0.4·length-saturation + 0.4·lexical
+    diversity + 0.2·stopword-ratio (the Gopher/C4-style rule-based filter
+    family). Same double expression tree on both engines -> identical
+    bits; a training pipeline would follow with `WHERE quality >= t`."""
+    d = load_table(spark, sf_dir, "documents")
+    stop_arr = "array({})".format(", ".join(f"'{w}'" for w in STOPWORDS))
+    expr = (
+        f"least(size({_WORDS}) / 100.0, 1.0) * 0.4 "
+        f"+ (size(array_distinct({_WORDS})) / size({_WORDS})) * 0.4 "
+        f"+ (size(array_intersect(array_distinct({_WORDS}), {stop_arr})) "
+        f"   / greatest(size(array_distinct({_WORDS})), 1)) * 0.2"
+    )
+    return d.select("doc_id", F.expr(expr).alias("quality"))
+
+
+@query(
+    "text_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))
+                AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+                AS BIGINT) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    (letter runs / digit runs / single punctuation) — the cheap
+    token-budget estimator every corpus pipeline needs. Both engines use
+    the same RE2-compatible character-class pattern."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(f"cast(size({_WORDS}) as long)").alias("ws_tokens"),
+        F.expr(
+            r"cast(size(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)) as long)"
+        ).alias("bpe_ish_tokens"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, string_split(text, '') AS cs FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) FOR c IN cs]),
+               (acc, c) -> (acc * 31 + c) % 2147483647
+           ) AS fingerprint
+    FROM chars
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint: fold (acc*31 + codepoint) mod
+    2^31-1 over the characters. Pure integer arithmetic -> identical on
+    any engine; equal texts MUST collide (the invariant exact-dedup can
+    build on). Spark folds with aggregate(init=0); DuckDB's list_reduce
+    seeds from the first element, so the oracle prepends an explicit 0."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = (
+        "aggregate(split(text, ''), 0L, "
+        "(acc, c) -> (acc * 31 + ascii(c)) % 2147483647)"
+    )
+    return d.select("doc_id", F.expr(fp).alias("fingerprint"))
+
+
+@query(
+    "text_ngrams",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {_DUCK_WORDS} AS words FROM documents
+    ),
+    bigrams AS (
+        SELECT unnest([words[i] || ' ' || words[i + 1] FOR i IN range(1, len(words))])
+                   AS bigram
+        FROM w WHERE len(words) >= 2
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bigrams
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word bigrams corpus-wide. Bigrams are built array-side
+    (transform over an index sequence — no self-join), then explode +
+    count + deterministic top-k (count desc, bigram asc tiebreak)."""
+    d = load_table(spark, sf_dir, "documents")
+    bigrams = (
+        f"transform(sequence(1, size({_WORDS}) - 1), "
+        f"i -> concat_ws(' ', element_at({_WORDS}, i), element_at({_WORDS}, i + 1)))"
+    )
+    return (
+        d.filter(F.expr(f"size({_WORDS}) >= 2"))
+        .select(F.explode(F.expr(bigrams)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+@query("text_tfidf_topterms")  # ln() is not a cross-engine bit contract
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: tf = in-doc count, idf =
+    ln((N+1)/(df+1)) + 1 (smoothed), deterministic (score desc, term)
+    tiebreak. Distributed shape: one explode + two hash aggregates + a
+    broadcast of the (tiny) df table + a per-doc window — no collect.
+    Rows-only check; invariants (k per doc, term ∈ doc) pinned in tests."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    tokens = d.select("doc_id", F.explode(F.expr(_WORDS)).alias("term"))
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tokens.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf = (F.log((F.lit(float(n_docs)) + 1) / (F.col("df") + 1)) + 1).alias("idf")
+    scored = tf.join(F.broadcast(df.select("term", idf)), "term").withColumn(
+        "tfidf", F.round(F.col("tf") * F.col("idf"), 6)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
