@@ -1,0 +1,88 @@
+"""Benchmark harness: wall-time every registered query at one scale factor.
+
+Driver contract (BASELINE.md): print exactly ONE JSON line on stdout:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed with a `noop` materialization (full computation,
+results discarded executor-side — no driver collect skewing the timing).
+Per-query failures are recorded as null and don't sink the run.
+
+Usage:  python bench.py            # $SPARK_GRAFT_SF_DIR (default sf0.1)
+        python bench.py q1 q2 ...  # subset
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.removeprefix("sf"))
+    except ValueError:
+        return -1.0
+
+
+def run_query(fn, spark, name: str) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, SF_DIR)
+    # noop sink: full distributed execution, zero driver transfer.
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> int:
+    from databricks_feature_store_poc_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    only = set(sys.argv[1:])
+    spark = get_spark("bench")
+    queries = entrymod.queries()
+    if only:
+        queries = {k: v for k, v in queries.items() if k in only}
+
+    # Warm the JVM/codegen once on the flagship so query #1 doesn't pay
+    # session startup.
+    try:
+        warm = queries.get("training_set_flagship")
+        if warm is not None:
+            warm(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
+
+    timings: dict[str, float | None] = {}
+    total = 0.0
+    for name in sorted(queries):
+        try:
+            sec = run_query(queries[name], spark, name)
+            timings[name] = round(sec, 3)
+            total += sec
+            print(f"# {name}: {sec:.3f}s", file=sys.stderr)
+        except Exception as e:  # record and continue
+            timings[name] = None
+            print(f"# {name}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
+
+    result = {
+        "metric": "suite_wall_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(SF_DIR),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

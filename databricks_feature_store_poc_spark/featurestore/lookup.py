@@ -36,9 +36,11 @@ from pyspark.sql import functions as F
 class FeatureLookup:
     """Declarative enrichment spec (reference 02:176-180).
 
-    ``lookup_key`` maps spine column(s) -> feature-table PK(s). When the
-    spine column name equals the PK name (the reference's case), pass the
-    shared name; otherwise pass a dict {spine_col: table_pk}.
+    ``lookup_key`` holds the feature table's PK column(s). When the spine
+    carries the key under different names, set ``spine_keys`` to the
+    spine-side columns (positionally matching ``lookup_key``) — or build
+    via ``FeatureLookup.of`` with a ``{spine_col: table_pk}`` dict, which
+    splits it into the two fields.
     """
 
     table_name: str
@@ -51,6 +53,14 @@ class FeatureLookup:
 
     @staticmethod
     def of(table_name: str, feature_names: list[str], lookup_key) -> "FeatureLookup":
+        """Accepts a shared key name, a list of names, or a
+        {spine_col: table_pk} dict (split into spine_keys/lookup_key)."""
+        if isinstance(lookup_key, dict):
+            spine_keys = tuple(lookup_key.keys())
+            keys = tuple(lookup_key.values())
+            return FeatureLookup(
+                table_name, tuple(feature_names), keys, spine_keys=spine_keys
+            )
         keys = (lookup_key,) if isinstance(lookup_key, str) else tuple(lookup_key)
         return FeatureLookup(table_name, tuple(feature_names), keys)
 
@@ -115,7 +125,26 @@ def apply_lookup(
     if len(skeys) != len(keys):
         raise ValueError(f"spine_keys {skeys} != lookup_key {keys} arity")
     feats = [f for f in lookup.feature_names if f not in keys]
-    narrowed = feature_table.select(*keys, *feats)
+    # Feature names that already exist on the spine would produce ambiguous
+    # duplicate columns after the join (and withColumnRenamed would rename
+    # the wrong copy) — fail fast with the fix spelled out.
+    collisions = [
+        f for f in feats
+        if f in spine.columns and lookup.rename.get(f, f) == f
+    ]
+    if collisions:
+        raise ValueError(
+            f"feature column(s) {collisions} from {lookup.table_name!r} "
+            f"collide with spine columns; set rename={{...}} on the "
+            "FeatureLookup to give them distinct output names"
+        )
+    # Renames are applied via alias on the narrowed side BEFORE the join:
+    # a post-join withColumnRenamed would hit the first of two same-named
+    # columns ambiguously when a feature collides with a spine column.
+    narrowed = feature_table.select(
+        *keys,
+        *[F.col(f).alias(lookup.rename.get(f, f)) for f in feats],
+    )
     if use_broadcast:
         narrowed = F.broadcast(narrowed)
     if skeys == keys:
@@ -128,8 +157,6 @@ def apply_lookup(
         out = spine.join(narrowed, on=cond, how="left").drop(*[
             narrowed[fk] for fk in keys
         ])
-    for old, new in lookup.rename.items():
-        out = out.withColumnRenamed(old, new)
     return out
 
 

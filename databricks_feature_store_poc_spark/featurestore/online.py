@@ -39,14 +39,16 @@ class OnlineStore:
     ) -> "OnlineStore":
         feats = feature_names or [c for c in df.columns if c not in primary_keys]
         narrowed = df.select(*primary_keys, *feats)
-        n = narrowed.count()
-        if n > max_rows:
-            raise ValueError(
-                f"refusing to collect {n} rows into an online store "
-                f"(cap {max_rows}); sync to an external KV store instead"
-            )
+        # Single pass: enforce the cap while streaming rows to the driver
+        # instead of a separate count() job (which would re-run the whole
+        # upstream pipeline — 2x cost on a recomputed feature table).
         data = {}
         for row in narrowed.toLocalIterator():
+            if len(data) >= max_rows:
+                raise ValueError(
+                    f"refusing to collect more than {max_rows} rows into an "
+                    "online store; sync to an external KV store instead"
+                )
             key = tuple(row[k] for k in primary_keys)
             data[key] = {f: row[f] for f in feats}
         return cls(list(primary_keys), list(feats), data)

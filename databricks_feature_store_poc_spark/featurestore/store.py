@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from dataclasses import asdict, dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,6 +36,17 @@ from pyspark.sql import functions as F
 
 class PrimaryKeyViolation(ValueError):
     """Raised when a feature table's declared PK is absent or non-unique."""
+
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*$")
+
+
+def _check_ident(name: str) -> str:
+    """Reject names that could break out of SQL strings or the metadata
+    path (quotes, slashes, '..') — they are interpolated into both."""
+    if not _IDENT.match(name):
+        raise ValueError(f"invalid table/database identifier: {name!r}")
+    return name
 
 
 @dataclass
@@ -71,7 +83,7 @@ class FeatureStore:
     # -- S4 -----------------------------------------------------------------
     def create_database(self, name: str) -> None:
         """Idempotent namespace creation (reference 01:112)."""
-        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {_check_ident(name)}")
 
     # -- S5 + S7 ------------------------------------------------------------
     def create_table(
@@ -88,22 +100,31 @@ class FeatureStore:
         reference, which delegates this to the managed service — PK
         uniqueness, via one distributed aggregate.
         """
+        _check_ident(name)
         missing = [k for k in primary_keys if k not in df.columns]
         if missing:
             raise PrimaryKeyViolation(
                 f"primary keys {missing} not in columns {df.columns}"
             )
-        dupes = (
-            df.groupBy(*primary_keys)
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .filter(F.col("cnt") > 1)
-        )
-        if not dupes.isEmpty():
-            sample = [r.asDict() for r in dupes.limit(5).collect()]
-            raise PrimaryKeyViolation(
-                f"duplicate primary-key values in {name}: sample={sample}"
+        # Persist around the two actions (uniqueness check + write): without
+        # it a recomputed df runs its whole upstream pipeline twice — the
+        # exact double-materialization the reference itself exhibits
+        # (SURVEY.md §4) and a doubled 100 TB pipeline at scale.
+        df.persist()
+        try:
+            dupes = (
+                df.groupBy(*primary_keys)
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .filter(F.col("cnt") > 1)
             )
-        df.write.format("parquet").mode(mode).saveAsTable(name)
+            if not dupes.isEmpty():
+                sample = [r.asDict() for r in dupes.limit(5).collect()]
+                raise PrimaryKeyViolation(
+                    f"duplicate primary-key values in {name}: sample={sample}"
+                )
+            df.write.format("parquet").mode(mode).saveAsTable(name)
+        finally:
+            df.unpersist()
         meta = FeatureTableMetadata(
             name=name,
             primary_keys=list(primary_keys),
@@ -121,7 +142,7 @@ class FeatureStore:
     # -- S6 -----------------------------------------------------------------
     def drop_table(self, name: str) -> None:
         """Idempotent drop (reference 01:156 wraps in try/except)."""
-        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        self.spark.sql(f"DROP TABLE IF EXISTS {_check_ident(name)}")
         path = self._meta_path(name)
         if os.path.exists(path):
             os.remove(path)

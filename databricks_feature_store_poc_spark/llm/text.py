@@ -222,12 +222,16 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     (transform over an index sequence — no self-join), then explode +
     count + deterministic top-k (count desc, bigram asc tiebreak)."""
     d = load_table(spark, sf_dir, "documents")
+    # Materialize the words array ONCE per row: referencing the split
+    # expression inside the per-index lambda would re-tokenize the text
+    # for every element access (O(n^2) per document).
+    with_words = d.select(F.expr(_WORDS).alias("words"))
     bigrams = (
-        f"transform(sequence(1, size({_WORDS}) - 1), "
-        f"i -> concat_ws(' ', element_at({_WORDS}, i), element_at({_WORDS}, i + 1)))"
+        "transform(sequence(1, size(words) - 1), "
+        "i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1)))"
     )
     return (
-        d.filter(F.expr(f"size({_WORDS}) >= 2"))
+        with_words.filter(F.expr("size(words) >= 2"))
         .select(F.explode(F.expr(bigrams)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))

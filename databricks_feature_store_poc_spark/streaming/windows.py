@@ -18,12 +18,35 @@ the watermark horizon, which is exactly what `stream_late_data` models.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from databricks_feature_store_poc_spark.registry import query
 from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+
+def _stream_source_dir(sf_dir: str) -> str:
+    """FileStreamSource wants a *directory* of files; the testdata ships
+    one parquet file per table. Stage events.parquet into a temp dir
+    (hard-link when possible, copy otherwise)."""
+    staged = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_stream_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    os.makedirs(staged, exist_ok=True)
+    dst = os.path.join(staged, "events.parquet")
+    if not os.path.exists(dst):
+        src = os.path.join(sf_dir, "events.parquet")
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy(src, dst)
+    return staged
 
 
 @query(
@@ -200,11 +223,12 @@ def run_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the result must equal the batch query — asserted in tests. Complete
     output mode + availableNow processes all existing files then stops.
     """
-    batch = load_table(spark, sf_dir, "events")
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .parquet(f"{sf_dir}/events.parquet")
-    )
+    src = _stream_source_dir(sf_dir)
+    # Schema must match the RAW file layout (ts = INT64 nanos under
+    # nanosAsLong) — the batch-side TimestampType is a post-read cast.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(raw_schema).parquet(src)
     if dict(stream.dtypes)["ts"] == "bigint":  # nanosAsLong read path
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     agg = (
@@ -236,12 +260,13 @@ def run_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark + availableNow). Session windows require watermark +
     append/update mode; with availableNow over a static file set, all
     sessions close once the stream drains."""
-    batch = load_table(spark, sf_dir, "events")
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .parquet(f"{sf_dir}/events.parquet")
-    )
-    if dict(stream.dtypes)["ts"] == "bigint":
+    src = _stream_source_dir(sf_dir)
+    # Schema must match the RAW file layout (ts = INT64 nanos under
+    # nanosAsLong) — the batch-side TimestampType is a post-read cast.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(raw_schema).parquet(src)
+    if dict(stream.dtypes)["ts"] == "bigint":  # nanosAsLong read path
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     agg = (
         stream.withWatermark("ts", "10 minutes")

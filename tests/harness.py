@@ -47,6 +47,8 @@ def _norm_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if math.isinf(v):
+            return "Inf" if v > 0 else "-Inf"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(round(v, 9))
@@ -85,10 +87,14 @@ def compare(name: str, spark, sf_dir: str = DEFAULT_SF, verbose: bool = True) ->
         "ok": None,
     }
     if name not in ORACLES:
-        result["ok"] = len(spark_rows) >= 0
+        # rows > 0 required: a zero-row rows-only query proves nothing and
+        # the driver's weak check would read as green — keep local green
+        # strictly harder than driver green.
+        result["ok"] = len(spark_rows) > 0
         result["mode"] = "rows-only"
         if verbose:
-            print(f"  {name}: rows-only, {len(spark_rows)} rows")
+            status = "rows-only" if result["ok"] else "FAIL rows-only 0 rows"
+            print(f"  {name}: {status}, {len(spark_rows)} rows")
         return result
 
     con = duckdb_conn(sf_dir)
@@ -132,11 +138,20 @@ def _show_diff(srows, scols, drows, dcols, limit=5):
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    args: list[str] = []
     sf_dir = DEFAULT_SF
-    for a in sys.argv[1:]:
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--sf="):
             sf_dir = a.split("=", 1)[1]
+        elif a == "--sf":  # value-taking form: --sf PATH
+            i += 1
+            sf_dir = argv[i]
+        elif not a.startswith("--"):
+            args.append(a)
+        i += 1
 
     from databricks_feature_store_poc_spark.session import get_spark
 

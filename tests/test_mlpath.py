@@ -1,0 +1,76 @@
+"""ML-path tests: dtype classification, lineage replay, gated GBT train."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from databricks_feature_store_poc_spark.featurestore.lookup import (
+    FeatureLookup,
+    create_training_set,
+)
+from databricks_feature_store_poc_spark.featurestore.mlpath import (
+    classify_dtypes,
+    log_model,
+    score_batch,
+    train_gbt,
+)
+from databricks_feature_store_poc_spark.registry import QUERIES, load_all_queries
+from databricks_feature_store_poc_spark.sources.catalog import load_table
+from tests.conftest import SF_SMOKE, SF_TEST
+
+load_all_queries()
+
+
+def test_classify_dtypes(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    out = classify_dtypes(li)
+    assert "l_returnflag" in out["categorical"]
+    assert "l_quantity" in out["numeric"]
+    assert "l_shipdate" in out["other"]
+
+
+def test_eval_metrics_identities(spark):
+    r = QUERIES["eval_metrics"](spark, SF_TEST).collect()[0]
+    n = r["tp"] + r["fp"] + r["fn"] + r["tn"]
+    assert n == 500
+    assert 0 <= r["accuracy"] <= 1
+    p, rec = r["precision_1"], r["recall_1"]
+    assert abs(r["f1_1"] - 2 * p * rec / (p + rec)) < 1e-12
+
+
+def test_log_model_score_batch_roundtrip(spark, tmp_path):
+    class Doubler:
+        def predict(self, feats):
+            return feats.iloc[:, 0].fillna(0.0) * 2.0
+
+    customer = load_table(spark, SF_SMOKE, "customer")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    spine = orders.select("o_orderkey", "o_custkey").limit(50)
+    ts = create_training_set(
+        spark, spine,
+        [FeatureLookup("customer", ("c_acctbal",), ("c_custkey",), spine_keys=("o_custkey",))],
+        exclude_columns=["o_custkey"],
+        resolve_table={"customer": customer}.__getitem__,
+    )
+    log_model(Doubler(), str(tmp_path / "m"), ts)
+    scored = score_batch(
+        spark, str(tmp_path / "m"), spine,
+        resolve_table={"customer": customer}.__getitem__,
+        predict_cols=["c_acctbal"],
+    )
+    rows = scored.collect()
+    assert len(rows) == 50
+    for r in rows:
+        expect = (r["c_acctbal"] or 0.0) * 2.0
+        assert abs(r["prediction"] - expect) < 1e-9
+
+
+def test_train_gbt_smoke(spark):
+    ts = QUERIES["training_set_flagship"](spark, SF_SMOKE)
+    train = ts.select(
+        F.col("c_acctbal").cast("double").alias("f1"),
+        F.col("o_totalprice").cast("double").alias("f2"),
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("label"),
+    ).na.fill(0.0)
+    model = train_gbt(train, ["f1", "f2"], "label")
+    assert model.numFeatures == 2

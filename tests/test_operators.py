@@ -1,0 +1,80 @@
+"""Property / invariant tests for the relational operator suite.
+
+The DuckDB oracle harness (tests/harness.py, and the driver's gate)
+checks value equality; these tests pin the properties equality can't see:
+orderedness of sorts, disjointness of splits, approximation bounds, and
+per-group cardinality contracts.
+"""
+
+from __future__ import annotations
+
+from databricks_feature_store_poc_spark.registry import QUERIES, load_all_queries
+from tests.conftest import SF_TEST
+
+load_all_queries()
+
+
+def test_split_hash_disjoint_exhaustive(spark):
+    rows = {r["split"]: r for r in QUERIES["split_hash_8020"](spark, SF_TEST).collect()}
+    assert set(rows) == {"train", "test"}
+    total = rows["train"]["n"] + rows["test"]["n"]
+    assert total == 15000  # every order in exactly one split
+    # keys are partitioned, not rows duplicated across splits
+    assert rows["train"]["n_keys"] + rows["test"]["n_keys"] == total
+    # roughly 80/20 (multiplicative hash is uniform; allow 3% absolute)
+    assert 0.77 <= rows["train"]["n"] / total <= 0.83
+
+
+def test_split_hash_deterministic(spark):
+    a = sorted(map(tuple, QUERIES["split_hash_8020"](spark, SF_TEST).collect()))
+    b = sorted(map(tuple, QUERIES["split_hash_8020"](spark, SF_TEST).collect()))
+    assert a == b
+
+
+def test_approx_distinct_within_rsd(spark):
+    for r in QUERIES["agg_approx_distinct"](spark, SF_TEST).collect():
+        # rsd 0.05: HLL++ should land within ~3 sigma = 15%
+        assert abs(r["approx_parts"] - r["exact_parts"]) <= 0.15 * r["exact_parts"]
+
+
+def test_sort_multi_is_sorted(spark):
+    rows = QUERIES["sort_multi"](spark, SF_TEST).collect()
+    keys = [(-r["l_shipdate"].timestamp(), r["l_extendedprice"], r["l_orderkey"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_limit_topk_is_true_topk(spark):
+    top = QUERIES["limit_topk"](spark, SF_TEST).collect()
+    assert len(top) == 100
+    prices = [r["o_totalprice"] for r in top]
+    assert prices == sorted(prices, reverse=True)
+    # the cut is the global top: nothing outside beats the minimum inside
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    mx = load_table(spark, SF_TEST, "orders").agg({"o_totalprice": "max"}).collect()[0][0]
+    assert prices[0] == mx
+
+
+def test_win_topk_per_group_cardinality(spark):
+    df = QUERIES["win_topk_per_group"](spark, SF_TEST)
+    from pyspark.sql import functions as F
+
+    per_group = df.groupBy("o_custkey").count().agg(F.max("count")).collect()[0][0]
+    assert per_group <= 3
+
+
+def test_rolling_sum_30d_dominates_7d(spark):
+    df = QUERIES["feature_rolling_sum"](spark, SF_TEST)
+    from pyspark.sql import functions as F
+
+    bad = df.filter(F.col("sum_30d") < F.col("sum_7d")).count()
+    assert bad == 0  # 7d window is a subset of the 30d window
+
+
+def test_sink_roundtrip_preserves_rows(spark):
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    out = QUERIES["sink_feature_table"](spark, SF_TEST)
+    src = load_table(spark, SF_TEST, "customer")
+    assert out.count() == src.count()
+    assert set(out.columns) == set(src.columns)
