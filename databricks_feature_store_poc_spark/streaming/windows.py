@@ -288,3 +288,58 @@ def run_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table("session_sink")
+
+
+def run_stateful_counter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user running event count +
+    value total via applyInPandasWithState — the escape hatch when
+    built-in windowed aggregation can't express the semantics (custom
+    session logic, CEP-ish patterns, per-key models).
+
+    State = one (count, total) pair per user_id, updated per micro-batch;
+    each batch emits the keys it touched with their post-update totals,
+    so the final emission per key equals the batch group-by (asserted in
+    tests/test_streaming.py). At scale, state lives in the state store
+    (RocksDB-backed on a real cluster) partitioned by key — memory per
+    executor is bounded by its key range, not the stream length.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = _stream_source_dir(sf_dir)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(raw_schema).parquet(src)
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    def update_counts(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 2)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    out = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            update_counts,
+            outputStructType="user_id LONG, n_events LONG, total_value DOUBLE",
+            stateStructType="n LONG, total DOUBLE",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_counter_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("stateful_counter_sink")

@@ -74,3 +74,28 @@ def test_train_gbt_smoke(spark):
     ).na.fill(0.0)
     model = train_gbt(train, ["f1", "f2"], "label")
     assert model.numFeatures == 2
+
+
+def test_model_registry_versioning(spark, tmp_path):
+    from databricks_feature_store_poc_spark.featurestore.mlpath import ModelRegistry
+
+    class M:
+        def __init__(self, v):
+            self.v = v
+
+        def predict(self, feats):
+            return feats.iloc[:, 0] * self.v
+
+    reg = ModelRegistry(str(tmp_path / "registry"))
+    assert reg.latest_version("sales.purchase_model") is None
+    v1 = reg.register("sales.purchase_model", M(1), params={"lr": 0.1},
+                      metrics={"auc": 0.9})
+    v2 = reg.register("sales.purchase_model", M(2))
+    assert (v1, v2) == (1, 2)
+    assert reg.latest_version("sales.purchase_model") == 2
+    assert reg.load("sales.purchase_model").v == 2
+    assert reg.load("sales.purchase_model", version=1).v == 1
+    assert reg.run_info("sales.purchase_model", version=1)["metrics"]["auc"] == 0.9
+    reg.delete("sales.purchase_model")
+    reg.delete("sales.purchase_model")  # idempotent, like the reference's
+    assert reg.latest_version("sales.purchase_model") is None

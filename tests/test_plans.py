@@ -1,0 +1,75 @@
+"""Physical-plan shape assertions — the 100 TB contract, enforced in CI.
+
+A silent regression that turns a broadcast join into a shuffle join, or
+breaks predicate pushdown, changes no values at sf0.01 but is a cliff at
+scale. These tests read the executed plan and pin the properties each
+query's docstring claims.
+"""
+
+from __future__ import annotations
+
+from databricks_feature_store_poc_spark.plans.inspect import (
+    count_broadcast_joins,
+    count_exchanges,
+    has_partial_aggregate,
+    pushed_filters,
+    scan_read_schema,
+)
+from databricks_feature_store_poc_spark.registry import QUERIES, load_all_queries
+from tests.conftest import SF_SMOKE
+
+load_all_queries()
+
+
+def test_flagship_is_broadcast_only_no_fact_shuffle(spark):
+    """The training-set assembly must be a map-only pipeline over the
+    spine: both dim lookups broadcast, zero shuffle exchanges."""
+    df = QUERIES["training_set_flagship"](spark, SF_SMOKE)
+    assert count_broadcast_joins(df) == 2
+    assert count_exchanges(df) == 0
+
+
+def test_scan_parquet_pushdown_and_pruning(spark):
+    df = QUERIES["scan_parquet"](spark, SF_SMOKE)
+    pushed = pushed_filters(df)
+    assert "l_shipdate" in pushed, f"filter not pushed: {pushed}"
+    schema = scan_read_schema(df)
+    # narrow projection must reach the scan: untouched wide columns absent
+    assert "l_comment" not in schema and "l_returnflag" not in schema
+
+
+def test_filter_in_pushdown(spark):
+    pushed = pushed_filters(QUERIES["filter_in"](spark, SF_SMOKE))
+    assert "In(o_orderpriority" in pushed
+
+
+def test_filter_like_prefix_pushdown(spark):
+    pushed = pushed_filters(QUERIES["filter_like"](spark, SF_SMOKE))
+    assert "StringStartsWith(p_brand" in pushed
+
+
+def test_agg_hash_has_map_side_partial(spark):
+    assert has_partial_aggregate(QUERIES["agg_hash"](spark, SF_SMOKE))
+
+
+def test_join_broadcast_uses_broadcast(spark):
+    df = QUERIES["join_broadcast"](spark, SF_SMOKE)
+    assert count_broadcast_joins(df) == 2
+    assert count_exchanges(df) == 0
+
+
+def test_multiway_star_single_fact_shuffle(spark):
+    """All dimension hops must broadcast; the fact stream shuffles at
+    most for the lineitem ⋈ orders join plus the final aggregate. (At
+    sf0.001 the optimizer broadcasts orders as well — 4 broadcasts, 1
+    exchange — which only strengthens the property.)"""
+    df = QUERIES["join_multiway_star"](spark, SF_SMOKE)
+    assert count_broadcast_joins(df) >= 3
+    assert count_exchanges(df) <= 3
+
+
+def test_limit_topk_no_global_sort(spark):
+    from databricks_feature_store_poc_spark.plans.inspect import simple_plan
+
+    plan = simple_plan(QUERIES["limit_topk"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan

@@ -48,3 +48,34 @@ def test_session_stream_equals_batch_up_to_watermark(spark):
     stream_rows = _rowset(stream, cols)
     assert stream_rows, "stream emitted no closed sessions"
     assert stream_rows == _rowset(closed, cols)
+
+
+def test_stateful_counter_matches_batch_groupby(spark):
+    """applyInPandasWithState final per-key emission must equal the batch
+    group-by totals (update mode: the memory sink's last row per key)."""
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+    from databricks_feature_store_poc_spark.streaming.windows import (
+        run_stateful_counter_stream,
+    )
+    from pyspark.sql import functions as F
+
+    out = run_stateful_counter_stream(spark, SF_SMOKE)
+    # update-mode sink may hold one row per key per micro-batch: keep max
+    final = (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value"))
+        .collect()
+    )
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2)
+            .alias("total_value"),
+        )
+        .collect()
+    )
+    fmap = {r["user_id"]: (r["n_events"], r["total_value"]) for r in final}
+    bmap = {r["user_id"]: (r["n_events"], r["total_value"]) for r in batch}
+    assert fmap == bmap
