@@ -801,3 +801,155 @@ def join_left_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(narrowed, F.col("o_custkey") == F.col("c_custkey"), "left")
         .select("o_orderkey", "o_totalprice", "c_acctbal", "c_mktsegment")
     )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, ts, event_id, value, (event_type = 'view') AS is_view
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    enriched AS (
+        SELECT user_id, ts, event_id, value, is_view,
+               MAX(CASE WHEN is_view THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS last_view_ts
+        FROM tagged
+    )
+    SELECT user_id, event_id, ts, value, last_view_ts
+    FROM enriched WHERE NOT is_view
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each purchase event picks the latest preceding 'view'
+    of the same user. Spark has no asof-join operator; the naive encoding
+    is a per-row range join (quadratic per key). The scale-correct
+    Spark-native plan used here: union both sides, ONE window over
+    (user, ts) computing the running last view timestamp, filter back to
+    the right side — one shuffle on the key, linear in input, and the
+    same trick extends to backward/forward asof with any payload (take
+    last_value(payload) instead of max(ts))."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    tagged = e.select(
+        "user_id", "ts", "event_id", "value",
+        (F.col("event_type") == "view").alias("is_view"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = tagged.withColumn(
+        "last_view_ts",
+        F.max(F.when(F.col("is_view"), F.col("ts"))).over(w),
+    )
+    return enriched.filter(~F.col("is_view")).select(
+        "user_id", "event_id", "ts", "value", "last_view_ts"
+    )
+
+
+@query(
+    "win_distribution",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           FIRST_VALUE(o_orderkey) OVER w AS first_key,
+           LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice, o_orderkey
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING) AS last_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile/percent_rank/cume_dist +
+    first/last_value over a total per-customer order. percent_rank and
+    cume_dist are integer-ratio doubles — exact cross-engine. last_value
+    needs the full-partition frame (the default frame stops at the
+    current row)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w_full).alias("last_key"),
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_q,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sumsq_q
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((sumsq_q - sum_q * sum_q / n) / (n - 1), 6) AS var_qty,
+           round(sqrt((sumsq_q - sum_q * sum_q / n) / (n - 1)), 6) AS stddev_qty
+    FROM s
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev per group. Built-in var_samp sums doubles
+    in partial-agg order (not an engine contract), so both engines
+    compute the textbook (sumsq - sum^2/n)/(n-1) from EXACT decimal
+    moments and only then drop to double — same expression tree, same
+    bits. At scale this is still one partial+final aggregate (two decimal
+    sums instead of one)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dq = _dec("l_quantity")
+    grouped = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dq).cast("double").alias("sum_q"),
+        F.sum(dq * dq).cast("double").alias("sumsq_q"),
+    )
+    var = (F.col("sumsq_q") - F.col("sum_q") * F.col("sum_q") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return grouped.select(
+        "l_returnflag", "n",
+        F.round(var, 6).alias("var_qty"),
+        F.round(F.sqrt(var), 6).alias("stddev_qty"),
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty,
+           max(l_quantity) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`: linear interpolation over the sorted group). Exact
+    percentile buffers each group — fine for bounded groups; the unbounded
+    -cardinality scale path is approx_percentile (t-digest sketch), which
+    trades the buffer for a fixed-size sketch exactly like
+    agg_approx_distinct does for HLL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
