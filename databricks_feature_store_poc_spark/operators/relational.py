@@ -953,3 +953,63 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
         F.max("l_quantity").alias("max_qty"),
     )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: status values become columns. The pivot value list is given
+    EXPLICITLY — without it Spark runs an extra distinct-collect job to
+    discover values, a hidden scan that hurts at 100 TB (and makes the
+    output schema data-dependent). Compiles to one hash aggregate with
+    3 conditional counts, exactly the oracle's CASE formulation."""
+    o = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_F"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_O"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_P"),
+    )
+
+
+@query(
+    "scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           o_totalprice / (SELECT MAX(o_totalprice) FROM orders) AS pct_of_max,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_total
+    FROM orders
+    WHERE o_totalprice > (SELECT 1.5 * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                                          AS DOUBLE) / COUNT(*) FROM orders)
+    """,
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subqueries in projection and predicate (here: orders above
+    1.5x the mean price, scaled against the max). Catalyst executes each
+    uncorrelated scalar subquery once and injects the literal — no
+    per-row re-evaluation; the avg itself goes through exact decimal."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sq_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               o_totalprice / (SELECT MAX(o_totalprice) FROM sq_orders) AS pct_of_max,
+               (SELECT COUNT(*) FROM sq_orders) AS n_total
+        FROM sq_orders
+        WHERE o_totalprice > (SELECT 1.5 * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                                              AS DOUBLE) / COUNT(*) FROM sq_orders)
+        """
+    )

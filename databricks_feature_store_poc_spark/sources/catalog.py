@@ -43,7 +43,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       microsecond precision (integer division truncates, matching DuckDB).
     - ``embeddings.embedding``: already ``array<float>``; left as-is.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        # Static in some builds; if it is and events can't be read, the
+        # error surfaces at scan time with a clear parquet-type message.
+        pass
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):

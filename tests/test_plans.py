@@ -73,3 +73,18 @@ def test_limit_topk_no_global_sort(spark):
 
     plan = simple_plan(QUERIES["limit_topk"](spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_rolling_sum_single_shuffle(spark):
+    """Both range frames share the (user_id, ts) partitioning: the plan
+    must pay exactly one shuffle, not one per window."""
+    df = QUERIES["feature_rolling_sum"](spark, SF_SMOKE)
+    assert count_exchanges(df) == 1
+
+
+def test_flagship_scan_prunes_columns(spark):
+    """The orders scan must read only the 4 spine columns (ReadSchema),
+    not the whole table."""
+    df = QUERIES["training_set_flagship"](spark, SF_SMOKE)
+    schema = scan_read_schema(df)
+    assert "o_orderpriority" not in schema
