@@ -93,12 +93,24 @@ class FeatureStore:
         df: DataFrame,
         description: str = "",
         mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+        bucket_by: tuple[int, list[str]] | None = None,
     ) -> FeatureTableMetadata:
         """Register + write a feature table.
 
         Validates PK presence (reference 01:172-174) and — stronger than the
         reference, which delegates this to the managed service — PK
         uniqueness, via one distributed aggregate.
+
+        Scale knobs:
+        - ``partition_by``: directory partitioning; equality/IN filters on
+          these columns prune whole partitions at scan time.
+        - ``bucket_by``: ``(n_buckets, cols)`` hash-bucketing; a join or
+          aggregate keyed on the bucket columns between two tables
+          bucketed the same way is shuffle-free (Catalyst reuses the
+          bucketing as the required distribution). Bucket feature tables
+          on their PK so repeated training-set builds against a bucketed
+          spine never reshuffle the fact side.
         """
         _check_ident(name)
         missing = [k for k in primary_keys if k not in df.columns]
@@ -122,7 +134,13 @@ class FeatureStore:
                 raise PrimaryKeyViolation(
                     f"duplicate primary-key values in {name}: sample={sample}"
                 )
-            df.write.format("parquet").mode(mode).saveAsTable(name)
+            writer = df.write.format("parquet").mode(mode)
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            if bucket_by:
+                n_buckets, cols = bucket_by
+                writer = writer.bucketBy(n_buckets, *cols).sortBy(*cols)
+            writer.saveAsTable(name)
         finally:
             df.unpersist()
         meta = FeatureTableMetadata(
@@ -130,6 +148,10 @@ class FeatureStore:
             primary_keys=list(primary_keys),
             description=description,
             schema_json=df.schema.json(),
+            extra={
+                "partition_by": list(partition_by or []),
+                "bucket_by": [bucket_by[0], list(bucket_by[1])] if bucket_by else None,
+            },
         )
         self._write_meta(meta)
         return meta

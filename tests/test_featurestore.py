@@ -199,3 +199,26 @@ class TestOnlineStore:
         feat = spark.createDataFrame([(i, float(i)) for i in range(10)], ["k", "x"])
         with pytest.raises(ValueError, match="online store"):
             OnlineStore.from_table(feat, ["k"], max_rows=5)
+
+
+class TestOnlineLatency:
+    def test_point_lookup_under_1ms(self, spark):
+        """The reference's serving contract is <10 ms per lookup
+        (README.md:115). The in-memory emulation must clear that with
+        room: average over 10k lookups < 1 ms."""
+        import time
+
+        from databricks_feature_store_poc_spark.sources.catalog import load_table
+        from tests.conftest import SF_TEST
+
+        customer = load_table(spark, SF_TEST, "customer")
+        store = OnlineStore.from_table(
+            customer, ["c_custkey"], ["c_acctbal", "c_mktsegment"]
+        )
+        keys = list(range(1, 1001))
+        t0 = time.perf_counter()
+        for _ in range(10):
+            for k in keys:
+                store.lookup(k)
+        per_lookup = (time.perf_counter() - t0) / 10_000
+        assert per_lookup < 0.001, f"{per_lookup*1e3:.3f} ms per lookup"
