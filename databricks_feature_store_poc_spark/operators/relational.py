@@ -1013,3 +1013,29 @@ def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                                               AS DOUBLE) / COUNT(*) FROM sq_orders)
         """
     )
+
+
+@query(
+    "unpivot_melt",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    """,
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide numeric columns -> (metric, val) long form —
+    the feature-matrix reshaping step every per-feature statistics job
+    needs. Spark's `unpivot` compiles to a single Expand node (one scan,
+    rows x n_metrics output) — NOT the oracle's 3-scan UNION ALL
+    formulation; same result, one-third the read."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "val",
+    )

@@ -122,3 +122,16 @@ def test_decode_stub_schema_and_determinism(spark):
     assert a == b
     # histogram is a distribution
     assert all(abs(sum(v[2]) - 1.0) < 1e-9 for v in a.values())
+
+
+def test_ivf_recall_against_brute_force(spark):
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["sim_cosine_topk"](spark, SF_TEST).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["sim_ivf_topk"](spark, SF_TEST).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF recall collapsed: {recall:.2f}"
