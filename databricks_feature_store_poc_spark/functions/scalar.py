@@ -348,3 +348,115 @@ def udtf_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         [T.StructField("doc_id", T.LongType()), T.StructField("token", T.StringType())]
     )
     return d.select("doc_id", "text").mapInPandas(tokenize_batches, schema)
+
+
+@query(
+    "fn_string_extended",
+    oracle="""
+    SELECT p_partkey,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           trim('  ' || p_brand || '  ') AS trimmed,
+           reverse(p_brand) AS rev_brand,
+           repeat('-', 3) || p_type AS dashed,
+           CAST(instr(p_name, 'a') AS INT) AS first_a,
+           replace(p_brand, 'Brand#', 'B') AS short_brand
+    FROM part
+    """,
+)
+def fn_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string batch: regexp_replace / lpad / trim / reverse /
+    repeat / instr / replace — still all codegen'd JVM expressions."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias("trimmed"),
+        F.reverse("p_brand").alias("rev_brand"),
+        F.concat(F.repeat(F.lit("-"), 3), F.col("p_type")).alias("dashed"),
+        F.instr("p_name", "a").alias("first_a"),
+        F.replace(F.col("p_brand"), F.lit("Brand#"), F.lit("B")).alias("short_brand"),
+    )
+
+
+@query(
+    "fn_date_extended",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(o_orderdate + INTERVAL 3 MONTHS AS DATE) AS plus_3mo,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS ym
+    FROM orders
+    """,
+)
+def fn_date_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second date batch: quarter / add_months / last_day / date_format."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").alias("qtr"),
+        F.add_months(F.col("o_orderdate").cast("date"), 3).alias("plus_3mo"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
+@query(
+    "fn_null_semantics",
+    oracle="""
+    WITH enriched AS (
+        SELECT o.o_orderkey, o.o_totalprice, c.c_acctbal
+        FROM orders o
+        LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 3 = 0) c
+          ON o.o_custkey = c.c_custkey
+    )
+    SELECT o_orderkey,
+           COALESCE(c_acctbal, 0.0) AS bal_or_zero,
+           NULLIF(o_totalprice, 0.0) AS price_nullif,
+           (c_acctbal IS NOT DISTINCT FROM NULL) AS is_unmatched,
+           CASE WHEN c_acctbal IS NULL THEN 'missing' ELSE 'present' END AS presence
+    FROM enriched
+    """,
+)
+def fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling functions over real join-produced NULLs: coalesce,
+    nullif, null-safe equality (<=> / IS NOT DISTINCT FROM), CASE-on-null.
+    Three-valued logic is where engines silently disagree — pinning it
+    against an oracle is the point."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0)
+    enriched = o.join(
+        F.broadcast(c.select("c_custkey", "c_acctbal")),
+        o["o_custkey"] == c["c_custkey"],
+        "left",
+    )
+    return enriched.select(
+        "o_orderkey",
+        F.coalesce("c_acctbal", F.lit(0.0)).alias("bal_or_zero"),
+        F.nullif(F.col("o_totalprice"), F.lit(0.0)).alias("price_nullif"),
+        F.col("c_acctbal").eqNullSafe(F.lit(None).cast("double")).alias("is_unmatched"),
+        F.when(F.col("c_acctbal").isNull(), "missing").otherwise("present").alias("presence"),
+    )
+
+
+@query(
+    "agg_collect_set",
+    oracle="""
+    SELECT o_orderpriority,
+           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           CAST(len(list(DISTINCT o_orderstatus)) AS INT) AS n_statuses
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set into a SORTED array (collect order is nondeterministic
+    across partitions — sort_array makes the value a contract). Array-
+    valued aggregation is the feature-store's multi-valued feature shape."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.size(F.collect_set("o_orderstatus")).alias("n_statuses"),
+    )

@@ -343,3 +343,36 @@ def run_stateful_counter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table("stateful_counter_sink")
+
+
+def run_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_sliding through a real streaming plan (complete mode, like
+    the tumbling runner) — completes the batch-vs-stream parity matrix."""
+    src = _stream_source_dir(sf_dir)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(raw_schema).parquet(src)
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "n", "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sliding_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("sliding_sink")

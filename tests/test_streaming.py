@@ -79,3 +79,12 @@ def test_stateful_counter_matches_batch_groupby(spark):
     fmap = {r["user_id"]: (r["n_events"], r["total_value"]) for r in final}
     bmap = {r["user_id"]: (r["n_events"], r["total_value"]) for r in batch}
     assert fmap == bmap
+
+
+def test_sliding_stream_equals_batch(spark):
+    from databricks_feature_store_poc_spark.streaming.windows import run_sliding_stream
+
+    batch = QUERIES["stream_sliding"](spark, SF_SMOKE)
+    stream = run_sliding_stream(spark, SF_SMOKE)
+    cols = ["win_start", "win_end", "n", "sum_value"]
+    assert _rowset(stream, cols) == _rowset(batch, cols)
