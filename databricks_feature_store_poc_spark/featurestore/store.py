@@ -134,6 +134,20 @@ class FeatureStore:
                 raise PrimaryKeyViolation(
                     f"duplicate primary-key values in {name}: sample={sample}"
                 )
+            if mode == "overwrite":
+                # An orphaned managed-table directory (e.g. from a crashed
+                # run: files on disk, no catalog entry) makes saveAsTable
+                # fail with LOCATION_ALREADY_EXISTS — clear both.
+                self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+                warehouse = self.spark.conf.get(
+                    "spark.sql.warehouse.dir", "spark-warehouse"
+                ).removeprefix("file:")
+                orphan = os.path.join(warehouse, name.replace(".", ".db/", 1)
+                                      if "." in name else name)
+                if os.path.isdir(orphan):
+                    import shutil
+
+                    shutil.rmtree(orphan, ignore_errors=True)
             writer = df.write.format("parquet").mode(mode)
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
