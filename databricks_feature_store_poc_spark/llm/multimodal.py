@@ -157,3 +157,55 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return payloads.mapInPandas(decode_batches, schema)
+
+
+@query("mm_frame_sample")  # fake decoder: plumbing real, codec stubbed
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing for video/audio payloads: each binary
+    payload expands to every-k-th 'frame' (fixed-size byte chunk here;
+    a real codec yields decoded frames) with per-frame features.
+
+    1 payload row -> n frame rows through mapInPandas — the same
+    fan-out shape as a video decoder emitting sampled frames, and the
+    reason this is a table function, not a scalar UDF. Frame count is
+    bounded per payload (MAX_FRAMES) so one pathological input can't
+    blow up a task; real deployments also cap decode wall-time."""
+    CHUNK = 64          # bytes per fake 'frame'
+    STRIDE = 4          # sample every 4th frame
+    MAX_FRAMES = 8
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, frame_idx, offsets, checksums = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = max(len(payload) // CHUNK, 1)
+                taken = 0
+                for i in range(0, n_frames, STRIDE):
+                    if taken >= MAX_FRAMES:
+                        break
+                    chunk = payload[i * CHUNK:(i + 1) * CHUNK]
+                    doc_ids.append(doc_id)
+                    frame_idx.append(i)
+                    offsets.append(i * CHUNK)
+                    checksums.append(sum(chunk) % 65536)
+                    taken += 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "frame_idx": frame_idx,
+                    "byte_offset": offsets,
+                    "frame_checksum": checksums,
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("byte_offset", T.IntegerType()),
+            T.StructField("frame_checksum", T.IntegerType()),
+        ]
+    )
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return payloads.mapInPandas(sample_batches, schema)

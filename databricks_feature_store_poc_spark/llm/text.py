@@ -264,3 +264,65 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tfidf")
     )
+
+
+@query(
+    "pipeline_clean_corpus",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, lang, text, {_DUCK_WORDS} AS words FROM documents
+    ),
+    quality AS (
+        SELECT doc_id, lang, text,
+               least(len(words) / 100.0, 1.0) * 0.4
+               + (len(list_distinct(words)) * 1.0 / len(words)) * 0.4
+               + (len(list_intersect(words, [{_STOP_SQL}])) * 1.0
+                  / greatest(len(list_distinct(words)), 1)) * 0.2 AS q,
+               CAST(len(words) AS BIGINT) AS n_tokens
+        FROM w
+    ),
+    kept AS (
+        SELECT * FROM quality WHERE q >= 0.3
+    ),
+    deduped AS (
+        SELECT MIN(doc_id) AS doc_id, ANY_VALUE(lang) AS lang,
+               ANY_VALUE(n_tokens) AS n_tokens
+        FROM kept GROUP BY text
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM deduped
+    GROUP BY lang
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning pipeline as ONE lazy plan:
+    quality-filter -> exact-dedup (keep lowest doc_id per text) -> token
+    accounting per language. Each stage is an operator this engine
+    already exposes individually; the point of this entry is that they
+    compose into a single Catalyst plan — the filter prunes before the
+    dedup shuffle, the dedup shuffle carries digests, and the final
+    aggregate is partial+final — with no intermediate materialization.
+    That composition IS the product: a 100 TB corpus clean runs as one
+    job DAG, not N chained jobs with N disk round-trips."""
+    d = load_table(spark, sf_dir, "documents")
+    stop_arr = "array({})".format(", ".join(f"'{w}'" for w in STOPWORDS))
+    q = (
+        f"least(size({_WORDS}) / 100.0, 1.0) * 0.4 "
+        f"+ (size(array_distinct({_WORDS})) / size({_WORDS})) * 0.4 "
+        f"+ (size(array_intersect(array_distinct({_WORDS}), {stop_arr})) "
+        f"   / greatest(size(array_distinct({_WORDS})), 1)) * 0.2"
+    )
+    kept = d.withColumn("q", F.expr(q)).filter(F.col("q") >= 0.3).withColumn(
+        "n_tokens", F.expr(f"cast(size({_WORDS}) as long)")
+    )
+    deduped = kept.groupBy(F.sha2(F.col("text").cast("binary"), 256).alias("h")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.first("lang").alias("lang"),
+        F.first("n_tokens").alias("n_tokens"),
+    )
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

@@ -135,3 +135,12 @@ def test_ivf_recall_against_brute_force(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.4, f"IVF recall collapsed: {recall:.2f}"
+
+
+def test_frame_sample_bounded_and_deterministic(spark):
+    out = QUERIES["mm_frame_sample"](spark, SF_TEST)
+    per_doc = out.groupBy("doc_id").count()
+    assert per_doc.filter(F.col("count") > 8).count() == 0  # MAX_FRAMES cap
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, out.collect()))
+    assert a == b
