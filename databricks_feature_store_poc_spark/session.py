@@ -73,4 +73,14 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass
+    # A vanilla session defaults to 200 shuffle partitions — 6x oversized
+    # for local[32] and pure overhead at sf<=0.1. Runtime-settable, and AQE
+    # coalescing keeps it safe if the driver's data is bigger than ours.
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        )
+    except Exception:
+        pass
     return spark
