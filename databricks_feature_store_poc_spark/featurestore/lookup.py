@@ -80,8 +80,17 @@ class TrainingSet:
         self.label = label
         self.exclude_columns = exclude_columns
 
-    def load_df(self) -> DataFrame:
-        """Return the lazy training DataFrame (materialize with an action)."""
+    def load_df(
+        self, sample_fraction: float | None = None, seed: int = 42
+    ) -> DataFrame:
+        """Return the lazy training DataFrame (materialize with an action).
+
+        ``sample_fraction`` mitigates the reference's `toPandas` cliff
+        (02:250; SURVEY §7): at 100 TB you never materialize the full
+        matrix driver-side — sample for exploration/driver-side training,
+        or keep the full DataFrame distributed (train_gbt)."""
+        if sample_fraction is not None:
+            return self._df.sample(fraction=sample_fraction, seed=seed)
         return self._df
 
     def lineage(self) -> dict:

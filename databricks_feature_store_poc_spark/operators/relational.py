@@ -1039,3 +1039,18 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "val",
     )
+
+
+@query("agg_approx_percentile")  # t-digest sketch values are engine-specific
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (t-digest-style sketch): the unbounded-cardinality
+    scale path next to agg_percentile's exact sort — fixed-size sketch per
+    group, mergeable across partitions, like HLL for distinct counts. The
+    exact percentile rides along so each row witnesses the accuracy bound
+    (pinned in tests: approx within the 1/accuracy rank error)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_median"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -144,3 +144,17 @@ def test_frame_sample_bounded_and_deterministic(spark):
     a = sorted(map(tuple, out.collect()))
     b = sorted(map(tuple, out.collect()))
     assert a == b
+
+
+def test_langid_heuristic_measured_not_asserted(spark):
+    """The lang-ID rule is deterministic; its accuracy on this synthetic
+    corpus (same vocab across langs) is measured and recorded, not
+    asserted — the docstring's contract."""
+    out = QUERIES["text_langid"](spark, SF_TEST)
+    n = out.count()
+    agree = out.filter(
+        (F.col("predicted") == "en") == (F.col("lang") == "en")
+    ).count()
+    accuracy = agree / n
+    assert 0.0 <= accuracy <= 1.0
+    print(f"langid en-vs-other accuracy on synthetic corpus: {accuracy:.3f}")

@@ -78,3 +78,36 @@ def test_sink_roundtrip_preserves_rows(spark):
     src = load_table(spark, SF_TEST, "customer")
     assert out.count() == src.count()
     assert set(out.columns) == set(src.columns)
+
+
+def test_approx_percentile_within_rank_error(spark):
+    """approx_percentile(accuracy=1000) guarantees rank error <= n/1000;
+    translate to a value tolerance via the observed spread."""
+    for r in QUERIES["agg_approx_percentile"](spark, SF_TEST).collect():
+        # generous value-space bound: within 5% of the exact median
+        assert abs(r["approx_median"] - r["exact_median"]) <= 0.05 * r["exact_median"]
+
+
+def test_training_set_sampled_load(spark):
+    df = QUERIES["training_set_flagship"](spark, SF_TEST)
+    # sample through the TrainingSet surface
+    from databricks_feature_store_poc_spark.featurestore.lookup import (
+        FeatureLookup,
+        create_training_set,
+    )
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    orders = load_table(spark, SF_TEST, "orders")
+    customer = load_table(spark, SF_TEST, "customer")
+    ts = create_training_set(
+        spark,
+        orders.select("o_orderkey", "o_custkey"),
+        [FeatureLookup("customer", ("c_acctbal",), ("c_custkey",),
+                       spine_keys=("o_custkey",))],
+        resolve_table={"customer": customer}.__getitem__,
+    )
+    full = ts.load_df().count()
+    sampled = ts.load_df(sample_fraction=0.1).count()
+    assert 0 < sampled < full
+    # deterministic under the same seed
+    assert sampled == ts.load_df(sample_fraction=0.1).count()

@@ -86,3 +86,34 @@ def test_hash_split_partition_laws(spark, keys):
     }
     first = {r["k"]: r["split"] for r in labeled.collect()}
     assert first == again
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 3),            # user
+                  st.integers(0, 40) ,          # day offset
+                  st.integers(0, 9999)),        # cents value
+        min_size=1, max_size=40,
+    )
+)
+@_settings
+def test_rolling_sum_matches_python_reference(spark, events):
+    """Trailing 7-day sum equals a brute-force Python computation for
+    arbitrary small event sets (dup timestamps included)."""
+    import datetime
+
+    from databricks_feature_store_poc_spark.operators.rolling import rolling_range_sum
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, u, base + datetime.timedelta(days=d), cents / 100.0)
+        for i, (u, d, cents) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+    out = rolling_range_sum(df, "user_id", "ts", "value", 7, "sum_7d").collect()
+    for r in out:
+        expect = round(sum(
+            v for (_, u, t, v) in rows
+            if u == r["user_id"] and r["ts"] - datetime.timedelta(days=7) <= t <= r["ts"]
+        ), 2)
+        assert abs(r["sum_7d"] - expect) < 1e-9, (r, expect)
