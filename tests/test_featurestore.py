@@ -11,9 +11,6 @@ carried through.
 
 from __future__ import annotations
 
-import os
-import tempfile
-
 import pytest
 from pyspark.sql import functions as F
 

@@ -111,3 +111,42 @@ def test_training_set_sampled_load(spark):
     assert 0 < sampled < full
     # deterministic under the same seed
     assert sampled == ts.load_df(sample_fraction=0.1).count()
+
+
+def test_incremental_rollup_equals_full_rebuild(spark):
+    """merge(build(first half), second half) == build(everything) — the
+    mergeable-partial invariant that makes O(batch) refresh sound."""
+    from databricks_feature_store_poc_spark.operators.rollup_maintenance import (
+        build_rollup,
+        merge_rollup,
+        rollup_to_features,
+    )
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    events = load_table(spark, SF_SMOKE, "events")
+    cutoff = events.approxQuantile("event_id", [0.5], 0.0)[0]
+    first = events.filter(F.col("event_id") <= cutoff)
+    second = events.filter(F.col("event_id") > cutoff)
+    assert first.count() > 0 and second.count() > 0
+
+    incremental = merge_rollup(build_rollup(first), second)
+    full = build_rollup(events)
+
+    def norm(df):
+        return sorted(
+            (r["user_id"], r["bucket_start"], r["n_events"], str(r["sum_value"]))
+            for r in df.collect()
+        )
+
+    assert norm(incremental) == norm(full)
+
+    feats = rollup_to_features(full).collect()
+    by_user = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("tv"),
+    ).collect()
+    fmap = {r["user_id"]: (r["total_events"], r["total_value"]) for r in feats}
+    bmap = {r["user_id"]: (r["n"], r["tv"]) for r in by_user}
+    assert fmap == bmap
