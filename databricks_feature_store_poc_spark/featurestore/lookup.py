@@ -50,6 +50,11 @@ class FeatureLookup:
     # feature table's PK (the reference's spine shares names, 02:76,83).
     spine_keys: tuple[str, ...] = ()
     rename: dict = field(default_factory=dict)  # feature -> output name
+    # Point-in-time lookup (the Databricks FeatureLookup
+    # `timestamp_lookup_key` capability): (spine_ts_col, feature_ts_col).
+    # When set, each spine row receives the LATEST feature version with
+    # feature_ts <= spine_ts — no label leakage from future features.
+    timestamp_lookup_key: tuple[str, str] | None = None
 
     @staticmethod
     def of(table_name: str, feature_names: list[str], lookup_key) -> "FeatureLookup":
@@ -106,6 +111,8 @@ class TrainingSet:
                     # replays the join with the wrong spine columns.
                     "spine_keys": list(lk.spine_keys),
                     "rename": dict(lk.rename),
+                    "timestamp_lookup_key": list(lk.timestamp_lookup_key)
+                    if lk.timestamp_lookup_key else None,
                 }
                 for lk in self.lookups
             ],
@@ -147,6 +154,8 @@ def apply_lookup(
             f"collide with spine columns; set rename={{...}} on the "
             "FeatureLookup to give them distinct output names"
         )
+    if lookup.timestamp_lookup_key is not None:
+        return _apply_point_in_time_lookup(spine, feature_table, lookup, skeys, keys, feats)
     # Renames are applied via alias on the narrowed side BEFORE the join:
     # a post-join withColumnRenamed would hit the first of two same-named
     # columns ambiguously when a feature collides with a spine column.
@@ -167,6 +176,53 @@ def apply_lookup(
             narrowed[fk] for fk in keys
         ])
     return out
+
+
+def _apply_point_in_time_lookup(
+    spine: DataFrame,
+    feature_table: DataFrame,
+    lookup: FeatureLookup,
+    skeys: list[str],
+    keys: list[str],
+    feats: list[str],
+) -> DataFrame:
+    """Point-in-time enrichment: latest feature version at or before each
+    spine row's timestamp (the feature-store answer to label leakage).
+
+    Scale-correct plan — the union + running-carry-forward formulation:
+    tag both relations, union them, ONE window per key ordered by
+    (event time, side) carrying the last non-null feature value forward,
+    keep the spine rows. Cost: one shuffle on the key, linear in
+    |spine| + |versions| — never a per-row range probe or a versions
+    blow-up join. Feature rows sort before spine rows at equal timestamps,
+    so a version AT the spine time is visible (ts >= version_ts,
+    inclusive), matching DuckDB/ASOF semantics (the oracle of
+    training_set_point_in_time).
+    """
+    from pyspark.sql.window import Window
+
+    spine_ts, feat_ts = lookup.timestamp_lookup_key
+    out_names = [lookup.rename.get(f, f) for f in feats]
+    narrowed = feature_table.select(
+        *[F.col(k).alias(sk) for k, sk in zip(keys, skeys)],
+        F.col(feat_ts).alias("__pit_ts"),
+        *[F.col(f).alias(lookup.rename.get(f, f)) for f in feats],
+    ).withColumn("__side", F.lit(0))
+    spine_tagged = spine.withColumn("__pit_ts", F.col(spine_ts)).withColumn(
+        "__side", F.lit(1)
+    )
+    unioned = spine_tagged.unionByName(narrowed, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*skeys)
+        .orderBy("__pit_ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *[c for c in unioned.columns if c not in ("__side", "__pit_ts", *out_names)],
+        "__side",
+        *[F.last(f, ignorenulls=True).over(w).alias(f) for f in out_names],
+    )
+    return filled.filter(F.col("__side") == 1).drop("__side")
 
 
 def create_training_set(

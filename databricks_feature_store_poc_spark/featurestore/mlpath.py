@@ -310,6 +310,9 @@ def score_batch(
             feature_names=tuple(lk["feature_names"]),
             lookup_key=tuple(lk["lookup_key"]),
             spine_keys=tuple(lk.get("spine_keys", ())),
+            rename=dict(lk.get("rename", {})),
+            timestamp_lookup_key=tuple(lk["timestamp_lookup_key"])
+            if lk.get("timestamp_lookup_key") else None,
         )
         for lk in lineage["lookups"]
     ]

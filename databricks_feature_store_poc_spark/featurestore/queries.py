@@ -85,3 +85,75 @@ def training_set_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         "n_name",
     )
+
+
+@query(
+    "training_set_point_in_time",
+    oracle="""
+    WITH versions AS (
+        SELECT DISTINCT user_id, ts AS fts,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS balance
+        FROM events
+    ),
+    spine AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT s.event_id, s.user_id, s.ts, v.balance
+    FROM spine s
+    ASOF LEFT JOIN versions v
+      ON s.user_id = v.user_id AND s.ts >= v.fts
+    """,
+)
+def training_set_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time training set: each purchase event is enriched with the
+    user's running balance AS OF that moment — the latest feature version
+    with version_ts <= spine_ts, never a future one (label-leakage
+    safety, the capability Databricks exposes as FeatureLookup
+    `timestamp_lookup_key`).
+
+    The feature table is itself versioned data: one (user, ts, balance)
+    row per balance change, built with a RANGE-frame running sum (peers at
+    equal ts share a value, so DISTINCT makes versions unique and the
+    as-of pick unambiguous). The oracle is DuckDB's native ASOF LEFT JOIN;
+    the Spark side compiles to the union + running-carry-forward plan in
+    lookup._apply_point_in_time_lookup — one shuffle, linear, no per-row
+    range probe.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    versions = (
+        events.select(
+            "user_id",
+            F.col("ts").alias("fts"),
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+            .alias("balance"),
+        )
+        .distinct()
+    )
+    spine = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    lookups = [
+        FeatureLookup(
+            table_name="user_balance_versions",
+            feature_names=("balance",),
+            lookup_key=("user_id",),
+            spine_keys=("user_id",),
+            timestamp_lookup_key=("ts", "fts"),
+        )
+    ]
+    ts = create_training_set(
+        spark, spine, lookups,
+        resolve_table={"user_balance_versions": versions}.__getitem__,
+    )
+    return ts.load_df().select("event_id", "user_id", "ts", "balance")

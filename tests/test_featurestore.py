@@ -219,3 +219,68 @@ class TestOnlineLatency:
                 store.lookup(k)
         per_lookup = (time.perf_counter() - t0) / 10_000
         assert per_lookup < 0.001, f"{per_lookup*1e3:.3f} ms per lookup"
+
+
+class TestPointInTimeLookup:
+    def _run(self, spark, spine_rows, version_rows):
+        import datetime
+
+        def t(s):
+            return datetime.datetime(2024, 1, s)
+
+        spine = spark.createDataFrame(
+            [(i, k, t(d)) for i, (k, d) in enumerate(spine_rows)],
+            "row_id long, k long, ts timestamp",
+        )
+        versions = spark.createDataFrame(
+            [(k, t(d), v) for (k, d, v) in version_rows],
+            "k long, fts timestamp, val double",
+        )
+        lk = FeatureLookup(
+            "v", ("val",), ("k",), spine_keys=("k",),
+            timestamp_lookup_key=("ts", "fts"),
+        )
+        ts = create_training_set(
+            spark, spine, [lk], resolve_table={"v": versions}.__getitem__
+        )
+        return {r["row_id"]: r["val"] for r in ts.load_df().collect()}
+
+    def test_latest_version_at_or_before(self, spark):
+        out = self._run(
+            spark,
+            spine_rows=[(1, 10), (1, 20), (1, 5)],
+            version_rows=[(1, 5, 1.0), (1, 15, 2.0), (1, 25, 3.0)],
+        )
+        # day 10 -> version@5; day 20 -> version@15; day 5 -> version@5
+        # (inclusive at equal timestamps)
+        assert out == {0: 1.0, 1: 2.0, 2: 1.0}
+
+    def test_no_prior_version_is_null_and_no_leakage(self, spark):
+        out = self._run(
+            spark,
+            spine_rows=[(1, 2), (2, 10)],
+            version_rows=[(1, 5, 9.9)],   # future version for key 1; none for 2
+        )
+        assert out == {0: None, 1: None}  # never a future value
+
+    def test_pit_spine_count_preserved(self, spark):
+        out = self._run(
+            spark,
+            spine_rows=[(1, 10), (1, 10), (1, 10)],  # duplicate spine rows
+            version_rows=[(1, 1, 4.0), (1, 2, 5.0)],
+        )
+        assert out == {0: 5.0, 1: 5.0, 2: 5.0}
+
+    def test_pit_lineage_roundtrip(self, spark):
+        lk = FeatureLookup(
+            "v", ("val",), ("k",), spine_keys=("k",),
+            timestamp_lookup_key=("ts", "fts"),
+        )
+        spine = spark.createDataFrame([(1,)], "k long")
+        ts = create_training_set(
+            spark, spine.withColumn("ts", F.current_timestamp()), [lk],
+            resolve_table=lambda _: spark.createDataFrame(
+                [(1, None, 0.0)], "k long, fts timestamp, val double"
+            ),
+        )
+        assert ts.lineage()["lookups"][0]["timestamp_lookup_key"] == ["ts", "fts"]
