@@ -149,9 +149,26 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tb"),
     ).select("vec_id", "e", "nrm", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
 
-    q = buckets.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("q_e"),
-        F.col("nrm").alias("q_n"), "tbl", "bkt",
+    # Multiprobe: the query side also probes every bucket within Hamming
+    # distance 1 of its own (flip each sign bit once). Vectors near a
+    # hyperplane land on either side arbitrarily; probing the adjacent
+    # buckets recovers them for ~(BITS+1)x candidate cost on the QUERY
+    # side only — the corpus is still hashed exactly once.
+    probe = F.explode(
+        F.array(
+            F.col("bkt"),
+            *[
+                F.col("bkt").bitwiseXOR(F.lit(1 << b))
+                for b in range(BITS_PER_TABLE)
+            ],
+        )
+    )
+    q = (
+        buckets.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("e").alias("q_e"),
+            F.col("nrm").alias("q_n"), "tbl", probe.alias("bkt"),
+        )
     )
     c = buckets.select(
         F.col("vec_id").alias("neighbor_id"), F.col("e").alias("c_e"),

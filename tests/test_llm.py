@@ -85,9 +85,9 @@ def test_lsh_recall_against_brute_force(spark):
         for r in QUERIES["sim_ann_lsh"](spark, SF_TEST).collect()
     }
     recall = len(exact & approx) / len(exact)
-    # 4 tables x 4 bits on random 64-dim data: recall is imperfect by
-    # design; the floor pins that the bucketing isn't broken.
-    assert recall >= 0.4, f"LSH recall collapsed: {recall:.2f}"
+    # Measured 0.94 with Hamming-1 multiprobe on this corpus; the floor
+    # pins that neither the bucketing nor the probing regresses.
+    assert recall >= 0.8, f"LSH recall collapsed: {recall:.2f}"
     # approximate results must still be well-formed top-k sets
     per_q = {}
     for q, n in approx:
@@ -134,7 +134,8 @@ def test_ivf_recall_against_brute_force(spark):
         for r in QUERIES["sim_ivf_topk"](spark, SF_TEST).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.4, f"IVF recall collapsed: {recall:.2f}"
+    # Measured 0.72 with 4/16 cells probed on this corpus.
+    assert recall >= 0.5, f"IVF recall collapsed: {recall:.2f}"
 
 
 def test_frame_sample_bounded_and_deterministic(spark):
