@@ -62,3 +62,43 @@ def test_prune_retention(spark, vt):
     assert vt.read().count() == 1
     with pytest.raises(VersionedTableError):
         vt.read(version=1)
+
+
+def test_versioned_plus_point_in_time_training(spark, tmp_path):
+    """Composition: pin a feature-table VERSION for reproducible training,
+    then do point-in-time lookups WITHIN that snapshot."""
+    import datetime
+
+    from databricks_feature_store_poc_spark.featurestore.lookup import (
+        FeatureLookup,
+        create_training_set,
+    )
+
+    def t(d):
+        return datetime.datetime(2024, 1, d)
+
+    vt = VersionedFeatureTable(spark, str(tmp_path), "balances")
+    v1 = spark.createDataFrame(
+        [(1, t(1), 10.0), (1, t(5), 20.0)], "k long, fts timestamp, val double"
+    )
+    v2 = spark.createDataFrame(
+        [(1, t(1), 10.0), (1, t(5), 99.0)], "k long, fts timestamp, val double"
+    )
+    vt.write(v1, timestamp=100.0)
+    vt.write(v2, timestamp=200.0)
+
+    spine = spark.createDataFrame([(1, t(7))], "k long, ts timestamp")
+    lk = FeatureLookup(
+        "balances", ("val",), ("k",), spine_keys=("k",),
+        timestamp_lookup_key=("ts", "fts"),
+    )
+
+    def train_on(version):
+        ts = create_training_set(
+            spark, spine, [lk],
+            resolve_table=lambda _: vt.read(version=version),
+        )
+        return ts.load_df().collect()[0]["val"]
+
+    assert train_on(1) == 20.0   # the value training saw then
+    assert train_on(2) == 99.0   # the corrected snapshot
