@@ -100,6 +100,34 @@ def shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.persist()
 
 
+def _jaccard_for_pairs(idx: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard for a GIVEN candidate pair set (doc_a, doc_b).
+
+    Shared-shingle counts come from joining the index to the pair list on
+    each side — cost O(candidates x shingles-per-doc), NOT all-pairs.
+    This is what makes LSH verification honest at scale: the expensive
+    exact computation touches only what the buckets surfaced.
+    """
+    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = idx.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = idx.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def _jaccard_pairs_from_index(idx: DataFrame) -> DataFrame:
     """Exact Jaccard pairs from a (doc_id, shingle) index via self-join."""
     sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
@@ -227,8 +255,9 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    exact = _jaccard_pairs_from_index(idx)
-    return candidates.join(exact, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+    # Verify ONLY the candidates — computing all exact pairs here would
+    # defeat the LSH: verification cost must scale with bucket output.
+    return _jaccard_for_pairs(idx, candidates)
 
 
 @query("dedup_simhash")  # fingerprint bits depend on xxhash64: rows-only
