@@ -410,3 +410,104 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return e.select("vec_id", "embedding").mapInPandas(block_pairs, schema)
+
+
+@query(
+    "dedup_clusters",
+    oracle=_DUCK_SHINGLES.replace("WITH words", "WITH RECURSIVE words") + f"""
+    , shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+        FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT s.doc_a, s.doc_b
+        FROM shared s
+        JOIN doc_sizes sa ON s.doc_a = sa.doc_id
+        JOIN doc_sizes sb ON s.doc_b = sb.doc_id
+        WHERE s.shared * 1.0 / (sa.n_shingles + sb.n_shingles - s.shared)
+              >= {JACCARD_THRESHOLD}
+    ),
+    edges(a, b) AS (
+        SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, target) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.node, e.b FROM reach r JOIN edges e ON r.target = e.a
+    ),
+    reps AS (
+        SELECT node AS doc_id, CAST(MIN(target) AS BIGINT) AS cluster_rep
+        FROM reach GROUP BY node
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(r.cluster_rep, d.doc_id) AS BIGINT) AS cluster_rep
+    FROM documents d LEFT JOIN reps r ON d.doc_id = r.doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the exact-Jaccard pair
+    graph, every document labeled with its cluster representative (the
+    component's minimum doc_id; singletons represent themselves). This is
+    the step that turns pairwise dedup output into an actionable keep/drop
+    decision — keep each cluster's rep, drop the rest.
+
+    Iterative min-label propagation, the scale-correct CC algorithm on
+    Spark: each round is one join + one min-aggregate (labels flow across
+    edges); rounds needed = graph diameter, bounded here and checked for
+    convergence — near-dup components are short chains, not long paths.
+    Each round's result is persisted and the previous round unpersisted,
+    so the lineage (and task closure) stays O(1) across iterations
+    instead of growing a 2^rounds plan. The oracle computes the same
+    fixpoint via DuckDB's recursive CTE.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    idx = shingle_index(spark, sf_dir)
+    pairs = _jaccard_pairs_from_index(idx).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+
+    # labels: start as identity over nodes that appear in any edge
+    labels = (
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(20):  # diameter bound; converges long before this
+        neighbor_min = (
+            edges.join(labels, edges["doc_b"] == labels["node"])
+            .groupBy(F.col("doc_a").alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label")))
+                .alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+
+    out = (
+        d.select("doc_id")
+        .join(labels, d["doc_id"] == labels["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_rep"),
+        )
+    )
+    return out

@@ -159,3 +159,26 @@ def test_langid_heuristic_measured_not_asserted(spark):
     accuracy = agree / n
     assert 0.0 <= accuracy <= 1.0
     print(f"langid en-vs-other accuracy on synthetic corpus: {accuracy:.3f}")
+
+
+def test_dedup_clusters_well_formed(spark):
+    """Cluster labels are a valid union-find result: reps are cluster
+    minima, every doc labeled, pairs land in the same cluster."""
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    clusters = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in QUERIES["dedup_clusters"](spark, SF_TEST).collect()
+    }
+    n_docs = load_table(spark, SF_TEST, "documents").count()
+    assert len(clusters) == n_docs
+    # rep is a member of its own cluster and the minimum of it
+    members = {}
+    for doc, rep in clusters.items():
+        members.setdefault(rep, []).append(doc)
+    for rep, docs in members.items():
+        assert clusters[rep] == rep
+        assert rep == min(docs)
+    # every near-dup pair is in one cluster
+    for r in QUERIES["dedup_ngram_jaccard"](spark, SF_TEST).collect():
+        assert clusters[r["doc_a"]] == clusters[r["doc_b"]]
