@@ -326,3 +326,51 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+@query(
+    "text_pii_scrub",
+    oracle=r"""
+    WITH with_pii AS (
+        SELECT doc_id,
+               text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +1-555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                   AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                              '<EMAIL>', 'g'),
+               '\+?\d{1,2}-\d{3}-\d{4}', '<PHONE>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '\+?\d{1,2}-\d{3}-\d{4}')) AS INT) AS n_phones
+    FROM with_pii
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: email/phone patterns replaced with typed tags, with
+    match counts for audit — the compliance pass every training-data
+    pipeline runs before tokenization. The corpus has no PII, so each doc
+    gets a synthetic deterministic email+phone appended first; both
+    engines run the same RE2-compatible patterns. Pure JVM regexes —
+    codegen'd, no Python in the row path."""
+    d = load_table(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+?\d{1,2}-\d{3}-\d{4}"
+    raw = F.concat(
+        F.col("text"), F.lit(" contact: user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(raw, email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("scrubbed"),
+        F.size(F.regexp_extract_all(raw, F.lit(email), F.lit(0)))
+        .cast("int").alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(phone), F.lit(0)))
+        .cast("int").alias("n_phones"),
+    )

@@ -1054,3 +1054,32 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "sink_sorted_parquet",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+    FROM lineitem
+    """,
+)
+def sink_sorted_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered sink: repartitionByRange(ship date) + sortWithinPartitions
+    before the write. Each output file then covers a narrow, sorted date
+    range, so parquet row-group min/max stats make later date filters skip
+    whole files (data skipping) — the write-side investment that makes the
+    read-side pushdown in scan_parquet actually cheap at 100 TB. The
+    oracle checks the round-trip is content-lossless; the clustering
+    property itself is asserted in tests (per-file date ranges are
+    disjoint-ish and internally sorted)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"
+    )
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_sorted_lineitem")
+    (
+        li.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out)

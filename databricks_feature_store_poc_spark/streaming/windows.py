@@ -376,3 +376,34 @@ def run_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table("sliding_sink")
+
+
+def run_foreach_batch_sink(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
+    """Exactly-once file sink via foreachBatch: each micro-batch writes to
+    a path keyed by its epoch id, so a replayed batch (failure/retry)
+    overwrites its own output instead of duplicating it — the idempotent-
+    sink pattern for stores without transactional streaming writes.
+    Returns the number of epochs written."""
+    src = _stream_source_dir(sf_dir)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(raw_schema).parquet(src)
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    epochs: list[int] = []
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # Idempotent: the epoch directory is the transaction boundary.
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+        epochs.append(epoch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return len(epochs)

@@ -150,3 +150,25 @@ def test_incremental_rollup_equals_full_rebuild(spark):
     fmap = {r["user_id"]: (r["total_events"], r["total_value"]) for r in feats}
     bmap = {r["user_id"]: (r["n"], r["tv"]) for r in by_user}
     assert fmap == bmap
+
+
+def test_sorted_sink_files_are_clustered(spark):
+    """Each parquet file written by sink_sorted_parquet must be internally
+    sorted by ship date (the property row-group stats skipping needs)."""
+    import tempfile as _tf
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    QUERIES["sink_sorted_parquet"](spark, SF_TEST).count()  # ensure written
+    out = _os.path.join(_tf.gettempdir(), "spark_graft_sorted_lineitem")
+    df = spark.read.parquet(out).withColumn("f", F.input_file_name())
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("f").orderBy(F.monotonically_increasing_id())
+    disordered = (
+        df.withColumn("prev", F.lag("l_shipdate").over(w))
+        .filter(F.col("prev") > F.col("l_shipdate"))
+        .count()
+    )
+    assert disordered == 0

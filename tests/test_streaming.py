@@ -88,3 +88,16 @@ def test_sliding_stream_equals_batch(spark):
     stream = run_sliding_stream(spark, SF_SMOKE)
     cols = ["win_start", "win_end", "n", "sum_value"]
     assert _rowset(stream, cols) == _rowset(batch, cols)
+
+
+def test_foreach_batch_exactly_once_layout(spark, tmp_path):
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+    from databricks_feature_store_poc_spark.streaming.windows import (
+        run_foreach_batch_sink,
+    )
+
+    n_epochs = run_foreach_batch_sink(spark, SF_SMOKE, str(tmp_path / "sink"))
+    assert n_epochs >= 1
+    written = spark.read.parquet(str(tmp_path / "sink" / "epoch=*"))
+    expected = load_table(spark, SF_SMOKE, "events")
+    assert written.count() == expected.count()
