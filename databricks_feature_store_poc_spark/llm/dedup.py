@@ -475,7 +475,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("node"))
         .persist()
     )
-    for _ in range(20):  # diameter bound; converges long before this
+    for rnd in range(20):  # diameter bound; converges long before this
         neighbor_min = (
             edges.join(labels, edges["doc_b"] == labels["node"])
             .groupBy(F.col("doc_a").alias("node2"))
@@ -490,13 +490,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        # The convergence probe is a full job; checking every other round
+        # halves that overhead (worst case: one extra propagation round,
+        # which is a no-op once converged).
+        if rnd % 2 == 1 or rnd == 19:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+        else:
+            changed = -1  # unknown; keep going
         labels.unpersist()
         labels = new_labels
         if changed == 0:
