@@ -112,13 +112,33 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_decode_stub")  # fake decoder: plumbing is real, codec is stubbed
+@query(
+    "mm_decode_stub",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, string_split(text, '') AS cs, length(text) AS n
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(16 + ascii(cs[1]) % 64 AS INT) AS width,
+           CAST(16 + ascii(cs[n]) % 64 AS INT) AS height,
+           [len(list_filter(cs, c -> ascii(c) // 64 = 0)) * 1.0 / n,
+            len(list_filter(cs, c -> ascii(c) // 64 = 1)) * 1.0 / n,
+            len(list_filter(cs, c -> ascii(c) // 64 = 2)) * 1.0 / n,
+            len(list_filter(cs, c -> ascii(c) // 64 = 3)) * 1.0 / n] AS byte_hist
+    FROM chars
+    """,
+)
 def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract plumbing over a binary media column.
 
     Deterministic fake decode: 'image' dimensions derived from payload
     bytes (first/last byte + length), a 4-bin byte histogram as the
-    'feature vector'. Every piece of Spark machinery is production-real:
+    'feature vector'. Because the payload is ASCII text bytes, the fake
+    decode is SQL-expressible and the whole mapInPandas pipeline is
+    oracle-checked (UTF-8 byte == codepoint for ASCII; int/int divisions
+    are exact cross-engine). Every piece of Spark machinery is
+    production-real:
     Arrow-batched mapInPandas, explicit output schema with an
     array<float> feature column, per-partition parallelism; only the
     codec call is fake (see decode_image_real for where the real one

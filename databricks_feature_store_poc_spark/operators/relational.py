@@ -1083,3 +1083,33 @@ def sink_sorted_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
     )
     return spark.read.parquet(out)
+
+
+@query(
+    "scan_orc",
+    oracle="SELECT * FROM supplier",
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source round-trip: the second columnar format the engine
+    speaks (same pushdown/pruning machinery as parquet). The oracle
+    checks losslessness against the source table."""
+    s = load_table(spark, sf_dir, "supplier")
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_orc_supplier")
+    s.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
+
+
+@query(
+    "scan_json",
+    oracle="SELECT * FROM supplier",
+)
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source round-trip with an EXPLICIT schema on read —
+    JSON inference costs a sampling pass and can mis-type sparse columns;
+    production reads declare the schema (SURVEY §1.2's lesson applied to
+    a second text format). Doubles survive because the writer emits
+    shortest-round-trip representations."""
+    s = load_table(spark, sf_dir, "supplier")
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_json_supplier")
+    s.write.mode("overwrite").json(out)
+    return spark.read.schema(s.schema).json(out)
