@@ -89,9 +89,14 @@ def shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"i -> concat_ws(' ', slice(words, i, {SHINGLE_WORDS}))))"
     )
     ex = with_words.select("doc_id", F.explode(F.expr(shingles)).alias("shingle"))
-    df_counts = ex.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df"))
+    # (doc_id, shingle) is distinct after array_distinct, so document
+    # frequency is a plain COUNT(*) window over shingle — ONE shuffle,
+    # where the agg+self-join formulation costs two.
+    from pyspark.sql.window import Window
+
     idx = (
-        ex.join(df_counts.filter(F.col("df") <= DF_CAP).select("shingle"), "shingle")
+        ex.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+        .filter(F.col("df") <= DF_CAP)
         .select("doc_id", "shingle")
     )
     # The callers fan the index into several DAG branches (signatures,
@@ -452,18 +457,80 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the step that turns pairwise dedup output into an actionable keep/drop
     decision — keep each cluster's rep, drop the rest.
 
-    Iterative min-label propagation, the scale-correct CC algorithm on
-    Spark: each round is one join + one min-aggregate (labels flow across
-    edges); rounds needed = graph diameter, bounded here and checked for
-    convergence — near-dup components are short chains, not long paths.
-    Each round's result is persisted and the previous round unpersisted,
-    so the lineage (and task closure) stays O(1) across iterations
-    instead of growing a 2^rounds plan. The oracle computes the same
-    fixpoint via DuckDB's recursive CTE.
+    Two execution paths behind one semantics (see _connected_components):
+    driver union-find when the verified edge set is small (the common case
+    — near-dup edges are orders of magnitude fewer than documents), and
+    iterative distributed min-label propagation above the cap. The oracle
+    computes the same fixpoint via DuckDB's recursive CTE.
     """
     d = load_table(spark, sf_dir, "documents")
     idx = shingle_index(spark, sf_dir)
     pairs = _jaccard_pairs_from_index(idx).select("doc_a", "doc_b")
+    labels = _connected_components(spark, pairs)
+    out = (
+        d.select("doc_id")
+        .join(labels, d["doc_id"] == labels["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_rep"),
+        )
+    )
+    return out
+
+
+# Edge-count cap for the driver union-find fast path. 2M edges is ~32 MB
+# of longs on the driver — trivial — while near-dup edge sets at corpus
+# scale sit far below |documents| (at sf0.1: 256 edges over 5k docs,
+# because pairs must survive the exact-Jaccard threshold). Above the cap
+# the distributed label-propagation loop runs instead.
+SMALL_GRAPH_EDGE_CAP = 2_000_000
+
+
+def _connected_components(
+    spark: SparkSession, pairs: DataFrame, edge_cap: int = SMALL_GRAPH_EDGE_CAP
+) -> DataFrame:
+    """(node, label) for every node in `pairs`; label = component minimum.
+
+    Hybrid strategy. Under `edge_cap` (counted with one job on the
+    persisted pair set), the pair list is collected and union-find with
+    path compression labels the graph on the driver — O(E α(E)) and zero
+    further Spark jobs, versus diameter-many join+aggregate rounds whose
+    fixed per-job overhead dominates on small graphs. Past the cap (a
+    genuinely dense duplicate graph), iterative min-label propagation
+    runs: each round one join + one min-aggregate, the round's result
+    persisted and the previous unpersisted so lineage stays O(1); rounds
+    needed = graph diameter (near-dup components are short chains).
+    Both paths emit identical deterministic labels (component min) —
+    parity is pinned in tests/test_llm.py.
+    """
+    pairs = pairs.persist()
+    n_edges = pairs.count()
+    if n_edges <= edge_cap:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in pairs.collect():
+            a, b = row[0], row[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union toward the smaller root keeps labels = component min
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        labels = [(n, find(n)) for n in parent]
+        pairs.unpersist()
+        return spark.createDataFrame(labels, "node long, label long")
+
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
@@ -507,13 +574,4 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-
-    out = (
-        d.select("doc_id")
-        .join(labels, d["doc_id"] == labels["node"], "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_rep"),
-        )
-    )
-    return out
+    return labels

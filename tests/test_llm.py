@@ -182,3 +182,24 @@ def test_dedup_clusters_well_formed(spark):
     # every near-dup pair is in one cluster
     for r in QUERIES["dedup_ngram_jaccard"](spark, SF_TEST).collect():
         assert clusters[r["doc_a"]] == clusters[r["doc_b"]]
+
+
+def test_connected_components_paths_agree(spark):
+    """The union-find fast path and the distributed label-propagation
+    fallback produce identical labels (edge_cap=0 forces the fallback)."""
+    from databricks_feature_store_poc_spark.llm.dedup import (
+        _connected_components,
+        _jaccard_pairs_from_index,
+        shingle_index,
+    )
+
+    pairs = _jaccard_pairs_from_index(shingle_index(spark, SF_TEST)).select(
+        "doc_a", "doc_b"
+    )
+    fast = {(r["node"], r["label"]) for r in _connected_components(spark, pairs).collect()}
+    dist = {
+        (r["node"], r["label"])
+        for r in _connected_components(spark, pairs, edge_cap=0).collect()
+    }
+    assert fast == dist
+    assert fast  # graph known to contain near-dup edges
