@@ -26,6 +26,7 @@ with the LSH route above it (llm/similarity.py).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -274,12 +275,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (guarantees recall for Hamming distance <= 3 by pigeonhole, since 4
     bands can't all differ); candidates within Hamming <= 8 are emitted.
 
-    The fingerprint is computed as explode(distinct words) -> xxhash64 ->
-    64 conditional-sum aggregates (one per bit lane) -> bit-string
-    reassembly. All of that is whole-stage-codegen'd JVM work — an earlier
-    draft folded a lambda over a 64-wide array per word, which runs
-    interpreted (higher-order functions have no codegen) and was ~50x
-    slower. Pair search is a bucket join on band values, never all-pairs.
+    The fingerprint pipeline: explode(distinct words) -> xxhash64 (JVM)
+    -> collect_list per doc (one shuffle) -> an Arrow-batched numpy
+    kernel that bit-unpacks all hashes of a batch at once and
+    segment-sums per document (np.add.reduceat), emitting the packed
+    64-bit fingerprint as two longs. Two earlier drafts were slower: a
+    higher-order-function lambda folding a 64-wide array per word runs
+    interpreted (~50x), and 64 conditional-sum JVM aggregates spend more
+    time COMPILING their giant codegen unit than executing it at any
+    scale where compile time matters per plan. Pair search is a bucket
+    join on 16-bit band values, never all-pairs.
     """
     d = load_table(spark, sf_dir, "documents")
     tokens = d.select(
@@ -288,23 +293,35 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("array_distinct(filter(split(text, '\\\\s+'), x -> x != ''))")
         ).alias("word"),
     ).withColumn("h", F.xxhash64("word"))
-    # lane b: +1 when bit b of the word hash is set, else -1
-    lane_sums = tokens.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
-            ).alias(f"c{b}")
-            for b in range(64)
-        ]
+    hashes = tokens.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
+
+    @F.pandas_udf("struct<lo: long, hi: long>")
+    def fingerprint(hs: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        if len(hs) == 0:
+            return pd.DataFrame({"lo": [], "hi": []})
+        # collect_list groups are never empty, so offsets are strictly
+        # increasing and reduceat segments are well-formed.
+        counts = np.array([len(x) for x in hs], dtype=np.int64)
+        allh = np.concatenate([np.asarray(x, dtype=np.int64) for x in hs]).view(np.uint64)
+        bits = ((allh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+            np.int32
+        )
+        offsets = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        set_counts = np.add.reduceat(bits, offsets, axis=0)
+        # sign-sum lane b is 2*set_b - n; fingerprint bit b set iff > 0
+        sign_pos = (2 * set_counts) > counts[:, None]
+        weights = 1 << np.arange(64, dtype=np.uint64)
+        packed = sign_pos.astype(np.uint64) * weights[None, :]
+        lo = packed[:, :32].sum(axis=1).astype(np.int64)
+        hi = (packed[:, 32:].sum(axis=1) >> np.uint64(32)).astype(np.int64)
+        return pd.DataFrame({"lo": lo, "hi": hi})
+
+    docs = hashes.select("doc_id", fingerprint("hs").alias("f")).select(
+        "doc_id", F.col("f.lo").alias("h_lo"), F.col("f.hi").alias("h_hi")
     )
-    # Pack the 64 sign bits into two 32-bit longs: Hamming distance then
-    # costs two bit_count(xor) instructions per candidate instead of an
-    # interpreted 64-way string zip (the dominant cost at sf0.1).
-    lo = sum((F.when(F.col(f"c{b}") > 0, 1 << b).otherwise(0) for b in range(32)),
-             F.lit(0)).cast("long")
-    hi = sum((F.when(F.col(f"c{b + 32}") > 0, 1 << b).otherwise(0) for b in range(32)),
-             F.lit(0)).cast("long")
-    docs = lane_sums.select("doc_id", lo.alias("h_lo"), hi.alias("h_hi"))
     band_keys = [
         F.col("h_lo").bitwiseAND(65535),
         F.shiftright("h_lo", 16).bitwiseAND(65535),
@@ -322,6 +339,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "h_lo", "h_hi",
              F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a, b = bands.alias("a"), bands.alias("b")
+    # First-shared-band dedup: a pair sharing k bands appears in k join
+    # groups; instead of a distinct() shuffle over millions of candidate
+    # rows, keep a match only in its LOWEST shared band — for band i,
+    # require every band j < i to differ. All band keys are recomputable
+    # from the packed fingerprints, so this is a map-side bit-ops filter
+    # and the join output needs no dedup pass at all.
+    def _key(col: str, j: int) -> F.Column:
+        word = F.col(f"{col}_lo") if j < 2 else F.col(f"{col}_hi")
+        return F.shiftright(word, 16 * (j % 2)).bitwiseAND(65535)
+
+    first_band = F.lit(True)
+    for j in range(3):
+        first_band = first_band & (
+            (F.col("band") <= j) | (_key("a", j) != _key("b", j))
+        )
     return (
         a.join(
             b,
@@ -332,10 +364,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+            F.col("a.band").alias("band"),
             F.col("a.h_lo").alias("a_lo"), F.col("a.h_hi").alias("a_hi"),
             F.col("b.h_lo").alias("b_lo"), F.col("b.h_hi").alias("b_hi"),
         )
-        .distinct()
+        .filter(first_band)
         .withColumn(
             "hamming",
             F.expr("bit_count(a_lo ^ b_lo) + bit_count(a_hi ^ b_hi)").cast("int"),
