@@ -1,0 +1,235 @@
+"""Training-data curation operators (north-star LLM pipeline, SURVEY §2/M5).
+
+The selection/packing steps that sit between dedup (llm/dedup.py) and
+training: benchmark decontamination, per-stratum quota selection,
+deterministic stratified sampling, and context-window sequence packing.
+These go beyond the reference's own surface (its pipeline ends at feature
+tables, /root/reference/notebooks/02_model_training.py) — they are the
+corpus-side operators a 100 TB pretraining pipeline runs after features
+and dedup are done.
+
+Scale notes per operator live on the functions; the common theme: eval
+sets and per-stratum statistics are tiny → broadcast; per-document
+decisions are map-side or one-shuffle window work; packing shards by hash
+so each task bin-packs an independent slice.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # module-level: pandas_udf/applyInPandas hints resolve here
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from databricks_feature_store_poc_spark.registry import query
+from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+# Decontamination n-gram width: long enough that shared n-grams indicate
+# true eval-set leakage, not common phrases (13 is the public convention
+# for benchmark decontamination; this corpus's docs are short, so 8).
+DECON_NGRAM = 8
+# Every doc_id ≡ 0 (mod 97) plays the role of the held-out eval set.
+EVAL_MOD = 97
+
+_WORDS = r"filter(split(text, '\\s+'), x -> x != '')"
+_DUCK_WORDS = r"list_filter(string_split_regex(text, '\s+'), x -> x != '')"
+
+
+@query(
+    "text_decontaminate",
+    oracle=rf"""
+    WITH words AS (
+        SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(w[i : i + {DECON_NGRAM - 1}], ' ')
+                              FOR i IN range(1, greatest(len(w) - {DECON_NGRAM - 2}, 1))])
+                   AS shingles
+        FROM words
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    ev AS (SELECT DISTINCT shingle FROM ex WHERE doc_id % {EVAL_MOD} = 0),
+    hits AS (
+        SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM ex e JOIN ev USING (shingle)
+        WHERE e.doc_id % {EVAL_MOD} <> 0
+        GROUP BY e.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(h.n_hits, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % {EVAL_MOD} <> 0
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    8-word n-gram with the held-out eval set (docs with doc_id % 97 == 0
+    stand in for a benchmark).
+
+    The 100 TB shape: eval sets are small and fixed, so their distinct
+    n-gram set is BROADCAST and the check is a map-side semi-join per
+    training shingle — the corpus is scanned once, never shuffled on
+    shingle. n_hits counts distinct leaked n-grams per doc (shingles are
+    distinct within a doc by construction).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    with_words = d.select("doc_id", F.expr(_WORDS).alias("words"))
+    shingles = (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size(words) - {DECON_NGRAM - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(words, i, {DECON_NGRAM}))))"
+    )
+    ex = with_words.select("doc_id", F.explode(F.expr(shingles)).alias("shingle"))
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    eval_shingles = ex.filter(is_eval).select("shingle").distinct()
+    hits = (
+        ex.filter(~is_eval)
+        .join(F.broadcast(eval_shingles), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        d.filter(~is_eval)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+@query(
+    "sample_quota_per_lang",
+    oracle="""
+    SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY n_chars DESC, doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS lang_total
+        FROM documents
+    )
+    WHERE rn <= CAST(ceil(0.2 * lang_total) AS BIGINT)
+    """,
+)
+def sample_quota_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum quota selection: keep the top 20% of each language's
+    documents by length (a stand-in quality score), ties broken on
+    doc_id so the cut is deterministic.
+
+    A proportional quota survives scale changes where absolute caps
+    don't. One shuffle on lang; the count and row_number share the same
+    window partitioning so Catalyst evaluates both in a single Window
+    node — no second pass.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang")
+    rank_w = w.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.select(
+            "doc_id", "lang",
+            F.row_number().over(rank_w).cast("long").alias("rn"),
+            F.count(F.lit(1)).over(w).alias("lang_total"),
+        )
+        .filter(F.col("rn") <= F.ceil(0.2 * F.col("lang_total")))
+        .select("doc_id", "lang", "rn")
+    )
+
+
+@query(
+    "sample_stratified_hash",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(((doc_id * 2654435761) % 4294967296) % 100 AS BIGINT) AS bucket
+    FROM documents
+    WHERE ((doc_id * 2654435761) % 4294967296) % 100
+          < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep 50% of English and 10% of
+    every other language, selected by a Knuth multiplicative hash of the
+    key — NOT an RNG, so the sample is identical across runs, engines,
+    partitionings, and retries (the property rand(seed)-based sampling
+    loses on re-execution of a failed task).
+
+    Map-only: no shuffle, no state; the same filter composes with any
+    scan. At scale swap the arithmetic hash for xxhash64 — kept
+    SQL-arithmetic here so the oracle can replicate it bit-for-bit.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) % 100
+    rate = F.when(F.col("lang") == "en", 50).otherwise(10)
+    return (
+        d.select("doc_id", "lang", bucket.cast("long").alias("bucket"))
+        .filter(F.col("bucket") < rate)
+    )
+
+
+# Sequence packing: context-window capacity in whitespace tokens, and the
+# number of independent packing shards (each shard is one task's greedy
+# problem — shards keep the operator embarrassingly parallel at 100 TB).
+PACK_CONTEXT = 256
+PACK_SHARDS = 32
+
+
+@query("pack_sequences")  # greedy bin state is not SQL-expressible: rows-only
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window sequence packing: assign every document to a
+    (shard, bin) such that each bin's token total fits PACK_CONTEXT —
+    the step that turns a cleaned corpus into dense training batches
+    (padding waste = unused capacity, minimized by first-fit-decreasing).
+
+    Shape: documents hash-shard on doc_id (map-side), one shuffle groups
+    each shard, and each group runs deterministic FFD in pandas: sort by
+    (n_tokens desc, doc_id), place each doc in the first bin with room,
+    open a new bin otherwise; an oversized doc gets a bin of its own
+    (downstream would truncate/split). Bins never cross shards, so the
+    packing is reproducible regardless of cluster size — shard count, not
+    executor count, defines the problem. Invariants (every doc exactly
+    once, capacity respected, determinism) are pinned in
+    tests/test_curation.py; bin numbering is per-shard dense from 0.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(F.expr(_WORDS)).cast("long").alias("n_tokens"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(PACK_SHARDS)).cast("long").alias("shard"),
+    )
+
+    def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        remaining: list[int] = []  # capacity left per open bin
+        assigned: list[int] = []
+        for nt in pdf["n_tokens"]:
+            nt = int(nt)
+            for bi, cap in enumerate(remaining):
+                if cap >= nt:
+                    remaining[bi] = cap - nt
+                    assigned.append(bi)
+                    break
+            else:
+                # new bin; oversized docs occupy one bin alone (cap 0)
+                remaining.append(max(0, PACK_CONTEXT - nt))
+                assigned.append(len(remaining) - 1)
+        out = pdf[["doc_id", "shard", "n_tokens"]].copy()
+        out["bin_id"] = pd.Series(assigned, dtype="int64")
+        return out
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("shard", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("bin_id", T.LongType()),
+        ]
+    )
+    return toks.groupBy("shard").applyInPandas(pack_shard, schema)

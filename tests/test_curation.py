@@ -1,0 +1,96 @@
+"""Invariant tests for the curation operators (llm/curation.py).
+
+The oracle-checked queries (decontaminate / quota / stratified) get
+semantic spot-checks; pack_sequences is rows-only, so its full contract
+lives here: partition of the corpus, capacity respected, determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from databricks_feature_store_poc_spark.llm.curation import PACK_CONTEXT, PACK_SHARDS
+from databricks_feature_store_poc_spark.registry import QUERIES, load_all_queries
+from databricks_feature_store_poc_spark.sources.catalog import load_table
+from tests.conftest import SF_TEST
+
+load_all_queries()
+
+
+def test_decontaminate_excludes_eval_and_flags_dups(spark):
+    out = QUERIES["text_decontaminate"](spark, SF_TEST)
+    rows = out.collect()
+    # eval docs never appear in the output
+    assert all(r["doc_id"] % 97 != 0 for r in rows)
+    # flag is consistent with the hit count
+    assert all((r["n_hits"] > 0) == r["contaminated"] for r in rows)
+    # an exact duplicate of an eval doc must be flagged: find one via
+    # dedup_exact (keep groups with >1 member containing an eval doc)
+    d = load_table(spark, SF_TEST, "documents")
+    groups = (
+        d.groupBy("text")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .collect()
+    )
+    flagged = {r["doc_id"] for r in rows if r["contaminated"]}
+    for g in groups:
+        ids = g["ids"]
+        if any(i % 97 == 0 for i in ids):
+            for i in ids:
+                if i % 97 != 0:
+                    assert i in flagged, f"exact dup {i} of eval doc not flagged"
+
+
+def test_quota_is_top_20pct_per_lang(spark):
+    d = load_table(spark, SF_TEST, "documents")
+    totals = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = QUERIES["sample_quota_per_lang"](spark, SF_TEST).collect()
+    import math
+
+    by_lang: dict[str, int] = {}
+    for r in kept:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    for lang, total in totals.items():
+        assert by_lang.get(lang, 0) == math.ceil(0.2 * total)
+
+
+def test_stratified_rates_and_determinism(spark):
+    out = QUERIES["sample_stratified_hash"](spark, SF_TEST)
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in out.collect())
+    assert a == b and a
+    # en kept at a visibly higher rate than other strata combined
+    d = load_table(spark, SF_TEST, "documents")
+    n_en = d.filter(F.col("lang") == "en").count()
+    kept_en = out.filter(F.col("lang") == "en").count()
+    n_other = d.filter(F.col("lang") != "en").count()
+    kept_other = out.filter(F.col("lang") != "en").count()
+    assert kept_en / n_en > kept_other / max(n_other, 1)
+
+
+def test_pack_sequences_partition_capacity_determinism(spark):
+    out = QUERIES["pack_sequences"](spark, SF_TEST)
+    rows = out.collect()
+    d = load_table(spark, SF_TEST, "documents")
+    # every document exactly once
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in d.select("doc_id").collect()
+    )
+    # capacity: a bin either fits the context or holds a single oversized doc
+    bins: dict[tuple, list[int]] = {}
+    for r in rows:
+        bins.setdefault((r["shard"], r["bin_id"]), []).append(r["n_tokens"])
+    for (shard, bin_id), toks in bins.items():
+        assert sum(toks) <= PACK_CONTEXT or len(toks) == 1
+    # shards within range; bin ids dense from 0 per shard
+    shards = {r["shard"] for r in rows}
+    assert shards <= set(range(PACK_SHARDS))
+    per_shard: dict[int, set] = {}
+    for (shard, bin_id) in bins:
+        per_shard.setdefault(shard, set()).add(bin_id)
+    for shard, ids in per_shard.items():
+        assert ids == set(range(len(ids)))
+    # determinism across executions
+    again = {(r["doc_id"], r["shard"], r["bin_id"]) for r in out.collect()}
+    assert again == {(r["doc_id"], r["shard"], r["bin_id"]) for r in rows}
