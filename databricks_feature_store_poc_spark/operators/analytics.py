@@ -1,0 +1,202 @@
+"""Composed analytics queries (TPC-H shapes) over the test warehouse.
+
+The operator suite (operators/relational.py) proves each relational piece
+in isolation; these four queries prove the pieces COMPOSE into the
+classic multi-operator analytics shapes — pricing summary (Q1),
+shipping-priority top-k (Q3), local-supplier volume star join (Q5), and
+forecast-revenue filter-aggregate (Q6) — adapted to the columns the test
+schema actually has.
+
+Cross-engine determinism: every money aggregate follows the repo's
+DECIMAL convention — factors are cast to exact decimals sized so product
+chains stay within DECIMAL(38) on both engines (ext DECIMAL(12,2),
+discount/tax DECIMAL(4,2); ext*(1-disc) is DECIMAL(18,4), *(1+tax)
+DECIMAL(24,6)), accumulated exactly, and cast to DOUBLE only at the end,
+so partial-aggregation order can never flip a bit. Averages divide the
+exact decimal sum by the count in DOUBLE.
+
+Scale notes: Q1/Q6 are scan + partial-agg (map-side combine, one
+shuffle); Q3/Q5 shuffle the fact tables only on their join keys while
+every dimension side (customer/supplier/nation/region) carries an
+explicit broadcast hint; Q3's top-10 is a TakeOrderedAndProject over a
+deterministic (revenue, orderkey) order, not a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_feature_store_poc_spark.registry import query
+from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+# Exact-decimal money factors (see module docstring for the widths).
+_EXT = "CAST(l_extendedprice AS DECIMAL(12,2))"
+_ONE_MINUS_DISC = "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+_ONE_PLUS_TAX = "(CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))"
+_DISC_PRICE = f"{_EXT} * {_ONE_MINUS_DISC}"
+_CHARGE = f"{_DISC_PRICE} * {_ONE_PLUS_TAX}"
+
+
+@query(
+    "tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM({_EXT}) AS DOUBLE) AS sum_base_price,
+           CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM({_CHARGE}) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM({_EXT}) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 pricing summary: one scan, map-side partial aggregation, one
+    shuffle on the 6-group key. The shipdate predicate reaches the
+    parquet scan as a pushed filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "2001-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.expr("CAST(l_quantity AS DECIMAL(18,2))")).cast("double").alias("sum_qty"),
+            F.sum(F.expr(_EXT)).cast("double").alias("sum_base_price"),
+            F.sum(F.expr(_DISC_PRICE)).cast("double").alias("sum_disc_price"),
+            F.sum(F.expr(_CHARGE)).cast("double").alias("sum_charge"),
+            (F.sum(F.expr("CAST(l_quantity AS DECIMAL(18,2))")).cast("double")
+             / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(F.expr(_EXT)).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(F.expr("CAST(l_discount AS DECIMAL(4,2))")).cast("double")
+             / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "tpch_q3",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shipping priority: the BUILDING-segment customer keys broadcast
+    into orders, the surviving orders shuffle-join lineitem on orderkey
+    (the only fact-fact shuffle), then top-10 by revenue with orderkey as
+    the deterministic tiebreak (revenue itself is bit-identical
+    cross-engine because it is an exact-decimal sum)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-06-01"
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-06-01"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(F.expr(_DISC_PRICE)).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5",
+    oracle=f"""
+    SELECT n_name, CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND c_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 local-supplier volume: the full star — every dimension side
+    (customer, supplier, nation, region) broadcast; the only shuffle
+    joins the two fact tables (orders, lineitem) on orderkey; the
+    same-nation constraint (c_nationkey = s_nationkey) is applied as a
+    post-join filter exactly as written."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_orderkey", "o_custkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(F.expr(_DISC_PRICE)).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q6",
+    oracle=f"""
+    SELECT CAST(SUM({_EXT} * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= CAST(0.03 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE)
+      AND l_quantity < CAST(25 AS DOUBLE)
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 forecast revenue: pure filter + global aggregate — all three
+    predicates push to the parquet scan, the sum is an exact-decimal
+    partial aggregate, and the single output row needs no shuffle beyond
+    the final 1-partition combine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            F.sum(F.expr(f"{_EXT} * CAST(l_discount AS DECIMAL(4,2))"))
+            .cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

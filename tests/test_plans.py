@@ -88,3 +88,33 @@ def test_flagship_scan_prunes_columns(spark):
     df = QUERIES["training_set_flagship"](spark, SF_SMOKE)
     schema = scan_read_schema(df)
     assert "o_orderpriority" not in schema
+
+
+def test_tpch_q1_pushdown_and_partial_agg(spark):
+    df = QUERIES["tpch_q1"](spark, SF_SMOKE)
+    assert "l_shipdate" in pushed_filters(df)
+    assert has_partial_aggregate(df)
+
+
+def test_tpch_q3_topk_not_global_sort(spark):
+    from databricks_feature_store_poc_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(QUERIES["tpch_q3"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan  # limit+order fused, no full sort
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q5_star_has_no_cartesian_and_broadcasts_dims(spark):
+    from databricks_feature_store_poc_spark.plans.inspect import physical_plan
+
+    df = QUERIES["tpch_q5"](spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    # every dimension side (region/nation/customer/supplier) broadcasts
+    assert count_broadcast_joins(df) >= 3
+
+
+def test_tpch_q6_all_predicates_pushed(spark):
+    pushed = pushed_filters(QUERIES["tpch_q6"](spark, SF_SMOKE))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
