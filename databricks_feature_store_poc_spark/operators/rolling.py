@@ -126,3 +126,55 @@ def feature_rolling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "hour_start",
         F.sum("hour_sum").over(w).cast("double").alias("sum_24h"),
     )
+
+
+@query(
+    "feature_time_decay",
+    oracle="""
+    WITH anchor AS (SELECT max(epoch_us(ts)) AS a FROM events)
+    SELECT user_id,
+           CAST(SUM(
+               CAST(value AS DECIMAL(18,2))
+               * CAST(power(0.5, least((a - epoch_us(ts)) // 604800000000, 10))
+                      AS DECIMAL(12,10))
+           ) AS DOUBLE) AS decayed_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events, anchor
+    GROUP BY user_id
+    """,
+)
+def feature_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted feature: per-user sum of value with a one-week
+    half-life — each event contributes value * 2^-age_weeks (age capped
+    at 10 half-lives, below which the weight is noise). The standard
+    alternative to hard rolling cutoffs: yesterday's purchase counts
+    almost fully, last quarter's a little, with no cliff at the window
+    edge.
+
+    Cross-engine exactness: exp()-based decay is not a bit-contract, but
+    0.5^k for integer k IS exact in IEEE and representable in
+    DECIMAL(12,10) up to k=10, so the weighted sum accumulates in exact
+    decimal on both engines and is partition-order independent. The decay
+    anchor is the table's max timestamp (one tiny aggregate, broadcast
+    into the scan — map-side), making the feature deterministic for a
+    given snapshot rather than dependent on wall-clock now().
+
+    Scale: anchor broadcast + one shuffle on user_id for the aggregate;
+    weights are computed per row map-side. Same shape at 100 TB.
+    """
+    e = load_table(spark, sf_dir, "events")
+    anchor = e.agg(F.max(F.unix_micros("ts")).alias("a"))
+    k = F.least(
+        F.expr("(a - unix_micros(ts)) div 604800000000"), F.lit(10)
+    )
+    contrib = F.expr("CAST(value AS DECIMAL(18,2))") * F.pow(
+        F.lit(0.5), k
+    ).cast("decimal(12,10)")
+    return (
+        e.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.sum(contrib).cast("double").alias("decayed_sum"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
