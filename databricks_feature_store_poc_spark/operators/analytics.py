@@ -200,3 +200,103 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "feature_sessionize",
+    oracle="""
+    WITH g AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT event_id, user_id, ts,
+           CAST(SUM(new_s) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM g
+    """,
+)
+def feature_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: events more than 30 minutes apart start a new
+    session; session_id is the running count of session starts per user.
+    The batch twin of streaming/windows.py's session_window query — same
+    gap semantics, but every event keeps its session label (the shape
+    feature pipelines want for per-session aggregation).
+
+    One shuffle: the gap flag (lag) and the running sum share the same
+    (user_id, ts, event_id) window ordering, so Catalyst evaluates both
+    in one Window stage over one sort. The microsecond ordering carries
+    event_id as tiebreak so concurrent events sessionize identically on
+    both engines.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
+    gap = us - F.lag(us).over(w)
+    new_s = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id", "user_id", "ts",
+        F.sum(new_s).over(run).cast("long").alias("session_id"),
+    )
+
+
+@query(
+    "funnel_signup_purchase",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS signup_us
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id, CAST(min(epoch_us(e.ts)) AS BIGINT) AS first_purchase_us
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s.signup_us
+        GROUP BY e.user_id
+    )
+    SELECT s.user_id, s.signup_us,
+           p.first_purchase_us IS NOT NULL AS converted,
+           CAST((p.first_purchase_us - s.signup_us) // 1000000 AS BIGINT)
+               AS secs_to_convert
+    FROM s LEFT JOIN p ON s.user_id = p.user_id
+    """,
+)
+def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel: per user, the first signup and the first purchase
+    strictly after it — conversion flag plus seconds-to-convert
+    (NULL for non-converters on both engines).
+
+    Shape: two filtered aggregates on the same scan key (user_id) and a
+    per-user left join — every shuffle is on user_id, so at scale the
+    three stages co-partition and AQE coalesces them; integer microsecond
+    arithmetic end-to-end, so no float crosses engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("signup_us"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(us > F.col("signup_us"))
+        .groupBy("user_id")
+        .agg(F.min(us).alias("first_purchase_us"))
+    )
+    return (
+        s.join(p, "user_id", "left")
+        .select(
+            "user_id", "signup_us",
+            F.col("first_purchase_us").isNotNull().alias("converted"),
+            F.expr("(first_purchase_us - signup_us) div 1000000")
+            .cast("long").alias("secs_to_convert"),
+        )
+    )
