@@ -407,3 +407,50 @@ def run_foreach_batch_sink(spark: SparkSession, sf_dir: str, out_dir: str) -> in
     )
     q.awaitTermination()
     return len(epochs)
+
+
+def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: the same events file staged twice
+    into the source directory (every event arrives twice), deduplicated
+    on event_id with ``dropDuplicatesWithinWatermark`` — the streaming
+    primitive behind at-least-once source -> exactly-once pipeline
+    semantics.
+
+    WithinWatermark (not plain dropDuplicates) is the 100 TB-correct
+    choice: state for an event_id is dropped once the watermark passes
+    it, so dedup state is bounded by the late-data horizon instead of
+    growing with the stream's lifetime. Parity with batch DISTINCT over
+    the duplicated input is asserted in tests/test_streaming.py.
+    """
+    base = _stream_source_dir(sf_dir)
+    staged = base + "_dup"
+    os.makedirs(staged, exist_ok=True)
+    for name in ("events_a.parquet", "events_b.parquet"):
+        dst = os.path.join(staged, name)
+        if not os.path.exists(dst):
+            src = os.path.join(base, "events.parquet")
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy(src, dst)
+    # Schema must match the RAW file layout (ts = INT64 nanos under
+    # nanosAsLong) — the batch-side TimestampType is a post-read cast.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(staged).schema
+    stream = spark.readStream.schema(raw_schema).parquet(staged)
+    if dict(stream.dtypes)["ts"] == "bigint":  # nanosAsLong read path
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = (
+        stream.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("dedup_sink")

@@ -101,3 +101,17 @@ def test_foreach_batch_exactly_once_layout(spark, tmp_path):
     written = spark.read.parquet(str(tmp_path / "sink" / "epoch=*"))
     expected = load_table(spark, SF_SMOKE, "events")
     assert written.count() == expected.count()
+
+
+def test_stream_dedup_matches_batch_distinct(spark):
+    """Every event staged twice; dropDuplicatesWithinWatermark must emit
+    each event_id exactly once == batch DISTINCT of the duplicated input."""
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+    from databricks_feature_store_poc_spark.streaming.windows import (
+        run_stream_dedup,
+    )
+
+    out = run_stream_dedup(spark, SF_SMOKE)
+    n_events = load_table(spark, SF_SMOKE, "events").count()
+    assert out.count() == n_events
+    assert out.select("event_id").distinct().count() == n_events
