@@ -52,14 +52,19 @@ def main() -> int:
     if only:
         queries = {k: v for k, v in queries.items() if k in only}
 
-    # Warm the JVM/codegen once on the flagship so query #1 doesn't pay
-    # session startup.
-    try:
-        warm = queries.get("training_set_flagship")
-        if warm is not None:
-            warm(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-    except Exception:
-        pass
+    # Warm the JVM/codegen once per table family (relational, documents,
+    # embeddings, events) so the alphabetically-first query of each family
+    # doesn't absorb the session's one-time codegen/scan startup — every
+    # measured run then times the query, not JIT warm-up.
+    for warm_name in (
+        "training_set_flagship", "text_stats", "mm_embedding_norm", "udf_scalar",
+    ):
+        try:
+            warm = queries.get(warm_name)
+            if warm is not None:
+                warm(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
 
     timings: dict[str, float | None] = {}
     total = 0.0
