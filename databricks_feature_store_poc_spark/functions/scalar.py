@@ -460,3 +460,31 @@ def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
         F.size(F.collect_set("o_orderstatus")).alias("n_statuses"),
     )
+
+
+@query(
+    "fn_levenshtein",
+    oracle="""
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           CAST(levenshtein(a.n_name, b.n_name) AS INT) AS edit_distance
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    WHERE levenshtein(a.n_name, b.n_name) <= 1
+    """,
+)
+def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance string similarity: nation-name pairs within
+    Levenshtein distance 1 (single-character typos). The DP algorithm is exact integer arithmetic,
+    so Spark and DuckDB agree bit-for-bit — unlike phonetic/jaro scores,
+    which are implementation-defined. The quadratic self-join is guarded
+    by the tiny dimension side (nation); for corpus-scale fuzzy matching
+    the n-gram/LSH dedup operators (llm/dedup.py) generate candidates
+    first and an edit-distance verify runs only on those."""
+    n = load_table(spark, sf_dir, "nation")
+    a = n.select(F.col("n_nationkey").alias("ka"), F.col("n_name").alias("name_a"))
+    b = n.select(F.col("n_nationkey").alias("kb"), F.col("n_name").alias("name_b"))
+    return (
+        a.join(F.broadcast(b), F.col("ka") < F.col("kb"))
+        .withColumn("edit_distance", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_distance") <= 1)
+        .select("name_a", "name_b", "edit_distance")
+    )

@@ -300,3 +300,80 @@ def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("secs_to_convert"),
         )
     )
+
+
+@query(
+    "agg_heavy_hitters",
+    oracle="""
+    WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events)
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY user_id, event_type
+    HAVING COUNT(*) > (SELECT n FROM t) // 500
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (frequency > n/500) over (user_id, event_type) via
+    sketch-then-verify — the two-pass shape that finds hot keys at 100 TB
+    without shuffling the full distinct-key set:
+
+    1. Each Arrow batch runs a Misra-Gries summary of capacity 500. The
+       MG bound (residual >= batch_count - batch_n/500, summed over
+       batches) guarantees every true heavy hitter survives in at least
+       one summary, so the union of summary keys is a SUPERSET of the
+       answer, with size <= 500 x batches regardless of key cardinality.
+    2. Candidates (tiny) broadcast back over the raw scan for EXACT
+       counts; the final filter keeps count > n/500.
+
+    Because step 2 is exact and step 1 is a guaranteed superset, the
+    output equals the plain GROUP BY ... HAVING oracle bit-for-bit —
+    sketching costs no correctness here, only the false-positive
+    verification work, which is bounded by the summary size.
+    """
+    import pyspark.sql.types as T
+
+    CAP = 500
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+
+    def mg_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            counts: dict = {}
+            for u, t in zip(pdf["user_id"], pdf["event_type"]):
+                k = (int(u), t)
+                if k in counts:
+                    counts[k] += 1
+                elif len(counts) < CAP:
+                    counts[k] = 1
+                else:  # decrement-all step of Misra-Gries
+                    dead = []
+                    for kk in counts:
+                        counts[kk] -= 1
+                        if counts[kk] == 0:
+                            dead.append(kk)
+                    for kk in dead:
+                        del counts[kk]
+            yield pd.DataFrame(
+                {
+                    "user_id": [k[0] for k in counts],
+                    "event_type": [k[1] for k in counts],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    candidates = e.mapInPandas(mg_batches, schema).distinct()
+    total = e.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        e.join(F.broadcast(candidates), ["user_id", "event_type"])
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") > F.expr("n div 500"))
+        .select("user_id", "event_type", "cnt")
+    )

@@ -1113,3 +1113,45 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(tempfile.gettempdir(), "spark_graft_json_supplier")
     s.write.mode("overwrite").json(out)
     return spark.read.schema(s.schema).json(out)
+
+
+@query(
+    "subquery_exists",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49
+    )
+    """,
+)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS: orders with at least one line
+    shipped more than 90 days after the order date and no line of
+    quantity > 49. Catalyst decorrelates both subqueries into a left-semi
+    and a left-anti hash join on o_orderkey — the same physical shapes
+    the explicit join_semi / join_anti queries pin — so correlated SQL
+    costs exactly two key-shuffles, never a per-row re-execution."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ex_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("ex_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM ex_orders o
+        WHERE EXISTS (
+            SELECT 1 FROM ex_lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM ex_lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49
+        )
+        """
+    )
