@@ -165,3 +165,85 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(fk1)
         .unionByName(fk2)
     )
+
+
+@query(
+    "feature_drift_chi2",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               least(CAST(floor(value / 50) AS BIGINT), 9) AS bucket,
+               ts >= TIMESTAMP '2024-01-16 00:00:00' AS is_cur
+        FROM events
+    ),
+    agg AS (
+        SELECT event_type, bucket,
+               CAST(COUNT(*) FILTER (WHERE NOT is_cur) AS BIGINT) AS r_cnt,
+               CAST(COUNT(*) FILTER (WHERE is_cur) AS BIGINT) AS c_cnt
+        FROM b GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(SUM(r_cnt) AS BIGINT) AS n_ref,
+               CAST(SUM(c_cnt) AS BIGINT) AS n_cur
+        FROM agg GROUP BY 1
+    ),
+    terms AS (
+        SELECT a.event_type, a.c_cnt,
+               CAST(a.r_cnt * t.n_cur AS DOUBLE) / t.n_ref AS e
+        FROM agg a JOIN tot t USING (event_type)
+        WHERE a.r_cnt > 0
+    )
+    SELECT event_type,
+           CAST(SUM(CAST(round((c_cnt - e) * (c_cnt - e) / e, 6)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS chi2,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets
+    FROM terms
+    GROUP BY event_type
+    """,
+)
+def feature_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: chi-square statistic of each event
+    type's value distribution (10 fixed-width buckets) in the current
+    half of the time range against the reference half — the check that
+    catches train/serve skew before a stale feature table poisons a
+    model. Large chi2 => the feature's distribution moved.
+
+    Cross-engine exactness: expected counts are integer-product ratios
+    (r*n_cur as DOUBLE / n_ref — identical bits on both engines), each
+    bucket's term is plain IEEE arithmetic on those, and terms are
+    rounded then summed in DECIMAL so partial-agg order cannot flip the
+    result. Buckets absent from the reference window are excluded (their
+    expectation is zero — chi-square is undefined there; a production
+    monitor would alert on new-bucket appearance separately).
+
+    Scale: two grouped counts and a broadcastable per-type total — every
+    shuffle is on (event_type, bucket) or event_type; no window, no sort.
+    """
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 50).cast("long"), F.lit(9)).alias("bucket"),
+        (F.col("ts") >= "2024-01-16").alias("is_cur"),
+    )
+    agg = b.groupBy("event_type", "bucket").agg(
+        F.count(F.when(~F.col("is_cur"), 1)).alias("r_cnt"),
+        F.count(F.when(F.col("is_cur"), 1)).alias("c_cnt"),
+    )
+    tot = agg.groupBy("event_type").agg(
+        F.sum("r_cnt").alias("n_ref"), F.sum("c_cnt").alias("n_cur")
+    )
+    terms = (
+        agg.join(F.broadcast(tot), "event_type")
+        .filter(F.col("r_cnt") > 0)
+        .withColumn("e", F.expr("CAST(r_cnt * n_cur AS DOUBLE) / n_ref"))
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.sum(
+                F.expr("CAST(round((c_cnt - e) * (c_cnt - e) / e, 6) AS DECIMAL(18,6))")
+            ).cast("double").alias("chi2"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+    )
