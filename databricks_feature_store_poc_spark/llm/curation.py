@@ -233,3 +233,94 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return toks.groupBy("shard").applyInPandas(pack_shard, schema)
+
+
+@query(
+    "pipeline_curate_corpus",
+    oracle=rf"""
+    WITH quality AS (
+        SELECT doc_id, text, lang FROM documents WHERE n_chars >= 100
+    ),
+    deduped AS (
+        SELECT min(doc_id) AS doc_id FROM quality GROUP BY text
+    ),
+    kept0 AS (
+        SELECT q.doc_id, q.text, q.lang
+        FROM quality q JOIN deduped k ON q.doc_id = k.doc_id
+    ),
+    words AS (
+        SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(w[i : i + {DECON_NGRAM - 1}], ' ')
+                              FOR i IN range(1, greatest(len(w) - {DECON_NGRAM - 2}, 1))])
+                   AS shingles
+        FROM words
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    ev AS (SELECT DISTINCT shingle FROM ex WHERE doc_id % {EVAL_MOD} = 0),
+    contaminated AS (
+        SELECT DISTINCT e.doc_id FROM ex e JOIN ev USING (shingle)
+    ),
+    clean AS (
+        SELECT k.doc_id, k.text, k.lang
+        FROM kept0 k
+        LEFT JOIN contaminated c ON k.doc_id = c.doc_id
+        WHERE c.doc_id IS NULL AND k.doc_id % {EVAL_MOD} <> 0
+    ),
+    sampled AS (
+        SELECT doc_id, text, lang FROM clean
+        WHERE ((doc_id * 2654435761) % 4294967296) % 100
+              < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x != ''))) AS BIGINT) AS n_tokens
+    FROM sampled
+    GROUP BY lang
+    """,
+)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline composed as ONE Catalyst plan: quality
+    floor (n_chars >= 100) -> exact dedup (keep each text's min doc_id)
+    -> benchmark decontamination (drop docs sharing an 8-gram with the
+    eval subset, eval docs excluded too) -> deterministic stratified
+    sample (50% en / 10% other) -> per-language doc and token accounting.
+
+    The point of composing rather than materializing between steps:
+    Catalyst prunes columns across all five stages (text is read once,
+    tokenized once for the contamination check), the quality filter
+    pushes to the scan, and the whole pipeline is still a declarative
+    plan AQE can re-shape at runtime. Same-step semantics as the
+    individual queries (dedup_exact / text_decontaminate /
+    sample_stratified_hash) — composability is the test.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    quality = d.filter(F.col("n_chars") >= 100).select("doc_id", "text", "lang")
+    keep = quality.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    kept0 = quality.join(keep, "doc_id")
+
+    with_words = d.select("doc_id", F.expr(_WORDS).alias("words"))
+    shingles = (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size(words) - {DECON_NGRAM - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(words, i, {DECON_NGRAM}))))"
+    )
+    ex = with_words.select("doc_id", F.explode(F.expr(shingles)).alias("shingle"))
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    eval_shingles = ex.filter(is_eval).select("shingle").distinct()
+    contaminated = (
+        ex.join(F.broadcast(eval_shingles), "shingle").select("doc_id").distinct()
+    )
+    clean = (
+        kept0.join(contaminated, "doc_id", "left_anti").filter(~is_eval)
+    )
+    bucket = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) % 100
+    rate = F.when(F.col("lang") == "en", 50).otherwise(10)
+    sampled = clean.filter(bucket < rate)
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.expr(_WORDS))).cast("long").alias("n_tokens"),
+    )
