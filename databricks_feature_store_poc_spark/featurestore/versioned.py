@@ -26,6 +26,7 @@ import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class VersionedTableError(ValueError):
@@ -101,6 +102,25 @@ class VersionedFeatureTable:
 
     def history(self) -> list[dict]:
         return list(self._read_manifest())
+
+    def read_evolved(self) -> DataFrame:
+        """Read ALL snapshots as one relation with schema evolution:
+        columns added in later versions surface as NULL on earlier rows
+        (parquet mergeSchema). This is the time-travel-union view a
+        backfill job wants when a feature column was added mid-history;
+        per-version reads keep their exact written schema. A version
+        column tags provenance."""
+        versions = self._read_manifest()
+        if not versions:
+            raise VersionedTableError(f"no versions in {self.dir}")
+        merged = self.spark.read.option("mergeSchema", "true").parquet(
+            *[v["path"] for v in versions]
+        )
+        # recover the version tag from the directory name (v=<n>)
+        return merged.withColumn(
+            "version",
+            F.regexp_extract(F.input_file_name(), r"v=(\d+)", 1).cast("int"),
+        )
 
     # -- retention ----------------------------------------------------------
     def prune(self, keep_last: int) -> list[int]:

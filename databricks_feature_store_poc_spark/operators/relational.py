@@ -1155,3 +1155,38 @@ def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "split_kfold",
+    oracle="""
+    SELECT fold,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM (
+        SELECT o_orderkey, o_custkey,
+               ((o_custkey * 2654435761) % 4294967296) % 5 AS fold
+        FROM orders
+    )
+    GROUP BY fold
+    """,
+)
+def split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation assignment, keyed on the CUSTOMER (the
+    grouping entity), not the order row: all of a customer's orders land
+    in the same fold, so no customer leaks across train/validation —
+    the group-aware split sklearn's GroupKFold provides, here as a pure
+    key-hash expression (same Knuth hash as split_hash_8020) that any
+    engine reproduces and that survives repartitioning and task retries.
+    Disjoint + exhaustive by construction; fold sizes come out near-equal
+    because the hash is uniform on keys."""
+    o = load_table(spark, sf_dir, "orders")
+    fold = ((F.col("o_custkey") * F.lit(2654435761)) % F.lit(4294967296)) % F.lit(5)
+    return (
+        o.withColumn("fold", fold)
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )

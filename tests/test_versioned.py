@@ -102,3 +102,20 @@ def test_versioned_plus_point_in_time_training(spark, tmp_path):
 
     assert train_on(1) == 20.0   # the value training saw then
     assert train_on(2) == 99.0   # the corrected snapshot
+
+
+def test_schema_evolution_across_versions(spark, vt):
+    """A column added in a later snapshot surfaces as NULL on earlier
+    rows in the evolved view; pinned reads keep their written schema."""
+    v1 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, a double")
+    v2 = spark.createDataFrame([(3, 30.0, "x")], "k long, a double, b string")
+    vt.write(v1, timestamp=100.0)
+    vt.write(v2, timestamp=200.0)
+
+    evolved = vt.read_evolved()
+    assert set(evolved.columns) == {"k", "a", "b", "version"}
+    rows = {r["k"]: (r["a"], r["b"], r["version"]) for r in evolved.collect()}
+    assert rows[1] == (10.0, None, 1)   # old rows: new column is NULL
+    assert rows[3] == (30.0, "x", 2)
+    # pinned read keeps the exact written schema (no phantom columns)
+    assert set(vt.read(version=1).columns) == {"k", "a"}
