@@ -377,3 +377,36 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") > F.expr("n div 500"))
         .select("user_id", "event_type", "cnt")
     )
+
+
+@query(
+    "agg_latency_bands",
+    oracle="""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           quantile_cont(value, 0.50) AS p50,
+           quantile_cont(value, 0.95) AS p95,
+           quantile_cont(value, 0.99) AS p99,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type, date_trunc('day', ts)
+    """,
+)
+def agg_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile bands per (event_type, day) — the SLO/observability
+    rollup shape (p50/p95/p99 of a measure per entity per time bucket).
+    Spark's exact `percentile` uses the same linear-interpolation
+    definition as DuckDB's quantile_cont, so the bands hash-match with no
+    rounding. One shuffle on the composite group key; at unbounded
+    per-group cardinality the approx_percentile twin (agg_approx_percentile)
+    is the scale path — this is the exact rollup for bounded groups."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.expr("percentile(value, 0.50)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+            F.expr("percentile(value, 0.99)").alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
