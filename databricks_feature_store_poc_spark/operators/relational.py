@@ -1190,3 +1190,41 @@ def split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_custkey").alias("n_customers"),
         )
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, NULLIF(event_type, 'error') AS et
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id, et, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM e GROUP BY user_id, et
+    ),
+    per_type AS (
+        SELECT et, CAST(COUNT(*) AS BIGINT) AS et_total
+        FROM e GROUP BY et
+    )
+    SELECT u.user_id, u.et, u.n_events, t.et_total
+    FROM per_user u JOIN per_type t ON u.et IS NOT DISTINCT FROM t.et
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): the 'error' type
+    is mapped to NULL via NULLIF, and per-user groups join their per-type
+    totals WITHOUT dropping the NULL group — the semantics a plain
+    equi-join silently loses (NULL = NULL is never true). Catalyst still
+    plans a hash join (null-safe equality is a valid hash key where both
+    sides treat NULL as a value), so this costs the same as the plain
+    join; the broadcast hint keeps the totals side map-only."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("NULLIF(event_type, 'error')").alias("et")
+    )
+    per_user = e.groupBy("user_id", "et").agg(F.count(F.lit(1)).alias("n_events"))
+    per_type = e.groupBy("et").agg(F.count(F.lit(1)).alias("et_total"))
+    return per_user.join(
+        F.broadcast(per_type.withColumnRenamed("et", "et2")),
+        per_user["et"].eqNullSafe(F.col("et2")),
+    ).select("user_id", "et", "n_events", "et_total")
