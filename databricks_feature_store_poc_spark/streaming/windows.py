@@ -454,3 +454,88 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table("dedup_sink")
+
+
+def run_streaming_feature_maintenance(spark: SparkSession, sf_dir: str, table_root: str):
+    """End-to-end streaming feature maintenance: the events stream,
+    processed in micro-batches (maxFilesPerTrigger=1 over a 3-file
+    staging of the table), incrementally maintains a per-user feature
+    table — each epoch's foreachBatch aggregates its batch, MERGES the
+    deltas into the current features (full-outer coalesce-add on
+    user_id), and writes the result as a new immutable snapshot of a
+    VersionedFeatureTable.
+
+    This is the feature-platform hot loop: stream -> incremental
+    aggregate -> versioned upsert, with epoch == version so replays and
+    audits can pin any intermediate state. Counts and totals accumulate
+    in exact DECIMAL, so the final snapshot equals the one-shot batch
+    aggregate bit-for-bit (asserted in tests/test_streaming.py).
+    Returns the VersionedFeatureTable.
+    """
+    from databricks_feature_store_poc_spark.featurestore.versioned import (
+        VersionedFeatureTable,
+        VersionedTableError,
+    )
+
+    # Stage the events table as 3 parquet files so availableNow +
+    # maxFilesPerTrigger=1 yields multiple micro-batches. The staged
+    # write is a normal Spark write (micros timestamps — no nanos raw
+    # schema to work around here).
+    staged = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_stream_split_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value"
+        ).repartition(3).write.mode("overwrite").parquet(staged)
+
+    vt = VersionedFeatureTable(spark, table_root, "user_features")
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+
+    def update_features(batch_df: DataFrame, epoch_id: int) -> None:
+        delta = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+        try:
+            current = vt.read()
+        except VersionedTableError:
+            current = None
+        if current is None:
+            merged = delta
+        else:
+            c = current.select(
+                F.col("user_id"),
+                F.col("n_events").alias("n_old"),
+                F.col("total_value").alias("t_old"),
+            )
+            merged = (
+                delta.join(c, "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    (F.coalesce("n_events", F.lit(0)) + F.coalesce("n_old", F.lit(0)))
+                    .alias("n_events"),
+                    (
+                        F.coalesce(F.col("total_value"), F.lit(0).cast("decimal(18,2)"))
+                        + F.coalesce(F.col("t_old"), F.lit(0).cast("decimal(18,2)"))
+                    ).cast("decimal(18,2)").alias("total_value"),
+                )
+            )
+        vt.write(merged, timestamp=float(epoch_id))
+
+    q = (
+        stream.writeStream.foreachBatch(update_features)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(table_root, "_checkpoint"))
+        .start()
+    )
+    q.awaitTermination()
+    return vt

@@ -7,6 +7,8 @@ produce exactly the batch results.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from databricks_feature_store_poc_spark.registry import QUERIES, load_all_queries
 from databricks_feature_store_poc_spark.streaming.windows import (
     run_session_stream,
@@ -115,3 +117,32 @@ def test_stream_dedup_matches_batch_distinct(spark):
     n_events = load_table(spark, SF_SMOKE, "events").count()
     assert out.count() == n_events
     assert out.select("event_id").distinct().count() == n_events
+
+
+def test_streaming_feature_maintenance_equals_batch(spark, tmp_path):
+    """Micro-batched incremental maintenance must converge to the batch
+    aggregate exactly (DECIMAL accumulation), with one table version per
+    epoch."""
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+    from databricks_feature_store_poc_spark.streaming.windows import (
+        run_streaming_feature_maintenance,
+    )
+
+    vt = run_streaming_feature_maintenance(spark, SF_SMOKE, str(tmp_path))
+    assert len(vt.history()) >= 2  # actually incremental, not one batch
+
+    final = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in vt.read().collect()
+    }
+    batch = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+        .collect()
+    }
+    assert final == batch
