@@ -117,3 +117,79 @@ def test_rolling_sum_matches_python_reference(spark, events):
             if u == r["user_id"] and r["ts"] - datetime.timedelta(days=7) <= t <= r["ts"]
         ), 2)
         assert abs(r["sum_7d"] - expect) < 1e-9, (r, expect)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)), min_size=1, max_size=25
+    )
+)
+@_settings
+def test_connected_components_vs_pure_python(spark, edges):
+    """Hybrid CC (union-find fast path) matches a pure-python reference
+    union-find on arbitrary generated graphs — component labels are the
+    component minimum for every node."""
+    from databricks_feature_store_poc_spark.llm.dedup import _connected_components
+
+    pairs = [(min(a, b), max(a, b)) for a, b in edges if a != b]
+    if not pairs:
+        return
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {
+        (r["node"], r["label"])
+        for r in _connected_components(spark, df).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(n, find(n)) for n in parent}
+    assert got == want
+
+
+@given(
+    hot=st.integers(0, 3),
+    n_tail=st.integers(0, 60),
+)
+@_settings
+def test_heavy_hitter_sketch_superset_on_skew(spark, hot, n_tail):
+    """Misra-Gries candidates are a superset of true heavy hitters even
+    with a tiny capacity, on a skewed stream (one hot key + uniform
+    tail). Mirrors agg_heavy_hitters' candidate stage with CAP=4."""
+    import pandas as pd
+
+    CAP = 4
+    rows = [("hot", hot_i) for hot_i in range(40 + hot * 20)] + [
+        (f"t{i % 17}", i) for i in range(n_tail)
+    ]
+    pdf = pd.DataFrame(rows, columns=["k", "i"])
+
+    counts: dict = {}
+    for k in pdf["k"]:
+        if k in counts:
+            counts[k] += 1
+        elif len(counts) < CAP:
+            counts[k] = 1
+        else:
+            dead = []
+            for kk in counts:
+                counts[kk] -= 1
+                if counts[kk] == 0:
+                    dead.append(kk)
+            for kk in dead:
+                del counts[kk]
+    n = len(pdf)
+    true_hh = {
+        k for k, c in pdf["k"].value_counts().items() if c > n // CAP
+    }
+    assert true_hh <= set(counts), (true_hh, counts)
