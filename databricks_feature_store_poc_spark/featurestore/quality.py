@@ -192,7 +192,7 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a.event_type, a.c_cnt,
                CAST(a.r_cnt * t.n_cur AS DOUBLE) / t.n_ref AS e
         FROM agg a JOIN tot t USING (event_type)
-        WHERE a.r_cnt > 0
+        WHERE a.r_cnt > 0 AND t.n_cur > 0
     )
     SELECT event_type,
            CAST(SUM(CAST(round((c_cnt - e) * (c_cnt - e) / e, 6)
@@ -215,7 +215,8 @@ def feature_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded then summed in DECIMAL so partial-agg order cannot flip the
     result. Buckets absent from the reference window are excluded (their
     expectation is zero — chi-square is undefined there; a production
-    monitor would alert on new-bucket appearance separately).
+    monitor would alert on new-bucket appearance separately), as are
+    types with an empty current window (0/0 terms).
 
     Scale: two grouped counts and a broadcastable per-type total — every
     shuffle is on (event_type, bucket) or event_type; no window, no sort.
@@ -235,7 +236,7 @@ def feature_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     terms = (
         agg.join(F.broadcast(tot), "event_type")
-        .filter(F.col("r_cnt") > 0)
+        .filter((F.col("r_cnt") > 0) & (F.col("n_cur") > 0))
         .withColumn("e", F.expr("CAST(r_cnt * n_cur AS DOUBLE) / n_ref"))
     )
     return (

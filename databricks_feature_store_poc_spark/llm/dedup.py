@@ -490,11 +490,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the step that turns pairwise dedup output into an actionable keep/drop
     decision — keep each cluster's rep, drop the rest.
 
-    Two execution paths behind one semantics (see _connected_components):
-    driver union-find when the verified edge set is small (the common case
-    — near-dup edges are orders of magnitude fewer than documents), and
-    iterative distributed min-label propagation above the cap. The oracle
-    computes the same fixpoint via DuckDB's recursive CTE.
+    Execution (see _connected_components): distributed contraction passes
+    (per-batch union-find -> spanning forest) shrink the edge set while
+    it exceeds the driver cap — near-dup edge sets are usually far below
+    it already — then driver union-find finishes. The oracle computes the
+    same fixpoint via DuckDB's recursive CTE.
     """
     d = load_table(spark, sf_dir, "documents")
     idx = shingle_index(spark, sf_dir)
@@ -511,12 +511,59 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-# Edge-count cap for the driver union-find fast path. 2M edges is ~32 MB
-# of longs on the driver — trivial — while near-dup edge sets at corpus
+# Edge-count cap for the driver union-find finish. 2M edges is ~32 MB of
+# longs on the driver — trivial — while near-dup edge sets at corpus
 # scale sit far below |documents| (at sf0.1: 256 edges over 5k docs,
-# because pairs must survive the exact-Jaccard threshold). Above the cap
-# the distributed label-propagation loop runs instead.
+# because pairs must survive the exact-Jaccard threshold). Above the cap,
+# distributed contraction passes shrink the edge set first.
 SMALL_GRAPH_EDGE_CAP = 2_000_000
+# Contraction passes before the driver finish. Each pass replaces every
+# partition's edges with a union-find spanning forest of that partition —
+# edge count after a pass is bounded by the number of non-singleton
+# nodes and in practice collapses near-dup graphs in one or two passes.
+MAX_CONTRACT_PASSES = 6
+
+
+def _spanning_forest_pass(pairs: DataFrame) -> DataFrame:
+    """One distributed contraction: per Arrow batch, union-find the
+    batch's edges and emit only the spanning forest (node -> its batch
+    root). Preserves connectivity exactly — a spanning forest connects
+    everything its edge set connected — while shrinking edges to at most
+    (#distinct nodes in batch - #components in batch)."""
+
+    def contract(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:
+                    parent[x], x = root, parent[x]
+                return root
+
+            for a, b in zip(pdf["doc_a"], pdf["doc_b"]):
+                a, b = int(a), int(b)
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+            out_a, out_b = [], []
+            for n in parent:
+                r = find(n)
+                if r != n:
+                    out_a.append(r)
+                    out_b.append(n)
+            yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+
+    return pairs.mapInPandas(contract, "doc_a long, doc_b long")
 
 
 def _connected_components(
@@ -524,87 +571,60 @@ def _connected_components(
 ) -> DataFrame:
     """(node, label) for every node in `pairs`; label = component minimum.
 
-    Hybrid strategy. Under `edge_cap` (counted with one job on the
-    persisted pair set), the pair list is collected and union-find with
-    path compression labels the graph on the driver — O(E α(E)) and zero
-    further Spark jobs, versus diameter-many join+aggregate rounds whose
-    fixed per-job overhead dominates on small graphs. Past the cap (a
-    genuinely dense duplicate graph), iterative min-label propagation
-    runs: each round one join + one min-aggregate, the round's result
-    persisted and the previous unpersisted so lineage stays O(1); rounds
-    needed = graph diameter (near-dup components are short chains).
-    Both paths emit identical deterministic labels (component min) —
-    parity is pinned in tests/test_llm.py.
+    Contraction + finish — the filtering CC algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — public):
+    while the edge set exceeds `edge_cap`, run a distributed contraction
+    pass (per-batch union-find -> spanning forest, edges repartitioned on
+    doc_a between passes so components co-locate and collapse), then
+    collect the shrunken edge list and finish with driver union-find
+    (path compression, union toward the smaller root so labels are
+    component minima). Connectivity is preserved exactly by every pass.
+
+    Why not iterative label propagation: its round count is graph-
+    dependent (diameter, or log n with pointer jumping) and each round
+    is a full join+aggregate job wave; contraction needs O(1) passes on
+    real near-dup graphs and each pass is one map (the repartition is
+    the only shuffle). Deterministic labels; parity across paths is
+    pinned in tests/test_llm.py and property-tested on random graphs.
     """
     pairs = pairs.persist()
     n_edges = pairs.count()
-    if n_edges <= edge_cap:
-        parent: dict[int, int] = {}
-
-        def find(x: int) -> int:
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:  # path compression
-                parent[x], x = root, parent[x]
-            return root
-
-        for row in pairs.collect():
-            a, b = row[0], row[1]
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                # union toward the smaller root keeps labels = component min
-                if ra < rb:
-                    parent[rb] = ra
-                else:
-                    parent[ra] = rb
-        labels = [(n, find(n)) for n in parent]
+    passes = 0
+    while n_edges > edge_cap and passes < MAX_CONTRACT_PASSES:
+        contracted = _spanning_forest_pass(
+            pairs.repartition(max(32, pairs.rdd.getNumPartitions()), "doc_a")
+        ).persist()
+        n_after = contracted.count()
         pairs.unpersist()
-        return spark.createDataFrame(labels, "node long, label long")
-
-    edges = pairs.unionByName(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
-
-    # labels: start as identity over nodes that appear in any edge
-    labels = (
-        edges.select(F.col("doc_a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .persist()
-    )
-    for rnd in range(20):  # diameter bound; converges long before this
-        neighbor_min = (
-            edges.join(labels, edges["doc_b"] == labels["node"])
-            .groupBy(F.col("doc_a").alias("node2"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label")))
-                .alias("label"),
-            )
-            .persist()
-        )
-        # The convergence probe is a full job; checking every other round
-        # halves that overhead (worst case: one extra propagation round,
-        # which is a no-op once converged).
-        if rnd % 2 == 1 or rnd == 19:
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-                .filter(F.col("n.label") != F.col("o.label"))
-                .limit(1)
-                .count()
-            )
-        else:
-            changed = -1  # unknown; keep going
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        pairs = contracted
+        passes += 1
+        if n_after >= n_edges:  # no further shrink possible
             break
-    return labels
+        n_edges = n_after
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    # toLocalIterator streams partitions — the driver holds the (post-
+    # contraction) edge list once, never all partitions' rows twice.
+    for row in pairs.toLocalIterator():
+        a, b = row[0], row[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union toward the smaller root keeps labels = component min
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    labels = [(n, find(n)) for n in parent]
+    pairs.unpersist()
+    return spark.createDataFrame(labels, "node long, label long")
