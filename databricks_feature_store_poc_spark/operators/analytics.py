@@ -410,3 +410,102 @@ def agg_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "tpch_q10",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue,
+           c_acctbal
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 returned-item reporting: top-20 customers by revenue lost to
+    returns in a half-year window. Dimension sides (customer+nation)
+    broadcast; the one fact-fact shuffle joins date-filtered orders to
+    return-flagged lineitem on orderkey; the top-20 is a fused
+    TakeOrderedAndProject over (revenue desc, custkey) — revenue is an
+    exact-decimal sum, so the cut is engine-independent."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cn = c.join(
+        F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        o.join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cn), o["o_custkey"] == cn["c_custkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(F.expr(_DISC_PRICE)).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "n_name", "revenue", "c_acctbal")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q18",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    )
+      AND c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 large-volume customers: orders whose summed line quantity
+    exceeds 150, with their customers, largest orders first. The
+    qualifying-orderkey set is computed ONCE (grouped aggregate with a
+    HAVING filter) and semi-joined back into lineitem — at scale that
+    aggregate's output is tiny relative to lineitem, so Catalyst
+    broadcasts it and the main pass stays a single orderkey shuffle.
+    Quantity sums accumulate in DECIMAL; ordering ties break on
+    o_orderkey."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    qualifying = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.expr("CAST(l_quantity AS DECIMAL(18,2))")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select(F.col("l_orderkey").alias("qual_orderkey"))
+    )
+    return (
+        li.join(F.broadcast(qualifying), li["l_orderkey"] == F.col("qual_orderkey"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(
+            F.sum(F.expr("CAST(l_quantity AS DECIMAL(18,2))"))
+            .cast("double").alias("total_qty")
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
