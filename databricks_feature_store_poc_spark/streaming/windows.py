@@ -539,3 +539,55 @@ def run_streaming_feature_maintenance(spark: SparkSession, sf_dir: str, table_ro
     )
     q.awaitTermination()
     return vt
+
+
+def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: the signup stream joined to the purchase
+    stream per user with a time bound (purchase within 1 hour after the
+    signup event), both sides watermarked — the stateful join shape
+    Structured Streaming buffers bounded state for: each side keeps only
+    rows the watermark + join bound still allow to match, so state is
+    O(events per hour), not O(stream).
+
+    Both inputs come from the same staged events directory (filtered by
+    event_type), which also makes the batch-parity assertion exact: with
+    availableNow over a static file set nothing is late, so the result
+    must equal the batch time-bounded join (tests/test_streaming.py).
+    """
+    src = _stream_source_dir(sf_dir)
+    # Schema must match the RAW file layout (ts = INT64 nanos under
+    # nanosAsLong) — the batch-side TimestampType is a post-read cast.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(src).schema
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        s = spark.readStream.schema(raw_schema).parquet(src)
+        if dict(s.dtypes)["ts"] == "bigint":  # nanosAsLong read path
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return (
+            s.filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_event"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "30 minutes")
+        )
+
+    signups = side("signup", "s")
+    purchases = side("purchase", "p")
+    joined = signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("s_user", "s_event", "p_event", "s_ts", "p_ts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("ss_join_sink")

@@ -146,3 +146,37 @@ def test_streaming_feature_maintenance_equals_batch(spark, tmp_path):
         .collect()
     }
     assert final == batch
+
+
+def test_stream_stream_join_equals_batch(spark):
+    """Watermarked stream-stream join over a static file set must emit
+    exactly the batch time-bounded join."""
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+    from databricks_feature_store_poc_spark.streaming.windows import (
+        run_stream_stream_join,
+    )
+
+    out = run_stream_stream_join(spark, SF_SMOKE)
+    got = {
+        (r["s_user"], r["s_event"], r["p_event"]) for r in out.collect()
+    }
+
+    e = load_table(spark, SF_SMOKE, "events")
+    s = e.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"), F.col("event_id").alias("s_event"),
+        F.col("ts").alias("s_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("p_event"),
+        F.col("ts").alias("p_ts"),
+    )
+    want = {
+        (r["s_user"], r["s_event"], r["p_event"])
+        for r in s.join(
+            p,
+            (F.col("s_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("s_ts"))
+            & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got == want and got
