@@ -1228,3 +1228,85 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(per_type.withColumnRenamed("et", "et2")),
         per_user["et"].eqNullSafe(F.col("et2")),
     ).select("user_id", "et", "n_events", "et_total")
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n
+        FROM events GROUP BY user_id
+        HAVING COUNT(*) FILTER (WHERE event_type = 'signup') > 14
+    ),
+    p AS (
+        SELECT user_id,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n
+        FROM events GROUP BY user_id
+        HAVING COUNT(*) FILTER (WHERE event_type = 'purchase') > 14
+    )
+    SELECT COALESCE(s.user_id, p.user_id) AS user_id,
+           s.n AS n_signups, p.n AS n_purchases
+    FROM s FULL OUTER JOIN p ON s.user_id = p.user_id
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: heavy signup users against heavy purchase users —
+    each side keeps its unmatched rows with NULLs from the other, the
+    shape reconciliation/diff jobs need (also the primitive under
+    merge_upsert and the streaming feature-maintenance merge). Both
+    sides shuffle on the join key once; thresholds make each side a
+    strict subset so all three match categories actually occur."""
+    e = load_table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_signups"))
+        .filter(F.col("n_signups") > 14)
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_purchases"))
+        .filter(F.col("n_purchases") > 14)
+    )
+    return (
+        s.join(p, "user_id", "full_outer")
+        .select("user_id", "n_signups", "n_purchases")
+    )
+
+
+@query(
+    "join_lateral_topn",
+    oracle="""
+    SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+    FROM orders o, LATERAL (
+        SELECT l_linenumber, l_extendedprice
+        FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+        ORDER BY l_extendedprice DESC, l_linenumber
+        LIMIT 2
+    ) t
+    WHERE o.o_orderstatus = 'F'
+    """,
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL (correlated table) join: for each finished order, its two
+    most expensive lines. Catalyst DECORRELATES the per-row subquery into
+    a window top-n over a single join — written as "run a query per row",
+    executed as one shuffle + WindowGroupLimit, which is the only shape
+    that survives 100 TB (an actual per-row subquery execution would be a
+    driver loop). Ties break on l_linenumber so the cut is deterministic."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lat_lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+        FROM lat_orders o, LATERAL (
+            SELECT l_linenumber, l_extendedprice
+            FROM lat_lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+            ORDER BY l_extendedprice DESC, l_linenumber
+            LIMIT 2
+        ) t
+        WHERE o.o_orderstatus = 'F'
+        """
+    )
