@@ -488,3 +488,34 @@ def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_distance") <= 1)
         .select("name_a", "name_b", "edit_distance")
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT event_id,
+           event_id & user_id AS b_and,
+           event_id | user_id AS b_or,
+           xor(event_id, user_id) AS b_xor,
+           event_id << 3 AS shl,
+           event_id >> 2 AS shr,
+           CAST(bit_count(event_id) AS INT) AS pop
+    FROM events
+    WHERE event_id < 1000
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function surface: AND/OR/XOR, shifts, popcount — exact
+    integer ops with identical semantics on any engine (they underpin the
+    SimHash fingerprint pipeline, where bit_count(xor) IS the Hamming
+    distance). Filter keeps the oracle comparison small."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    return e.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.col("user_id")).alias("b_and"),
+        F.col("event_id").bitwiseOR(F.col("user_id")).alias("b_or"),
+        F.col("event_id").bitwiseXOR(F.col("user_id")).alias("b_xor"),
+        F.shiftleft("event_id", 3).alias("shl"),
+        F.shiftright("event_id", 2).alias("shr"),
+        F.bit_count("event_id").cast("int").alias("pop"),
+    )
