@@ -54,10 +54,15 @@ def check_table(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
 def check_referential(
     fact: DataFrame, fact_key: str, dim: DataFrame, dim_key: str, name: str
 ) -> DataFrame:
-    """Orphaned-key check as a left-anti join (dim side broadcastable)."""
+    """Orphaned-key check as a left-anti join (dim side broadcastable).
+
+    The join condition binds each side's column to its own DataFrame —
+    an unqualified F.col(dim_key) would be AMBIGUOUS whenever the fact
+    and dim key share a name, which is the common case for real FKs."""
+    dim_sel = dim.select(dim_key)
     orphans = fact.join(
-        F.broadcast(dim.select(dim_key)),
-        fact[fact_key] == F.col(dim_key),
+        F.broadcast(dim_sel),
+        fact[fact_key] == dim_sel[dim_key],
         "left_anti",
     )
     return orphans.agg(

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from databricks_feature_store_poc_spark.llm.dedup import shingle_expr
 from databricks_feature_store_poc_spark.registry import query
 from databricks_feature_store_poc_spark.sources.catalog import load_table
 
@@ -77,12 +78,9 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     with_words = d.select("doc_id", F.expr(_WORDS).alias("words"))
-    shingles = (
-        f"array_distinct(transform("
-        f"sequence(1, greatest(size(words) - {DECON_NGRAM - 1}, 0)), "
-        f"i -> concat_ws(' ', slice(words, i, {DECON_NGRAM}))))"
+    ex = with_words.select(
+        "doc_id", F.explode(F.expr(shingle_expr(DECON_NGRAM))).alias("shingle")
     )
-    ex = with_words.select("doc_id", F.explode(F.expr(shingles)).alias("shingle"))
     is_eval = F.col("doc_id") % EVAL_MOD == 0
     eval_shingles = ex.filter(is_eval).select("shingle").distinct()
     hits = (
@@ -115,7 +113,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) OVER (PARTITION BY lang) AS lang_total
         FROM documents
     )
-    WHERE rn <= CAST(ceil(0.2 * lang_total) AS BIGINT)
+    WHERE rn <= CAST(ceil(CAST(0.2 AS DOUBLE) * lang_total) AS BIGINT)
     """,
 )
 def sample_quota_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -217,8 +215,11 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                     assigned.append(bi)
                     break
             else:
-                # new bin; oversized docs occupy one bin alone (cap 0)
-                remaining.append(max(0, PACK_CONTEXT - nt))
+                # new bin; an oversized doc leaves NEGATIVE remaining
+                # capacity, so the bin is closed — even to 0-token docs
+                # (cap >= nt can then never hold) — keeping the
+                # one-oversized-doc-per-bin invariant.
+                remaining.append(PACK_CONTEXT - nt)
                 assigned.append(len(remaining) - 1)
         out = pdf[["doc_id", "shard", "n_tokens"]].copy()
         out["bin_id"] = pd.Series(assigned, dtype="int64")
@@ -303,12 +304,9 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept0 = quality.join(keep, "doc_id")
 
     with_words = d.select("doc_id", F.expr(_WORDS).alias("words"))
-    shingles = (
-        f"array_distinct(transform("
-        f"sequence(1, greatest(size(words) - {DECON_NGRAM - 1}, 0)), "
-        f"i -> concat_ws(' ', slice(words, i, {DECON_NGRAM}))))"
+    ex = with_words.select(
+        "doc_id", F.explode(F.expr(shingle_expr(DECON_NGRAM))).alias("shingle")
     )
-    ex = with_words.select("doc_id", F.explode(F.expr(shingles)).alias("shingle"))
     is_eval = F.col("doc_id") % EVAL_MOD == 0
     eval_shingles = ex.filter(is_eval).select("shingle").distinct()
     contaminated = (

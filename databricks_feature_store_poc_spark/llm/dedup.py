@@ -44,6 +44,23 @@ JACCARD_THRESHOLD = 0.3
 
 _WORDS = r"filter(split(text, '\\s+'), x -> x != '')"
 
+
+def shingle_expr(width: int, words_col: str = "words") -> str:
+    """Spark SQL for the distinct `width`-word shingle array of a
+    tokenized column. The size guard matters: sequence(1, n) with n < 1
+    produces a DESCENDING sequence reaching 0, and slice(..., 0, w)
+    throws — so documents shorter than `width` words must short-circuit
+    to an empty array, exactly like the oracle's range() (empty when the
+    upper bound < lower). Shared by every shingle consumer (dedup,
+    decontamination, curation pipeline) so the guard lives in ONE place."""
+    return (
+        f"if(size({words_col}) >= {width}, "
+        f"array_distinct(transform("
+        f"sequence(1, size({words_col}) - {width - 1}), "
+        f"i -> concat_ws(' ', slice({words_col}, i, {width})))), "
+        f"array())"
+    )
+
 # Same pipeline in DuckDB SQL (list slicing is 1-based inclusive, so
 # w[i : i + SHINGLE_WORDS - 1] is a SHINGLE_WORDS-long slice).
 _DUCK_SHINGLES = rf"""
@@ -99,12 +116,9 @@ def shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # raw split expression would re-tokenize the text per index inside the
     # transform lambda (O(n^2) per document).
     with_words = d.select("doc_id", F.expr(_WORDS).alias("words"))
-    shingles = (
-        f"array_distinct(transform("
-        f"sequence(1, greatest(size(words) - {SHINGLE_WORDS - 1}, 0)), "
-        f"i -> concat_ws(' ', slice(words, i, {SHINGLE_WORDS}))))"
+    ex = with_words.select(
+        "doc_id", F.explode(F.expr(shingle_expr(SHINGLE_WORDS))).alias("shingle")
     )
-    ex = with_words.select("doc_id", F.explode(F.expr(shingles)).alias("shingle"))
     # (doc_id, shingle) is distinct after array_distinct, so document
     # frequency is a plain COUNT(*) window over shingle — ONE shuffle,
     # where the agg+self-join formulation costs two.

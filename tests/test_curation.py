@@ -94,3 +94,59 @@ def test_pack_sequences_partition_capacity_determinism(spark):
     # determinism across executions
     again = {(r["doc_id"], r["shard"], r["bin_id"]) for r in out.collect()}
     assert again == {(r["doc_id"], r["shard"], r["bin_id"]) for r in rows}
+
+
+def _write_docs(spark, tmp_path, rows):
+    """Stage a synthetic documents table (doc_id, text, lang, source,
+    n_chars) so queries can run against inputs the fixtures lack."""
+    df = spark.createDataFrame(
+        [(i, t, lang, "srcX", len(t)) for i, (t, lang) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_decontaminate_survives_short_documents(spark, tmp_path):
+    """Docs with fewer words than the n-gram width must yield zero
+    shingles, not a slice() crash (doc 0 is the eval doc)."""
+    sf = _write_docs(
+        spark, tmp_path,
+        [("one two three", "en"), ("a b", "en"),
+         ("eight words are just enough for one shingle", "en"), ("", "de")],
+    )
+    rows = {r["doc_id"]: r["n_hits"] for r in
+            QUERIES["text_decontaminate"](spark, sf).collect()}
+    assert set(rows) == {1, 2, 3}  # eval doc 0 excluded; no crash
+    assert all(v == 0 for v in rows.values())
+
+
+def test_pack_sequences_oversized_bin_stays_closed(spark, tmp_path):
+    """A zero-token doc must not join an oversized doc's bin — negative
+    remaining capacity keeps that bin closed."""
+    from databricks_feature_store_poc_spark.llm.curation import PACK_CONTEXT
+
+    huge = " ".join(f"w{i}" for i in range(PACK_CONTEXT + 10))
+    sf = _write_docs(
+        spark, tmp_path,
+        [(huge, "en"), ("", "en"), ("   ", "en"), ("small doc here", "en")],
+    )
+    rows = QUERIES["pack_sequences"](spark, sf).collect()
+    assert sorted(r["doc_id"] for r in rows) == [0, 1, 2, 3]
+    bins: dict = {}
+    for r in rows:
+        bins.setdefault((r["shard"], r["bin_id"]), []).append(r["n_tokens"])
+    for toks in bins.values():
+        assert sum(toks) <= PACK_CONTEXT or len(toks) == 1
+
+
+def test_check_referential_same_key_name(spark):
+    """FKs whose fact and dim columns share a name must not be ambiguous."""
+    from databricks_feature_store_poc_spark.featurestore.quality import (
+        check_referential,
+    )
+
+    fact = spark.createDataFrame([(1,), (2,), (9,)], "user_id long")
+    dim = spark.createDataFrame([(1,), (2,)], "user_id long")
+    row = check_referential(fact, "user_id", dim, "user_id", "fk").collect()[0]
+    assert row["metric"] == 1.0 and not row["passed"]
