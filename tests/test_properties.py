@@ -193,3 +193,21 @@ def test_heavy_hitter_sketch_superset_on_skew(spark, hot, n_tail):
         k for k, c in pdf["k"].value_counts().items() if c > n // CAP
     }
     assert true_hh <= set(counts), (true_hh, counts)
+
+
+@given(
+    n_words=st.integers(0, 12),
+    width=st.sampled_from([2, 5, 8]),
+)
+@_settings
+def test_shingle_expr_counts_and_short_docs(spark, n_words, width):
+    """shingle_expr yields exactly max(0, n-width+1) shingles for distinct
+    words and never crashes below the width (the slice(., 0, w) trap)."""
+    from databricks_feature_store_poc_spark.llm.dedup import shingle_expr
+
+    text = " ".join(f"w{i}" for i in range(n_words))
+    df = spark.createDataFrame([(text,)], "text string").selectExpr(
+        r"filter(split(text, '\\s+'), x -> x != '') AS words"
+    )
+    out = df.selectExpr(f"size({shingle_expr(width)}) AS n").collect()[0]["n"]
+    assert out == max(0, n_words - width + 1)
