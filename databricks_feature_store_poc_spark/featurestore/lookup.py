@@ -198,6 +198,15 @@ def _apply_point_in_time_lookup(
     so a version AT the spine time is visible (ts >= version_ts,
     inclusive), matching DuckDB/ASOF semantics (the oracle of
     training_set_point_in_time).
+
+    The carried value is ONE struct of all feature columns, not per-column
+    lasts: the whole latest version wins atomically, NULL fields included
+    (per-column ``last(ignorenulls)`` would stitch different versions
+    together whenever the latest version holds a legitimate NULL —
+    diverging from ASOF semantics). Versions tying on (key, feature_ts)
+    get a deterministic winner via the struct itself as the final ORDER BY
+    key (max struct wins; ties among fully-identical versions are
+    indistinguishable by construction).
     """
     from pyspark.sql.window import Window
 
@@ -206,7 +215,9 @@ def _apply_point_in_time_lookup(
     narrowed = feature_table.select(
         *[F.col(k).alias(sk) for k, sk in zip(keys, skeys)],
         F.col(feat_ts).alias("__pit_ts"),
-        *[F.col(f).alias(lookup.rename.get(f, f)) for f in feats],
+        F.struct(
+            *[F.col(f).alias(lookup.rename.get(f, f)) for f in feats]
+        ).alias("__pit_feat"),
     ).withColumn("__side", F.lit(0))
     spine_tagged = spine.withColumn("__pit_ts", F.col(spine_ts)).withColumn(
         "__side", F.lit(1)
@@ -214,15 +225,26 @@ def _apply_point_in_time_lookup(
     unioned = spine_tagged.unionByName(narrowed, allowMissingColumns=True)
     w = (
         Window.partitionBy(*skeys)
-        .orderBy("__pit_ts", "__side")
+        .orderBy("__pit_ts", "__side", "__pit_feat")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    keep = [
+        c
+        for c in unioned.columns
+        if c not in ("__side", "__pit_ts", "__pit_feat", *out_names)
+    ]
     filled = unioned.select(
-        *[c for c in unioned.columns if c not in ("__side", "__pit_ts", *out_names)],
+        *keep,
         "__side",
-        *[F.last(f, ignorenulls=True).over(w).alias(f) for f in out_names],
+        F.last("__pit_feat", ignorenulls=True).over(w).alias("__pit_feat"),
     )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+    return (
+        filled.filter(F.col("__side") == 1)
+        .select(
+            *keep,
+            *[F.col("__pit_feat").getField(f).alias(f) for f in out_names],
+        )
+    )
 
 
 def create_training_set(

@@ -66,33 +66,43 @@ def scd2_apply(
     ``history`` carries (keys..., attributes..., valid_from, valid_to)
     with valid_to NULL on open rows; ``updates`` carries
     (keys..., attributes..., ts_col) — the change time. Open rows whose
-    key is updated are closed at the update's time; each update becomes
-    the new open row. Rows already closed are untouched (history is
-    append/close-only — never rewritten).
+    key is updated are closed at the key's EARLIEST update time; the
+    updates for a key are chained in ts order (each version closed by its
+    successor's ts via ``lead``), so a batch holding several rows for one
+    key folds into several consecutive history rows with exactly one open
+    row per key — not two closed copies of the old row plus two open rows.
+    Updates tying on (key, ts) get a deterministic order via the attribute
+    struct as a window tiebreak. Rows already closed are untouched
+    (history is append/close-only — never rewritten).
     """
-    upd_keyed = updates.select(
-        *keys, F.col(ts_col).alias("__new_from")
-    )
-    b_upd = F.broadcast(upd_keyed)
+    from pyspark.sql.window import Window
+
+    valid_to_type = history.schema[valid_to].dataType
+    # Earliest update per key closes the currently-open history row.
+    first_upd = updates.groupBy(*keys).agg(F.min(ts_col).alias("__new_from"))
+    b_first = F.broadcast(first_upd)
     open_rows = history.filter(F.col(valid_to).isNull())
     closed_rows = history.filter(F.col(valid_to).isNotNull())
 
-    # Close open rows that have an update (valid_to = change time).
     newly_closed = (
-        open_rows.join(b_upd, on=keys, how="inner")
-        .withColumn(valid_to, F.col("__new_from"))
+        open_rows.join(b_first, on=keys, how="inner")
+        .withColumn(valid_to, F.col("__new_from").cast(valid_to_type))
         .drop("__new_from")
     )
-    still_open = open_rows.join(b_upd, on=keys, how="left_anti")
+    still_open = open_rows.join(b_first, on=keys, how="left_anti")
 
-    # New open rows from the update batch.
-    new_open = (
+    # Chain the batch per key: each update's valid_to is the next update's
+    # ts (NULL for the latest — the new open row).
+    attrs = [c for c in updates.columns if c not in (*keys, ts_col)]
+    tie = F.struct(*attrs) if attrs else F.lit(0)
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col), tie)
+    new_rows = (
         updates.withColumn(valid_from, F.col(ts_col))
-        .withColumn(valid_to, F.lit(None).cast(history.schema[valid_to].dataType))
+        .withColumn(valid_to, F.lead(ts_col).over(w).cast(valid_to_type))
         .drop(ts_col)
     )
     return (
         closed_rows.unionByName(newly_closed)
         .unionByName(still_open)
-        .unionByName(new_open.select(*closed_rows.columns))
+        .unionByName(new_rows.select(*closed_rows.columns))
     )

@@ -101,7 +101,7 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_math",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice, 1) AS price_r1,
+           CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_r1,
            abs(l_discount - 0.05) AS disc_dist,
            sqrt(l_quantity) AS qty_sqrt,
            floor(l_extendedprice) AS price_floor,
@@ -113,10 +113,11 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """round/abs/sqrt/floor/ceil/mod. sqrt is IEEE-correctly-rounded so it
     is bit-identical cross-engine (unlike ln/exp, which are deliberately
-    not in an oracle-checked query). round(x, 1) of a 2-decimal double hits
-    .x5 ties — but l_extendedprice's cents are data, not computed, so the
-    double is the *nearest* representation and both engines see the same
-    side of the tie."""
+    not in an oracle-checked query). round(x, 1) must round the SAME
+    representation on both sides: both engines first cast the price to
+    DECIMAL(18,2) (exact cents) and round that with HALF_UP — rounding the
+    raw double instead lands on the other side of the .x5 tie whenever the
+    nearest double is 123.44999…."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey", "l_linenumber",
@@ -445,19 +446,21 @@ def fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_set",
     oracle="""
     SELECT o_orderpriority,
-           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
            CAST(len(list(DISTINCT o_orderstatus)) AS INT) AS n_statuses
     FROM orders
     GROUP BY o_orderpriority
     """,
 )
 def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_set into a SORTED array (collect order is nondeterministic
-    across partitions — sort_array makes the value a contract). Array-
-    valued aggregation is the feature-store's multi-valued feature shape."""
+    """collect_set into a SORTED, comma-joined string (collect order is
+    nondeterministic across partitions — sort_array makes the value a
+    contract, and array_join makes it a hashable scalar the correctness
+    harness can canonicalize; an array column breaks pandas sort_values).
+    Multi-valued feature shape for the feature store."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias("statuses"),
         F.size(F.collect_set("o_orderstatus")).alias("n_statuses"),
     )
 

@@ -96,6 +96,11 @@ _DUCK_SHINGLES = rf"""
 # Keyed by Spark application id so a new session never sees another
 # session's (invalid) cached plan.
 _INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
+# A long-lived session touching many sf_dirs would otherwise accumulate
+# persisted indexes in executor storage memory forever; two live entries
+# cover the dev loop (one sf for tests + one for bench) and anything older
+# is unpersisted on insert.
+_INDEX_CACHE_MAX = 2
 
 
 def shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,6 +139,18 @@ def shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # df-cap shuffle runs once, not per branch.
     idx = idx.persist()
     _INDEX_CACHE[cache_key] = idx
+    # Evict superseded entries (oldest-first; dicts preserve insertion
+    # order). Entries from dead sessions just get dropped — unpersist on a
+    # stopped SparkContext raises, and their storage died with the JVM.
+    app_id = spark.sparkContext.applicationId
+    while len(_INDEX_CACHE) > _INDEX_CACHE_MAX:
+        old_key, old_df = next(iter(_INDEX_CACHE.items()))
+        del _INDEX_CACHE[old_key]
+        if old_key[0] == app_id:
+            try:
+                old_df.unpersist(blocking=False)
+            except Exception:
+                pass
     return idx
 
 
@@ -421,55 +438,38 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
     FROM v a JOIN v b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4
+    WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.4
     """,
 )
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: pairs with cosine >= 0.4, block-wise matmul.
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, block_rows: int = 100_000
+) -> DataFrame:
+    """Embedding near-dup: pairs with cosine >= 0.4, blocked matmul.
 
-    Physical shape: the corpus matrix is broadcast once (|corpus| x dim
-    doubles — guarded by a cap); each partition's rows multiply against it
-    with one numpy/BLAS matmul per Arrow batch and emit only the pairs
-    above threshold. This replaces a 2M-row pair join whose per-pair
-    higher-order-function dot products run *interpreted* (no codegen for
-    lambda expressions) — the matmul is ~50x faster at sf0.1 and is the
-    standard one-side-fits-in-memory block of a 100 TB blocked similarity
-    join; when neither side fits, block both (outer loop over broadcast
-    chunks) or switch to the LSH route (sim_ann_lsh).
+    Physical shape: the corpus is split into hash blocks of at most
+    ``block_rows`` vectors; each block is broadcast in turn and every
+    partition's rows multiply against it with one numpy/BLAS matmul per
+    Arrow batch, emitting only the pairs above threshold. One block (the
+    common case at test scale) is the classic one-side-fits-in-memory
+    broadcast similarity join; more blocks is the standard blocked
+    all-pairs sweep — |corpus|/block_rows passes over the probe side, each
+    bounded by the broadcast cap, so the op *degrades* past the cap instead
+    of refusing. (For 100 TB-scale corpora the quadratic sweep is the
+    honest cost of EXACT all-pairs; sim_ann_lsh is the sub-quadratic
+    approximate route.) The per-pair threshold compares the ROUNDED cosine
+    on both engines — numpy/BLAS and DuckDB sum in different orders, so a
+    pair sitting within float error of 0.4 must be quantized before the
+    cut, not after.
     """
+    import math as _math
+
     import numpy as np
     import pyspark.sql.types as T
 
     e = load_table(spark, sf_dir, "embeddings")
-    rows = e.select("vec_id", "embedding").collect()
-    n = len(rows)
-    if n > 100_000:
-        raise ValueError(
-            f"broadcast corpus refused at {n} rows (cap 100000); "
-            "block both sides or use sim_ann_lsh's bucketed candidates"
-        )
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
-
-    def block_pairs(batches):
-        import pandas as pd
-
-        b_ids, b_mat, b_norms = bc.value
-        for pdf in batches:
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
-            cos = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
-            ai, bi = np.nonzero((cos >= 0.4) & (a_ids[:, None] < b_ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "vec_a": a_ids[ai],
-                    "vec_b": b_ids[bi],
-                    "cosine": np.round(cos[ai, bi], 6),
-                }
-            )
+    probe = e.select("vec_id", "embedding")
+    n = probe.count()
+    n_blocks = max(1, _math.ceil(n / block_rows))
 
     schema = T.StructType(
         [
@@ -478,7 +478,53 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("cosine", T.DoubleType()),
         ]
     )
-    return e.select("vec_id", "embedding").mapInPandas(block_pairs, schema)
+
+    def one_block(rows):
+        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+        def block_pairs(batches, _bc=bc):
+            import pandas as pd
+
+            b_ids, b_mat, b_norms = _bc.value
+            for pdf in batches:
+                a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                a_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+                a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+                cos = np.round(
+                    (a_mat @ b_mat.T) / np.outer(a_norms, b_norms), 6
+                )
+                ai, bi = np.nonzero(
+                    (cos >= 0.4) & (a_ids[:, None] < b_ids[None, :])
+                )
+                yield pd.DataFrame(
+                    {
+                        "vec_a": a_ids[ai],
+                        "vec_b": b_ids[bi],
+                        "cosine": cos[ai, bi],
+                    }
+                )
+
+        return probe.mapInPandas(block_pairs, schema)
+
+    if n_blocks == 1:
+        return one_block(probe.collect())
+    # Blocked-both-sides: each vector belongs to exactly one hash block, so
+    # each ordered pair (a < b) is emitted exactly once — by the pass that
+    # broadcasts b's block. Only one block is ever on the driver at a time.
+    parts = []
+    for blk in range(n_blocks):
+        rows = probe.filter(
+            F.pmod(F.hash("vec_id"), F.lit(n_blocks)) == blk
+        ).collect()
+        if rows:
+            parts.append(one_block(rows))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 @query(

@@ -484,8 +484,11 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING filter) and semi-joined back into lineitem — at scale that
     aggregate's output is tiny relative to lineitem, so Catalyst
     broadcasts it and the main pass stays a single orderkey shuffle.
-    Quantity sums accumulate in DECIMAL; ordering ties break on
-    o_orderkey."""
+    The customer join is deliberately NOT broadcast-hinted: customer is
+    fact-scale (15M rows at sf100, far larger at 100 TB) and a forced
+    broadcast there OOMs executors — AQE/statistics pick broadcast at
+    small SF and shuffle-hash at scale on their own. Quantity sums
+    accumulate in DECIMAL; ordering ties break on o_orderkey."""
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
@@ -500,7 +503,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(qualifying), li["l_orderkey"] == F.col("qual_orderkey"))
         .join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(
             F.sum(F.expr("CAST(l_quantity AS DECIMAL(18,2))"))

@@ -45,6 +45,14 @@ def count_broadcast_joins(df: DataFrame) -> int:
     )
 
 
+def count_broadcast_hints(df: DataFrame) -> int:
+    """Explicit ``F.broadcast()`` hints in the analyzed logical plan —
+    distinct from broadcasts the optimizer *chose* from statistics. A
+    forced hint on a fact-scale table is a scale bug even when stats would
+    also broadcast it at test SF, so plan tests pin the hint count."""
+    return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+
+
 def has_sort_merge_or_shuffled_hash_join(df: DataFrame) -> bool:
     p = simple_plan(df)
     return "SortMergeJoin" in p or "ShuffledHashJoin" in p

@@ -284,3 +284,28 @@ class TestPointInTimeLookup:
             ),
         )
         assert ts.lineage()["lookups"][0]["timestamp_lookup_key"] == ["ts", "fts"]
+
+    def test_null_feature_in_latest_version_wins_atomically(self, spark):
+        """When the latest eligible version legitimately holds NULL for
+        one feature, the WHOLE version wins (NULL included) — per-column
+        carry-forward would stitch val2 from the older version, diverging
+        from ASOF semantics."""
+        import datetime
+
+        def t(s):
+            return datetime.datetime(2024, 1, s)
+
+        spine = spark.createDataFrame([(1, t(20))], "k long, ts timestamp")
+        versions = spark.createDataFrame(
+            [(1, t(5), 1.0, 7.0), (1, t(15), 2.0, None)],
+            "k long, fts timestamp, val double, val2 double",
+        )
+        lk = FeatureLookup(
+            "v", ("val", "val2"), ("k",), spine_keys=("k",),
+            timestamp_lookup_key=("ts", "fts"),
+        )
+        ts_set = create_training_set(
+            spark, spine, [lk], resolve_table={"v": versions}.__getitem__
+        )
+        row = ts_set.load_df().collect()[0]
+        assert row["val"] == 2.0 and row["val2"] is None

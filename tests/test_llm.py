@@ -203,3 +203,22 @@ def test_connected_components_paths_agree(spark):
     }
     assert fast == dist
     assert fast  # graph known to contain near-dup edges
+
+
+def test_embedding_cosine_blocked_equals_single_block(spark):
+    """The blocked-both-sides path (corpus > block_rows → hash blocks,
+    one broadcast per block) must emit exactly the single-block answer:
+    each ordered pair belongs to exactly one block of its b-side."""
+    from databricks_feature_store_poc_spark.llm.dedup import (
+        dedup_embedding_cosine,
+    )
+
+    single = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in dedup_embedding_cosine(spark, SF_TEST).collect()
+    }
+    blocked = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in dedup_embedding_cosine(spark, SF_TEST, block_rows=16).collect()
+    }
+    assert single and blocked == single

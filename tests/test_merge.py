@@ -99,3 +99,26 @@ class TestSCD2:
         )
         out = sorted((r["k"], r["ts"], r["v"]) for r in ts_set.load_df().collect())
         assert out == [(1, t(7), 11.0), (1, t(10), 12.0), (2, t(7), 20.0)]
+
+    def test_multi_update_batch_chains_versions(self, spark):
+        """A batch with two rows for one key folds into a consecutive
+        chain — the open row closed once at the FIRST update's ts, each
+        update closed by its successor, exactly one open row per key
+        (not two closed copies + two open rows)."""
+        updates = spark.createDataFrame(
+            [(1, 12.0, t(9)), (1, 11.0, t(5))], "k long, v double, ts timestamp"
+        )
+        out = scd2_apply(self._history(spark), updates, ["k"], "ts")
+        rows = sorted(
+            (r["k"], r["v"], r["valid_from"], r["valid_to"]) for r in out.collect()
+        )
+        assert rows == [
+            (1, 10.0, t(1), t(5)),
+            (1, 11.0, t(5), t(9)),
+            (1, 12.0, t(9), None),
+            (2, 20.0, t(1), None),
+        ]
+        open_per_key = (
+            out.filter(F.col("valid_to").isNull()).groupBy("k").count().collect()
+        )
+        assert all(r["count"] == 1 for r in open_per_key)

@@ -118,3 +118,16 @@ def test_tpch_q6_all_predicates_pushed(spark):
     pushed = pushed_filters(QUERIES["tpch_q6"](spark, SF_SMOKE))
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_tpch_q18_customer_not_broadcast_hinted(spark):
+    """Only the qualifying-orderkey aggregate may carry an explicit
+    broadcast hint — customer is fact-scale (15M rows at sf100) and a
+    forced broadcast there OOMs executors; the choice belongs to
+    AQE/statistics. Hint count pins that exactly one hint exists."""
+    from databricks_feature_store_poc_spark.plans.inspect import (
+        count_broadcast_hints,
+    )
+
+    df = QUERIES["tpch_q18"](spark, SF_SMOKE)
+    assert count_broadcast_hints(df) == 1
