@@ -42,6 +42,14 @@ def run_query(fn, spark, name: str) -> float:
 
 
 def main() -> int:
+    # The contract is ONE parseable JSON line on stdout — but the JVM
+    # writes banners/WARNs to fd 1 directly (bypassing sys.stdout), which
+    # made the driver's native parse fail in round 2. Redirect fd 1 to
+    # stderr for the whole run and restore it only for the final print.
+    real_stdout_fd = os.dup(1)
+    sys.stdout.flush()
+    os.dup2(2, 1)
+
     from databricks_feature_store_poc_spark.session import get_spark
 
     import __spark_entry__ as entrymod
@@ -89,7 +97,18 @@ def main() -> int:
         "queries": timings,
         "sf": _sf_of(SF_DIR),
     }
-    print(json.dumps(result))
+    line = json.dumps(result)
+    # Sidecar copy for consumers that prefer a file over stdout capture.
+    try:
+        with open(os.path.join(REPO, "bench_result.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os.dup2(real_stdout_fd, 1)
+    os.close(real_stdout_fd)
+    print(line, flush=True)
     return 0
 
 

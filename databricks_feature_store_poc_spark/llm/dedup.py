@@ -689,9 +689,15 @@ def _connected_components(
             parent[x], x = root, parent[x]
         return root
 
-    # toLocalIterator streams partitions — the driver holds the (post-
-    # contraction) edge list once, never all partitions' rows twice.
-    for row in pairs.toLocalIterator():
+    # Under the cap a plain collect is ONE job; toLocalIterator would run
+    # one job per cached partition (32 round-trips for a 25-edge graph).
+    # The cap bounds driver memory at ~32 MB of longs, so collect is safe;
+    # the streaming iterator is kept only for the gave-up-contracting path
+    # where the edge list may still exceed the cap.
+    edge_rows = (
+        pairs.collect() if n_edges <= edge_cap else pairs.toLocalIterator()
+    )
+    for row in edge_rows:
         a, b = row[0], row[1]
         parent.setdefault(a, a)
         parent.setdefault(b, b)

@@ -22,6 +22,13 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let AQE re-partition plans that feed a persisted cache: without it,
+    # df.persist() pins the pre-AQE shuffle partition count, so a tiny
+    # cached relation (the shingle index, CC edge lists) materializes as
+    # 32 near-empty partitions and every downstream job pays 32-task
+    # scheduling overhead. At scale AQE targets its advisory partition
+    # size either way — this is safe in both directions.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
