@@ -1,9 +1,11 @@
 """Upsert (MERGE INTO) and SCD2 history maintenance without Delta.
 
 Feature tables need keyed updates: refresh a user's features without
-rewriting unrelated rows' semantics. Delta's MERGE INTO is not available
-in this container, so both write patterns are emulated with pure
-DataFrame algebra (per the classic anti-join + union formulation):
+rewriting unrelated rows' semantics. Delta's MERGE INTO is feature-gated
+(featurestore/deltafmt.py): ``merge_into_table`` runs the real
+transactional MERGE when a Delta table + delta-spark are present, and
+otherwise falls back to the pure DataFrame-algebra emulations below
+(the classic anti-join + union formulation):
 
 - ``merge_upsert``: last-write-wins upsert — matching target rows are
   replaced, new keys appended. One anti-join + one union; at scale the
@@ -24,7 +26,7 @@ versioned snapshots, an upsert is write-isolated for free.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -50,6 +52,50 @@ def merge_upsert(
         probe = F.broadcast(probe)
     untouched = target.join(probe, on=keys, how="left_anti")
     return untouched.unionByName(updates)
+
+
+def merge_into_table(
+    spark: SparkSession,
+    table_name: str,
+    updates: DataFrame,
+    keys: list[str],
+    *,
+    broadcast_updates: bool = True,
+) -> None:
+    """MERGE INTO a saved feature table — transactional when Delta backs it.
+
+    Delta path (requires delta-spark, gated in featurestore/deltafmt.py):
+    ``DeltaTable.merge`` with whenMatchedUpdateAll/whenNotMatchedInsertAll.
+    ACID, concurrent-reader-safe, and at 100 TB the merge condition prunes
+    to the files containing matched keys instead of rewriting the table.
+
+    Fallback path (this container): the pure-DataFrame ``merge_upsert``
+    followed by an overwrite write. ``localCheckpoint`` materializes the
+    merged result BEFORE the overwrite so Spark never reads the table it
+    is replacing (single-JVM rig; a cluster deployment would checkpoint to
+    durable storage or stage to a swap table). Not transactional — which
+    is exactly the gap the delta flag closes where available.
+    """
+    from .deltafmt import delta_available, table_provider
+
+    if delta_available() and table_provider(spark, table_name) == "delta":
+        from delta.tables import DeltaTable
+
+        cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        (
+            DeltaTable.forName(spark, table_name)
+            .alias("t")
+            .merge(updates.alias("s"), cond)
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        return
+    merged = merge_upsert(
+        spark.table(table_name), updates, keys, broadcast_updates=broadcast_updates
+    )
+    merged = merged.localCheckpoint(eager=True)
+    merged.write.mode("overwrite").saveAsTable(table_name)
 
 
 def scd2_apply(

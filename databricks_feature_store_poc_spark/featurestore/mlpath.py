@@ -422,17 +422,48 @@ class ModelRegistry:
     + fs.log_model(registered_model_name=...), 02:389-395/478-484). MLflow is
     not in this container, so the same contract — named models, monotonically
     increasing versions, params/metrics attached, idempotent delete — is kept
-    behind a local JSON/artifact layout; when mlflow IS importable, callers
-    can pass ``backend="mlflow"`` to delegate (kept optional per SURVEY §7 M4
-    so the engine imports without it).
+    behind a local JSON/artifact layout. ``backend="mlflow"`` additionally
+    MIRRORS every register/delete into MLflow's tracking server + model
+    registry (params/metrics logged to a run, artifacts uploaded, a model
+    version created; delete maps to delete_registered_model) — the local
+    layout stays authoritative for load(), so the engine behaves
+    identically with or without the flag (optional per SURVEY §7 M4; the
+    import gate raises where mlflow is absent, and the delegation calls
+    themselves are covered by a stub-module test).
     """
 
-    def __init__(self, root: str, backend: str = "local"):
+    def __init__(self, root: str, backend: str = "local",
+                 tracking_uri: str | None = None):
         if backend == "mlflow":
-            import mlflow  # noqa: F401 — gate: raise ImportError where absent
+            import mlflow  # gate: raise ImportError where absent
+
+            self._mlflow = mlflow
+            if tracking_uri is not None:
+                mlflow.set_tracking_uri(tracking_uri)
         self.backend = backend
         self.root = root
         os.makedirs(root, exist_ok=True)
+
+    def _mlflow_mirror(self, name: str, vdir: str,
+                       params: dict, metrics: dict) -> None:
+        """Mirror one registered version into MLflow (best-effort contract:
+        the reference's fs.log_model(registered_model_name=...) shape —
+        run with params/metrics + artifacts + a registry model version)."""
+        mlflow = self._mlflow
+        client = mlflow.MlflowClient()
+        with mlflow.start_run(run_name=f"{name}-register") as run:
+            if params:
+                mlflow.log_params(params)
+            if metrics:
+                mlflow.log_metrics({k: float(v) for k, v in metrics.items()})
+            mlflow.log_artifacts(vdir)
+            try:
+                client.create_registered_model(name)
+            except Exception:
+                pass  # already registered — idempotent like the reference
+            client.create_model_version(
+                name=name, source=run.info.artifact_uri, run_id=run.info.run_id
+            )
 
     def _model_dir(self, name: str) -> str:
         safe = name.replace(".", "__")
@@ -460,6 +491,8 @@ class ModelRegistry:
                 pickle.dump(model, f)
         with open(os.path.join(vdir, "run.json"), "w") as f:
             json.dump({"params": params or {}, "metrics": metrics or {}}, f, indent=2)
+        if self.backend == "mlflow":
+            self._mlflow_mirror(name, vdir, params or {}, metrics or {})
         return version
 
     def latest_version(self, name: str) -> int | None:
@@ -489,3 +522,8 @@ class ModelRegistry:
         import shutil
 
         shutil.rmtree(self._model_dir(name), ignore_errors=True)
+        if self.backend == "mlflow":
+            try:
+                self._mlflow.MlflowClient().delete_registered_model(name)
+            except Exception:
+                pass  # not registered — same idempotence as the local path

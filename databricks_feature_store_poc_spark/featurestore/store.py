@@ -95,12 +95,19 @@ class FeatureStore:
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
         bucket_by: tuple[int, list[str]] | None = None,
+        format: str | None = None,
     ) -> FeatureTableMetadata:
         """Register + write a feature table.
 
         Validates PK presence (reference 01:172-174) and — stronger than the
         reference, which delegates this to the managed service — PK
         uniqueness, via one distributed aggregate.
+
+        ``format="delta"`` writes a Delta table when delta-spark is
+        importable (the reference's managed-runtime storage; ACID MERGE via
+        merge.merge_into_table) and degrades to parquet otherwise —
+        the metadata records both the requested and the actual format so
+        the degradation is observable.
 
         Scale knobs:
         - ``partition_by``: directory partitioning; equality/IN filters on
@@ -113,6 +120,11 @@ class FeatureStore:
           spine never reshuffle the fact side.
         """
         _check_ident(name)
+        from .deltafmt import resolve_write_format
+
+        requested_format, actual_format = resolve_write_format(format)
+        if actual_format == "delta" and bucket_by:
+            raise ValueError("Delta tables do not support bucketBy")
         missing = [k for k in primary_keys if k not in df.columns]
         if missing:
             raise PrimaryKeyViolation(
@@ -148,7 +160,7 @@ class FeatureStore:
                     import shutil
 
                     shutil.rmtree(orphan, ignore_errors=True)
-            writer = df.write.format("parquet").mode(mode)
+            writer = df.write.format(actual_format).mode(mode)
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
             if bucket_by:
@@ -165,6 +177,8 @@ class FeatureStore:
             extra={
                 "partition_by": list(partition_by or []),
                 "bucket_by": [bucket_by[0], list(bucket_by[1])] if bucket_by else None,
+                "requested_format": requested_format,
+                "format": actual_format,
             },
         )
         self._write_meta(meta)
