@@ -66,6 +66,9 @@ _HEADLINE = (
     "scan_parquet",
 )
 _R02_CUTOFF = "join_broadcast"  # last name the r02 artifact adjudicated
+# Queries added after round 2 — no verdict yet regardless of where they
+# sort alphabetically, so they belong in the unadjudicated tier.
+_NEW_SINCE_R02 = ("agg_corr_covar",)
 _EXPENSIVE_LAST = (
     "dedup_clusters",
     "dedup_near_minhash",
@@ -80,7 +83,7 @@ def _priority_order(names: list[str]) -> list[str]:
             return (0, _HEADLINE.index(name), "")
         if name in _EXPENSIVE_LAST:
             return (3, _EXPENSIVE_LAST.index(name), "")
-        if name > _R02_CUTOFF:
+        if name > _R02_CUTOFF or name in _NEW_SINCE_R02:
             return (1, 0, name)
         return (2, 0, name)
 

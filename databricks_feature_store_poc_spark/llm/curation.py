@@ -322,3 +322,52 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.expr(_WORDS))).cast("long").alias("n_tokens"),
     )
+
+
+@query(
+    "sample_weighted_bernoulli",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x != '')) AS BIGINT) AS n_tokens,
+               (doc_id * 2654435761) % 4294967296 AS h
+        FROM documents
+    ),
+    m AS (SELECT MAX(n_tokens) AS max_tokens FROM w)
+    SELECT doc_id, n_tokens
+    FROM w, m
+    WHERE h * max_tokens < n_tokens * 4294967296
+    """,
+)
+def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-biased (weighted Bernoulli) corpus sampling: keep each document
+    with probability n_tokens / max(n_tokens) — the curation primitive for
+    token-budget-aware subsampling where longer (or higher-quality-
+    weighted) documents should be overrepresented.
+
+    Determinism contract: the uniform draw is the Knuth multiplicative
+    hash of doc_id scaled to [0, 2^32) and the keep test is the EXACT
+    integer cross-multiplication ``h * max_w < w * 2^32`` — no floating
+    division, so Spark and DuckDB agree bit-for-bit (the repo's
+    hash-sampling convention; see split_hash_8020). Bounds: h < 2^32 and
+    token counts < 2^31 keep both products inside BIGINT.
+
+    Scale shape: one scan computes weights map-side; the global max is a
+    1-row aggregate broadcast back (no shuffle of the fact side); the
+    filter is a pushed-down scalar predicate. Changing the weight column
+    (quality score, dedup cluster size) changes the policy, not the plan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        F.expr(f"cast(size({_WORDS}) as long)").alias("n_tokens"),
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)).alias("h"),
+    )
+    m = w.agg(F.max("n_tokens").alias("max_tokens"))
+    return (
+        w.crossJoin(F.broadcast(m))
+        .filter(F.col("h") * F.col("max_tokens")
+                < F.col("n_tokens") * F.lit(4294967296))
+        .select("doc_id", "n_tokens")
+    )

@@ -512,3 +512,74 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+@query(
+    "agg_corr_covar",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(9,2))) AS sx,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+               SUM(CAST(l_quantity AS DECIMAL(9,2))
+                   * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy,
+               SUM(CAST(l_quantity AS DECIMAL(9,2))
+                   * CAST(l_quantity AS DECIMAL(9,2))) AS sxx,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+              / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS covar_pop,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price
+    FROM m
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / covariance between quantity and price per return flag
+    — the feature-engineering moment statistics (drift detection, feature
+    redundancy pruning) computed the way they must be at 100 TB.
+
+    Built-in corr()/covar_pop() accumulate DOUBLE partial sums whose value
+    depends on partition merge order — fine statistically, but not
+    reproducible bit-for-bit across runs or engines. Instead the five
+    moment sums (Σx, Σy, Σxy, Σx², Σy²) accumulate in EXACT decimals
+    (inputs are 2-decimal data; widths keep every product ≤ DECIMAL(38)),
+    and the closed-form combination happens once per group in a fixed
+    scalar expression — deterministic on any partitioning, identical in
+    DuckDB, and still one map-side-combined shuffle. The same moment-sum
+    shape is what a streaming/distributed variance sketch maintains.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = "CAST(l_quantity AS DECIMAL(9,2))"
+    y = "CAST(l_extendedprice AS DECIMAL(12,2))"
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr(x)).alias("sx"),
+        F.sum(F.expr(y)).alias("sy"),
+        F.sum(F.expr(f"{x} * {y}")).alias("sxy"),
+        F.sum(F.expr(f"{x} * {x}")).alias("sxx"),
+        F.sum(F.expr(f"{y} * {y}")).alias("syy"),
+    )
+    nd = "CAST(n AS DOUBLE)"
+    sxd, syd = "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)"
+    sxyd, sxxd, syyd = (
+        "CAST(sxy AS DOUBLE)", "CAST(sxx AS DOUBLE)", "CAST(syy AS DOUBLE)"
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.expr(f"({sxyd} - {sxd} * {syd} / {nd}) / {nd}").alias("covar_pop"),
+        F.expr(
+            f"({nd} * {sxyd} - {sxd} * {syd})"
+            f" / sqrt(({nd} * {sxxd} - {sxd} * {sxd})"
+            f"        * ({nd} * {syyd} - {syd} * {syd}))"
+        ).alias("corr_qty_price"),
+    )

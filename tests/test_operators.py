@@ -177,3 +177,64 @@ def test_sorted_sink_files_are_clustered(spark):
         .count()
     )
     assert disordered == 0
+
+
+def test_corr_covar_matches_builtin_statistically(spark):
+    """The deterministic moment-sum formulation must agree with Spark's
+    built-in corr/covar_pop to float tolerance (the builtins are the
+    statistical ground truth; ours trades their order-dependent double
+    accumulation for exact-decimal reproducibility)."""
+    from pyspark.sql import functions as F
+
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    ours = {
+        r["l_returnflag"]: (r["covar_pop"], r["corr_qty_price"])
+        for r in QUERIES["agg_corr_covar"](spark, SF_TEST).collect()
+    }
+    builtin = {
+        r["l_returnflag"]: (r["cv"], r["cr"])
+        for r in load_table(spark, SF_TEST, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.covar_pop("l_quantity", "l_extendedprice").alias("cv"),
+            F.corr("l_quantity", "l_extendedprice").alias("cr"),
+        )
+        .collect()
+    }
+    assert ours.keys() == builtin.keys()
+    for k in ours:
+        assert abs(ours[k][0] - builtin[k][0]) <= 1e-6 * abs(builtin[k][0])
+        assert abs(ours[k][1] - builtin[k][1]) <= 1e-9
+
+
+def test_weighted_bernoulli_is_size_biased_and_deterministic(spark):
+    """Longer documents must be sampled at a higher rate than short ones
+    (the point of size-biasing), the longest document is always kept
+    (p = max/max = 1), and the sample is identical across runs."""
+    from pyspark.sql import functions as F
+
+    out = QUERIES["sample_weighted_bernoulli"](spark, SF_TEST)
+    rows = out.collect()
+    again = out.collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    d = load_table(spark, SF_TEST, "documents").select(
+        "doc_id",
+        F.expr(
+            "cast(size(filter(split(text, '\\\\s+'), x -> x != '')) as long)"
+        ).alias("n_tokens"),
+    )
+    all_rows = d.collect()
+    assert 0 < len(rows) < len(all_rows)
+    max_tok = max(r["n_tokens"] for r in all_rows)
+    kept = {r["doc_id"] for r in rows}
+    assert all(r["doc_id"] in kept for r in all_rows if r["n_tokens"] == max_tok)
+    median = sorted(r["n_tokens"] for r in all_rows)[len(all_rows) // 2]
+    long_ids = {r["doc_id"] for r in all_rows if r["n_tokens"] > median}
+    short_ids = {r["doc_id"] for r in all_rows if r["n_tokens"] <= median}
+    rate_long = len(kept & long_ids) / max(len(long_ids), 1)
+    rate_short = len(kept & short_ids) / max(len(short_ids), 1)
+    assert rate_long > rate_short
