@@ -66,9 +66,18 @@ _HEADLINE = (
     "scan_parquet",
 )
 _R02_CUTOFF = "join_broadcast"  # last name the r02 artifact adjudicated
-# Queries added after round 2 — no verdict yet regardless of where they
-# sort alphabetically, so they belong in the unadjudicated tier.
-_NEW_SINCE_R02 = ("agg_corr_covar",)
+# Queries whose r02 verdict is missing OR stale regardless of where they
+# sort alphabetically: new this round, or output/semantics changed this
+# round (within_band columns, comma-joined collect_set, decimal-round
+# oracle, rounded-cosine threshold), so the old verdict no longer applies.
+_NEEDS_FRESH_VERDICT = (
+    "agg_corr_covar",
+    "fn_math",
+    "agg_collect_set",
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "dedup_embedding_cosine",
+)
 _EXPENSIVE_LAST = (
     "dedup_clusters",
     "dedup_near_minhash",
@@ -83,7 +92,7 @@ def _priority_order(names: list[str]) -> list[str]:
             return (0, _HEADLINE.index(name), "")
         if name in _EXPENSIVE_LAST:
             return (3, _EXPENSIVE_LAST.index(name), "")
-        if name > _R02_CUTOFF or name in _NEW_SINCE_R02:
+        if name > _R02_CUTOFF or name in _NEEDS_FRESH_VERDICT:
             return (1, 0, name)
         return (2, 0, name)
 

@@ -40,6 +40,25 @@ def table_provider(spark: SparkSession, name: str) -> str | None:
     return None
 
 
+def table_layout(spark: SparkSession, name: str) -> dict:
+    """Physical layout of a saved table: provider, partition columns,
+    bucket spec — everything an in-place rewrite must re-apply to avoid
+    silently destroying the clustering ``create_table`` set up (partition
+    pruning and shuffle-free bucketed joins die quietly otherwise)."""
+    cols = spark.catalog.listColumns(name)
+    layout = {
+        "provider": table_provider(spark, name),
+        "partition_by": [c.name for c in cols if c.isPartition],
+        "bucket_by": [c.name for c in cols if c.isBucket],
+        "n_buckets": None,
+    }
+    if layout["bucket_by"]:
+        for r in spark.sql(f"DESCRIBE FORMATTED {name}").collect():
+            if (r["col_name"] or "").strip() == "Num Buckets":
+                layout["n_buckets"] = int((r["data_type"] or "0").strip())
+    return layout
+
+
 def resolve_write_format(requested: str | None) -> tuple[str, str]:
     """(requested, actual) write format after the availability gate.
 

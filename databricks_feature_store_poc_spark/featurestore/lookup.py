@@ -178,6 +178,25 @@ def apply_lookup(
     return out
 
 
+def orderable_type(dt) -> bool:
+    """Whether a Spark type can appear in a window/sort ORDER BY.
+
+    Maps are not orderable; arrays/structs are orderable iff their element/
+    field types are. Used to build deterministic tiebreaks that silently
+    omit unorderable columns instead of failing analysis for schemas
+    carrying map-typed features.
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return orderable_type(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(orderable_type(f.dataType) for f in dt.fields)
+    return True
+
+
 def _apply_point_in_time_lookup(
     spine: DataFrame,
     feature_table: DataFrame,
@@ -204,34 +223,41 @@ def _apply_point_in_time_lookup(
     (per-column ``last(ignorenulls)`` would stitch different versions
     together whenever the latest version holds a legitimate NULL —
     diverging from ASOF semantics). Versions tying on (key, feature_ts)
-    get a deterministic winner via the struct itself as the final ORDER BY
-    key (max struct wins; ties among fully-identical versions are
-    indistinguishable by construction).
+    get a deterministic winner via a tiebreak struct of the ORDERABLE
+    feature columns (max wins); map-typed features ride in the value
+    struct but stay out of the tiebreak — maps cannot appear in an ORDER
+    BY, and versions identical on every orderable column are
+    indistinguishable anyway.
     """
     from pyspark.sql.window import Window
 
     spine_ts, feat_ts = lookup.timestamp_lookup_key
     out_names = [lookup.rename.get(f, f) for f in feats]
+    tie_feats = [
+        f for f in feats if orderable_type(feature_table.schema[f].dataType)
+    ]
     narrowed = feature_table.select(
         *[F.col(k).alias(sk) for k, sk in zip(keys, skeys)],
         F.col(feat_ts).alias("__pit_ts"),
         F.struct(
             *[F.col(f).alias(lookup.rename.get(f, f)) for f in feats]
         ).alias("__pit_feat"),
+        *([F.struct(*tie_feats).alias("__pit_tie")] if tie_feats else []),
     ).withColumn("__side", F.lit(0))
     spine_tagged = spine.withColumn("__pit_ts", F.col(spine_ts)).withColumn(
         "__side", F.lit(1)
     )
     unioned = spine_tagged.unionByName(narrowed, allowMissingColumns=True)
+    order_cols = ["__pit_ts", "__side"] + (["__pit_tie"] if tie_feats else [])
     w = (
         Window.partitionBy(*skeys)
-        .orderBy("__pit_ts", "__side", "__pit_feat")
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     keep = [
         c
         for c in unioned.columns
-        if c not in ("__side", "__pit_ts", "__pit_feat", *out_names)
+        if c not in ("__side", "__pit_ts", "__pit_feat", "__pit_tie", *out_names)
     ]
     filled = unioned.select(
         *keep,

@@ -70,13 +70,18 @@ def merge_into_table(
     to the files containing matched keys instead of rewriting the table.
 
     Fallback path (this container): the pure-DataFrame ``merge_upsert``
-    followed by an overwrite write. ``localCheckpoint`` materializes the
-    merged result BEFORE the overwrite so Spark never reads the table it
-    is replacing (single-JVM rig; a cluster deployment would checkpoint to
-    durable storage or stage to a swap table). Not transactional — which
-    is exactly the gap the delta flag closes where available.
+    followed by an overwrite write that RE-APPLIES the table's physical
+    layout (provider, partitionBy, bucketBy read from the catalog) — an
+    in-place rewrite that silently dropped the partitioning/bucketing
+    ``create_table`` configured would kill partition pruning and
+    shuffle-free bucketed joins while the metadata still advertises them.
+    ``localCheckpoint`` materializes the merged result BEFORE the
+    overwrite so Spark never reads the table it is replacing (single-JVM
+    rig; a cluster deployment would checkpoint to durable storage or
+    stage to a swap table). Not transactional — which is exactly the gap
+    the delta flag closes where available.
     """
-    from .deltafmt import delta_available, table_provider
+    from .deltafmt import delta_available, table_layout, table_provider
 
     if delta_available() and table_provider(spark, table_name) == "delta":
         from delta.tables import DeltaTable
@@ -91,11 +96,19 @@ def merge_into_table(
             .execute()
         )
         return
+    layout = table_layout(spark, table_name)
     merged = merge_upsert(
         spark.table(table_name), updates, keys, broadcast_updates=broadcast_updates
     )
     merged = merged.localCheckpoint(eager=True)
-    merged.write.mode("overwrite").saveAsTable(table_name)
+    writer = merged.write.format(layout["provider"] or "parquet").mode("overwrite")
+    if layout["partition_by"]:
+        writer = writer.partitionBy(*layout["partition_by"])
+    if layout["bucket_by"] and layout["n_buckets"]:
+        writer = writer.bucketBy(
+            layout["n_buckets"], *layout["bucket_by"]
+        ).sortBy(*layout["bucket_by"])
+    writer.saveAsTable(table_name)
 
 
 def scd2_apply(
@@ -138,8 +151,17 @@ def scd2_apply(
     still_open = open_rows.join(b_first, on=keys, how="left_anti")
 
     # Chain the batch per key: each update's valid_to is the next update's
-    # ts (NULL for the latest — the new open row).
-    attrs = [c for c in updates.columns if c not in (*keys, ts_col)]
+    # ts (NULL for the latest — the new open row). The (key, ts)-tie
+    # tiebreak only includes ORDERABLE attribute columns — map-typed
+    # attributes cannot appear in an ORDER BY.
+    from .lookup import orderable_type
+
+    attrs = [
+        c
+        for c in updates.columns
+        if c not in (*keys, ts_col)
+        and orderable_type(updates.schema[c].dataType)
+    ]
     tie = F.struct(*attrs) if attrs else F.lit(0)
     w = Window.partitionBy(*keys).orderBy(F.col(ts_col), tie)
     new_rows = (

@@ -331,7 +331,7 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                CAST(len(list_filter(string_split_regex(text, '\s+'),
                                     x -> x != '')) AS BIGINT) AS n_tokens,
-               (doc_id * 2654435761) % 4294967296 AS h
+               ((doc_id % 100000007) * 2654435761) % 4294967296 AS h
         FROM documents
     ),
     m AS (SELECT MAX(n_tokens) AS max_tokens FROM w)
@@ -350,8 +350,12 @@ def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash of doc_id scaled to [0, 2^32) and the keep test is the EXACT
     integer cross-multiplication ``h * max_w < w * 2^32`` — no floating
     division, so Spark and DuckDB agree bit-for-bit (the repo's
-    hash-sampling convention; see split_hash_8020). Bounds: h < 2^32 and
-    token counts < 2^31 keep both products inside BIGINT.
+    hash-sampling convention; see split_hash_8020). Overflow safety: the
+    key is reduced mod the prime 100000007 BEFORE the Knuth multiply
+    (1e8 * 2.65e9 ≈ 2.7e17 < 2^63), so a 100 TB corpus with multi-billion
+    doc_ids neither wraps in Spark's non-ANSI arithmetic nor raises
+    DuckDB's overflow error; h < 2^32 and token counts < 2^31 keep the
+    compare products inside BIGINT too.
 
     Scale shape: one scan computes weights map-side; the global max is a
     1-row aggregate broadcast back (no shuffle of the fact side); the
@@ -362,7 +366,8 @@ def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = d.select(
         "doc_id",
         F.expr(f"cast(size({_WORDS}) as long)").alias("n_tokens"),
-        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)).alias("h"),
+        (((F.col("doc_id") % F.lit(100000007)) * F.lit(2654435761))
+         % F.lit(4294967296)).alias("h"),
     )
     m = w.agg(F.max("n_tokens").alias("max_tokens"))
     return (

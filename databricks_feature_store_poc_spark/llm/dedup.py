@@ -484,6 +484,7 @@ def dedup_embedding_cosine(
         mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
         norms = np.sqrt((mat * mat).sum(axis=1))
         bc = spark.sparkContext.broadcast((ids, mat, norms))
+        one_block.last_bc = bc
 
         def block_pairs(batches, _bc=bc):
             import pandas as pd
@@ -513,14 +514,22 @@ def dedup_embedding_cosine(
         return one_block(probe.collect())
     # Blocked-both-sides: each vector belongs to exactly one hash block, so
     # each ordered pair (a < b) is emitted exactly once — by the pass that
-    # broadcasts b's block. Only one block is ever on the driver at a time.
+    # broadcasts b's block. Each pass runs EAGERLY (localCheckpoint) and
+    # its broadcast is destroyed before the next block is collected, so at
+    # any moment the driver + executors hold ONE block plus the (small,
+    # threshold-filtered) checkpointed pair results — without the eager
+    # pass, every block's broadcast would stay pinned until the lazy union
+    # executed, rebuilding the exact O(corpus) memory condition the cap
+    # exists to prevent.
     parts = []
     for blk in range(n_blocks):
         rows = probe.filter(
             F.pmod(F.hash("vec_id"), F.lit(n_blocks)) == blk
         ).collect()
         if rows:
-            parts.append(one_block(rows))
+            part = one_block(rows).localCheckpoint(eager=True)
+            one_block.last_bc.destroy()
+            parts.append(part)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

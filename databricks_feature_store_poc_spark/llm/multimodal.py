@@ -198,7 +198,8 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(frame_idx * 64 AS INT) AS char_offset,
            CAST(COALESCE(list_sum(
                     [unicode(c) FOR c IN
-                     string_split(substring(text, frame_idx * 64 + 1, 64), '')]
+                     string_split(substring(text, frame_idx * 64 + 1, 64), '')
+                     IF c != '']
                 ), 0) % 65536 AS INT) AS frame_checksum
     FROM frames
     """,
@@ -218,7 +219,10 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     code points mod 2^16) rather than raw bytes so DuckDB can replicate it
     exactly — substring/unicode are cross-engine contracts where per-byte
     BLOB arithmetic is not — turning this from a rows-only entry into a
-    hash-checked oracle while keeping the decode plumbing identical."""
+    hash-checked oracle while keeping the decode plumbing identical.
+    (DuckDB's string_split('','') yields [''] — the oracle's comprehension
+    filters the empty string so an empty document checksums to 0 on both
+    engines, matching Python's sum over an empty chunk.)"""
     CHUNK = 64          # characters per fake 'frame'
     STRIDE = 4          # sample every 4th frame
     MAX_FRAMES = 8

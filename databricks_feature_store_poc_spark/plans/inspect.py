@@ -49,8 +49,11 @@ def count_broadcast_hints(df: DataFrame) -> int:
     """Explicit ``F.broadcast()`` hints in the analyzed logical plan —
     distinct from broadcasts the optimizer *chose* from statistics. A
     forced hint on a fact-scale table is a scale bug even when stats would
-    also broadcast it at test SF, so plan tests pin the hint count."""
-    return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+    also broadcast it at test SF, so plan tests pin the hint count. Only
+    broadcast-strategy hints count — MERGE/SHUFFLE_HASH hints print as
+    ResolvedHint too and must not inflate the number."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return len(re.findall(r"ResolvedHint[^\n]*broadcast", plan, re.IGNORECASE))
 
 
 def has_sort_merge_or_shuffled_hash_join(df: DataFrame) -> bool:

@@ -309,3 +309,27 @@ class TestPointInTimeLookup:
         )
         row = ts_set.load_df().collect()[0]
         assert row["val"] == 2.0 and row["val2"] is None
+
+    def test_map_typed_feature_is_carried(self, spark):
+        """A map-typed feature column (unorderable — cannot appear in an
+        ORDER BY) must still ride along in PIT lookups: the tiebreak
+        struct silently omits it instead of failing analysis."""
+        import datetime
+
+        def t(s):
+            return datetime.datetime(2024, 1, s)
+
+        spine = spark.createDataFrame([(1, t(20))], "k long, ts timestamp")
+        versions = spark.createDataFrame(
+            [(1, t(5), 1.0, {"a": 1.0}), (1, t(15), 2.0, {"b": 2.0})],
+            "k long, fts timestamp, val double, tags map<string,double>",
+        )
+        lk = FeatureLookup(
+            "v", ("val", "tags"), ("k",), spine_keys=("k",),
+            timestamp_lookup_key=("ts", "fts"),
+        )
+        ts_set = create_training_set(
+            spark, spine, [lk], resolve_table={"v": versions}.__getitem__
+        )
+        row = ts_set.load_df().collect()[0]
+        assert row["val"] == 2.0 and row["tags"] == {"b": 2.0}

@@ -222,3 +222,30 @@ def test_embedding_cosine_blocked_equals_single_block(spark):
         for r in dedup_embedding_cosine(spark, SF_TEST, block_rows=16).collect()
     }
     assert single and blocked == single
+
+
+def test_frame_sample_empty_text_parity(spark, tmp_path):
+    """An empty document must checksum to 0 on BOTH engines: DuckDB's
+    string_split('','') yields [''] (unicode('') = -1), which the oracle
+    filters out — regression for the latent empty-text divergence."""
+    import duckdb
+
+    from databricks_feature_store_poc_spark.registry import ORACLES
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "hello world")], "doc_id long, text string"
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    sdf = QUERIES["mm_frame_sample"](spark, str(tmp_path))
+    srows = sorted(map(tuple, sdf.collect()))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    drows = sorted(map(tuple, con.sql(ORACLES["mm_frame_sample"]).fetchall()))
+    con.close()
+    assert srows == drows
+    assert (1, 0, 0, 0) in srows  # empty doc: one frame, checksum 0

@@ -122,3 +122,17 @@ class TestSCD2:
             out.filter(F.col("valid_to").isNull()).groupBy("k").count().collect()
         )
         assert all(r["count"] == 1 for r in open_per_key)
+
+    def test_map_typed_attribute_folds(self, spark):
+        """Map-typed attributes are unorderable and must be excluded from
+        the (key, ts) tiebreak rather than crashing the window sort."""
+        h = spark.createDataFrame(
+            [(1, {"a": 1.0}, t(1), None)],
+            "k long, m map<string,double>, valid_from timestamp, valid_to timestamp",
+        )
+        updates = spark.createDataFrame(
+            [(1, {"b": 2.0}, t(5))], "k long, m map<string,double>, ts timestamp"
+        )
+        out = scd2_apply(h, updates, ["k"], "ts")
+        rows = sorted((r["k"], r["valid_from"], r["valid_to"]) for r in out.collect())
+        assert rows == [(1, t(1), t(5)), (1, t(5), None)]
