@@ -72,6 +72,7 @@ _R02_CUTOFF = "join_broadcast"  # last name the r02 artifact adjudicated
 # oracle, rounded-cosine threshold), so the old verdict no longer applies.
 _NEEDS_FRESH_VERDICT = (
     "agg_corr_covar",
+    "feature_resample_1h",
     "fn_math",
     "agg_collect_set",
     "agg_approx_distinct",

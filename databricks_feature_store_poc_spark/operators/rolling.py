@@ -178,3 +178,79 @@ def feature_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@query(
+    "feature_resample_1h",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hb,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hour_value,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT user_id, MIN(hb) AS mn, MAX(hb) AS mx FROM hourly GROUP BY 1
+    ),
+    grid AS (
+        SELECT user_id,
+               UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hb
+        FROM bounds
+    )
+    SELECT g.user_id, CAST(g.hb AS TIMESTAMP) AS hb,
+           CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events,
+           last_value(h.hour_value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.hb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM grid g
+    LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hb = h.hb
+    """,
+)
+def feature_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill / resample to an hourly grid per user: every hour between
+    a user's first and last event gets a row — observed hours carry their
+    exact aggregate, silent hours carry n_events = 0 and the LAST observed
+    hourly value forward. This is the regularization step between raw
+    event streams and fixed-step feature vectors (models want dense
+    grids; event data is sparse).
+
+    Scale shape: the raw stream collapses to (user, hour) grain FIRST
+    (one map-side-combined shuffle — the grid math never touches raw
+    events), per-user bounds ride the same aggregate, and the grid is
+    sequence() + explode over each user's own span — output is bounded by
+    users x retention-hours, not by event count. The carry-forward is the
+    same one-window last(ignorenulls) used by point-in-time lookups.
+    Determinism: hourly sums accumulate in DECIMAL; (user, hour) rows are
+    unique so the window order is total.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("user_id", F.date_trunc("hour", "ts").alias("hb"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double").alias("hour_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("hb").alias("mn"), F.max("hb").alias("mx")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("hb"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hb"], "left")
+        .select(
+            "user_id",
+            "hb",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )

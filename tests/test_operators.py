@@ -238,3 +238,22 @@ def test_weighted_bernoulli_is_size_biased_and_deterministic(spark):
     rate_long = len(kept & long_ids) / max(len(long_ids), 1)
     rate_short = len(kept & short_ids) / max(len(short_ids), 1)
     assert rate_long > rate_short
+
+
+def test_resample_grid_is_dense_and_carries_forward(spark):
+    """Every user's hourly grid must be gapless between their first and
+    last event hour; gap rows have 0 events but a non-null carried value
+    (the first grid row is always an observed hour, so carry-forward
+    never runs dry)."""
+    from pyspark.sql import functions as F
+
+    df = QUERIES["feature_resample_1h"](spark, SF_TEST)
+    stats = df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("rows"),
+        ((F.unix_timestamp(F.max("hb")) - F.unix_timestamp(F.min("hb"))) / 3600
+         + 1).alias("span_hours"),
+    )
+    assert stats.filter(F.col("rows") != F.col("span_hours")).count() == 0
+    assert df.filter(F.col("filled_value").isNull()).count() == 0
+    gaps = df.filter(F.col("n_events") == 0)
+    assert gaps.count() > 0  # the fixture's streams are sparse enough
