@@ -131,3 +131,28 @@ def test_tpch_q18_customer_not_broadcast_hinted(spark):
 
     df = QUERIES["tpch_q18"](spark, SF_SMOKE)
     assert count_broadcast_hints(df) == 1
+
+
+def test_corr_covar_partial_agg_and_single_shuffle(spark):
+    """The moment sums must combine map-side (partial_sum over decimals)
+    and pay one shuffle on the group key — the property that makes the
+    formulation scale where a two-pass mean-then-deviation corr cannot."""
+    df = QUERIES["agg_corr_covar"](spark, SF_SMOKE)
+    assert has_partial_aggregate(df)
+    assert count_exchanges(df) == 1
+
+
+def test_weighted_bernoulli_broadcasts_the_max(spark):
+    """The global-max aggregate must come back as a broadcast (1-row
+    side), never a shuffle of the fact stream against it."""
+    df = QUERIES["sample_weighted_bernoulli"](spark, SF_SMOKE)
+    assert count_broadcast_joins(df) >= 1
+
+
+def test_resample_never_explodes_raw_events(spark):
+    """The hourly grid must be built from the (user, hour) aggregate:
+    exactly one exchange grain-collapses raw events; bounds, grid join
+    and carry-forward all reuse that user partitioning."""
+    df = QUERIES["feature_resample_1h"](spark, SF_SMOKE)
+    assert has_partial_aggregate(df)
+    assert count_exchanges(df) <= 3
