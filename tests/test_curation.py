@@ -150,3 +150,34 @@ def test_check_referential_same_key_name(spark):
     dim = spark.createDataFrame([(1,), (2,)], "user_id long")
     row = check_referential(fact, "user_id", dim, "user_id", "fk").collect()[0]
     assert row["metric"] == 1.0 and not row["passed"]
+
+
+def test_weighted_bernoulli_parity_at_multibillion_ids(spark, tmp_path):
+    """doc_ids beyond 2^31 must neither wrap Spark's non-ANSI multiply
+    (which would silently disable sampling) nor overflow DuckDB (which
+    raises): the mod-prime pre-reduction keeps both engines exact and
+    identical — regression for the Knuth-multiply overflow."""
+    import duckdb
+
+    from databricks_feature_store_poc_spark.registry import ORACLES, QUERIES
+
+    rows = [(3_500_000_000 + i * 977_777_777, "word " * (5 + 40 * (i % 7)))
+            for i in range(40)]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    srows = sorted(
+        map(tuple, QUERIES["sample_weighted_bernoulli"](
+            spark, str(tmp_path)).collect())
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    drows = sorted(
+        map(tuple, con.sql(ORACLES["sample_weighted_bernoulli"]).fetchall())
+    )
+    con.close()
+    assert srows == drows
+    assert 0 < len(srows) < len(rows)  # sampling actually sampled
