@@ -73,6 +73,7 @@ _R02_CUTOFF = "join_broadcast"  # last name the r02 artifact adjudicated
 _NEEDS_FRESH_VERDICT = (
     "agg_corr_covar",
     "feature_resample_1h",
+    "dq_outlier_zscore",
     "fn_math",
     "agg_collect_set",
     "agg_approx_distinct",

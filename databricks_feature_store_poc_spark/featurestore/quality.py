@@ -253,3 +253,68 @@ def feature_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_buckets"),
         )
     )
+
+
+@query(
+    "dq_outlier_zscore",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(value AS DECIMAL(18,2))) AS sx,
+               SUM(CAST(value AS DECIMAL(18,2))
+                   * CAST(value AS DECIMAL(18,2))) AS sxx
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
+             / sqrt((CAST(m.sxx AS DOUBLE)
+                       - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE)
+                         / CAST(m.n AS DOUBLE)) / CAST(m.n AS DOUBLE)) AS z,
+           abs((e.value - CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
+             / sqrt((CAST(m.sxx AS DOUBLE)
+                       - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE)
+                         / CAST(m.n AS DOUBLE)) / CAST(m.n AS DOUBLE))) > 3
+               AS is_outlier
+    FROM events e JOIN m ON e.event_type = m.event_type
+    """,
+)
+def dq_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier flagging over the event stream — the
+    distribution-level data-quality gate next to dq_expectations' row-
+    level rules: every event scored against its type's population mean
+    and stddev, |z| > 3 flagged.
+
+    Scale shape: ONE map-side-combined pass computes each type's exact-
+    decimal moment sums (n, Σx, Σx²); the per-type stats relation is
+    dimension-sized so Catalyst broadcasts it back into the event scan and
+    the z computation is map-only — the fact stream is never shuffled.
+    Determinism: moments accumulate in DECIMAL (partition-order free) and
+    mean/stddev/z derive from them in one fixed double formula written
+    identically in the oracle (population stddev, same operation order),
+    so both engines produce bit-equal z — same convention as
+    agg_corr_covar.
+    """
+    e = load_table(spark, sf_dir, "events")
+    x = "CAST(value AS DECIMAL(18,2))"
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr(x)).alias("sx"),
+        F.sum(F.expr(f"{x} * {x}")).alias("sxx"),
+    )
+    nd, sxd, sxxd = "CAST(n AS DOUBLE)", "CAST(sx AS DOUBLE)", "CAST(sxx AS DOUBLE)"
+    z = (
+        f"(value - {sxd} / {nd})"
+        f" / sqrt(({sxxd} - {sxd} * {sxd} / {nd}) / {nd})"
+    )
+    return (
+        e.select("event_id", "event_type", "value")
+        .join(F.broadcast(m), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.expr(z).alias("z"),
+            (F.abs(F.expr(z)) > 3).alias("is_outlier"),
+        )
+    )

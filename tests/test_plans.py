@@ -156,3 +156,13 @@ def test_resample_never_explodes_raw_events(spark):
     df = QUERIES["feature_resample_1h"](spark, SF_SMOKE)
     assert has_partial_aggregate(df)
     assert count_exchanges(df) <= 3
+
+
+def test_zscore_broadcasts_stats_single_fact_pass(spark):
+    """The per-type moment stats must come back as a broadcast; the only
+    shuffle is the moments aggregate itself — the event stream is scanned
+    for scoring without repartitioning."""
+    df = QUERIES["dq_outlier_zscore"](spark, SF_SMOKE)
+    assert count_broadcast_joins(df) >= 1
+    assert count_exchanges(df) == 1
+    assert has_partial_aggregate(df)

@@ -66,3 +66,29 @@ def test_dq_expectations_all_pass_on_warehouse(spark):
     assert all(r["passed"] for r in rows), [
         r["check_name"] for r in rows if not r["passed"]
     ]
+
+
+def test_zscore_population_properties(spark):
+    """Per type: mean of z is ~0, outliers are a small minority, and
+    every |z|>3 row is flagged (and only those)."""
+    from pyspark.sql import functions as F
+
+    from databricks_feature_store_poc_spark.registry import (
+        QUERIES,
+        load_all_queries,
+    )
+    from tests.conftest import SF_TEST
+
+    load_all_queries()
+    df = QUERIES["dq_outlier_zscore"](spark, SF_TEST)
+    stats = df.groupBy("event_type").agg(
+        F.avg("z").alias("mean_z"),
+        F.avg(F.col("is_outlier").cast("double")).alias("frac_out"),
+    )
+    for r in stats.collect():
+        assert abs(r["mean_z"]) < 1e-9
+        assert r["frac_out"] < 0.05
+    mismatch = df.filter(
+        (F.abs(F.col("z")) > 3) != F.col("is_outlier")
+    ).count()
+    assert mismatch == 0
