@@ -268,13 +268,13 @@ def feature_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.event_id, e.event_type, e.value,
            (e.value - CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
-             / sqrt((CAST(m.sxx AS DOUBLE)
+             / nullif(sqrt((CAST(m.sxx AS DOUBLE)
                        - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE)
-                         / CAST(m.n AS DOUBLE)) / CAST(m.n AS DOUBLE)) AS z,
+                         / CAST(m.n AS DOUBLE)) / CAST(m.n AS DOUBLE)), 0) AS z,
            abs((e.value - CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
-             / sqrt((CAST(m.sxx AS DOUBLE)
+             / nullif(sqrt((CAST(m.sxx AS DOUBLE)
                        - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE)
-                         / CAST(m.n AS DOUBLE)) / CAST(m.n AS DOUBLE))) > 3
+                         / CAST(m.n AS DOUBLE)) / CAST(m.n AS DOUBLE)), 0)) > 3
                AS is_outlier
     FROM events e JOIN m ON e.event_type = m.event_type
     """,
@@ -303,9 +303,13 @@ def dq_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr(f"{x} * {x}")).alias("sxx"),
     )
     nd, sxd, sxxd = "CAST(n AS DOUBLE)", "CAST(sx AS DOUBLE)", "CAST(sxx AS DOUBLE)"
+    # nullif guard: a degenerate group (one event, or constant values) has
+    # stddev 0 — Spark's non-ANSI divide already yields NULL there but
+    # DuckDB's IEEE divide yields Inf/NaN; nullif on BOTH engines pins the
+    # contract to NULL z / NULL is_outlier for such groups.
     z = (
         f"(value - {sxd} / {nd})"
-        f" / sqrt(({sxxd} - {sxd} * {sxd} / {nd}) / {nd})"
+        f" / nullif(sqrt(({sxxd} - {sxd} * {sxd} / {nd}) / {nd}), 0)"
     )
     return (
         e.select("event_id", "event_type", "value")

@@ -104,8 +104,8 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_r1,
            abs(l_discount - 0.05) AS disc_dist,
            sqrt(l_quantity) AS qty_sqrt,
-           floor(l_extendedprice) AS price_floor,
-           ceil(l_extendedprice) AS price_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
            CAST(l_orderkey % 7 AS BIGINT) AS key_mod7
     FROM lineitem
     """,
@@ -117,7 +117,9 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     representation on both sides: both engines first cast the price to
     DECIMAL(18,2) (exact cents) and round that with HALF_UP — rounding the
     raw double instead lands on the other side of the .x5 tie whenever the
-    nearest double is 123.44999…."""
+    nearest double is 123.44999…. floor/ceil: Spark emits BIGINT but
+    DuckDB emits DOUBLE, and the driver's value hash is type-sensitive
+    (63058 != 63058.0), so the oracle casts both to BIGINT."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey", "l_linenumber",

@@ -116,16 +116,19 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_decode_stub",
     oracle="""
     WITH chars AS (
-        SELECT doc_id, string_split(text, '') AS cs, length(text) AS n
+        SELECT doc_id, string_split(text, '') AS cs,
+               length(text) AS n, greatest(length(text), 1) AS tot
         FROM documents
     )
     SELECT doc_id,
            CAST(16 + ascii(cs[1]) % 64 AS INT) AS width,
            CAST(16 + ascii(cs[n]) % 64 AS INT) AS height,
-           [len(list_filter(cs, c -> ascii(c) // 64 = 0)) * 1.0 / n,
-            len(list_filter(cs, c -> ascii(c) // 64 = 1)) * 1.0 / n,
-            len(list_filter(cs, c -> ascii(c) // 64 = 2)) * 1.0 / n,
-            len(list_filter(cs, c -> ascii(c) // 64 = 3)) * 1.0 / n] AS byte_hist
+           concat_ws(',',
+               printf('%.6f', len(list_filter(cs, c -> ascii(c) // 64 = 0)) * 1.0 / tot),
+               printf('%.6f', len(list_filter(cs, c -> ascii(c) // 64 = 1)) * 1.0 / tot),
+               printf('%.6f', len(list_filter(cs, c -> ascii(c) // 64 = 2)) * 1.0 / tot),
+               printf('%.6f', len(list_filter(cs, c -> ascii(c) // 64 = 3)) * 1.0 / tot)
+           ) AS byte_hist
     FROM chars
     """,
 )
@@ -157,12 +160,22 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             rows = [fake_decode(p) for p in pdf["payload"]]
+            # byte_hist is emitted as a canonical comma-joined string
+            # (6-decimal %.6f on the identical IEEE double both engines
+            # compute) instead of array<double>: the driver's pandas
+            # sort-canonicalizer cannot hash ndarray cells. Same
+            # treatment as agg_collect_set. A real deployment would keep
+            # the array column; the canonicalization is an oracle
+            # contract, not an engine limitation (mm_embedding_norm
+            # keeps real arrays in-plan).
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
                     "width": [r[0] for r in rows],
                     "height": [r[1] for r in rows],
-                    "byte_hist": [r[2] for r in rows],
+                    "byte_hist": [
+                        ",".join(f"{h:.6f}" for h in r[2]) for r in rows
+                    ],
                 }
             )
 
@@ -171,7 +184,7 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("doc_id", T.LongType()),
             T.StructField("width", T.IntegerType()),
             T.StructField("height", T.IntegerType()),
-            T.StructField("byte_hist", T.ArrayType(T.DoubleType())),
+            T.StructField("byte_hist", T.StringType()),
         ]
     )
     d = load_table(spark, sf_dir, "documents")

@@ -49,8 +49,13 @@ def _norm_cell(v) -> str:
             return "NaN"
         if math.isinf(v):
             return "Inf" if v > 0 else "-Inf"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
+        # Type-sensitive on purpose: the driver's hash distinguishes
+        # BIGINT 63058 from DOUBLE 63058.0 (fn_math went red in r3 while
+        # this harness, which used to collapse integral floats to int,
+        # stayed green). repr keeps the ".0" so int-vs-float oracle type
+        # mismatches fail HERE first. Rounding to 9 decimals stays — the
+        # queries own their cross-engine float contracts by rounding
+        # in-plan where bits can differ.
         return repr(round(v, 9))
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
