@@ -83,10 +83,30 @@ def merge_into_table(
     """
     from .deltafmt import delta_available, table_layout, table_provider
 
+    # Enforce what merge_upsert only documents: an update batch with
+    # duplicate keys makes DeltaTable.merge throw mid-merge while the
+    # parquet fallback would silently union the duplicates into the
+    # table — same call, different data afterwards depending on the
+    # storage flag. Fail identically up front on both paths. The check
+    # is one map-side-combined count over the (dimension-sized) batch.
+    dup = (
+        updates.groupBy(*keys)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(5)
+        .collect()
+    )
+    if dup:
+        sample = [tuple(r[k] for k in keys) for r in dup]
+        raise ValueError(
+            f"updates batch is not unique on merge keys {keys}; "
+            f"duplicate key sample: {sample}"
+        )
+
     if delta_available() and table_provider(spark, table_name) == "delta":
         from delta.tables import DeltaTable
 
-        cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
         (
             DeltaTable.forName(spark, table_name)
             .alias("t")

@@ -426,6 +426,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAX_COSINE_BLOCKS = 64
+
+
 @query(
     "dedup_embedding_cosine",
     oracle="""
@@ -436,13 +439,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
+           floor(list_dot_product(a.e, b.e) / (a.nrm * b.nrm) * 1e6 + 0.5)
+             / 1e6 AS cosine
     FROM v a JOIN v b ON a.vec_id < b.vec_id
-    WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.4
+    WHERE floor(list_dot_product(a.e, b.e) / (a.nrm * b.nrm) * 1e6 + 0.5)
+            / 1e6 >= 0.4
     """,
 )
 def dedup_embedding_cosine(
-    spark: SparkSession, sf_dir: str, block_rows: int = 100_000
+    spark: SparkSession,
+    sf_dir: str,
+    block_rows: int = 100_000,
+    max_blocks: int = MAX_COSINE_BLOCKS,
 ) -> DataFrame:
     """Embedding near-dup: pairs with cosine >= 0.4, blocked matmul.
 
@@ -470,6 +478,21 @@ def dedup_embedding_cosine(
     probe = e.select("vec_id", "embedding")
     n = probe.count()
     n_blocks = max(1, _math.ceil(n / block_rows))
+    # Refuse the quadratic sweep past max_blocks (default 64 passes =
+    # 6.4M vectors at the default block size): each pass is a sequential
+    # driver-collect + broadcast, so beyond this the wall-clock is the
+    # number of passes, not Spark. Exact all-pairs at that scale is a
+    # deliberate choice the caller must opt into by raising max_blocks;
+    # the designed scale routes are sim_ann_lsh (LSH buckets + exact
+    # verify) and sim_ivf_topk (IVF probe join), both sub-quadratic.
+    if n_blocks > max_blocks:
+        raise ValueError(
+            f"dedup_embedding_cosine: {n} vectors need {n_blocks} "
+            f"sequential broadcast passes (> max_blocks={max_blocks}); "
+            "exact all-pairs is quadratic at this scale — use "
+            "sim_ann_lsh or sim_ivf_topk, or raise max_blocks/"
+            "block_rows to force the exact sweep."
+        )
 
     schema = T.StructType(
         [
@@ -494,9 +517,16 @@ def dedup_embedding_cosine(
                 a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
                 a_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
                 a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
-                cos = np.round(
-                    (a_mat @ b_mat.T) / np.outer(a_norms, b_norms), 6
-                )
+                # floor(x*1e6 + 0.5)/1e6, NOT np.round: np.round is
+                # half-to-even while DuckDB's round() is half-away —
+                # a cosine landing on a 6th-decimal tie would quantize
+                # differently. This single convention is written
+                # identically in the oracle, so ties agree by
+                # construction (all emitted values are positive).
+                cos = np.floor(
+                    (a_mat @ b_mat.T) / np.outer(a_norms, b_norms) * 1e6
+                    + 0.5
+                ) / 1e6
                 ai, bi = np.nonzero(
                     (cos >= 0.4) & (a_ids[:, None] < b_ids[None, :])
                 )

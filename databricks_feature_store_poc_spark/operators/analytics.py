@@ -535,10 +535,11 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
               / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS covar_pop,
            (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-           / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           / nullif(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                   * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0)
+               AS corr_qty_price
     FROM m
     """,
 )
@@ -577,9 +578,12 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "n",
         F.expr(f"({sxyd} - {sxd} * {syd} / {nd}) / {nd}").alias("covar_pop"),
+        # nullif: a constant-x or constant-y group has zero variance —
+        # Spark's non-ANSI divide yields NULL, DuckDB's IEEE divide
+        # yields NaN/Inf; guarding both engines pins corr to NULL there.
         F.expr(
             f"({nd} * {sxyd} - {sxd} * {syd})"
-            f" / sqrt(({nd} * {sxxd} - {sxd} * {sxd})"
-            f"        * ({nd} * {syyd} - {syd} * {syd}))"
+            f" / nullif(sqrt(({nd} * {sxxd} - {sxd} * {sxd})"
+            f"        * ({nd} * {syyd} - {syd} * {syd})), 0)"
         ).alias("corr_qty_price"),
     )

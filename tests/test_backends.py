@@ -65,6 +65,30 @@ class TestDeltaGate:
         finally:
             fs.drop_table("fs_merge_into")
 
+    def test_merge_into_table_rejects_duplicate_update_keys(
+        self, spark, tmp_path
+    ):
+        """A batch with duplicate merge keys must fail up front on BOTH
+        storage paths: DeltaTable.merge throws mid-merge on multi-match
+        while the parquet fallback would silently union the duplicates —
+        the same call must not produce different tables depending on the
+        delta flag."""
+        fs = FeatureStore(spark, meta_dir=str(tmp_path))
+        df = spark.createDataFrame([(1, 10.0)], ["k", "v"])
+        fs.create_table("fs_merge_dup", ["k"], df)
+        try:
+            updates = spark.createDataFrame(
+                [(2, 21.0), (2, 22.0)], ["k", "v"]
+            )
+            with pytest.raises(ValueError, match="not unique on merge keys"):
+                merge_into_table(spark, "fs_merge_dup", updates, ["k"])
+            # table untouched by the rejected merge
+            assert {
+                r["k"]: r["v"] for r in spark.table("fs_merge_dup").collect()
+            } == {1: 10.0}
+        finally:
+            fs.drop_table("fs_merge_dup")
+
 
 def _stub_mlflow(calls: list):
     """Minimal mlflow façade recording every delegation call."""

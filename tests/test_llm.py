@@ -117,11 +117,16 @@ def test_quality_score_bounded(spark):
 def test_decode_stub_schema_and_determinism(spark):
     out = QUERIES["mm_decode_stub"](spark, SF_TEST)
     assert [f.name for f in out.schema.fields] == ["doc_id", "width", "height", "byte_hist"]
-    a = {r["doc_id"]: (r["width"], r["height"], tuple(r["byte_hist"])) for r in out.collect()}
-    b = {r["doc_id"]: (r["width"], r["height"], tuple(r["byte_hist"])) for r in out.collect()}
+    a = {r["doc_id"]: (r["width"], r["height"], r["byte_hist"]) for r in out.collect()}
+    b = {r["doc_id"]: (r["width"], r["height"], r["byte_hist"]) for r in out.collect()}
     assert a == b
-    # histogram is a distribution
-    assert all(abs(sum(v[2]) - 1.0) < 1e-9 for v in a.values())
+    # byte_hist is the canonical comma-joined %.6f string (oracle
+    # contract) and still parses back to a distribution
+    for _, _, hist in a.values():
+        parts = [float(p) for p in hist.split(",")]
+        assert len(parts) == 4
+        # %.6f loses up to 5e-7 per bin
+        assert abs(sum(parts) - 1.0) < 4e-6
 
 
 def test_ivf_recall_against_brute_force(spark):
@@ -222,6 +227,35 @@ def test_embedding_cosine_blocked_equals_single_block(spark):
         for r in dedup_embedding_cosine(spark, SF_TEST, block_rows=16).collect()
     }
     assert single and blocked == single
+
+
+def test_embedding_cosine_refuses_runaway_block_count(spark):
+    """Past max_blocks the exact sweep is a sequence of driver-collect +
+    broadcast passes — quadratic wall-clock the caller must opt into.
+    The guard must point at the sub-quadratic ANN routes, and raising
+    max_blocks must still allow the exact sweep."""
+    import pytest as _pytest
+
+    from databricks_feature_store_poc_spark.llm.dedup import (
+        dedup_embedding_cosine,
+    )
+
+    # tiny block_rows makes the sf0.001 corpus exceed the block cap,
+    # simulating a 100TB-scale corpus hitting the default 64-pass limit
+    with _pytest.raises(ValueError, match="sim_ann_lsh"):
+        dedup_embedding_cosine(spark, SF_TEST, block_rows=8, max_blocks=4)
+    # explicit opt-in still runs the exact sweep and matches single-block
+    single = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in dedup_embedding_cosine(spark, SF_TEST).collect()
+    }
+    forced = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in dedup_embedding_cosine(
+            spark, SF_TEST, block_rows=8, max_blocks=1000
+        ).collect()
+    }
+    assert forced == single
 
 
 def test_frame_sample_empty_text_parity(spark, tmp_path):
