@@ -396,21 +396,84 @@ def score_batch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- ML1 (feature-gated, exercised in tests) --------------------------------
 
-def train_gbt(train_df: DataFrame, feature_cols: list[str], label_col: str):
+def train_gbt(
+    train_df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    *,
+    max_iter: int = 10,
+    max_depth: int = 3,
+    validation_fraction: float = 0.0,
+    validation_tol: float = 0.01,
+    seed: int = 42,
+):
     """Distributed gradient-boosted trees on the training set — the scale
     replacement for the reference's driver-side CatBoost (02:422-436,
-    SURVEY §7: `toPandas` train is the 100 TB cliff). Returns the fitted
-    pipeline model; gated behind pyspark.ml availability."""
-    from pyspark.ml.classification import GBTClassifier
-    from pyspark.ml.feature import VectorAssembler
+    SURVEY §7: `toPandas` train is the 100 TB cliff).
 
-    assembler = VectorAssembler(inputCols=feature_cols, outputCol="features")
-    assembled = assembler.transform(train_df)
-    gbt = GBTClassifier(
-        labelCol=label_col, featuresCol="features",
-        maxIter=10, maxDepth=3, seed=42,
+    Categorical features: the reference's CatBoost consumes string
+    columns natively via ``cat_features`` (02:87-97, 02:422-426); Spark's
+    GBTClassifier needs them indexed first, so every StringType feature
+    gets a StringIndexer (handleInvalid="keep": unseen categories at
+    score time map to the extra bucket instead of failing) whose nominal
+    metadata flows through VectorAssembler so the trees split on it as a
+    CATEGORY, not a fake ordinal. Returns the fitted PipelineModel —
+    ``transform`` on raw frames reapplies the same indexing, which is
+    what keeps train and score paths consistent.
+
+    Early stopping: with ``validation_fraction`` > 0, a deterministic
+    hash split marks that share of rows as the eval set and GBT's
+    validationIndicatorCol/validationTol stop boosting when the eval
+    error stops improving — Spark's counterpart of the reference's
+    ``eval_set`` + ``od_type=Iter, od_wait=20, use_best_model``
+    (02:87-97, 02:428-436; Spark stops on improvement < tol rather than
+    a patience window, same contract: iterations bounded by held-out
+    error, not the iteration cap).
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import GBTClassifier
+    from pyspark.ml.feature import StringIndexer, VectorAssembler
+
+    string_cols = {
+        f.name
+        for f in train_df.schema.fields
+        if f.name in feature_cols and isinstance(f.dataType, T.StringType)
+    }
+    stages = []
+    assembler_inputs = []
+    for c in feature_cols:
+        if c in string_cols:
+            stages.append(
+                StringIndexer(
+                    inputCol=c, outputCol=f"{c}__idx", handleInvalid="keep"
+                )
+            )
+            assembler_inputs.append(f"{c}__idx")
+        else:
+            assembler_inputs.append(c)
+    stages.append(
+        VectorAssembler(inputCols=assembler_inputs, outputCol="features")
     )
-    return gbt.fit(assembled)
+    gbt_kwargs = dict(
+        labelCol=label_col, featuresCol="features",
+        maxIter=max_iter, maxDepth=max_depth, seed=seed,
+    )
+    fit_df = train_df
+    if validation_fraction > 0:
+        # xxhash64 over the feature+label tuple: deterministic on any
+        # partitioning (same contract as split_hash_8020), no state to
+        # persist between train runs.
+        bucket = F.pmod(
+            F.xxhash64(*[F.col(c) for c in [*feature_cols, label_col]]),
+            F.lit(1000),
+        )
+        fit_df = train_df.withColumn(
+            "__is_validation", bucket < int(validation_fraction * 1000)
+        )
+        gbt_kwargs["validationIndicatorCol"] = "__is_validation"
+        gbt_kwargs["validationTol"] = validation_tol
+    stages.append(GBTClassifier(**gbt_kwargs))
+    return Pipeline(stages=stages).fit(fit_df)
 
 
 # -- ML2: model registry (reference 02:389-395, 02:446-467) ------------------

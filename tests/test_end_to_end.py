@@ -120,12 +120,9 @@ def test_full_pipeline_events_to_scores(spark, tmp_path):
     offline = feat.filter(F.col("user_id") == some_user).collect()[0]
     assert online["total_purchase_7d"] == offline["total_purchase_7d"]
 
-    # GBT sanity: the distributed model at least learned the majority class
-    preds = model.transform(
-        __import__("pyspark.ml.feature", fromlist=["VectorAssembler"])
-        .VectorAssembler(inputCols=["f1", "f2"], outputCol="features")
-        .transform(train_df)
-    )
+    # GBT sanity: the returned PipelineModel assembles its own features,
+    # so it scores the RAW training frame directly
+    preds = model.transform(train_df)
     assert preds.count() == train_df.count()
 
     fs.drop_table("e2e_user_features")

@@ -73,7 +73,56 @@ def test_train_gbt_smoke(spark):
         F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("label"),
     ).na.fill(0.0)
     model = train_gbt(train, ["f1", "f2"], "label")
-    assert model.numFeatures == 2
+    assert model.stages[-1].numFeatures == 2
+
+
+def test_train_gbt_categorical_flagship(spark):
+    """Training must work on the matrix the engine itself builds —
+    including its StringType feature (the reference trains CatBoost with
+    cat_features=['category'], 02:87-97): StringIndexer in the returned
+    pipeline, nominal splits in the trees, unseen categories scored into
+    the handleInvalid='keep' bucket instead of failing."""
+    ts = QUERIES["training_set_flagship"](spark, SF_SMOKE)
+    train = (
+        ts.select(
+            F.col("c_acctbal").cast("double").alias("f1"),
+            F.col("o_totalprice").cast("double").alias("f2"),
+            F.col("c_mktsegment").alias("segment"),
+            F.when(F.col("o_orderstatus") == "F", 1.0)
+            .otherwise(0.0)
+            .alias("label"),
+        )
+        .na.fill(0.0, subset=["f1", "f2"])
+        .na.fill("UNKNOWN", subset=["segment"])
+    )
+    model = train_gbt(train, ["f1", "f2", "segment"], "label")
+    # 2 numeric + 1 indexed categorical assembled
+    assert model.stages[-1].numFeatures == 3
+    scored = model.transform(train)
+    assert "prediction" in scored.columns
+    assert scored.count() == train.count()
+    # score_batch-style roundtrip on a frame with an UNSEEN category
+    probe = train.limit(5).withColumn("segment", F.lit("NEVER_SEEN"))
+    assert model.transform(probe).select("prediction").count() == 5
+
+
+def test_train_gbt_early_stopping(spark):
+    """A pure-noise label gives the held-out set nothing to improve on
+    (train loss still falls as the trees memorize noise), so
+    validationIndicatorCol/validationTol must stop boosting well before
+    maxIter — Spark's counterpart of the reference's eval_set +
+    od_type=Iter early stop (02:428-436)."""
+    rows = [
+        (float(i % 21 - 10) / 10.0, float((i * 2654435761) % 97 % 2))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "f1 double, label double")
+    model = train_gbt(
+        df, ["f1"], "label",
+        max_iter=30, validation_fraction=0.3, validation_tol=0.01,
+    )
+    n_trees = len(model.stages[-1].trees)
+    assert n_trees < 30, f"early stop never fired: {n_trees} trees"
 
 
 def test_model_registry_versioning(spark, tmp_path):
