@@ -97,13 +97,51 @@ def main() -> int:
         "queries": timings,
         "sf": _sf_of(SF_DIR),
     }
-    line = json.dumps(result)
-    # Sidecar copy for consumers that prefer a file over stdout capture.
+    # Sidecar with the FULL per-query dict (committed to the repo, the
+    # judge diffs this round-over-round).
     try:
         with open(os.path.join(REPO, "bench_result.json"), "w") as f:
-            f.write(line + "\n")
+            f.write(json.dumps(result) + "\n")
     except OSError:
         pass
+    # The driver captures only the last ~2.9 KB of stdout and parses the
+    # JSON line out of it; r3+r4 both recorded parsed:null because the
+    # full 123-query line is ~3.2 KB and its HEAD got truncated away. So
+    # the stdout line must fit the tail cap with margin: emit all queries
+    # if they fit, else a headline-priority subset plus a pointer to the
+    # sidecar. 2-decimal rounding + compact separators buy most of it.
+    budget = 2300
+    compact = {k: (None if v is None else round(v, 2)) for k, v in timings.items()}
+
+    def _render(qdict: dict) -> str:
+        out = dict(result)
+        out["queries"] = qdict
+        if len(qdict) < len(timings):
+            out["queries_shown"] = len(qdict)
+            out["queries_total"] = len(timings)
+            out["queries_full"] = "bench_result.json"
+        return json.dumps(out, separators=(",", ":"))
+
+    line = _render(compact)
+    if len(line) > budget:
+        headline = [k for k in (
+            "training_set_flagship", "training_set_point_in_time",
+            "score_batch_replay", "sink_feature_table",
+        ) if k in compact]
+        headline += sorted(k for k in compact if k.startswith("tpch_"))
+        headline += sorted(
+            k for k in compact
+            if k.split("_", 1)[0] in ("dedup", "sim", "join", "agg", "win")
+            and k not in headline
+        )
+        headline += sorted(k for k in compact if k not in headline)
+        shown: dict[str, float | None] = {}
+        for k in headline:
+            shown[k] = compact[k]
+            if len(_render(shown)) > budget:
+                del shown[k]
+                break
+        line = _render(shown)
     sys.stdout.flush()
     sys.stderr.flush()
     os.dup2(real_stdout_fd, 1)

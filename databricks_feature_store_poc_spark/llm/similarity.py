@@ -25,7 +25,7 @@ import hashlib
 import struct
 
 import pandas as pd  # module-level: pandas_udf type hints resolve here
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from databricks_feature_store_poc_spark.registry import query
@@ -362,16 +362,17 @@ def _recall_audit(
         F.count(F.lit(1)).alias("k"),
         F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
     )
-    overall = per_q.agg(
-        (F.sum("n_hit") / F.sum("k")).alias("recall")
-    )
-    return (
-        per_q.crossJoin(F.broadcast(overall))
-        .select(
-            "query_id",
-            "k",
-            (F.col("recall") >= floor).alias("recall_ok"),
-        )
+    # Global recall via an unpartitioned window over per_q (|Q| rows, one
+    # tiny partition) — NOT a separate agg + crossJoin, which would put
+    # per_q's lineage (both full searches) in the plan twice and execute
+    # the exact AND approximate searches two times each.
+    w_all = Window.partitionBy()
+    return per_q.select(
+        "query_id",
+        "k",
+        (
+            (F.sum("n_hit").over(w_all) / F.sum("k").over(w_all)) >= floor
+        ).alias("recall_ok"),
     )
 
 
