@@ -40,64 +40,53 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver adjudicates ~50 queries per round in dict order, so the dict
-# is emitted in ADJUDICATION-PRIORITY order, not alphabetical. After r3,
-# merged r1+r2+r3 artifacts leave exactly 28 registered queries with NO
-# driver verdict ever (windows, sorts, streaming batch shapes, text
-# family, splits, UDF surface) — those go first. Tiers:
-#   0. the 28 never-adjudicated keys (cheap scans/windows first, the
-#      text family together so the documents scan stays warm);
-#   1. queries whose output or oracle CHANGED in r4, so their r2/r3
-#      verdict is stale: the two r3 red rows (fn_math cast fix,
-#      mm_decode_stub string-canonical byte_hist), the nullif-guarded
-#      zscore/corr, the rounding-unified + guarded embedding dedup, and
-#      the newly oracle-checkable ANN pair;
-#   2. headline shapes for re-confirmation (flagship, PIT, TPC-H, sinks)
-#      — they fill the ~15 remaining budget slots;
-#   3. everything already green in r3 and unchanged, with the expensive
+# is emitted in ADJUDICATION-PRIORITY order, not alphabetical. After r4,
+# every r3-registered key has at least one green verdict (merged
+# r1..r4); the only never-adjudicated keys are the ones NEW in r5.
+# Tiers:
+#   0. new-in-r5 queries, never driver-adjudicated (the 16 remaining
+#      TPC-H shapes completing the 22-query suite, then the other r5
+#      additions);
+#   1. queries whose plan CHANGED in r5, so their earlier verdict is
+#      stale: the ANN pair (recall audit de-duplicated from a
+#      crossJoin'd second execution into a single-lineage window) and
+#      every ts-consuming query re-based onto the regenerated
+#      TIMESTAMP(MICROS) testdata via the NTZ->LTZ normalization
+#      (representatives: rolling/PIT/streaming/funnel shapes);
+#   2. headline shapes for re-confirmation — they fill the remaining
+#      budget slots;
+#   3. everything already green and unchanged, with the expensive
 #      shingle-pipeline dedup family last (shared persisted index).
 _NEVER_ADJUDICATED = (
-    # windows + sorts + reshape + subquery (all lineitem/orders scans)
-    "win_rank",
-    "win_lag_lead",
-    "win_running",
-    "win_topk_per_group",
-    "win_distribution",
-    "sort_multi",
-    "subquery_exists",
-    "unpivot_melt",
-    "sink_sorted_parquet",
-    # splits
-    "split_hash_8020",
-    "split_kfold",
-    # streaming batch-parity shapes
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "stream_late_data",
-    # text family (one documents scan, kept together)
-    "text_stats",
-    "text_langid",
-    "text_lang_dist",
-    "text_quality_score",
-    "text_token_count",
-    "text_fingerprint",
-    "text_ngrams",
-    "text_pii_scrub",
-    "text_tfidf_topterms",
-    "text_decontaminate",
-    # UDF surface
-    "udf_scalar",
-    "udaf_grouped",
-    "udtf_explode_tokens",
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
 )
-_CHANGED_IN_R4 = (
-    "fn_math",
-    "mm_decode_stub",
-    "dq_outlier_zscore",
-    "agg_corr_covar",
-    "dedup_embedding_cosine",
+_CHANGED_IN_R5 = (
     "sim_ann_lsh",
     "sim_ivf_topk",
+    "feature_rolling_sum",
+    "feature_rolling_hourly",
+    "feature_resample_1h",
+    "feature_time_decay",
+    "feature_sessionize",
+    "funnel_signup_purchase",
+    "training_set_point_in_time",
+    "stream_tumbling",
+    "stream_session",
 )
 _HEADLINE = (
     "training_set_flagship",
@@ -124,8 +113,8 @@ def _priority_order(names: list[str]) -> list[str]:
     def tier(name: str) -> tuple:
         if name in _NEVER_ADJUDICATED:
             return (0, _NEVER_ADJUDICATED.index(name), "")
-        if name in _CHANGED_IN_R4:
-            return (1, _CHANGED_IN_R4.index(name), "")
+        if name in _CHANGED_IN_R5:
+            return (1, _CHANGED_IN_R5.index(name), "")
         if name in _HEADLINE:
             return (2, _HEADLINE.index(name), "")
         if name in _EXPENSIVE_LAST:

@@ -1,0 +1,912 @@
+"""The remaining 16 TPC-H query shapes (Q2/Q4/Q7..Q9/Q11..Q17/Q19..Q22).
+
+operators/analytics.py proved the first six (Q1/Q3/Q5/Q6/Q10/Q18); this
+module completes the full 22-query suite, adapted — like those six — to
+the columns the driver's TPC-H-ish schema actually has (TESTDATA.md: no
+partsupp table, no l_commitdate/l_receiptdate/l_shipmode, no c_phone,
+no p_container). Each docstring states its deviation explicitly:
+
+- partsupp-derived values (Q2 min supplycost, Q9 profit, Q11 stock value,
+  Q16 supplier-per-part, Q20 excess stock) are re-derived from lineitem
+  (the realized part↔supplier relation) or p_retailprice.
+- commit/receipt lateness (Q4, Q12, Q21) becomes shipdate-vs-orderdate
+  lateness with an explicit grace interval.
+- q13's comment filter and q22's phone prefix become o_orderpriority /
+  c_nationkey predicates with the same shape.
+
+The JOIN/subquery/aggregate *structure* of each query — which is what the
+suite exercises — is preserved: Q2 keeps the correlated min, Q4/Q20 the
+semi-join, Q21 the exists/not-exists pair, Q22 the scalar-subquery +
+anti-join, Q13 the outer-join double aggregation.
+
+Cross-engine determinism follows the analytics.py conventions: money
+sums accumulate in exact DECIMAL and cast to DOUBLE once at the end;
+double ratios divide identical operands (bit-identical cross-engine) and
+round(…, 6) on both sides; count-kind outputs cast to BIGINT; every
+limit is taken over a total order.
+
+Scale notes per query in docstrings. Blanket rules: nation/region/
+supplier and every *filtered* part subset carry explicit broadcast
+hints (at 100 TB these stay KB..MB-sized after their filters); the only
+shuffles left are fact-fact joins on their natural keys and the final
+aggregations, which all partial-aggregate map-side first.
+
+Reference parity: the reference executes none of these (it is notebook
+glue around a managed feature store, reference notebooks 01-03); the
+suite exists to prove the engine covers the full composed-analytics
+surface SURVEY.md §2 tier 2 claims.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from databricks_feature_store_poc_spark.operators.analytics import (
+    _DISC_PRICE,
+    _EXT,
+)
+from databricks_feature_store_poc_spark.registry import query
+from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+# Exact per-line quantity for decimal-exact sums/averages.
+_QTY = "CAST(l_quantity AS DECIMAL(18,2))"
+
+
+# ---------------------------------------------------------------------------
+# Q2 — min-cost supplier (adapted: unit cost derived from lineitem)
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q2",
+    oracle="""
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               min(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    euro AS (
+        SELECT c.l_partkey, c.l_suppkey, c.unit_cost,
+               s_acctbal, s_name, n_name,
+               min(c.unit_cost) OVER (PARTITION BY c.l_partkey) AS min_cost
+        FROM cost c
+        JOIN supplier ON s_suppkey = c.l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        JOIN region   ON r_regionkey = n_regionkey
+        WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+           round(unit_cost, 6) AS unit_cost
+    FROM euro JOIN part ON p_partkey = l_partkey
+    WHERE p_type = 'LARGE' AND p_size BETWEEN 12 AND 18
+      AND unit_cost = min_cost
+    ORDER BY s_acctbal DESC, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 min-cost supplier. Deviation: no partsupp, so ps_supplycost is
+    re-derived as min(l_extendedprice / l_quantity) per (part, supplier)
+    — the realized unit price. The correlated-min structure is kept, as
+    a window min over the part key (one pass, no self-join re-execution).
+
+    Scale: lineitem aggregates once on (partkey, suppkey); supplier/
+    nation/region broadcast; the window min repartitions the ~|part| row
+    cost table by partkey — the plan's only wide exchanges are the first
+    agg and that window, both on bounded-cardinality keys. Per-row double
+    division is bit-identical cross-engine (IEEE 754), so the min and the
+    equality filter agree exactly; the displayed cost rounds to 6 digits
+    on both engines. LIMIT 100 rides the total order (acctbal DESC,
+    name, partkey) — unique per output row.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cost = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    euro = (
+        cost.join(F.broadcast(s), cost["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .withColumn("min_cost", F.min("unit_cost").over(Window.partitionBy("l_partkey")))
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(12, 18)
+    ).select("p_partkey", "p_brand")
+    return (
+        euro.join(F.broadcast(p), euro["l_partkey"] == p["p_partkey"])
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 — order priority checking (adapted lateness)
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 order-priority count of late orders. Deviation: the schema has
+    no l_commitdate/l_receiptdate, so "late" = some line shipped more
+    than 90 days after the order date. The EXISTS becomes a left-semi
+    join whose condition references both sides (orderkey equality + the
+    lateness theta) — exactly Q4's decorrelated plan.
+
+    Scale: the 3-month orderdate window pushes to the orders scan; the
+    semi join shuffles both sides on orderkey only; the final agg is a
+    5-group partial aggregate."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (o["o_orderkey"] == li["l_orderkey"]) & (
+        li["l_shipdate"] > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 — volume shipping between two nations
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q7",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               {_DISC_PRICE} AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+            OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 bilateral shipping volume, faithful to the original columns.
+
+    Scale: nation joins broadcast (and the 2-nation disjunction prunes
+    suppliers/customers *before* their fact joins — supplier side is
+    filtered through a broadcast semi shape); the lineitem↔orders join is
+    the one fact-fact shuffle; customer joins orders on custkey as the
+    second shuffle. Year extraction stays JVM-side; the money sum is the
+    exact-decimal convention."""
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = F.col("n_name").isin("NATION_12", "NATION_10")
+    n1 = n.filter(pair).withColumnRenamed("n_name", "supp_nation").withColumnRenamed("n_nationkey", "s_nk")
+    n2 = n.filter(pair).withColumnRenamed("n_name", "cust_nation").withColumnRenamed("n_nationkey", "c_nk")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_suppkey", "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount")
+    return (
+        li.join(F.broadcast(s.join(F.broadcast(n1), s["s_nationkey"] == n1["s_nk"])),
+                F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .join(c.join(F.broadcast(n2), c["c_nationkey"] == n2["c_nk"]),
+              o["o_custkey"] == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .select(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            F.expr(_DISC_PRICE).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("volume").cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q8",
+    oracle=f"""
+    SELECT o_year,
+           round(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM (
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               {_DISC_PRICE} AS volume,
+               n2.n_name AS nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        JOIN region    ON r_regionkey = n1.n_regionkey
+        JOIN nation n2 ON n2.n_nationkey = s_nationkey
+        WHERE r_name = 'AMERICA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 market share of NATION_3 suppliers inside AMERICA-region
+    demand for ECONOMY parts, faithful structure (the CASE-sum ratio).
+
+    Scale: the ECONOMY part subset broadcasts into lineitem (map-side
+    prune of ~1/6 of the fact before any shuffle); supplier+nation and
+    customer-nation-region broadcast; lineitem↔orders is the fact
+    shuffle. The NULL-else CASE keeps the numerator exact-decimal; the
+    final ratio divides two identically-derived doubles and rounds to 6
+    on both engines (NULL when a year has no NATION_3 volume — same on
+    both)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n2 = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA").select("r_regionkey")
+    c = (
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    sup_nation = s.join(F.broadcast(n2), s["s_nationkey"] == n2["n_nationkey"]).select(
+        "s_suppkey", F.col("n_name").alias("nation")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .join(F.broadcast(sup_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o.join(c, o["o_custkey"] == c["c_custkey"], "left_semi"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            F.expr(_DISC_PRICE).alias("volume"),
+            "nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume"))).cast("double")
+                / F.sum("volume").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit (adapted supply cost)
+# ---------------------------------------------------------------------------
+
+_PROFIT = (
+    f"{_DISC_PRICE} - CAST(0.6 AS DECIMAL(3,2))"
+    f" * CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(18,2))"
+)
+
+
+@query(
+    "tpch_q9",
+    oracle=f"""
+    SELECT nation, o_year, CAST(SUM(profit) AS DOUBLE) AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INT) AS o_year,
+               {_PROFIT} AS profit
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 profit by supplier nation and year. Deviation: no partsupp, so
+    ps_supplycost is modeled as 60% of p_retailprice — the profit
+    expression keeps Q9's exact shape (revenue minus cost*qty) in exact
+    DECIMAL arithmetic (scale 6, precision ≤ 37 — inside DECIMAL(38) on
+    both engines, so no precision-loss divergence).
+
+    Scale: the '%red%' part subset broadcasts into lineitem before any
+    shuffle; supplier+nation broadcast; lineitem↔orders is the fact
+    shuffle; 25×~6 output groups partial-aggregate map-side."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    sup_nation = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey", F.col("n_name").alias("nation")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .join(F.broadcast(sup_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .select(
+            "nation",
+            F.year("o_orderdate").alias("o_year"),
+            F.expr(_PROFIT).alias("profit"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("profit").cast("double").alias("sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock (adapted: value from lineitem)
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q11",
+    oracle=f"""
+    WITH val AS (
+        SELECT l_partkey AS ps_partkey, SUM({_EXT}) AS value_dec
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_12'
+        GROUP BY l_partkey
+    )
+    SELECT ps_partkey, CAST(value_dec AS DOUBLE) AS part_value
+    FROM val
+    WHERE CAST(value_dec AS DOUBLE) >
+          (SELECT CAST(SUM(value_dec) AS DOUBLE) * 0.001 FROM val)
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 important stock. Deviation: no partsupp, so a part's "value"
+    held by NATION_5 suppliers is the summed extended price of their
+    shipped lines. The structure — grouped value vs. a scalar-subquery
+    fraction of the total — is Q11's exactly.
+
+    Scale: supplier/nation broadcast-prune lineitem map-side; one shuffle
+    groups by partkey; the global threshold is a 1-row broadcast joined
+    back (no second pass over lineitem). The threshold comparison happens
+    in DOUBLE on both engines (exact-decimal sums cast identically) —
+    DECIMAL would overflow precision 38 under Spark's product widening.
+    """
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_12")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    nat_sup = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select("s_suppkey")
+    val = (
+        li.join(F.broadcast(nat_sup), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(F.sum(F.expr(_EXT)).alias("value_dec"))
+    )
+    thresh = val.agg((F.sum("value_dec").cast("double") * F.lit(0.001)).alias("thresh"))
+    return (
+        val.crossJoin(F.broadcast(thresh))
+        .filter(F.col("value_dec").cast("double") > F.col("thresh"))
+        .select("ps_partkey", F.col("value_dec").cast("double").alias("part_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping lateness by return flag (adapted shipmode)
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q12",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 priority mix of late lines. Deviation: no l_shipmode /
+    l_commitdate / l_receiptdate — groups by l_returnflag and defines
+    late as shipped >60 days after order date. The conditional-count
+    pivot on order priority is Q12's exact structure.
+
+    Scale: shipdate-year predicate pushes to the lineitem scan; one
+    orderkey shuffle join; 3-group conditional aggregate."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_orderkey", "l_shipdate", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q13",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 customer distribution: outer join + double aggregation,
+    faithful. Deviation: the original excludes orders by a comment
+    pattern; the schema has no o_comment, so the exclusion predicate is
+    o_orderpriority <> '4-NOT SPECIFIED' — same shape (a join-side
+    filter that makes zero-order customers appear via the outer join).
+
+    Scale: both aggregations partial map-side; the outer join shuffles
+    on custkey; count(o_orderkey) counts only matched rows (NULL-skip),
+    which both engines define identically."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_custkey", "o_orderkey")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 — promotion effect
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q14",
+    oracle=f"""
+    SELECT round(
+        100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE} END) AS DOUBLE)
+              / CAST(SUM({_DISC_PRICE}) AS DOUBLE), 6) AS promo_revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 promo revenue share, faithful (p_type = 'PROMO' replaces the
+    LIKE 'PROMO%%' prefix — the schema's types are single words).
+
+    Scale: one-month shipdate predicate pushes to the scan, part
+    broadcast, single global conditional aggregate — no shuffle beyond
+    the 1-row combine. Both sums accumulate exact decimal; the ratio is
+    computed and rounded identically on both engines."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", F.expr(_DISC_PRICE))).cast("double")
+                / F.sum(F.expr(_DISC_PRICE)).cast("double"),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q15",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no, SUM({_DISC_PRICE}) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 top supplier: the revenue view + scalar-subquery max,
+    faithful. The max-equality filter compares exact decimals, so ties
+    (all of them, per the spec) surface identically on both engines.
+
+    Scale: one suppkey aggregate over the quarter's lines; the max is a
+    1-row broadcast joined back; supplier (100 rows/25k at TPC-H scale)
+    broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.expr(_DISC_PRICE)).alias("total_rev")
+    )
+    mx = revenue.agg(F.max("total_rev").alias("max_rev"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — parts/supplier relationship (adapted via lineitem)
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q16",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 50)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 supplier count per part attribute. Deviation: no partsupp —
+    the realized part↔supplier pairs come from lineitem; the excluded
+    suppliers ("complaints" in the original, which needs s_comment) are
+    those with negative account balance. NOT-IN → anti-join, count
+    DISTINCT over the group — Q16's exact structure.
+
+    Scale: the size/brand-filtered part subset broadcasts; the excluded
+    supplier set is a tiny broadcast anti-join; one shuffle for the
+    distinct-count aggregate on (brand, type, size)."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 50)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q17",
+    oracle=f"""
+    SELECT CAST(CAST(SUM({_EXT}) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (
+        SELECT l_partkey AS pa_partkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    ) pa ON pa_partkey = p_partkey
+    WHERE p_brand = 'Brand#2' AND p_size <= 25
+      AND l_quantity < 0.5 * avg_qty
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 small-quantity revenue. Deviation: p_container doesn't exist,
+    so the part filter is brand + size band. The correlated scalar
+    subquery (per-part average quantity) is decorrelated into a grouped
+    aggregate joined back — the textbook Q17 plan.
+
+    Scale: per-part averages are one partkey aggregate of the fact (the
+    unavoidable full pass the query semantics demand); the brand-filtered
+    part subset broadcasts; the avg uses an exact-decimal sum divided
+    once, so the 0.5×avg threshold is bit-identical cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        (F.sum(F.expr(_QTY)).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 25)
+    ).select("p_partkey")
+    return (
+        li.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .join(pa, F.col("pa_partkey") == F.col("p_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg((F.sum(F.expr(_EXT)).cast("double") / F.lit(7.0)).cast("double").alias("avg_yearly"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — discounted revenue (disjunctive predicates)
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q19",
+    oracle=f"""
+    SELECT CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 disjunctive-predicate revenue. Deviation: the shipmode /
+    shipinstruct / container legs don't exist; each OR-leg keeps the
+    (brand, size-band, quantity-band) conjunction shape.
+
+    Scale: the disjunction references both join sides, so it applies
+    post-join — but the union of the three part legs is still a tiny
+    broadcast side, and the l_quantity bands (1..30) prune lineitem
+    map-side via a derived min/max range predicate both optimizers
+    extract. Single global decimal sum."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    leg = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & (F.col("l_quantity") >= qlo)
+        & (F.col("l_quantity") <= qhi)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .filter(leg("Brand#12", 5, 1, 11) | leg("Brand#23", 10, 10, 20) | leg("Brand#15", 15, 20, 30))
+        .agg(F.sum(F.expr(_DISC_PRICE)).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — excess-shipment suppliers (adapted via lineitem)
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q20",
+    oracle="""
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'red%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > CAST(50 AS DECIMAL(18,2))
+    )
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 suppliers with excess shipments of red parts. Deviation: no
+    partsupp availability (ps_availqty), so "excess" = shipped more than
+    50 units of one red part in the year — the nested IN-subquery over a
+    grouped HAVING is Q20's structure (part-name semi-join inside a
+    supplier semi-join).
+
+    Scale: the 'red%' part subset broadcasts into the year's lines; the
+    (suppkey, partkey) aggregate is one shuffle bounded by the filtered
+    pairs; the qualifying suppkey set is tiny and semi-joins supplier
+    broadcast-side. The HAVING compares exact decimals."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    excess = (
+        li.join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.expr(_QTY)).alias("qty"))
+        .filter(F.col("qty") > F.expr("CAST(50 AS DECIMAL(18,2))"))
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(excess, s["s_suppkey"] == excess["l_suppkey"], "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (adapted lateness)
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q21",
+    oracle="""
+    WITH lf AS (
+        SELECT l_orderkey, l_suppkey,
+               CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END AS late
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderstatus = 'F'
+    ),
+    os AS (
+        SELECT l_orderkey,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late_supp
+        FROM lf GROUP BY l_orderkey
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM lf
+    JOIN os ON os.l_orderkey = lf.l_orderkey
+    JOIN supplier ON s_suppkey = lf.l_suppkey
+    WHERE late = 1 AND n_supp >= 2 AND n_late_supp = 1
+    GROUP BY s_name
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 waiting suppliers: on finished multi-supplier orders, count a
+    supplier's late lines when it is the ONLY late supplier on the
+    order. Deviation: lateness is shipdate > orderdate + 60 days (no
+    commit/receipt dates), and the nation filter is dropped (100-supplier
+    test scale would leave ~0 rows). The exists (another supplier) /
+    not-exists (another LATE supplier) pair is decorrelated into one
+    per-order aggregate — semantically identical and one pass instead of
+    the self-join-twice plan.
+
+    Scale: lineitem joins orders once on orderkey (shuffle); the
+    per-order supplier/late-supplier distinct-counts reuse that same
+    partitioning; supplier broadcasts into the final count."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    lf = (
+        li.join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .select(
+            "l_orderkey", "l_suppkey",
+            F.when(
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"), 1
+            ).otherwise(0).alias("late"),
+        )
+    )
+    os_ = lf.groupBy(F.col("l_orderkey").alias("os_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        lf.filter(F.col("late") == 1)
+        .join(os_, F.col("l_orderkey") == F.col("os_orderkey"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 — global sales opportunity (adapted country codes)
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q22",
+    oracle="""
+    WITH eligible AS (
+        SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+        FROM customer
+        WHERE c_nationkey IN (3, 5, 7, 9, 11, 13, 15)
+    ),
+    avgbal AS (
+        SELECT CAST(SUM(bal) AS DOUBLE) / count(*) AS a
+        FROM eligible WHERE bal > CAST(0 AS DECIMAL(12,2))
+    )
+    SELECT c_nationkey AS cntrycode,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(SUM(bal) AS DOUBLE) AS totacctbal
+    FROM eligible, avgbal
+    WHERE CAST(bal AS DOUBLE) > a
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY c_nationkey
+    """,
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 sales opportunity: rich customers in selected countries with
+    no recent orders. Deviations: country code = c_nationkey (no c_phone
+    to slice), and "no orders" = none since 2000-01-01 (the generator
+    gives every customer at least one lifetime order, which would make
+    the faithful anti-join empty — TESTDATA.md). Scalar-subquery average
+    + NOT-EXISTS anti-join + aggregate is Q22's exact structure.
+
+    Scale: the positive-balance average is a 1-row broadcast; the
+    anti-join shuffles customers against the date-filtered orders on
+    custkey; final group on 7 nation keys. The average is an exact
+    decimal sum divided once (bit-identical threshold on both engines).
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(3, 5, 7, 9, 11, 13, 15)
+    ).select(
+        "c_custkey", "c_nationkey", F.expr("CAST(c_acctbal AS DECIMAL(12,2))").alias("bal")
+    )
+    avgbal = c.filter(F.col("bal") > F.expr("CAST(0 AS DECIMAL(12,2))")).agg(
+        (F.sum("bal").cast("double") / F.count(F.lit(1))).alias("a")
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01"
+    ).select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avgbal))
+        .filter(F.col("bal").cast("double") > F.col("a"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal").cast("double").alias("totacctbal"),
+        )
+    )

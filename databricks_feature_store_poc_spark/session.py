@@ -31,6 +31,12 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # The driver testdata stores timestamps as parquet TIMESTAMP(MICROS)
+    # with isAdjustedToUTC=false; Spark 4 would infer TIMESTAMP_NTZ, which
+    # breaks unix_micros()/time-range window frames and diverges from the
+    # LTZ semantics every operator (and the DuckDB oracle, under the UTC
+    # session TZ pinned below) assumes. Read them as TIMESTAMP_LTZ.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
     # Local test runs only; a real deployment sizes these per-cluster.
     "spark.ui.enabled": "false",

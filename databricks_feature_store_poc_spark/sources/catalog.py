@@ -43,18 +43,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       microsecond precision (integer division truncates, matching DuckDB).
     - ``embeddings.embedding``: already ``array<float>``; left as-is.
     """
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        # Static in some builds; if it is and events can't be read, the
-        # error surfaces at scan time with a clear parquet-type message.
-        pass
+    for conf, val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false) must read as LTZ, not
+        # NTZ — see session.py DEFAULT_CONFS for the rationale.
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+    ):
+        try:
+            spark.conf.set(conf, val)
+        except Exception:
+            # Static in some builds; if it is and events can't be read, the
+            # error surfaces at scan time with a clear parquet-type message.
+            pass
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    # Defensive: if an externally-created session pinned NTZ inference on
+    # before our conf.set (parquet confs are read at scan creation), cast
+    # any NTZ column to LTZ. Under the UTC session TZ this is value-stable
+    # and a no-op when the conf above took effect.
+    ntz_cols = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
     return df
 
 
