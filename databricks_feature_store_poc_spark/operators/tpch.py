@@ -100,8 +100,13 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     name, partkey) — unique per output row.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # One exchange serves both wide ops: hash-partitioning on l_partkey
+    # alone satisfies the (partkey, suppkey) aggregation's clustering
+    # requirement AND the window's partitioning, so the agg and the min
+    # window reuse the same shuffle instead of paying one each.
     cost = (
-        li.groupBy("l_partkey", "l_suppkey")
+        li.repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")

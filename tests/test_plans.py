@@ -166,3 +166,42 @@ def test_zscore_broadcasts_stats_single_fact_pass(spark):
     assert count_broadcast_joins(df) >= 1
     assert count_exchanges(df) == 1
     assert has_partial_aggregate(df)
+
+
+def test_tpch_q2_single_exchange_window_reuses_agg_partitioning(spark):
+    """The explicit repartition(l_partkey) must serve BOTH the
+    (partkey, suppkey) aggregate and the per-part window min — one
+    exchange total, every dimension broadcast."""
+    df = QUERIES["tpch_q2"](spark, SF_SMOKE)
+    assert count_exchanges(df) == 1
+    assert count_broadcast_joins(df) >= 3
+
+
+def test_tpch_q9_dims_broadcast_one_fact_shuffle(spark):
+    """Red-part subset, supplier and nation all broadcast into lineitem;
+    the only shuffle joins lineitem to orders (plus the final 150-group
+    agg, which AQE may fold)."""
+    df = QUERIES["tpch_q9"](spark, SF_SMOKE)
+    assert count_broadcast_joins(df) >= 2
+    assert count_exchanges(df) <= 2
+    assert has_partial_aggregate(df)
+
+
+def test_tpch_q13_outer_join_double_agg_partial(spark):
+    """Both aggregations must partial-aggregate map-side; the plan pays
+    at most the custkey join/agg exchange plus the c_count regroup."""
+    df = QUERIES["tpch_q13"](spark, SF_SMOKE)
+    assert has_partial_aggregate(df)
+    assert count_exchanges(df) <= 3
+
+
+def test_tpch_q21_no_cartesian_and_bounded_exchanges(spark):
+    """The decorrelated exists/not-exists must stay a join-agg pipeline:
+    no cartesian product, supplier broadcast, exchanges bounded by the
+    orderkey join + two aggregates + final name agg."""
+    from databricks_feature_store_poc_spark.plans.inspect import physical_plan
+
+    df = QUERIES["tpch_q21"](spark, SF_SMOKE)
+    assert "CartesianProduct" not in physical_plan(df)
+    assert count_broadcast_joins(df) >= 1
+    assert count_exchanges(df) <= 4
