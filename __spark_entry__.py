@@ -74,6 +74,8 @@ _NEVER_ADJUDICATED = (
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",
+    "stream_dedup_exactly_once",
+    "stream_interval_join",
 )
 _CHANGED_IN_R5 = (
     "sim_ann_lsh",

@@ -210,6 +210,80 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_dedup_exactly_once",
+    oracle="""
+    SELECT DISTINCT event_id, user_id, event_type, value
+    FROM (SELECT * FROM events UNION ALL SELECT * FROM events) twice
+    """,
+)
+def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of run_stream_dedup: every event arrives twice (an
+    at-least-once source), dedup on event_id restores exactly-once. The
+    streaming production path is ``dropDuplicatesWithinWatermark`` whose
+    state is bounded by the late-data horizon; with a static input the
+    result must equal this batch key-dedup of the doubled input, which
+    is what the oracle checks (run_stream_dedup re-executes the same
+    shape through a real readStream in tests/test_streaming.py).
+
+    Scale: one shuffle on the dedup key; map-side partial dedup
+    (the aggregate form of distinct) halves the doubled input before the
+    exchange."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    return e.unionAll(e).dropDuplicates(["event_id"])
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    SELECT s.user_id AS s_user,
+           s.event_id AS s_event,
+           p.event_id AS p_event,
+           s.ts AS s_ts,
+           p.ts AS p_ts
+    FROM (SELECT * FROM events WHERE event_type = 'signup') s
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = s.user_id
+     AND p.ts > s.ts
+     AND p.ts <= s.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of run_stream_stream_join: signups joined to the same
+    user's purchases within the following hour. In streaming form both
+    sides carry watermarks and the time bound caps the join state
+    (O(events/hour) buffered per side); with availableNow over static
+    files nothing is late, so the streaming result must equal this
+    batch interval join (asserted in tests/test_streaming.py) and the
+    batch plan is oracle-checkable here.
+
+    Scale: equi-key on user_id drives the shuffle; the interval bound is
+    a post-join range filter Spark evaluates inside the sort-merge join,
+    never a cross product."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"),
+        F.col("event_id").alias("s_event"),
+        F.col("ts").alias("s_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_event"),
+        F.col("ts").alias("p_ts"),
+    )
+    return (
+        s.join(
+            p,
+            (F.col("s_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("s_ts"))
+            & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("s_user", "s_event", "p_event", "s_ts", "p_ts")
+    )
+
+
 # ---------------------------------------------------------------------------
 # True Structured Streaming execution (used by tests/test_streaming.py)
 # ---------------------------------------------------------------------------

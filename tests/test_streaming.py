@@ -107,16 +107,21 @@ def test_foreach_batch_exactly_once_layout(spark, tmp_path):
 
 def test_stream_dedup_matches_batch_distinct(spark):
     """Every event staged twice; dropDuplicatesWithinWatermark must emit
-    each event_id exactly once == batch DISTINCT of the duplicated input."""
-    from databricks_feature_store_poc_spark.sources.catalog import load_table
+    each event_id exactly once == the registered (oracle-checked) batch
+    twin `stream_dedup_exactly_once`."""
+    from databricks_feature_store_poc_spark.registry import QUERIES
     from databricks_feature_store_poc_spark.streaming.windows import (
         run_stream_dedup,
     )
 
     out = run_stream_dedup(spark, SF_SMOKE)
-    n_events = load_table(spark, SF_SMOKE, "events").count()
-    assert out.count() == n_events
-    assert out.select("event_id").distinct().count() == n_events
+    batch = QUERIES["stream_dedup_exactly_once"](spark, SF_SMOKE)
+    assert out.count() == batch.count()
+    assert (
+        out.select("event_id").distinct().count()
+        == batch.select("event_id").distinct().count()
+        == batch.count()
+    )
 
 
 def test_streaming_feature_maintenance_equals_batch(spark, tmp_path):
@@ -160,23 +165,11 @@ def test_stream_stream_join_equals_batch(spark):
     got = {
         (r["s_user"], r["s_event"], r["p_event"]) for r in out.collect()
     }
+    # the registered (oracle-checked) batch twin is the ground truth
+    from databricks_feature_store_poc_spark.registry import QUERIES
 
-    e = load_table(spark, SF_SMOKE, "events")
-    s = e.filter(F.col("event_type") == "signup").select(
-        F.col("user_id").alias("s_user"), F.col("event_id").alias("s_event"),
-        F.col("ts").alias("s_ts"),
-    )
-    p = e.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"), F.col("event_id").alias("p_event"),
-        F.col("ts").alias("p_ts"),
-    )
     want = {
         (r["s_user"], r["s_event"], r["p_event"])
-        for r in s.join(
-            p,
-            (F.col("s_user") == F.col("p_user"))
-            & (F.col("p_ts") > F.col("s_ts"))
-            & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
-        ).collect()
+        for r in QUERIES["stream_interval_join"](spark, SF_SMOKE).collect()
     }
     assert got == want and got
