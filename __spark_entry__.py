@@ -76,6 +76,8 @@ _NEVER_ADJUDICATED = (
     "tpch_q22",
     "stream_dedup_exactly_once",
     "stream_interval_join",
+    "merge_scd1_upsert",
+    "merge_scd2_history",
 )
 _CHANGED_IN_R5 = (
     "sim_ann_lsh",

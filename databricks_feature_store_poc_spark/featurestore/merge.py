@@ -29,6 +29,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from databricks_feature_store_poc_spark.registry import query
+from databricks_feature_store_poc_spark.sources.catalog import load_table
+
 
 def merge_upsert(
     target: DataFrame,
@@ -194,3 +197,121 @@ def scd2_apply(
         .unionByName(still_open)
         .unionByName(new_rows.select(*closed_rows.columns))
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked query registrations (driver correctness gate)
+# ---------------------------------------------------------------------------
+
+@query(
+    "merge_scd1_upsert",
+    oracle="""
+    WITH target AS (
+        SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal, c_mktsegment
+        FROM customer
+    ),
+    upd AS (
+        SELECT c_custkey,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2))
+                    + CAST(100 AS DECIMAL(12,2)) AS DECIMAL(12,2)) AS bal,
+               c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 3
+        UNION ALL
+        SELECT c_custkey + 10000000, CAST(0 AS DECIMAL(12,2)), 'NEW'
+        FROM customer WHERE c_custkey % 10 = 7
+    )
+    SELECT * FROM target
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+    UNION ALL
+    SELECT * FROM upd
+    """,
+)
+def merge_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (last-write-wins upsert) through ``merge_upsert``: a
+    deterministic update batch — +100 balance for keys ending in 3,
+    brand-new keys (shifted by 10M) for keys ending in 7 — folded into
+    the customer table. The oracle replays the anti-join + union
+    algebra in SQL, so matched-update, untouched, and inserted rows are
+    all value-checked.
+
+    Scale: the update batch is dimension-sized and broadcasts into the
+    anti-join, so the target scan stays map-only — the exact shape a
+    feature-refresh upsert has at 100 TB (merge_into_table adds the
+    Delta MERGE when the flag is available)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr("CAST(c_acctbal AS DECIMAL(12,2))").alias("bal"),
+        "c_mktsegment",
+    )
+    upd_existing = c.filter(F.col("c_custkey") % 10 == 3).select(
+        "c_custkey",
+        F.expr("CAST(bal + CAST(100 AS DECIMAL(12,2)) AS DECIMAL(12,2))").alias("bal"),
+        "c_mktsegment",
+    )
+    upd_new = c.filter(F.col("c_custkey") % 10 == 7).select(
+        (F.col("c_custkey") + 10000000).alias("c_custkey"),
+        F.expr("CAST(0 AS DECIMAL(12,2))").alias("bal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    return merge_upsert(c, upd_existing.unionByName(upd_new), ["c_custkey"])
+
+
+@query(
+    "merge_scd2_history",
+    oracle="""
+    WITH hist AS (
+        SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
+               TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to
+        FROM customer
+    ),
+    upd AS (
+        SELECT o_custkey AS c_custkey,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS bal,
+               o_orderdate AS ts
+        FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+    ),
+    first_upd AS (
+        SELECT c_custkey, min(ts) AS new_from FROM upd GROUP BY c_custkey
+    )
+    SELECT h.c_custkey, h.bal, h.valid_from, f.new_from AS valid_to
+    FROM hist h JOIN first_upd f ON h.c_custkey = f.c_custkey
+    UNION ALL
+    SELECT * FROM hist
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM first_upd)
+    UNION ALL
+    SELECT c_custkey, bal, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY c_custkey ORDER BY ts, bal) AS valid_to
+    FROM upd
+    """,
+)
+def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history fold through ``scd2_apply``: every customer starts
+    as one open row (valid_from 1995-01-01), and each 2001+ order
+    becomes a balance update at its order date. Updated keys' open rows
+    close at the key's earliest update; the batch chains per key via
+    lead(ts) leaving exactly one open row per key. The oracle replays
+    the close/chain algebra in SQL — window lead included — so the
+    emitted (valid_from, valid_to) intervals are value-checked
+    end-to-end.
+
+    Scale: the first-update aggregate broadcasts into the open-row
+    close/anti-join pair (map-only over history); the update chain is
+    one window over the batch partitioned by key — history is never
+    rewritten, only appended/closed, which is what makes SCD2 viable on
+    a 100 TB dimension."""
+    c = load_table(spark, sf_dir, "customer")
+    hist = c.select(
+        "c_custkey",
+        F.expr("CAST(c_acctbal AS DECIMAL(12,2))").alias("bal"),
+        F.lit("1995-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    upd = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2001-01-01"
+    ).select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.expr("CAST(o_totalprice AS DECIMAL(12,2))").alias("bal"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    return scd2_apply(hist, upd, ["c_custkey"], "ts")
