@@ -78,6 +78,8 @@ _NEVER_ADJUDICATED = (
     "stream_interval_join",
     "merge_scd1_upsert",
     "merge_scd2_history",
+    "agg_hll_sketch",
+    "join_bucketed_colocated",
 )
 _CHANGED_IN_R5 = (
     "sim_ann_lsh",

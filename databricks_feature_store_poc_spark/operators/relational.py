@@ -23,6 +23,7 @@ pushdown / column pruning reach the parquet scans.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -444,6 +445,69 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_hll_sketch",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS exact_cust,
+           TRUE AS within_band,
+           TRUE AS union_consistent
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache DataSketches HLL via hll_sketch_agg/hll_sketch_estimate —
+    unlike approx_count_distinct, the SKETCH itself is a first-class
+    value: per-group sketches can be stored, shipped, and hll_union'd
+    later (the re-aggregatable rollup primitive a 100 TB metrics layer
+    needs — daily sketches union into monthly counts with no re-scan).
+
+    Error-band oracle (same pattern as agg_approx_distinct): the binary
+    sketch is engine-specific, so the query emits the exact count plus
+    two deterministic booleans — the per-group estimate lands within 3x
+    the ~2.6% rsd of lgK=12, and the union of all group sketches
+    estimates the global count within the same band (witnessing that
+    union-then-estimate works). DataSketches register merges are
+    max-commutative, so both booleans are partition-order deterministic.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    per_seg = c.groupBy("c_mktsegment").agg(
+        F.hll_sketch_agg("c_custkey", F.lit(12)).alias("sketch"),
+        F.countDistinct("c_custkey").alias("exact_cust"),
+    )
+    # Union the 5 per-segment sketches (1 tiny row each) and estimate the
+    # global distinct count from the merged sketch alone.
+    global_ = per_seg.agg(
+        F.hll_sketch_estimate(
+            F.expr("hll_union_agg(sketch)")
+        ).alias("union_est"),
+        F.sum("exact_cust").alias("exact_total"),  # custkey unique per seg
+    )
+    return (
+        per_seg.select(
+            "c_mktsegment",
+            "exact_cust",
+            (
+                F.abs(F.hll_sketch_estimate("sketch") - F.col("exact_cust"))
+                / F.col("exact_cust")
+                <= 0.08
+            ).alias("within_band"),
+        )
+        .crossJoin(F.broadcast(global_))
+        .select(
+            "c_mktsegment",
+            "exact_cust",
+            "within_band",
+            (
+                F.abs(F.col("union_est") - F.col("exact_total"))
+                / F.col("exact_total")
+                <= 0.08
+            ).alias("union_consistent"),
+        )
+    )
+
+
+@query(
     "agg_rollup",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
@@ -803,6 +867,67 @@ def scan_csv_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(tempfile.gettempdir(), "spark_graft_csv_customer")
     customer.write.mode("overwrite").option("header", True).csv(out)
     return read_csv_inferred(spark, out)
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT c.c_custkey,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: customer and orders written bucketBy
+    the customer key (8 buckets, sortBy within), then sort-merge joined
+    AND per-customer aggregated with ZERO exchanges — bucket layout
+    satisfies both the join's and the aggregate's clustering, so the
+    whole query is map-side (pinned in tests/test_plans.py).
+
+    This is the 100 TB co-location lever the session docstring promises:
+    pay the shuffle ONCE at write time, then every keyed join/agg against
+    the table is shuffle-free forever. The merge hint forces SMJ so the
+    plan demonstrates bucketing rather than AQE's broadcast shortcut
+    (with broadcast the claim would hold trivially at test SF and break
+    at scale). The oracle checks the values against a plain join of the
+    raw parquet — bucketing must be layout-only."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    tc, to = f"bkt_customer_{tag}", f"bkt_orders_{tag}"
+
+    def _materialize(table: str, src: str, key: str, cols: list[str]) -> None:
+        if spark.catalog.tableExists(table):
+            return
+        # The in-memory metastore forgets tables between sessions while
+        # the warehouse directory survives — clear a stale location or
+        # saveAsTable fails with LOCATION_ALREADY_EXISTS.
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        stale = os.path.join(wh.removeprefix("file:"), table)
+        if os.path.isdir(stale):
+            shutil.rmtree(stale, ignore_errors=True)
+        (
+            load_table(spark, sf_dir, src)
+            .select(*cols)
+            .write.mode("overwrite")
+            .bucketBy(8, key).sortBy(key)
+            .saveAsTable(table)
+        )
+
+    _materialize(tc, "customer", "c_custkey", ["c_custkey", "c_acctbal"])
+    _materialize(to, "orders", "o_custkey", ["o_custkey", "o_orderkey", "o_totalprice"])
+    c = spark.table(tc)
+    o = spark.table(to)
+    return (
+        c.join(o.hint("merge"), c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(F.expr("CAST(o_totalprice AS DECIMAL(12,2))"))
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
 
 
 @query(

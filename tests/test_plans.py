@@ -205,3 +205,14 @@ def test_tpch_q21_no_cartesian_and_bounded_exchanges(spark):
     assert "CartesianProduct" not in physical_plan(df)
     assert count_broadcast_joins(df) >= 1
     assert count_exchanges(df) <= 4
+
+
+def test_bucketed_join_zero_exchanges(spark):
+    """Bucketed tables must serve the merge join AND the per-key
+    aggregate with no Exchange anywhere — the pay-the-shuffle-once
+    co-location contract."""
+    df = QUERIES["join_bucketed_colocated"](spark, SF_SMOKE)
+    assert count_exchanges(df) == 0
+    from databricks_feature_store_poc_spark.plans.inspect import physical_plan
+
+    assert "SortMergeJoin" in physical_plan(df)
