@@ -80,6 +80,7 @@ _NEVER_ADJUDICATED = (
     "merge_scd2_history",
     "agg_hll_sketch",
     "join_bucketed_colocated",
+    "sink_partitioned_pruned",
 )
 _CHANGED_IN_R5 = (
     "sim_ann_lsh",

@@ -1262,6 +1262,36 @@ def sink_sorted_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_partitioned_pruned",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned sink + partition-pruned scan: orders written
+    partitionBy(o_orderstatus), then read back with a status filter.
+    The filter resolves against the DIRECTORY layout (PartitionFilters
+    in the plan, pinned in tests/test_plans.py) — at 100 TB the 'F'
+    query lists one directory and never opens the other partitions'
+    files, the coarse-grained complement to sink_sorted_parquet's
+    row-group skipping. The oracle checks the partition column
+    round-trips losslessly through the directory encoding."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_part_orders_{tag}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    )
+
+
+@query(
     "scan_orc",
     oracle="SELECT * FROM supplier",
 )

@@ -216,3 +216,16 @@ def test_bucketed_join_zero_exchanges(spark):
     from databricks_feature_store_poc_spark.plans.inspect import physical_plan
 
     assert "SortMergeJoin" in physical_plan(df)
+
+
+def test_partitioned_sink_scan_is_partition_pruned(spark):
+    """The status filter must resolve against the directory layout
+    (PartitionFilters), not per-file data filters."""
+    from databricks_feature_store_poc_spark.plans.inspect import physical_plan
+
+    df = QUERIES["sink_partitioned_pruned"](spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan or (
+        "PartitionFilters" in plan and "o_orderstatus" in
+        plan.split("PartitionFilters", 1)[1][:200]
+    ), plan[:2000]
