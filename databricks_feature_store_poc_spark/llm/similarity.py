@@ -139,6 +139,12 @@ def sim_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = v.select(
         "vec_id", "e", "nrm", *[bucket_expr(t) for t in range(N_TABLES)]
     )
+    # The bucket table IS the LSH index — persist it so the query and
+    # corpus sides of the probe join (and the recall audit's second
+    # consumer) reuse one hashing pass instead of re-projecting the
+    # corpus per occurrence. At scale this materialization is the index
+    # build every LSH deployment performs once at ingest.
+    hashed = hashed.persist()
     buckets = hashed.select(
         "vec_id", "e", "nrm",
         F.explode(
@@ -276,7 +282,11 @@ def sim_ivf_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d2 = (cen * cen).sum(axis=1)[None, :] - 2.0 * (M @ cen.T)
         return pd.Series(d2.argmin(axis=1).astype("int32"))
 
-    assigned = v.withColumn("cell", cell_of("e"))
+    # The cell assignment IS the IVF index — persist it so the query
+    # side, the corpus side of the probe join, and the recall audit all
+    # reuse one Arrow assignment pass. At scale this materialization is
+    # the index build every IVF deployment performs once at ingest.
+    assigned = v.withColumn("cell", cell_of("e")).persist()
 
     # Query side ranks the broadcast centroids by distance and keeps the
     # NPROBE nearest (centroids inlined as literals — k x dim doubles).

@@ -40,7 +40,10 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Local test runs only; a real deployment sizes these per-cluster.
     "spark.ui.enabled": "false",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # local[32] is a single JVM: driver heap IS the executor heap for all
+    # 32 task threads. 8g GC-thrashed the 146-query bench session (full
+    # suite 385s -> 176s at 24g, measured); the rig has 128 GiB.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
 }
 
 
