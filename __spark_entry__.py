@@ -81,6 +81,7 @@ _NEVER_ADJUDICATED = (
     "agg_hll_sketch",
     "join_bucketed_colocated",
     "sink_partitioned_pruned",
+    "rollup_incremental",
 )
 _CHANGED_IN_R5 = (
     "sim_ann_lsh",

@@ -70,3 +70,44 @@ def rollup_to_features(rollup: DataFrame, key: str = "user_id") -> DataFrame:
         F.sum("sum_value").cast("double").alias("total_value"),
         (F.sum("sum_value").cast("double") / F.sum("n_events")).alias("avg_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked query registration (driver correctness gate)
+# ---------------------------------------------------------------------------
+
+from databricks_feature_store_poc_spark.registry import query  # noqa: E402
+from databricks_feature_store_poc_spark.sources.catalog import load_table  # noqa: E402
+
+
+@query(
+    "rollup_incremental",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS total_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS avg_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def rollup_incremental(spark, sf_dir: str) -> DataFrame:
+    """The continuous-aggregate refresh path, driver-checked end to end:
+    events split deterministically into an initial batch and a late
+    batch (event_id hash), the rollup built from the first, the second
+    MERGED in (touching only partials, never raw history), then
+    finalized to per-user features. The oracle is the one-shot aggregate
+    over ALL events — so the driver hash-verifies the central rollup
+    invariant: merge of any split == full rebuild. Counts and decimal
+    sums are mergeable partials; avg is derived at read time.
+
+    Scale: each build is one (key, bucket) partial aggregate over its
+    batch; the merge aggregates rollup-sized inputs only — a refresh is
+    O(|new batch| + |rollup|), never O(|history|)."""
+    e = load_table(spark, sf_dir, "events")
+    first = e.filter(F.pmod(F.xxhash64("event_id"), F.lit(10)) < 7)
+    late = e.filter(F.pmod(F.xxhash64("event_id"), F.lit(10)) >= 7)
+    base = build_rollup(first)
+    merged = merge_rollup(base, late)
+    return rollup_to_features(merged)
