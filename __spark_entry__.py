@@ -82,6 +82,7 @@ _NEVER_ADJUDICATED = (
     "join_bucketed_colocated",
     "sink_partitioned_pruned",
     "rollup_incremental",
+    "join_interval_overlap",
 )
 _CHANGED_IN_R5 = (
     "sim_ann_lsh",

@@ -870,6 +870,87 @@ def scan_csv_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_interval_overlap",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM (SELECT o_orderpriority,
+                 o_orderdate AS o_start,
+                 o_orderdate + INTERVAL 30 DAY AS o_end
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o_orderdate <  TIMESTAMP '1996-02-01 00:00:00') o
+    JOIN (SELECT l_shipdate AS l_start,
+                 l_shipdate + INTERVAL 7 DAY AS l_end
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-03-15 00:00:00') l
+      ON o_start < l_end AND l_start < o_end
+    GROUP BY o_orderpriority
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join WITHOUT a quadratic plan: order activity
+    windows (30 days from order date) joined to shipment windows (7 days
+    from ship date) on time overlap, counted per priority.
+
+    A naive theta join on `o_start < l_end AND l_start < o_end` has no
+    equi-key — Spark would pick BroadcastNestedLoop and compare every
+    order against every shipment (the theta family's scale wall;
+    join_theta_range is the small-side-broadcast case). The range-join
+    move implemented here: quantize time into fixed buckets sized to the
+    max interval span, explode each interval to the buckets it covers
+    (sequence() — bounded by span/width + 1), equi-join on the bucket,
+    and keep each pair exactly once at its CANONICAL bucket (the later
+    of the two start buckets — the first bucket both intervals cover).
+    Candidates are then only same-bucket pairs — work scales with
+    sum-of-bucket-occupancy-products, not |O| x |L| — and the exact
+    overlap predicate filters inside the equi-join. The DuckDB oracle
+    runs the literal quadratic join (its IEJoin handles the test scale),
+    value-checking that bucketization changes the plan, not the answer.
+    """
+    W_DAYS = 30  # bucket width >= the longest interval span
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-02-01")
+    ).select(
+        "o_orderpriority",
+        F.col("o_orderdate").alias("o_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("o_end"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-03-15")
+    ).select(
+        F.col("l_shipdate").alias("l_start"),
+        (F.col("l_shipdate") + F.expr("INTERVAL 7 DAY")).alias("l_end"),
+    )
+
+    def bucketed(df: DataFrame, start: str, end: str) -> DataFrame:
+        b0 = F.floor(F.unix_date(F.col(start).cast("date")) / W_DAYS)
+        # end is exclusive: the last covered bucket belongs to end - 1s
+        b1 = F.floor(
+            F.unix_date((F.col(end) - F.expr("INTERVAL 1 SECOND")).cast("date"))
+            / W_DAYS
+        )
+        return df.withColumn("b0", b0).withColumn(
+            "bucket", F.explode(F.sequence(b0, b1))
+        )
+
+    ob = bucketed(o, "o_start", "o_end").withColumnRenamed("b0", "o_b0")
+    lb = bucketed(li, "l_start", "l_end").withColumnRenamed("b0", "l_b0")
+    return (
+        ob.join(lb, "bucket")
+        .filter(
+            (F.col("o_start") < F.col("l_end"))
+            & (F.col("l_start") < F.col("o_end"))
+            # canonical bucket: the later start-bucket — counts each
+            # overlapping pair exactly once across shared buckets
+            & (F.col("bucket") == F.greatest("o_b0", "l_b0"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@query(
     "join_bucketed_colocated",
     oracle="""
     SELECT c.c_custkey,

@@ -229,3 +229,15 @@ def test_partitioned_sink_scan_is_partition_pruned(spark):
         "PartitionFilters" in plan and "o_orderstatus" in
         plan.split("PartitionFilters", 1)[1][:200]
     ), plan[:2000]
+
+
+def test_interval_overlap_is_equi_join_not_nested_loop(spark):
+    """The bucketized range join must plan as an equi-join on the time
+    bucket — never BroadcastNestedLoop/Cartesian over the raw theta
+    predicate."""
+    from databricks_feature_store_poc_spark.plans.inspect import physical_plan
+
+    df = QUERIES["join_interval_overlap"](spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
