@@ -83,6 +83,8 @@ _NEVER_ADJUDICATED = (
     "sink_partitioned_pruned",
     "rollup_incremental",
     "join_interval_overlap",
+    "training_set_on_demand",
+    "split_temporal",
 )
 _CHANGED_IN_R5 = (
     "sim_ann_lsh",

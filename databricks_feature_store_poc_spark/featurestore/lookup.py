@@ -282,12 +282,23 @@ def create_training_set(
     *,
     resolve_table=None,
     use_broadcast: bool = True,
+    on_demand_features: dict[str, str] | None = None,
 ) -> TrainingSet:
     """Reference ``fs.create_training_set`` (02:242-247), lazily compiled.
 
     ``resolve_table`` maps a lookup's table_name to a DataFrame; defaults to
     ``spark.table`` (registered feature tables).
-    """
+
+    ``on_demand_features`` maps new column names to SQL expressions
+    computed AT LOOKUP TIME over spine + looked-up columns (the
+    feature-store "on-demand feature" concept: features derived from
+    request context that can't be precomputed into any table). They are
+    appended after all lookups, inside the same Catalyst plan — zero
+    extra passes, and train/serve use the identical expression (the
+    consistency guarantee that makes on-demand features safe). Applied
+    in dict order, so later expressions may reference earlier ones;
+    applied BEFORE exclude_columns, so a feature may be derived from a
+    key that is then dropped."""
     exclude_columns = exclude_columns or []
     if label is not None and label not in spine.columns:
         raise ValueError(f"label column {label!r} not in spine {spine.columns}")
@@ -295,6 +306,12 @@ def create_training_set(
     df = spine
     for lk in feature_lookups:
         df = apply_lookup(df, resolve(lk.table_name), lk, use_broadcast=use_broadcast)
+    for name, expr in (on_demand_features or {}).items():
+        if name in df.columns:
+            raise ValueError(
+                f"on-demand feature {name!r} collides with an existing column"
+            )
+        df = df.withColumn(name, F.expr(expr))
     if exclude_columns:
         df = df.drop(*[c for c in exclude_columns if c in df.columns])
     return TrainingSet(df, feature_lookups, label, exclude_columns)

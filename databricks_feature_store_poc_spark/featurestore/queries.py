@@ -88,6 +88,67 @@ def training_set_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "training_set_on_demand",
+    oracle="""
+    SELECT o.o_orderkey,
+           o.o_totalprice,
+           c.c_acctbal,
+           c.c_mktsegment,
+           round(o.o_totalprice / nullif(c.c_acctbal, 0), 6)
+               AS price_to_balance,
+           o.o_totalprice > 200000 AS is_high_value,
+           substr(c.c_mktsegment, 1, 2) AS segment_code
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def training_set_on_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-demand features at lookup time: expressions over spine +
+    looked-up columns appended inside the SAME Catalyst plan as the
+    lookups (the feature-store concept for features derivable only from
+    request context — ratios, flags, encodings — that no precomputed
+    table can hold). Train and serve evaluate the identical expression
+    string, which is the on-demand consistency guarantee; the oracle
+    replays lookup + expressions in SQL, value-checking all three
+    computed features (guarded ratio, boolean flag, derived code).
+
+    Scale: identical to the flagship — broadcast lookups, map-only over
+    the spine; the on-demand projection adds zero passes."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    spine = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    lookups = [
+        FeatureLookup(
+            table_name="customer",
+            feature_names=("c_acctbal", "c_mktsegment"),
+            lookup_key=("c_custkey",),
+            spine_keys=("o_custkey",),
+        ),
+    ]
+    ts = create_training_set(
+        spark,
+        spine,
+        lookups,
+        exclude_columns=["o_custkey"],
+        resolve_table={"customer": customer}.__getitem__,
+        on_demand_features={
+            "price_to_balance": "round(o_totalprice / nullif(c_acctbal, 0), 6)",
+            "is_high_value": "o_totalprice > 200000",
+            "segment_code": "substr(c_mktsegment, 1, 2)",
+        },
+    )
+    return ts.load_df().select(
+        "o_orderkey",
+        "o_totalprice",
+        "c_acctbal",
+        "c_mktsegment",
+        "price_to_balance",
+        "is_high_value",
+        "segment_code",
+    )
+
+
+@query(
     "training_set_point_in_time",
     oracle="""
     WITH versions AS (

@@ -847,6 +847,45 @@ def split_hash_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "split_temporal",
+    oracle="""
+    SELECT CASE WHEN o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+                THEN 'train' ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n,
+           min(o_orderdate) AS min_date,
+           max(o_orderdate) AS max_date
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal holdout split: train strictly before the cutoff, test at
+    or after — the leakage-safe split for time-dependent data, where a
+    random split (split_hash_8020) would let the model train on the
+    future. The emitted per-split min/max dates make the boundary
+    property itself part of the checked value set: max(train) < cutoff
+    <= min(test), hash-verified by the oracle.
+
+    Scale: one map-side-combined aggregate over a pushed-filter-free
+    scan; the split column is a constant-folded comparison, so tagging
+    costs nothing and the same predicate applied at write time gives
+    partition-pruned train/test reads (see sink_partitioned_pruned)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "split",
+            F.when(F.col("o_orderdate") < "2000-01-01", "train").otherwise("test"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderdate").alias("min_date"),
+            F.max("o_orderdate").alias("max_date"),
+        )
+    )
+
+
+@query(
     "scan_csv_infer",
     oracle="SELECT * FROM customer",
 )

@@ -333,3 +333,53 @@ class TestPointInTimeLookup:
         )
         row = ts_set.load_df().collect()[0]
         assert row["val"] == 2.0 and row["tags"] == {"b": 2.0}
+
+
+class TestOnDemandFeatures:
+    def test_on_demand_chains_and_survives_exclude(self, spark):
+        """Later on-demand expressions may reference earlier ones, and a
+        feature derived from a key that exclude_columns then drops must
+        survive the drop."""
+        from databricks_feature_store_poc_spark.featurestore.lookup import (
+            FeatureLookup,
+            create_training_set,
+        )
+
+        spine = spark.createDataFrame(
+            [(1, 10, 100.0), (2, 20, 400.0)], ["id", "k", "amount"]
+        )
+        features = spark.createDataFrame([(10, 2.0), (20, 4.0)], ["k", "f"])
+        ts = create_training_set(
+            spark,
+            spine,
+            [FeatureLookup("t", ("f",), ("k",))],
+            exclude_columns=["k"],
+            resolve_table={"t": features}.__getitem__,
+            on_demand_features={
+                "ratio": "amount / f",          # uses looked-up column
+                "ratio_sq": "ratio * ratio",    # chains on earlier on-demand
+                "key_parity": "k % 2",          # uses the soon-dropped key
+            },
+        )
+        rows = {r["id"]: r for r in ts.load_df().collect()}
+        assert "k" not in ts.load_df().columns
+        assert rows[1]["ratio"] == 50.0 and rows[1]["ratio_sq"] == 2500.0
+        assert rows[2]["key_parity"] == 0
+
+    def test_on_demand_name_collision_rejected(self, spark):
+        from databricks_feature_store_poc_spark.featurestore.lookup import (
+            FeatureLookup,
+            create_training_set,
+        )
+        import pytest as _pytest
+
+        spine = spark.createDataFrame([(1, 10)], ["id", "k"])
+        features = spark.createDataFrame([(10, 2.0)], ["k", "f"])
+        with _pytest.raises(ValueError, match="collides"):
+            create_training_set(
+                spark,
+                spine,
+                [FeatureLookup("t", ("f",), ("k",))],
+                resolve_table={"t": features}.__getitem__,
+                on_demand_features={"f": "f * 2"},
+            )
