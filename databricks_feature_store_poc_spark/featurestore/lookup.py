@@ -79,11 +79,13 @@ class TrainingSet:
         lookups: list[FeatureLookup],
         label: str | None,
         exclude_columns: list[str],
+        on_demand_features: dict[str, str] | None = None,
     ):
         self._df = df
         self.lookups = lookups
         self.label = label
         self.exclude_columns = exclude_columns
+        self.on_demand_features = dict(on_demand_features or {})
 
     def load_df(
         self, sample_fraction: float | None = None, seed: int = 42
@@ -118,6 +120,9 @@ class TrainingSet:
             ],
             "label": self.label,
             "exclude_columns": list(self.exclude_columns),
+            # Serve-side replay must recompute on-demand features with
+            # the exact training expressions — the consistency guarantee.
+            "on_demand_features": dict(self.on_demand_features),
         }
 
 
@@ -314,4 +319,6 @@ def create_training_set(
         df = df.withColumn(name, F.expr(expr))
     if exclude_columns:
         df = df.drop(*[c for c in exclude_columns if c in df.columns])
-    return TrainingSet(df, feature_lookups, label, exclude_columns)
+    return TrainingSet(
+        df, feature_lookups, label, exclude_columns, on_demand_features
+    )

@@ -321,6 +321,7 @@ def score_batch(
         label=None,
         exclude_columns=lineage["exclude_columns"],
         resolve_table=resolve_table,
+        on_demand_features=lineage.get("on_demand_features") or None,
     )
     enriched = ts.load_df()
 

@@ -148,3 +148,47 @@ def test_model_registry_versioning(spark, tmp_path):
     reg.delete("sales.purchase_model")
     reg.delete("sales.purchase_model")  # idempotent, like the reference's
     assert reg.latest_version("sales.purchase_model") is None
+
+
+def test_score_batch_replays_on_demand_features(spark, tmp_path):
+    """On-demand features must survive the log_model -> score_batch
+    round-trip: the serve-side spine gets the SAME computed columns from
+    the lineage, not just the table lookups."""
+    import pickle
+
+    from databricks_feature_store_poc_spark.featurestore.lookup import (
+        FeatureLookup,
+        create_training_set,
+    )
+    from databricks_feature_store_poc_spark.featurestore.mlpath import (
+        log_model,
+        score_batch,
+    )
+
+    features = spark.createDataFrame([(10, 2.0), (20, 4.0)], ["k", "f"])
+    resolve = {"t": features}.__getitem__
+    train_spine = spark.createDataFrame(
+        [(1, 10, 100.0), (2, 20, 400.0)], ["id", "k", "amount"]
+    )
+    ts = create_training_set(
+        spark,
+        train_spine,
+        [FeatureLookup("t", ("f",), ("k",))],
+        exclude_columns=["k"],
+        resolve_table=resolve,
+        on_demand_features={"ratio": "amount / f"},
+    )
+
+    class RatioModel:  # predict = the on-demand column, proving it exists
+        feature_names = ["ratio"]
+
+        def predict(self, X):
+            return X["ratio"].to_numpy()
+
+    log_model(RatioModel(), str(tmp_path), ts)
+    serve_spine = spark.createDataFrame([(3, 10, 50.0)], ["id", "k", "amount"])
+    scored = score_batch(
+        spark, str(tmp_path), serve_spine, resolve, predict_cols=["ratio"]
+    )
+    row = scored.collect()[0]
+    assert row["ratio"] == 25.0 and row["prediction"] == 25.0
