@@ -85,6 +85,8 @@ _NEVER_ADJUDICATED = (
     "join_interval_overlap",
     "training_set_on_demand",
     "split_temporal",
+    "agg_mode_deterministic",
+    "win_ntile_deciles",
 )
 _CHANGED_IN_R5 = (
     "sim_ann_lsh",

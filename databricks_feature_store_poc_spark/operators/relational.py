@@ -508,6 +508,90 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_mode_deterministic",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus AS mode_status,
+           CAST(n AS BIGINT) AS n
+    FROM (
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY count(*) DESC, o_orderstatus
+               ) AS rn
+        FROM orders
+        GROUP BY o_orderpriority, o_orderstatus
+    ) ranked
+    WHERE rn = 1
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with a total tiebreak (count DESC, then value ASC)
+    — the builtin `mode()` breaks ties arbitrarily on both engines, which
+    can never pass a cross-engine value hash; count + row_number over a
+    total order is the deterministic formulation and the one to use
+    whenever mode feeds a feature column.
+
+    Scale: one partial+final aggregate on (group, value) — cardinality
+    bounded by the value domain — then a window over per-group value
+    counts (tiny); the raw stream is never windowed."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("n"), F.asc("o_orderstatus")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("mode_status"),
+            "n",
+        )
+    )
+
+
+@query(
+    "win_ntile_deciles",
+    oracle="""
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi
+    FROM (
+        SELECT o_totalprice,
+               ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        FROM orders
+    ) d
+    GROUP BY decile
+    """,
+)
+def win_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile binning via ntile(10) over a total order (price, then the
+    unique orderkey so ties land deterministically) — the discretization
+    step feature pipelines use for rank-based features; both engines
+    define ntile identically (equal buckets, earlier buckets take the
+    remainder), so bucket boundaries hash-match exactly.
+
+    Scale: an unpartitioned ntile is a single-reducer sort — correct for
+    the semantic spec checked here; at 100 TB use approx percentile cuts
+    (agg_approx_percentile) and a broadcast range join instead, trading
+    exact equal-count buckets for full parallelism."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@query(
     "agg_rollup",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
