@@ -87,6 +87,7 @@ _NEVER_ADJUDICATED = (
     "split_temporal",
     "agg_mode_deterministic",
     "win_ntile_deciles",
+    "join_dynamic_partition_pruning",
 )
 _CHANGED_IN_R5 = (
     "sim_ann_lsh",

@@ -1507,6 +1507,67 @@ def sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_dynamic_partition_pruning",
+    oracle="""
+    WITH status_dim AS (
+        SELECT status, frac FROM (
+            SELECT o_orderstatus AS status,
+                   count(*) * 1.0 / sum(count(*)) OVER () AS frac
+            FROM orders GROUP BY o_orderstatus
+        ) f WHERE frac > 0.1
+    )
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders JOIN status_dim ON o_orderstatus = status
+    GROUP BY o_orderstatus
+    """,
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is the hive-partitioned
+    orders sink (partitioned by status); the dim side keeps only the
+    majority statuses (>10% of orders) — a DATA-DEPENDENT predicate, so
+    the optimizer cannot constant-fold it into a static partition filter
+    (a literal like status='F' would propagate through the join
+    constraint and prune statically — no DPP needed or inserted).
+    Catalyst instead attaches a dynamic pruning subquery to the fact
+    scan: at runtime the broadcast dim's surviving keys prune the
+    partition listing before any file is read (plan shows
+    `dynamicpruning` — pinned in tests/test_plans.py). At 100 TB this is
+    the difference between scanning two status directories and scanning
+    the table because the filter lives on the far side of a join.
+
+    The oracle replays the same join on the raw table — DPP must change
+    the scan, not the answer."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_part_orders_{tag}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+        ).write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    fact = spark.read.parquet(out)
+    counts = load_table(spark, sf_dir, "orders").groupBy(
+        F.col("o_orderstatus").alias("status")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    dim = (
+        counts.withColumn(
+            "frac", F.col("cnt") / F.sum("cnt").over(Window.partitionBy())
+        )
+        .filter(F.col("frac") > 0.1)
+        .select("status")
+    )
+    return (
+        fact.join(F.broadcast(dim), fact["o_orderstatus"] == dim["status"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(o_totalprice AS DECIMAL(12,2))"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@query(
     "scan_orc",
     oracle="SELECT * FROM supplier",
 )

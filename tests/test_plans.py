@@ -241,3 +241,12 @@ def test_interval_overlap_is_equi_join_not_nested_loop(spark):
     plan = physical_plan(df)
     assert "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_fires(spark):
+    """The data-dependent dim filter can't fold into a static partition
+    filter, so the fact scan must carry a dynamicpruning expression."""
+    from databricks_feature_store_poc_spark.plans.inspect import physical_plan
+
+    df = QUERIES["join_dynamic_partition_pruning"](spark, SF_SMOKE)
+    assert "dynamicpruning" in physical_plan(df).lower()
