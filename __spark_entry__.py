@@ -88,6 +88,7 @@ _NEVER_ADJUDICATED = (
     "agg_mode_deterministic",
     "win_ntile_deciles",
     "join_dynamic_partition_pruning",
+    "text_span_dedup",
 )
 _CHANGED_IN_R5 = (
     "sim_ann_lsh",

@@ -374,3 +374,79 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(raw, F.lit(phone), F.lit(0)))
         .cast("int").alias("n_phones"),
     )
+
+
+@query(
+    "text_span_dedup",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, CAST(i AS INT) AS ci,
+               array_to_string(w[(i*10+1):(i*10+10)], ' ') AS chunk
+        FROM words, UNNEST(range(CAST(ceil(len(w) / 10.0) AS BIGINT))) AS t(i)
+    ),
+    kept AS (
+        SELECT doc_id, ci, chunk,
+               row_number() OVER (PARTITION BY chunk ORDER BY doc_id, ci) AS rn
+        FROM chunks
+    )
+    SELECT doc_id,
+           string_agg(chunk, ' ' ORDER BY ci) AS dedup_text,
+           CAST(count(*) AS BIGINT) AS n_spans_kept
+    FROM kept WHERE rn = 1
+    GROUP BY doc_id
+    """,
+)
+def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup (the C4 preprocessing move, applied at
+    10-word spans since the corpus has no sentence boundaries): every
+    document is chunked into non-overlapping word spans, a span that
+    appears anywhere earlier in the corpus — (doc_id, position) order —
+    is dropped, and each document is reassembled from its surviving
+    spans. Documents whose every span is a duplicate disappear entirely,
+    exactly like C4 drops fully-duplicated pages.
+
+    Scale shape: explode to one row per span (bounded by corpus
+    words/10), ONE shuffle on the span hash for the keep-first window,
+    one shuffle back on doc_id for reassembly — no pairwise comparison
+    anywhere; global dedup cost is linear in corpus size. Reassembly
+    sorts each doc's surviving (position, span) structs in-memory per
+    doc (array_sort over collect_list — docs are KB-sized), avoiding a
+    per-doc ORDER BY window."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.split("text", " ").alias("w"))
+    chunks = words.select(
+        "doc_id",
+        F.posexplode(
+            F.sequence(
+                F.lit(0), (F.ceil(F.size("w") / F.lit(10.0)) - 1).cast("int")
+            )
+        ).alias("pos", "i"),
+        F.col("w"),
+    ).select(
+        "doc_id",
+        F.col("i").cast("int").alias("ci"),
+        F.concat_ws(" ", F.slice("w", F.col("i") * 10 + 1, 10)).alias("chunk"),
+    )
+    w_first = Window.partitionBy("chunk").orderBy("doc_id", "ci")
+    kept = chunks.withColumn("rn", F.row_number().over(w_first)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ci", "chunk"))
+            ).alias("spans"),
+            F.count(F.lit(1)).alias("n_spans_kept"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.transform("spans", lambda s: s["chunk"])
+            ).alias("dedup_text"),
+            "n_spans_kept",
+        )
+    )
