@@ -89,6 +89,7 @@ _NEVER_ADJUDICATED = (
     "win_ntile_deciles",
     "join_dynamic_partition_pruning",
     "text_span_dedup",
+    "text_repetition_score",
 )
 _CHANGED_IN_R5 = (
     "sim_ann_lsh",

@@ -450,3 +450,55 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_spans_kept",
         )
     )
+
+
+@query(
+    "text_repetition_score",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, len(string_split(text, ' ')) - 1),
+                   i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')
+               ) AS g3
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(g3) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(g3)) AS BIGINT) AS n_distinct,
+           round(1.0 - len(list_distinct(g3)) * 1.0 / len(g3), 6) AS rep_ratio,
+           (1.0 - len(list_distinct(g3)) * 1.0 / len(g3)) > 0.2 AS is_repetitive
+    FROM grams
+    WHERE len(g3) > 0
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (the Gopher/MassiveText quality
+    signal): the fraction of a document's word 3-grams that are repeats
+    of an earlier 3-gram in the same document. Heavily-repetitive
+    documents (boilerplate, keyword stuffing, degenerate generations)
+    score high and get flagged; the 0.2 threshold mirrors the published
+    duplicate-n-gram filters.
+
+    Scale shape: pure per-row higher-order functions (transform over a
+    sequence + array_distinct) — map-only, no shuffle, no explode; the
+    gram lists live only inside the row. Ratio is rounded identically on
+    both engines; the flag's strict inequality compares identically-
+    derived doubles."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 2),
+        lambda i: F.concat_ws(" ", F.slice(w, i, 3)),
+    )
+    g = d.select("doc_id", grams.alias("g3")).filter(F.size("g3") > 0)
+    n_total = F.size("g3").cast("long")
+    n_distinct = F.size(F.array_distinct("g3")).cast("long")
+    ratio = F.lit(1.0) - n_distinct * F.lit(1.0) / n_total
+    return g.select(
+        "doc_id",
+        n_total.alias("n_grams"),
+        n_distinct.alias("n_distinct"),
+        F.round(ratio, 6).alias("rep_ratio"),
+        (ratio > 0.2).alias("is_repetitive"),
+    )
