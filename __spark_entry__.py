@@ -90,6 +90,7 @@ _NEVER_ADJUDICATED = (
     "join_dynamic_partition_pruning",
     "text_span_dedup",
     "text_repetition_score",
+    "join_salted_skew",
 )
 _CHANGED_IN_R5 = (
     "sim_ann_lsh",

@@ -43,3 +43,64 @@ def salted_join(
     )
     out = fact_salted.join(dim_salted, on=[*on, "__salt"], how=how)
     return out.drop("__salt")
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked query registration (driver correctness gate)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from databricks_feature_store_poc_spark.registry import query  # noqa: E402
+from databricks_feature_store_poc_spark.sources.catalog import load_table  # noqa: E402
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    WITH fact AS (
+        SELECT CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END AS hot_key,
+               value
+        FROM events
+    ),
+    dim AS (
+        SELECT DISTINCT user_id AS hot_key,
+               user_id % 7 AS segment
+        FROM events
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM fact JOIN dim USING (hot_key)
+    GROUP BY segment
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted join under the correctness gate, on a key made
+    pathologically hot on purpose: a third of all events collapse onto
+    key 0 (the single-hot-key shape AQE's skew splitting cannot fix when
+    one KEY — not one partition — holds the skew). ``salted_join``
+    scatters the fact side across 16 salts and replicates the dimension,
+    so the hot key's rows spread over 16 reducers; the oracle runs the
+    plain unsalted join, hash-verifying the salted plan is
+    row-for-row identical — the invariant that makes salting safe to
+    drop into any hot-key join.
+
+    Scale: dim replication is n_salts x |dim| (dims are small by
+    contract); the fact shuffles once on (key, salt)."""
+    e = load_table(spark, sf_dir, "events")
+    fact = e.select(
+        F.when(F.col("user_id") % 3 == 0, 0)
+        .otherwise(F.col("user_id"))
+        .alias("hot_key"),
+        "value",
+    )
+    dim = (
+        e.select(F.col("user_id").alias("hot_key")).distinct()
+        .withColumn("segment", F.col("hot_key") % 7)
+    )
+    joined = salted_join(fact, dim, on=["hot_key"], n_salts=16)
+    return joined.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+    )

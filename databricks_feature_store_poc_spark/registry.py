@@ -60,5 +60,6 @@ def load_all_queries() -> None:
     import databricks_feature_store_poc_spark.operators.relational  # noqa: F401
     import databricks_feature_store_poc_spark.operators.rolling  # noqa: F401
     import databricks_feature_store_poc_spark.operators.rollup_maintenance  # noqa: F401
+    import databricks_feature_store_poc_spark.operators.skew  # noqa: F401
     import databricks_feature_store_poc_spark.operators.tpch  # noqa: F401
     import databricks_feature_store_poc_spark.streaming.windows  # noqa: F401
