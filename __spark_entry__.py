@@ -91,6 +91,7 @@ _NEVER_ADJUDICATED = (
     "text_span_dedup",
     "text_repetition_score",
     "join_salted_skew",
+    "fn_try_arithmetic",
 )
 _CHANGED_IN_R5 = (
     "sim_ann_lsh",

@@ -524,3 +524,50 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright("event_id", 2).alias("shr"),
         F.bit_count("event_id").cast("int").alias("pop"),
     )
+
+
+@query(
+    "fn_try_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 100 = 0 THEN NULL
+                ELSE CAST(floor(o_totalprice / (o_orderkey % 100) * 1000000)
+                          AS BIGINT) END
+               AS ratio_micros,
+           TRY_CAST(CASE WHEN o_orderkey % 7 = 0 THEN 'not-a-number'
+                         ELSE CAST(o_orderkey AS VARCHAR) END AS INT)
+               AS parsed_key,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                ELSE CAST(o_orderkey * 2 AS BIGINT) END AS safe_double_key
+    FROM orders
+    """,
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic: try_divide (NULL on zero denominator
+    instead of an exception under ANSI mode or an Inf that poisons
+    downstream aggregates), try_cast (NULL on malformed input — one bad
+    row must not kill a 100 TB job), and try_multiply modeling guarded
+    overflow (exercised via a predicate here since the test keys can't
+    overflow BIGINT). The oracle spells each guard as the equivalent
+    CASE expression — DuckDB's plain division/casts differ in failure
+    behavior, which is exactly what the try_* family abstracts away.
+    The quotient is floor-quantized to integer micros rather than
+    round()-ed: both engines compute the identical IEEE quotient, but
+    their round() tie rules differ (HALF_UP vs half-even) and divisions
+    by small integers produce exact ties; floor of an identical double
+    is identical."""
+    o = load_table(spark, sf_dir, "orders")
+    denom = F.col("o_orderkey") % 100
+    return o.select(
+        "o_orderkey",
+        F.floor(F.try_divide(F.col("o_totalprice"), denom) * F.lit(1000000.0))
+        .cast("long").alias("ratio_micros"),
+        F.try_to_number(
+            F.when(F.col("o_orderkey") % 7 == 0, "not-a-number")
+            .otherwise(F.col("o_orderkey").cast("string")),
+            F.lit("999999999"),
+        ).cast("int").alias("parsed_key"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None).cast("long"))
+        .otherwise(F.try_multiply(F.col("o_orderkey"), F.lit(2)).cast("long"))
+        .alias("safe_double_key"),
+    )
