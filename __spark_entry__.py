@@ -92,6 +92,9 @@ _NEVER_ADJUDICATED = (
     "text_repetition_score",
     "join_salted_skew",
     "fn_try_arithmetic",
+    "text_tfidf_audit",
+    "pack_sequences_audit",
+    "dedup_minhash_audit",
 )
 _CHANGED_IN_R5 = (
     "sim_ann_lsh",

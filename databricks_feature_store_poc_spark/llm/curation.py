@@ -376,3 +376,62 @@ def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
                 < F.col("n_tokens") * F.lit(4294967296))
         .select("doc_id", "n_tokens")
     )
+
+
+@query(
+    "pack_sequences_audit",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len({_DUCK_WORDS})) AS BIGINT) AS total_tokens,
+           TRUE AS each_doc_once,
+           TRUE AS capacity_ok,
+           TRUE AS bins_within_bounds
+    FROM documents
+    """,
+)
+def pack_sequences_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sequence-packing contract made oracle-checkable: FFD bin
+    state is not SQL-expressible, but the packing's invariants are — one
+    row with the doc count and exact token total (both predicted by the
+    oracle from the raw corpus: packing must neither drop nor duplicate
+    anything) plus three in-plan booleans: every doc assigned exactly
+    once, every multi-doc bin within PACK_CONTEXT (oversized docs sit
+    alone in their bin by design), and the bin count between the token
+    lower bound ceil(total/context) and the doc count. A packer bug —
+    lost doc, overfilled bin, one-doc-per-bin degeneration — flips a
+    hashed value.
+
+    Scale: the packing itself (hash-sharded applyInPandas) plus two
+    small aggregates over its (docs)-sized output."""
+    packed = pack_sequences(spark, sf_dir)
+    per_bin = packed.groupBy("shard", "bin_id").agg(
+        F.sum("n_tokens").alias("fill"),
+        F.count(F.lit(1)).alias("n_in_bin"),
+    )
+    bin_stats = per_bin.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.max(F.when(F.col("n_in_bin") > 1, F.col("fill"))).alias("max_multi_fill"),
+    )
+    doc_stats = packed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        # lower bound must cap oversized docs at the context size: a
+        # 10x-context doc fills ONE bin, not ten
+        F.sum(F.least(F.col("n_tokens"), F.lit(PACK_CONTEXT))).alias("capped_tokens"),
+    )
+    return (
+        doc_stats.crossJoin(F.broadcast(bin_stats))
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            (F.col("n_rows") == F.col("n_docs")).alias("each_doc_once"),
+            (
+                F.coalesce(F.col("max_multi_fill"), F.lit(0)) <= PACK_CONTEXT
+            ).alias("capacity_ok"),
+            (
+                (F.col("n_bins") >= F.ceil(F.col("capped_tokens") / F.lit(float(PACK_CONTEXT))))
+                & (F.col("n_bins") <= F.col("n_docs"))
+            ).alias("bins_within_bounds"),
+        )
+    )

@@ -750,3 +750,61 @@ def _connected_components(
     labels = [(n, find(n)) for n in parent]
     pairs.unpersist()
     return spark.createDataFrame(labels, "node long, label long")
+
+
+@query(
+    "dedup_minhash_audit",
+    oracle=_DUCK_SHINGLES + f"""
+    , shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    exact_pairs AS (
+        SELECT s.doc_a, s.doc_b
+        FROM shared s
+        JOIN doc_sizes sa ON s.doc_a = sa.doc_id
+        JOIN doc_sizes sb ON s.doc_b = sb.doc_id
+        WHERE s.shared * 1.0 / (sa.n_shingles + sb.n_shingles - s.shared)
+              >= {JACCARD_THRESHOLD}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+           TRUE AS precision_ok,
+           TRUE AS recall_ok
+    FROM exact_pairs
+    """,
+)
+def dedup_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH contract made oracle-checkable (the same move the
+    ANN recall audits use): one row carrying the exact near-dup pair
+    count plus two in-plan booleans — precision (every LSH-emitted pair
+    IS an exact pair: the exact-verify step guarantees it, and a
+    verification bug flips this to FALSE) and recall >= 0.8 of the
+    exact pair set (measured 1.0 at sf0.001/0.01; the banded-LSH
+    catch probability at jaccard >= 0.3 is p = 1-(1-j^4)^4). The oracle
+    recomputes the exact pair count independently and asserts both
+    booleans literally — LSH internals (hash seeds, band keys) never
+    reach the hashed output, so the check is engine-stable.
+
+    Scale: one full-outer join of two pair sets that are each
+    bucket-bounded (never all-pairs), then a single 1-row aggregate."""
+    exact = _jaccard_pairs_from_index(shingle_index(spark, sf_dir)).select(
+        "doc_a", "doc_b"
+    ).withColumn("in_exact", F.lit(1))
+    mh = dedup_near_minhash(spark, sf_dir).select("doc_a", "doc_b").withColumn(
+        "in_mh", F.lit(1)
+    )
+    flags = exact.join(mh, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("in_exact", F.lit(0)).alias("e"),
+        F.coalesce("in_mh", F.lit(0)).alias("m"),
+    )
+    agg = flags.agg(
+        F.sum("e").alias("n_exact"),
+        F.sum(F.col("e") * F.col("m")).alias("n_both"),
+        F.sum(F.col("m") * (1 - F.col("e"))).alias("n_mh_only"),
+    )
+    return agg.select(
+        F.col("n_exact").cast("long").alias("n_exact_pairs"),
+        (F.col("n_mh_only") == 0).alias("precision_ok"),
+        (F.col("n_both") >= F.col("n_exact") * 0.8).alias("recall_ok"),
+    )

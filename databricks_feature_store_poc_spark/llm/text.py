@@ -502,3 +502,48 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio, 6).alias("rep_ratio"),
         (ratio > 0.2).alias("is_repetitive"),
     )
+
+
+@query(
+    "text_tfidf_audit",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(least(3, len(list_distinct({_DUCK_WORDS}))) AS BIGINT)
+               AS n_terms,
+           TRUE AS terms_in_doc,
+           TRUE AS order_ok
+    FROM documents
+    """,
+)
+def text_tfidf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TF-IDF contract made oracle-checkable: the top-terms output
+    itself is rows-only (ln is not a cross-engine bit contract), but its
+    SHAPE is deterministic — per doc, min(3, distinct terms) rows, every
+    emitted term present in its document, scores non-increasing down the
+    rank. This query emits exactly those facts: the oracle predicts
+    n_terms from the document alone and asserts both booleans literally,
+    so a ranking bug (wrong k, foreign term, unsorted scores) flips a
+    hashed value even though the scores themselves never cross engines.
+
+    Scale: the tfidf pipeline (explode + two hash aggregates + window)
+    plus one broadcast-sized join back to the per-doc term sets."""
+    out = text_tfidf_topterms(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    tokens = d.select(
+        "doc_id", F.explode(F.expr(_WORDS)).alias("term")
+    ).distinct()
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    flagged = (
+        out.join(
+            tokens.withColumn("in_doc", F.lit(1)), ["doc_id", "term"], "left"
+        )
+        .withColumn("prev", F.lag("tfidf").over(w))
+        .withColumn(
+            "mono", (F.col("prev").isNull() | (F.col("tfidf") <= F.col("prev"))).cast("int")
+        )
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        (F.sum(F.coalesce("in_doc", F.lit(0))) == F.count(F.lit(1))).alias("terms_in_doc"),
+        (F.sum("mono") == F.count(F.lit(1))).alias("order_ok"),
+    )
