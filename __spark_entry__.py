@@ -95,6 +95,8 @@ _NEVER_ADJUDICATED = (
     "text_tfidf_audit",
     "pack_sequences_audit",
     "dedup_minhash_audit",
+    "scan_python_datasource",
+    "udtf_native_split",
 )
 _CHANGED_IN_R5 = (
     "sim_ann_lsh",

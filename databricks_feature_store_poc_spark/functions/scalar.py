@@ -571,3 +571,45 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.try_multiply(F.col("o_orderkey"), F.lit(2)).cast("long"))
         .alias("safe_double_key"),
     )
+
+
+@query(
+    "udtf_native_split",
+    oracle="""
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos, w[i] AS word
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         UNNEST(range(1, len(w) + 1)) t(i)
+    """,
+)
+def udtf_native_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NATIVE Python UDTF surface (Spark 4 `@udtf`, used via SQL
+    LATERAL): a table function class whose eval() yields (pos, word)
+    rows per input document — the fourth point of the UDF surface next
+    to pandas_udf / applyInPandas / mapInPandas (udtf_explode_tokens is
+    the mapInPandas formulation of the same semantics; this is the
+    first-class UDTF API). The oracle regenerates the rows via UNNEST
+    with ordinality, hash-verifying row fan-out, ordering metadata and
+    values.
+
+    Scale note: eval() runs row-at-a-time in Python — fine for genuine
+    table-function semantics, but when the logic is expressible as
+    explode()/higher-order functions those stay JVM-side and win
+    (SURVEY §4); this entry pins the API surface, not a hot path."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="pos int, word string")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split(" ")):
+                yield i, w
+
+    spark.udtf.register("split_words_udtf", SplitWords)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "udtf_native_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.word
+        FROM udtf_native_docs d, LATERAL split_words_udtf(d.text) s
+        """
+    )

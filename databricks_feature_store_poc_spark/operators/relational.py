@@ -1792,3 +1792,49 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o.o_orderstatus = 'F'
         """
     )
+
+
+@query(
+    "scan_python_datasource",
+    oracle="""
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(payload) AS BIGINT) AS payload_sum,
+           CAST(min(event_id) AS BIGINT) AS first_id,
+           CAST(max(event_id) AS BIGINT) AS last_id
+    FROM (
+        SELECT CAST(i AS BIGINT) AS event_id,
+               CAST(i // 1250 AS INT) AS shard,
+               (i * 1103515245 + 12345) % 2147483648 AS payload
+        FROM range(10000) t(i)
+    ) telemetry
+    GROUP BY shard
+    """,
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector through Spark 4's Python DataSource API
+    (sources/pydatasource.py): the source declares schema + shard
+    partitions and each shard's reader runs executor-side in parallel —
+    the extension point for systems with no built-in reader. The payload
+    is a deterministic LCG, so DuckDB can regenerate the identical rows
+    from range() and the driver hash-verifies the connector end to end
+    (partition planning, slicing, per-row generation).
+
+    Scale: parallelism = shard count; no driver involvement in the row
+    path. (sf_dir is unused — the connector's 'external system' is
+    synthetic by design.)"""
+    from databricks_feature_store_poc_spark.sources.pydatasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("synthetic_telemetry")
+        .option("n_rows", 10_000)
+        .option("n_shards", 8)
+        .load()
+    )
+    return df.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("payload").alias("payload_sum"),
+        F.min("event_id").alias("first_id"),
+        F.max("event_id").alias("last_id"),
+    )

@@ -1,0 +1,82 @@
+"""Custom connector via the Python DataSource API (Spark 4).
+
+The reference consumes only managed sources (CSV uploads + service
+tables); a standalone engine needs an extension point for systems Spark
+has no built-in reader for. Spark 4's Python DataSource API is that
+surface — a pure-Python class declaring schema + partitions, whose
+partition readers run IN PARALLEL on executors like any native scan.
+
+``SyntheticTelemetrySource`` models the common case: an external system
+addressable by (shard, offset) — each Spark input partition maps to one
+shard and generates its rows independently (deterministic LCG payload,
+so the connector is oracle-checkable). The same pattern with a real
+client object in ``read`` is a REST/queue/proprietary-store connector:
+partition planning in ``partitions()``, per-shard fetch in ``read``.
+
+Scale: parallelism = number of planned partitions (shards), each reader
+streams its own slice — no driver bottleneck; Spark applies column
+pruning to the declared schema like any source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+_LCG_A = 1103515245
+_LCG_C = 12345
+_LCG_M = 2147483648  # 2^31
+
+
+def lcg_value(i: int) -> int:
+    """Deterministic per-row payload — exact in int64 on any engine."""
+    return (i * _LCG_A + _LCG_C) % _LCG_M
+
+
+class _ShardPartition(InputPartition):
+    def __init__(self, shard: int, start: int, end: int):
+        self.shard = shard
+        self.start = start
+        self.end = end
+
+
+class SyntheticTelemetryReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 10_000))
+        self.n_shards = int(options.get("n_shards", 8))
+
+    def partitions(self):
+        per = -(-self.n_rows // self.n_shards)  # ceil
+        return [
+            _ShardPartition(s, s * per, min((s + 1) * per, self.n_rows))
+            for s in range(self.n_shards)
+            if s * per < self.n_rows
+        ]
+
+    def read(self, partition: _ShardPartition):
+        # Executor-side: one shard's slice, generated/fetched locally.
+        for i in range(partition.start, partition.end):
+            yield (i, partition.shard, lcg_value(i))
+
+
+class SyntheticTelemetrySource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_telemetry"
+
+    def schema(self) -> StructType:
+        return StructType(
+            [
+                StructField("event_id", LongType()),
+                StructField("shard", IntegerType()),
+                StructField("payload", LongType()),
+            ]
+        )
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return SyntheticTelemetryReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotently register the connector on a session."""
+    spark.dataSource.register(SyntheticTelemetrySource)
