@@ -20,7 +20,12 @@ pruning to the declared schema like any source.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 _LCG_A = 1103515245
@@ -59,6 +64,43 @@ class SyntheticTelemetryReader(DataSourceReader):
             yield (i, partition.shard, lcg_value(i))
 
 
+class SyntheticTelemetryStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form of the same connector: the 'external system' is a
+    growing offset range; each micro-batch reads [start, end) and the
+    engine checkpoints the offset dict — the exactly-once contract a
+    queue/CDC connector implements. ``batch_rows`` rows arrive per
+    trigger until ``n_rows`` is exhausted (then batches are empty)."""
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 10_000))
+        self.batch_rows = int(options.get("batch_rows", 2_500))
+        self.n_shards = int(options.get("n_shards", 8))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        lo = int(start["pos"])
+        hi = min(lo + self.batch_rows, self.n_rows)
+        per = -(-self.n_rows // self.n_shards)
+        # an iterator over a LIST, not a generator: the prefetcher both
+        # calls next() on it (empty-batch validation) and pickles it to
+        # ship the cached batch to executors — list_iterator satisfies
+        # both, a generator neither
+        rows = [(i, i // per, lcg_value(i)) for i in range(lo, hi)]
+        return iter(rows), {"pos": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        per = -(-self.n_rows // self.n_shards)
+        return iter([
+            (i, i // per, lcg_value(i))
+            for i in range(int(start["pos"]), int(end["pos"]))
+        ])
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing external to ack for a synthetic system
+
+
 class SyntheticTelemetrySource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -75,6 +117,9 @@ class SyntheticTelemetrySource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return SyntheticTelemetryReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return SyntheticTelemetryStreamReader(self.options)
 
 
 def register(spark) -> None:
