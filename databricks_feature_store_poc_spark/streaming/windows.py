@@ -665,3 +665,93 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table("ss_join_sink")
+
+
+def run_transform_with_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running (count, total) via transformWithStateInPandas —
+    Spark 4's next-generation stateful API (the successor to
+    applyInPandasWithState used by run_stateful_counter_stream): typed
+    state handles (ValueState here; List/MapState exist), explicit
+    timers, and schema'd state the RocksDB provider can evolve. One
+    (count, total) record per user in the state store; memory per
+    executor scales with its key range, not stream length.
+
+    The final emitted row per user must equal the batch aggregate —
+    asserted in tests/test_streaming.py, same contract as the
+    applyInPandasWithState twin.
+
+    Environment gate: the TWS state-server protocol needs a working
+    ``google.protobuf``; absent that (this container), raises
+    ImportError and the parity test skips — same pattern as the
+    delta-spark and mlflow gates. applyInPandasWithState
+    (run_stateful_counter_stream) remains the ungated stateful path."""
+    import google.protobuf.descriptor  # noqa: F401  (gate: TWS needs protobuf)
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals",
+                T.StructType(
+                    [
+                        T.StructField("n", T.LongType()),
+                        T.StructField("total", T.DoubleType()),
+                    ]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = 0, 0.0
+            if self._state.exists():
+                n, total = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    src = _stream_source_dir(sf_dir)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    raw_schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(raw_schema).parquet(src)
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    result = (
+        stream.select("user_id", F.col("value").cast("double").alias("value"))
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    q = (
+        result.writeStream.format("memory")
+        .queryName("tws_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("tws_sink")

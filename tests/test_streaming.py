@@ -173,3 +173,38 @@ def test_stream_stream_join_equals_batch(spark):
         for r in QUERIES["stream_interval_join"](spark, SF_SMOKE).collect()
     }
     assert got == want and got
+
+
+def test_transform_with_state_equals_batch(spark):
+    """The transformWithStateInPandas running totals must converge to
+    the batch per-user aggregate (last Update-mode emission per user).
+    Skips where the TWS protobuf dependency is absent (this container) —
+    the applyInPandasWithState parity test covers the ungated path."""
+    import pytest
+
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+    from databricks_feature_store_poc_spark.streaming.windows import (
+        run_transform_with_state_stream,
+    )
+
+    try:
+        out = run_transform_with_state_stream(spark, SF_SMOKE)
+    except ImportError as e:
+        pytest.skip(f"transformWithState needs protobuf: {e}")
+    # Update mode may emit a row per micro-batch per user; the LAST one
+    # (max n_events) is the converged value.
+    final = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in out.orderBy("n_events").collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], round(r["t"], 6))
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("double")).alias("t"),
+        )
+        .collect()
+    }
+    assert final == batch and final
