@@ -250,3 +250,24 @@ def test_dynamic_partition_pruning_fires(spark):
 
     df = QUERIES["join_dynamic_partition_pruning"](spark, SF_SMOKE)
     assert "dynamicpruning" in physical_plan(df).lower()
+
+
+import pytest as _pytest
+
+_TPCH_ALL = [f"tpch_q{i}" for i in range(1, 23)]
+
+
+@_pytest.mark.parametrize("name", _TPCH_ALL)
+def test_tpch_plan_discipline(name, spark):
+    """Every TPC-H query must partial-aggregate map-side, never fall
+    into a cartesian product, and keep its exchange count bounded —
+    the properties that decide whether the plan survives a 100x
+    scale-up. (Q2's tighter single-exchange pin and the q9/q13/q18/q21
+    specifics are asserted separately.)"""
+    from databricks_feature_store_poc_spark.plans.inspect import physical_plan
+
+    df = QUERIES[name](spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, name
+    assert has_partial_aggregate(df), name
+    assert count_exchanges(df) <= 5, (name, count_exchanges(df))
