@@ -211,3 +211,49 @@ def test_shingle_expr_counts_and_short_docs(spark, n_words, width):
     )
     out = df.selectExpr(f"size({shingle_expr(width)}) AS n").collect()[0]["n"]
     assert out == max(0, n_words - width + 1)
+
+
+# -- canonical-bucket interval join (join_interval_overlap's core math) -----
+
+_W = 30  # bucket width, days
+
+
+def _buckets(start: int, end: int) -> range:
+    """Buckets a [start, end) interval covers (end exclusive)."""
+    return range(start // _W, (end - 1) // _W + 1)
+
+
+@given(
+    a=st.lists(
+        st.tuples(st.integers(0, 400), st.integers(1, _W)), min_size=1, max_size=25
+    ),
+    b=st.lists(
+        st.tuples(st.integers(0, 400), st.integers(1, _W)), min_size=1, max_size=25
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_canonical_bucket_counts_each_overlap_exactly_once(a, b):
+    """The bucketized range join's dedup rule — keep a pair only in the
+    LATER of the two start buckets — must count every truly-overlapping
+    pair exactly once and never fabricate a pair, for any interval sets
+    whose spans don't exceed the bucket width (join_interval_overlap's
+    precondition)."""
+    A = [(s, s + d) for s, d in a]
+    B = [(s, s + d) for s, d in b]
+    brute = sum(
+        1 for (as_, ae) in A for (bs, be) in B if as_ < be and bs < ae
+    )
+    bucketized = 0
+    for (as_, ae) in A:
+        for (bs, be) in B:
+            if not (as_ < be and bs < ae):
+                continue
+            canonical = max(as_ // _W, bs // _W)
+            # counted once iff the canonical bucket is covered by both
+            hits = sum(
+                1
+                for k in _buckets(as_, ae)
+                if k in _buckets(bs, be) and k == canonical
+            )
+            bucketized += hits
+    assert bucketized == brute
