@@ -92,6 +92,10 @@ def merge_into_table(
     # table — same call, different data afterwards depending on the
     # storage flag. Fail identically up front on both paths. The check
     # is one map-side-combined count over the (dimension-sized) batch.
+    # Materialize the batch first so its lineage runs ONCE — the check
+    # and the merge below would otherwise each re-execute it (update
+    # batches are dimension-sized by contract, so this is bounded).
+    updates = updates.localCheckpoint(eager=True)
     dup = (
         updates.groupBy(*keys)
         .count()

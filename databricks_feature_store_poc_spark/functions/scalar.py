@@ -550,7 +550,9 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflow (exercised via a predicate here since the test keys can't
     overflow BIGINT). The oracle spells each guard as the equivalent
     CASE expression — DuckDB's plain division/casts differ in failure
-    behavior, which is exactly what the try_* family abstracts away.
+    behavior, which is exactly what the try_* family abstracts away
+    (the to-number format carries 18 digits so keys parse at any scale
+    factor; INT-range overflow then nulls identically on both engines).
     The quotient is floor-quantized to integer micros rather than
     round()-ed: both engines compute the identical IEEE quotient, but
     their round() tie rules differ (HALF_UP vs half-even) and divisions
@@ -565,7 +567,7 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_to_number(
             F.when(F.col("o_orderkey") % 7 == 0, "not-a-number")
             .otherwise(F.col("o_orderkey").cast("string")),
-            F.lit("999999999"),
+            F.lit("999999999999999999"),
         ).cast("int").alias("parsed_key"),
         F.when(F.col("o_orderkey") % 3 == 0, F.lit(None).cast("long"))
         .otherwise(F.try_multiply(F.col("o_orderkey"), F.lit(2)).cast("long"))

@@ -122,7 +122,7 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(16 + ascii(cs[1]) % 64 AS INT) AS width,
-           CAST(16 + ascii(cs[n]) % 64 AS INT) AS height,
+           CAST(16 + COALESCE(ascii(cs[n]), 0) % 64 AS INT) AS height,
            concat_ws(',',
                printf('%.6f', len(list_filter(cs, c -> ascii(c) // 64 = 0)) * 1.0 / tot),
                printf('%.6f', len(list_filter(cs, c -> ascii(c) // 64 = 1)) * 1.0 / tot),

@@ -31,6 +31,18 @@ from pyspark.sql import functions as F
 from databricks_feature_store_poc_spark.registry import query
 from databricks_feature_store_poc_spark.sources.catalog import load_table
 
+# Session-lifetime memo of persisted ANN index DataFrames, keyed by
+# (spark application id, index kind, sf_dir) — one cached copy per
+# corpus per session, however many times the queries re-run.
+_ANN_INDEXES: dict[tuple, "DataFrame"] = {}
+
+
+def _index_cache(spark, kind: str, sf_dir: str, df: "DataFrame") -> "DataFrame":
+    key = (spark.sparkContext.applicationId, kind, sf_dir)
+    if key not in _ANN_INDEXES:
+        _ANN_INDEXES[key] = df.persist()
+    return _ANN_INDEXES[key]
+
 N_QUERIES = 10      # vec_id < 10 are the query vectors
 TOP_K = 5
 DIM = 64
@@ -142,9 +154,12 @@ def sim_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The bucket table IS the LSH index — persist it so the query and
     # corpus sides of the probe join (and the recall audit's second
     # consumer) reuse one hashing pass instead of re-projecting the
-    # corpus per occurrence. At scale this materialization is the index
-    # build every LSH deployment performs once at ingest.
-    hashed = hashed.persist()
+    # corpus per occurrence; memoized per (app, sf_dir) so repeated
+    # calls in one session (audit + pairs + bench + tests) share ONE
+    # cached copy instead of pinning a new one each call. At scale this
+    # materialization is the index build every LSH deployment performs
+    # once at ingest.
+    hashed = _index_cache(spark, "lsh", sf_dir, hashed)
     buckets = hashed.select(
         "vec_id", "e", "nrm",
         F.explode(
@@ -284,9 +299,11 @@ def sim_ivf_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # The cell assignment IS the IVF index — persist it so the query
     # side, the corpus side of the probe join, and the recall audit all
-    # reuse one Arrow assignment pass. At scale this materialization is
-    # the index build every IVF deployment performs once at ingest.
-    assigned = v.withColumn("cell", cell_of("e")).persist()
+    # reuse one Arrow assignment pass; memoized per (app, sf_dir) like
+    # the LSH index so repeated calls share one cached copy. At scale
+    # this materialization is the index build every IVF deployment
+    # performs once at ingest.
+    assigned = _index_cache(spark, "ivf", sf_dir, v.withColumn("cell", cell_of("e")))
 
     # Query side ranks the broadcast centroids by distance and keeps the
     # NPROBE nearest (centroids inlined as literals — k x dim doubles).

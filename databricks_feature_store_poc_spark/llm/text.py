@@ -487,10 +487,17 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived doubles."""
     d = load_table(spark, sf_dir, "documents")
     w = F.split("text", " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - 2),
-        lambda i: F.concat_ws(" ", F.slice(w, i, 3)),
-    )
+    # sequence(1, size-2) DESCENDS when size < 3 (negative default step)
+    # and slice(w, 0, 3) then throws — guard short docs to an empty gram
+    # list, which the size filter drops exactly like the oracle's empty
+    # range(1, len-1) does.
+    grams = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.concat_ws(" ", F.slice(w, i, 3)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
     g = d.select("doc_id", grams.alias("g3")).filter(F.size("g3") > 0)
     n_total = F.size("g3").cast("long")
     n_distinct = F.size(F.array_distinct("g3")).cast("long")
@@ -511,7 +518,7 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(least(3, len(list_distinct({_DUCK_WORDS}))) AS BIGINT)
                AS n_terms,
            TRUE AS terms_in_doc,
-           TRUE AS order_ok
+           TRUE AS tf_is_max
     FROM documents
     """,
 )
@@ -529,21 +536,33 @@ def text_tfidf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus one broadcast-sized join back to the per-doc term sets."""
     out = text_tfidf_topterms(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents")
-    tokens = d.select(
-        "doc_id", F.explode(F.expr(_WORDS)).alias("term")
-    ).distinct()
-    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
-    flagged = (
-        out.join(
-            tokens.withColumn("in_doc", F.lit(1)), ["doc_id", "term"], "left"
-        )
-        .withColumn("prev", F.lag("tfidf").over(w))
-        .withColumn(
-            "mono", (F.col("prev").isNull() | (F.col("tfidf") <= F.col("prev"))).cast("int")
-        )
+    tf = (
+        d.select("doc_id", F.explode(F.expr(_WORDS)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
-    return flagged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_terms"),
-        (F.sum(F.coalesce("in_doc", F.lit(0))) == F.count(F.lit(1))).alias("terms_in_doc"),
-        (F.sum("mono") == F.count(F.lit(1))).alias("order_ok"),
+    joined = tf.join(
+        out.select("doc_id", "term").withColumn("emitted", F.lit(1)),
+        ["doc_id", "term"],
+        "left",
+    )
+    per_doc = joined.groupBy("doc_id").agg(
+        F.sum(F.coalesce("emitted", F.lit(0))).alias("n_emitted"),
+        F.min(F.when(F.col("emitted") == 1, F.col("tf"))).alias("min_emitted_tf"),
+        F.max(F.when(F.col("emitted").isNull(), F.col("tf"))).alias("max_omitted_tf"),
+    )
+    n_out = out.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    return n_out.join(per_doc, "doc_id").select(
+        "doc_id",
+        "n_terms",
+        # every emitted term exists in the doc's term set
+        (F.col("n_emitted") == F.col("n_terms")).alias("terms_in_doc"),
+        # top-k witness: no omitted term's raw frequency may exceed 3x
+        # the weakest emitted term's (idf in [1, 1+ln(N+1)] bounds how
+        # far idf can reorder tf; bottom-k selection violates this
+        # immediately on any skewed doc)
+        (
+            F.coalesce("max_omitted_tf", F.lit(0))
+            <= F.col("min_emitted_tf") * 3
+        ).alias("tf_is_max"),
     )

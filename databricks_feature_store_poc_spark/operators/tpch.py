@@ -76,7 +76,7 @@ _QTY = "CAST(l_quantity AS DECIMAL(18,2))"
         WHERE r_name = 'EUROPE'
     )
     SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
-           round(unit_cost, 6) AS unit_cost
+           CAST(floor(unit_cost * 1000000) AS BIGINT) AS unit_cost_micros
     FROM euro JOIN part ON p_partkey = l_partkey
     WHERE p_type = 'LARGE' AND p_size BETWEEN 12 AND 18
       AND unit_cost = min_cost
@@ -95,9 +95,12 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost table by partkey — the plan's only wide exchanges are the first
     agg and that window, both on bounded-cardinality keys. Per-row double
     division is bit-identical cross-engine (IEEE 754), so the min and the
-    equality filter agree exactly; the displayed cost rounds to 6 digits
-    on both engines. LIMIT 100 rides the total order (acctbal DESC,
-    name, partkey) — unique per output row.
+    equality filter agree exactly; the displayed cost is floor-quantized
+    to integer micros — round() would diverge on shortest-repr ties
+    (Spark HALF_UP on the decimal string vs DuckDB on the binary double;
+    7 real divergences in the sf0.01 cost population), floor of an
+    identical double cannot. LIMIT 100 rides the total order (acctbal
+    DESC, name, partkey) — unique per output row.
     """
     li = load_table(spark, sf_dir, "lineitem")
     # One exchange serves both wide ops: hash-partitioning on l_partkey
@@ -126,7 +129,8 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("unit_cost") == F.col("min_cost"))
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
-            F.round("unit_cost", 6).alias("unit_cost"),
+            F.floor(F.col("unit_cost") * F.lit(1000000.0))
+            .cast("long").alias("unit_cost_micros"),
         )
         .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
         .limit(100)
