@@ -37,7 +37,7 @@ def test_q2_is_min_cost_per_part(spark):
     assert rows
     by_part = {}
     for r in rows:
-        by_part.setdefault(r["p_partkey"], set()).add(r["unit_cost"])
+        by_part.setdefault(r["p_partkey"], set()).add(r["unit_cost_micros"])
     # all emitted costs for one part are the same (the min)
     assert all(len(costs) == 1 for costs in by_part.values())
 
