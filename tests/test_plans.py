@@ -271,3 +271,19 @@ def test_tpch_plan_discipline(name, spark):
     assert "CartesianProduct" not in plan, name
     assert has_partial_aggregate(df), name
     assert count_exchanges(df) <= 5, (name, count_exchanges(df))
+
+
+def test_no_query_plans_a_cartesian_product(spark):
+    """Fleet-wide net: NO registered query may plan a CartesianProduct —
+    the silent scale-killer a refactor can introduce without changing a
+    single output value at test SF. (1-row broadcast anchors plan as
+    BroadcastNestedLoopJoin, which is bounded and allowed.) Builds every
+    plan once at the smoke SF; failures name the query."""
+    from databricks_feature_store_poc_spark.plans.inspect import physical_plan
+
+    offenders = []
+    for name in sorted(QUERIES):
+        plan = physical_plan(QUERIES[name](spark, SF_SMOKE))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
