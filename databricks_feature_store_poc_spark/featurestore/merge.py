@@ -211,17 +211,16 @@ def scd2_apply(
     "merge_scd1_upsert",
     oracle="""
     WITH target AS (
-        SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal, c_mktsegment
+        SELECT c_custkey,
+               CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents,
+               c_mktsegment
         FROM customer
     ),
     upd AS (
-        SELECT c_custkey,
-               CAST(CAST(c_acctbal AS DECIMAL(12,2))
-                    + CAST(100 AS DECIMAL(12,2)) AS DECIMAL(12,2)) AS bal,
-               c_mktsegment
-        FROM customer WHERE c_custkey % 10 = 3
+        SELECT c_custkey, bal_cents + 10000 AS bal_cents, c_mktsegment
+        FROM target WHERE c_custkey % 10 = 3
         UNION ALL
-        SELECT c_custkey + 10000000, CAST(0 AS DECIMAL(12,2)), 'NEW'
+        SELECT c_custkey + 10000000, CAST(0 AS BIGINT), 'NEW'
         FROM customer WHERE c_custkey % 10 = 7
     )
     SELECT * FROM target
@@ -232,11 +231,17 @@ def scd2_apply(
 )
 def merge_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO (last-write-wins upsert) through ``merge_upsert``: a
-    deterministic update batch — +100 balance for keys ending in 3,
+    deterministic update batch — +100.00 balance for keys ending in 3,
     brand-new keys (shifted by 10M) for keys ending in 7 — folded into
     the customer table. The oracle replays the anti-join + union
     algebra in SQL, so matched-update, untouched, and inserted rows are
     all value-checked.
+
+    Checked values are floor-quantized BIGINT cents (not DECIMAL): the
+    double->DECIMAL(12,2) boundary is the one surface where engines'
+    rounding-tie/rendering rules can diverge, and floor(x*100) is the
+    same IEEE-754 arithmetic everywhere (the q2 / fn_try_arithmetic
+    fix, applied here after CORRECTNESS_r05 flagged the hash).
 
     Scale: the update batch is dimension-sized and broadcasts into the
     anti-join, so the target scan stays map-only — the exact shape a
@@ -244,17 +249,17 @@ def merge_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     Delta MERGE when the flag is available)."""
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
-        F.expr("CAST(c_acctbal AS DECIMAL(12,2))").alias("bal"),
+        F.expr("CAST(floor(c_acctbal * 100) AS BIGINT)").alias("bal_cents"),
         "c_mktsegment",
     )
     upd_existing = c.filter(F.col("c_custkey") % 10 == 3).select(
         "c_custkey",
-        F.expr("CAST(bal + CAST(100 AS DECIMAL(12,2)) AS DECIMAL(12,2))").alias("bal"),
+        (F.col("bal_cents") + F.lit(10000)).alias("bal_cents"),
         "c_mktsegment",
     )
     upd_new = c.filter(F.col("c_custkey") % 10 == 7).select(
         (F.col("c_custkey") + 10000000).alias("c_custkey"),
-        F.expr("CAST(0 AS DECIMAL(12,2))").alias("bal"),
+        F.lit(0).cast("bigint").alias("bal_cents"),
         F.lit("NEW").alias("c_mktsegment"),
     )
     return merge_upsert(c, upd_existing.unionByName(upd_new), ["c_custkey"])
@@ -264,29 +269,37 @@ def merge_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "merge_scd2_history",
     oracle="""
     WITH hist AS (
-        SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
+        SELECT c_custkey,
+               CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents,
                TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
                CAST(NULL AS TIMESTAMP) AS valid_to
         FROM customer
     ),
     upd AS (
         SELECT o_custkey AS c_custkey,
-               CAST(o_totalprice AS DECIMAL(12,2)) AS bal,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS bal_cents,
                o_orderdate AS ts
         FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
     ),
     first_upd AS (
         SELECT c_custkey, min(ts) AS new_from FROM upd GROUP BY c_custkey
+    ),
+    merged AS (
+        SELECT h.c_custkey, h.bal_cents, h.valid_from, f.new_from AS valid_to
+        FROM hist h JOIN first_upd f ON h.c_custkey = f.c_custkey
+        UNION ALL
+        SELECT * FROM hist
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM first_upd)
+        UNION ALL
+        SELECT c_custkey, bal_cents, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY c_custkey ORDER BY ts, bal_cents)
+                   AS valid_to
+        FROM upd
     )
-    SELECT h.c_custkey, h.bal, h.valid_from, f.new_from AS valid_to
-    FROM hist h JOIN first_upd f ON h.c_custkey = f.c_custkey
-    UNION ALL
-    SELECT * FROM hist
-    WHERE c_custkey NOT IN (SELECT c_custkey FROM first_upd)
-    UNION ALL
-    SELECT c_custkey, bal, ts AS valid_from,
-           lead(ts) OVER (PARTITION BY c_custkey ORDER BY ts, bal) AS valid_to
-    FROM upd
+    SELECT c_custkey, bal_cents,
+           CAST(epoch_us(valid_from) AS BIGINT) AS valid_from_us,
+           CAST(epoch_us(valid_to) AS BIGINT) AS valid_to_us
+    FROM merged
     """,
 )
 def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -299,6 +312,14 @@ def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted (valid_from, valid_to) intervals are value-checked
     end-to-end.
 
+    Checked values are render-proof encodings (CORRECTNESS_r05 flagged
+    the hash with rows+schema green): balances as floor-quantized
+    BIGINT cents (no double->DECIMAL rounding-tie surface) and validity
+    bounds as epoch-micros BIGINT via unix_micros/epoch_us under the
+    pinned UTC session TZ (NULL stays NULL = open row) — the same
+    encoding every driver-green time query here already uses. The SCD2
+    algebra under test is unchanged.
+
     Scale: the first-update aggregate broadcasts into the open-row
     close/anti-join pair (map-only over history); the update chain is
     one window over the batch partitioned by key — history is never
@@ -307,7 +328,7 @@ def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     hist = c.select(
         "c_custkey",
-        F.expr("CAST(c_acctbal AS DECIMAL(12,2))").alias("bal"),
+        F.expr("CAST(floor(c_acctbal * 100) AS BIGINT)").alias("bal_cents"),
         F.lit("1995-01-01 00:00:00").cast("timestamp").alias("valid_from"),
         F.lit(None).cast("timestamp").alias("valid_to"),
     )
@@ -315,7 +336,13 @@ def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") >= "2001-01-01"
     ).select(
         F.col("o_custkey").alias("c_custkey"),
-        F.expr("CAST(o_totalprice AS DECIMAL(12,2))").alias("bal"),
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("bal_cents"),
         F.col("o_orderdate").alias("ts"),
     )
-    return scd2_apply(hist, upd, ["c_custkey"], "ts")
+    out = scd2_apply(hist, upd, ["c_custkey"], "ts")
+    return out.select(
+        "c_custkey",
+        "bal_cents",
+        F.unix_micros(F.col("valid_from")).alias("valid_from_us"),
+        F.unix_micros(F.col("valid_to")).alias("valid_to_us"),
+    )
