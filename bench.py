@@ -104,44 +104,38 @@ def main() -> int:
             f.write(json.dumps(result) + "\n")
     except OSError:
         pass
-    # The driver captures only the last ~2.9 KB of stdout and parses the
-    # JSON line out of it; r3+r4 both recorded parsed:null because the
-    # full 123-query line is ~3.2 KB and its HEAD got truncated away. So
-    # the stdout line must fit the tail cap with margin: emit all queries
-    # if they fit, else a headline-priority subset plus a pointer to the
-    # sidecar. 2-decimal rounding + compact separators buy most of it.
-    budget = 2300
+    # The driver captures only the last 2000 BYTES of stdout and parses
+    # the JSON line out of it; r3-r5 all recorded parsed:null because the
+    # line's head got truncated away (r5 budgeted 2300 against a capture
+    # the verdict estimated at ~2.9 KB — it is actually 2000, measured
+    # from BENCH_r05.json's tail field). So the line must be far inside
+    # 2000 bytes worst-case: emit ONLY the slowest queries (the ones a
+    # reader acts on) plus failures, hard-capped at 1200 bytes, and point
+    # at the committed sidecar for the full 162-entry map.
+    budget = 1200
     compact = {k: (None if v is None else round(v, 2)) for k, v in timings.items()}
 
     def _render(qdict: dict) -> str:
         out = dict(result)
         out["queries"] = qdict
-        if len(qdict) < len(timings):
-            out["queries_shown"] = len(qdict)
-            out["queries_total"] = len(timings)
-            out["queries_full"] = "bench_result.json"
+        out["queries_shown"] = len(qdict)
+        out["queries_total"] = len(timings)
+        out["queries_full"] = "bench_result.json"
         return json.dumps(out, separators=(",", ":"))
 
-    line = _render(compact)
-    if len(line) > budget:
-        headline = [k for k in (
-            "training_set_flagship", "training_set_point_in_time",
-            "score_batch_replay", "sink_feature_table",
-        ) if k in compact]
-        headline += sorted(k for k in compact if k.startswith("tpch_"))
-        headline += sorted(
-            k for k in compact
-            if k.split("_", 1)[0] in ("dedup", "sim", "join", "agg", "win")
-            and k not in headline
-        )
-        headline += sorted(k for k in compact if k not in headline)
-        shown: dict[str, float | None] = {}
-        for k in headline:
-            shown[k] = compact[k]
-            if len(_render(shown)) > budget:
-                del shown[k]
-                break
-        line = _render(shown)
+    # Failures first (a silent failure is worse than a slow query), then
+    # slowest-first; add until the byte budget or 25 entries.
+    by_cost = sorted(
+        compact,
+        key=lambda k: (compact[k] is not None, -(compact[k] or 0.0)),
+    )
+    shown: dict[str, float | None] = {}
+    for k in by_cost[:25]:
+        shown[k] = compact[k]
+        if len(_render(shown)) > budget:
+            del shown[k]
+            break
+    line = _render(shown)
     sys.stdout.flush()
     sys.stderr.flush()
     os.dup2(real_stdout_fd, 1)
