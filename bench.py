@@ -67,9 +67,13 @@ def main() -> int:
     # dedup_ngram_jaccard also builds + persists the session-memoized
     # shingle index, so every shingle-based query below measures
     # steady-state work, not the one-time index build.
+    # scan_python_datasource warms the Python DataSource machinery —
+    # dataSource.register py4j round-trip, Python planning worker, and
+    # the data-source read worker pool are ~8.5s of session-one-time
+    # cost vs a 0.4s steady-state scan (measured r6).
     for warm_name in (
         "training_set_flagship", "text_stats", "mm_embedding_norm", "udf_scalar",
-        "dedup_ngram_jaccard",
+        "dedup_ngram_jaccard", "scan_python_datasource",
     ):
         try:
             warm = queries.get(warm_name)
