@@ -92,50 +92,64 @@ def merge_into_table(
     # table — same call, different data afterwards depending on the
     # storage flag. Fail identically up front on both paths. The check
     # is one map-side-combined count over the (dimension-sized) batch.
-    # Materialize the batch first so its lineage runs ONCE — the check
-    # and the merge below would otherwise each re-execute it (update
-    # batches are dimension-sized by contract, so this is bounded).
-    updates = updates.localCheckpoint(eager=True)
-    dup = (
-        updates.groupBy(*keys)
-        .count()
-        .filter(F.col("count") > 1)
-        .limit(5)
-        .collect()
-    )
-    if dup:
-        sample = [tuple(r[k] for k in keys) for r in dup]
-        raise ValueError(
-            f"updates batch is not unique on merge keys {keys}; "
-            f"duplicate key sample: {sample}"
+    # persist(), not localCheckpoint(): the batch's lineage stays
+    # recomputable (an executor loss on a cluster re-derives the cached
+    # partitions instead of failing the job) while still running only
+    # once across the dup check + merge below.
+    updates = updates.persist()
+    try:
+        dup = (
+            updates.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(5)
+            .collect()
         )
+        if dup:
+            sample = [tuple(r[k] for k in keys) for r in dup]
+            raise ValueError(
+                f"updates batch is not unique on merge keys {keys}; "
+                f"duplicate key sample: {sample}"
+            )
 
-    if delta_available() and table_provider(spark, table_name) == "delta":
-        from delta.tables import DeltaTable
+        if delta_available() and table_provider(spark, table_name) == "delta":
+            from delta.tables import DeltaTable
 
-        cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
-        (
-            DeltaTable.forName(spark, table_name)
-            .alias("t")
-            .merge(updates.alias("s"), cond)
-            .whenMatchedUpdateAll()
-            .whenNotMatchedInsertAll()
-            .execute()
+            cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
+            (
+                DeltaTable.forName(spark, table_name)
+                .alias("t")
+                .merge(updates.alias("s"), cond)
+                .whenMatchedUpdateAll()
+                .whenNotMatchedInsertAll()
+                .execute()
+            )
+            return
+        layout = table_layout(spark, table_name)
+        merged = merge_upsert(
+            spark.table(table_name), updates, keys,
+            broadcast_updates=broadcast_updates,
         )
-        return
-    layout = table_layout(spark, table_name)
-    merged = merge_upsert(
-        spark.table(table_name), updates, keys, broadcast_updates=broadcast_updates
-    )
-    merged = merged.localCheckpoint(eager=True)
-    writer = merged.write.format(layout["provider"] or "parquet").mode("overwrite")
-    if layout["partition_by"]:
-        writer = writer.partitionBy(*layout["partition_by"])
-    if layout["bucket_by"] and layout["n_buckets"]:
-        writer = writer.bucketBy(
-            layout["n_buckets"], *layout["bucket_by"]
-        ).sortBy(*layout["bucket_by"])
-    writer.saveAsTable(table_name)
+        # The overwrite barrier must be a true lineage break, not a
+        # cache: a persisted partition that is evicted mid-overwrite
+        # would recompute FROM THE TABLE BEING REPLACED and corrupt the
+        # result. localCheckpoint is that break on this single-JVM rig;
+        # a cluster deployment stages to a swap table or durable
+        # checkpoint instead (non-transactional either way — the gap
+        # the Delta path above closes).
+        merged = merged.localCheckpoint(eager=True)
+        writer = merged.write.format(
+            layout["provider"] or "parquet"
+        ).mode("overwrite")
+        if layout["partition_by"]:
+            writer = writer.partitionBy(*layout["partition_by"])
+        if layout["bucket_by"] and layout["n_buckets"]:
+            writer = writer.bucketBy(
+                layout["n_buckets"], *layout["bucket_by"]
+            ).sortBy(*layout["bucket_by"])
+        writer.saveAsTable(table_name)
+    finally:
+        updates.unpersist()
 
 
 def scd2_apply(

@@ -22,6 +22,7 @@ see identical buckets.
 from __future__ import annotations
 
 import hashlib
+import os
 import struct
 
 import pandas as pd  # module-level: pandas_udf type hints resolve here
@@ -32,13 +33,40 @@ from databricks_feature_store_poc_spark.registry import query
 from databricks_feature_store_poc_spark.sources.catalog import load_table
 
 # Session-lifetime memo of persisted ANN index DataFrames, keyed by
-# (spark application id, index kind, sf_dir) — one cached copy per
-# corpus per session, however many times the queries re-run.
+# (spark application id, index kind, sf_dir, corpus fingerprint) — one
+# cached copy per corpus per session, however many times the queries
+# re-run. The fingerprint (source parquet mtime+size) invalidates the
+# index if the corpus is regenerated in place, and entries belonging to
+# stopped sessions or stale corpora are unpersisted/evicted on the next
+# cache touch (ADVICE r5).
 _ANN_INDEXES: dict[tuple, "DataFrame"] = {}
 
 
+def _corpus_fingerprint(sf_dir: str) -> str:
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    paths = [src]
+    if os.path.isdir(src):
+        paths = sorted(os.path.join(src, p) for p in os.listdir(src)) or [src]
+    h = hashlib.sha256()
+    for p in paths:
+        try:
+            st = os.stat(p)
+            h.update(f"{p}:{st.st_mtime_ns}:{st.st_size};".encode())
+        except OSError:
+            h.update(f"{p}:missing;".encode())
+    return h.hexdigest()[:16]
+
+
 def _index_cache(spark, kind: str, sf_dir: str, df: "DataFrame") -> "DataFrame":
-    key = (spark.sparkContext.applicationId, kind, sf_dir)
+    app = spark.sparkContext.applicationId
+    key = (app, kind, sf_dir, _corpus_fingerprint(sf_dir))
+    # Evict anything this session can no longer serve: entries from other
+    # (stopped) applications and stale fingerprints of the same corpus.
+    for k in [k for k in _ANN_INDEXES if k != key and (k[0] != app or k[:3] == key[:3])]:
+        try:
+            _ANN_INDEXES.pop(k).unpersist()
+        except Exception:
+            pass  # owning context already gone — the cache died with it
     if key not in _ANN_INDEXES:
         _ANN_INDEXES[key] = df.persist()
     return _ANN_INDEXES[key]

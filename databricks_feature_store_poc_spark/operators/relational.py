@@ -22,6 +22,7 @@ pushdown / column pruning reach the parquet scans.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import tempfile
@@ -1476,6 +1477,35 @@ def sink_sorted_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def _partitioned_orders_cache(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once hive-partitioned orders sink shared by the partitioned
+    scan and DPP queries. The cache path embeds a fingerprint of the
+    source parquet (mtime_ns + size, recursing one level for directory
+    datasets) so a regenerated testdata dir can never serve stale rows —
+    the _SUCCESS-only check did exactly that if sf_dir was rewritten in
+    place (ADVICE r5)."""
+    src = os.path.join(sf_dir, "orders.parquet")
+    paths = [src]
+    if os.path.isdir(src):
+        paths = sorted(
+            os.path.join(src, p) for p in os.listdir(src)
+        ) or [src]
+    h = hashlib.sha256()
+    for p in paths:
+        st = os.stat(p)
+        h.update(f"{p}:{st.st_mtime_ns}:{st.st_size};".encode())
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_part_orders_{tag}_{h.hexdigest()[:12]}",
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+        ).write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    return out
+
+
 @query(
     "sink_partitioned_pruned",
     oracle="""
@@ -1492,13 +1522,7 @@ def sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     files, the coarse-grained complement to sink_sorted_parquet's
     row-group skipping. The oracle checks the partition column
     round-trips losslessly through the directory encoding."""
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
-    )
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    out = os.path.join(tempfile.gettempdir(), f"spark_graft_part_orders_{tag}")
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    out = _partitioned_orders_cache(spark, sf_dir)
     return (
         spark.read.parquet(out)
         .filter(F.col("o_orderstatus") == "F")
@@ -1538,12 +1562,7 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
 
     The oracle replays the same join on the raw table — DPP must change
     the scan, not the answer."""
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    out = os.path.join(tempfile.gettempdir(), f"spark_graft_part_orders_{tag}")
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        load_table(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
-        ).write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    out = _partitioned_orders_cache(spark, sf_dir)
     fact = spark.read.parquet(out)
     counts = load_table(spark, sf_dir, "orders").groupBy(
         F.col("o_orderstatus").alias("status")

@@ -414,7 +414,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11 important stock. Deviation: no partsupp, so a part's "value"
-    held by NATION_5 suppliers is the summed extended price of their
+    held by NATION_12 suppliers is the summed extended price of their
     shipped lines. The structure — grouped value vs. a scalar-subquery
     fraction of the total — is Q11's exactly.
 

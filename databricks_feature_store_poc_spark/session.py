@@ -18,6 +18,28 @@ import os
 
 from pyspark.sql import SparkSession
 
+
+def _default_driver_mem() -> str:
+    """Driver heap default: explicit env wins; otherwise size to the host.
+
+    local[N] is a single JVM — the driver heap IS the executor heap for
+    all task threads, and 8g GC-thrashed the full bench suite (385s ->
+    176s at 24g on the 128 GiB rig, measured r5). But hardcoding 24g
+    OOMs smaller hosts that import this library, so derive: ~1/4 of
+    physical RAM, clamped to [4g, 24g].
+    """
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        total_gib = (
+            os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / (1 << 30)
+        )
+    except (ValueError, OSError, AttributeError):
+        return "4g"
+    return f"{max(4, min(24, int(total_gib // 4)))}g"
+
+
 DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -40,10 +62,7 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Local test runs only; a real deployment sizes these per-cluster.
     "spark.ui.enabled": "false",
-    # local[32] is a single JVM: driver heap IS the executor heap for all
-    # 32 task threads. 8g GC-thrashed the 146-query bench session (full
-    # suite 385s -> 176s at 24g, measured); the rig has 128 GiB.
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+    "spark.driver.memory": _default_driver_mem(),
 }
 
 
