@@ -295,6 +295,15 @@ def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     is that a single group fits in one task's memory — true for per-user
     groups; for skewed keys pre-aggregate or salt first.
 
+    The grouped shuffle is explicitly coarsened to defaultParallelism/4
+    partitions: a Python-worker stage pays a per-task worker handshake +
+    Arrow stream setup that a JVM stage doesn't, so tasks need enough
+    groups each to amortize it — at 32 thread-local partitions over
+    1500 users this fixed cost dominated (3.9s steady vs 0.8s at 8,
+    measured r6; the r4->r5 'drift' was this, not noise). The divisor
+    keeps partition count proportional to cluster size, so at scale it
+    still fans out to thousands of tasks.
+
     round(sum, 2) in the body is exact because inputs are 2-decimal values
     and per-user groups are small (float error ≪ half a cent); the oracle
     accumulates in DECIMAL and lands on the same cents."""
@@ -318,7 +327,13 @@ def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("max_value", T.DoubleType()),
         ]
     )
-    return e.select("user_id", "value").groupBy("user_id").applyInPandas(user_stats, schema)
+    n_parts = max(4, spark.sparkContext.defaultParallelism // 4)
+    return (
+        e.select("user_id", "value")
+        .repartition(n_parts, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(user_stats, schema)
+    )
 
 
 @query(
