@@ -40,89 +40,97 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver adjudicates ~50 queries per round in dict order, so the dict
-# is emitted in ADJUDICATION-PRIORITY order, not alphabetical. After r4,
-# every r3-registered key has at least one green verdict (merged
-# r1..r4); the only never-adjudicated keys are the ones NEW in r5.
-# Tiers:
-#   0. new-in-r5 queries, never driver-adjudicated (the 16 remaining
-#      TPC-H shapes completing the 22-query suite, then the other r5
-#      additions);
-#   1. queries whose plan CHANGED in r5, so their earlier verdict is
-#      stale: the ANN pair (recall audit de-duplicated from a
-#      crossJoin'd second execution into a single-lineage window) and
-#      every ts-consuming query re-based onto the regenerated
-#      TIMESTAMP(MICROS) testdata via the NTZ->LTZ normalization
-#      (representatives: rolling/PIT/streaming/funnel shapes);
-#   2. headline shapes for re-confirmation — they fill the remaining
-#      budget slots;
-#   3. everything already green and unchanged, with the expensive
-#      shingle-pipeline dedup family last (shared persisted index).
+# is emitted in ADJUDICATION-PRIORITY order, not alphabetical. After r5,
+# merged r1-r5 leaves every registered key with >=1 green verdict except
+# the merge pair (hash-red r5, re-encoded this round). Tiers:
+#   0. new-in-r6, never driver-adjudicated (the PIT + on-demand
+#      composition);
+#   1. queries whose implementation or checked encoding CHANGED in r6,
+#      so their newest verdict describes a different query: the merge
+#      pair (BIGINT-cents/epoch-micros re-encoding), the gram-hash
+#      rewrite, the Arrow DataSource, the coarsened UDAF shuffle, the
+#      fingerprinted partitioned-sink cache pair, the ANN memo pair;
+#   2. the timestamp regen (NANOS -> MICROS, r5) postdates many r2-r4
+#      verdicts; r5 re-checked representatives only. These are the
+#      remaining ts/date-consuming queries whose newest verdict is
+#      pre-regen (VERDICT r5 #5) — after this round no ts query's
+#      verdict predates the regen;
+#   3. headline shapes for re-confirmation;
+#   4. oldest-verdict (r2) rotation, then everything else green and
+#      unchanged, with the expensive shingle-pipeline dedup family last
+#      (shared persisted index).
 _NEVER_ADJUDICATED = (
-    "tpch_q2",
-    "tpch_q4",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "stream_dedup_exactly_once",
-    "stream_interval_join",
+    "training_set_pit_on_demand",
+)
+_CHANGED_IN_R6 = (
     "merge_scd1_upsert",
     "merge_scd2_history",
-    "agg_hll_sketch",
-    "join_bucketed_colocated",
-    "sink_partitioned_pruned",
-    "rollup_incremental",
-    "join_interval_overlap",
-    "training_set_on_demand",
-    "split_temporal",
-    "agg_mode_deterministic",
-    "win_ntile_deciles",
-    "join_dynamic_partition_pruning",
-    "text_span_dedup",
     "text_repetition_score",
-    "join_salted_skew",
-    "fn_try_arithmetic",
-    "text_tfidf_audit",
-    "pack_sequences_audit",
-    "dedup_minhash_audit",
     "scan_python_datasource",
-    "udtf_native_split",
-)
-_CHANGED_IN_R5 = (
+    "udaf_grouped",
+    "sink_partitioned_pruned",
+    "join_dynamic_partition_pruning",
     "sim_ann_lsh",
     "sim_ivf_topk",
-    "feature_rolling_sum",
-    "feature_rolling_hourly",
-    "feature_resample_1h",
-    "feature_time_decay",
-    "feature_sessionize",
-    "funnel_signup_purchase",
-    "training_set_point_in_time",
-    "stream_tumbling",
-    "stream_session",
 )
-_HEADLINE = (
-    "training_set_flagship",
-    "training_set_point_in_time",
+_TS_PRE_REGEN = (
+    "stream_sliding",
+    "stream_late_data",
+    "join_asof",
+    "agg_latency_bands",
+    "fn_date",
+    "fn_date_extended",
+    "dq_expectations",
+    "dq_outlier_zscore",
+    "feature_drift_chi2",
+    "split_hash_8020",
+    "split_kfold",
+    "sink_sorted_parquet",
+    "scan_parquet",
+    "score_batch_replay",
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
     "tpch_q10",
     "tpch_q18",
-    "score_batch_replay",
+)
+_HEADLINE = (
+    "training_set_flagship",
+    "training_set_point_in_time",
+    "training_set_on_demand",
     "sink_feature_table",
-    "scan_parquet",
+)
+_OLDEST_ROTATION = (
+    "agg_hash",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_heavy_hitters",
+    "agg_percentile",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_stats",
+    "class_distribution",
+    "dedup_exact",
+    "dedup_distinct",
+    "fn_array",
+    "fn_bitwise",
+    "fn_case",
+    "fn_json",
+    "fn_levenshtein",
+    "fn_map",
+    "fn_null_semantics",
+    "fn_string",
+    "fn_string_extended",
+    "join_anti",
+    "join_broadcast",
+    "filter_pred",
+    "filter_in",
+    "filter_like",
+    "dtype_classification",
+    "eval_metrics",
+    "feature_importance",
 )
 _EXPENSIVE_LAST = (
     "dedup_clusters",
@@ -136,13 +144,17 @@ def _priority_order(names: list[str]) -> list[str]:
     def tier(name: str) -> tuple:
         if name in _NEVER_ADJUDICATED:
             return (0, _NEVER_ADJUDICATED.index(name), "")
-        if name in _CHANGED_IN_R5:
-            return (1, _CHANGED_IN_R5.index(name), "")
+        if name in _CHANGED_IN_R6:
+            return (1, _CHANGED_IN_R6.index(name), "")
+        if name in _TS_PRE_REGEN:
+            return (2, _TS_PRE_REGEN.index(name), "")
         if name in _HEADLINE:
-            return (2, _HEADLINE.index(name), "")
+            return (3, _HEADLINE.index(name), "")
+        if name in _OLDEST_ROTATION:
+            return (4, _OLDEST_ROTATION.index(name), "")
         if name in _EXPENSIVE_LAST:
-            return (4, _EXPENSIVE_LAST.index(name), "")
-        return (3, 0, name)
+            return (6, _EXPENSIVE_LAST.index(name), "")
+        return (5, 0, name)
 
     return sorted(names, key=tier)
 

@@ -218,3 +218,88 @@ def training_set_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         resolve_table={"user_balance_versions": versions}.__getitem__,
     )
     return ts.load_df().select("event_id", "user_id", "ts", "balance")
+
+
+@query(
+    "training_set_pit_on_demand",
+    oracle="""
+    WITH versions AS (
+        SELECT DISTINCT user_id, ts AS fts,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS balance
+        FROM events
+    ),
+    spine AS (
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    pit AS (
+        SELECT s.event_id, s.user_id, s.ts, s.value, v.balance
+        FROM spine s
+        ASOF LEFT JOIN versions v
+          ON s.user_id = v.user_id AND s.ts >= v.fts
+    )
+    SELECT event_id, user_id, ts, value, balance,
+           round(value / nullif(balance, 0), 6) AS value_to_balance,
+           balance >= value AS is_funded
+    FROM pit
+    """,
+)
+def training_set_pit_on_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composition no single query exercised jointly (VERDICT r5 #8):
+    on-demand features computed OVER a point-in-time lookup in one
+    training set — the serve-time shape of a real feature platform,
+    where request-context expressions reference leak-safe as-of feature
+    values. Each purchase event gets the user's balance as of that
+    moment via timestamp_lookup_key, then two on-demand expressions
+    derive from spine + PIT columns inside the same Catalyst plan
+    (spend-to-balance ratio, funded flag). The oracle replays ASOF LEFT
+    JOIN + the expressions in SQL, value-checking the whole composition.
+
+    Scale: identical to the PIT query — union + running-carry-forward,
+    one shuffle on (user_id); the on-demand projection adds zero passes
+    over the fact side."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    versions = (
+        events.select(
+            "user_id",
+            F.col("ts").alias("fts"),
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+            .alias("balance"),
+        )
+        .distinct()
+    )
+    spine = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    lookups = [
+        FeatureLookup(
+            table_name="user_balance_versions",
+            feature_names=("balance",),
+            lookup_key=("user_id",),
+            spine_keys=("user_id",),
+            timestamp_lookup_key=("ts", "fts"),
+        )
+    ]
+    ts = create_training_set(
+        spark, spine, lookups,
+        resolve_table={"user_balance_versions": versions}.__getitem__,
+        on_demand_features={
+            "value_to_balance": "round(value / nullif(balance, 0), 6)",
+            "is_funded": "balance >= value",
+        },
+    )
+    return ts.load_df().select(
+        "event_id", "user_id", "ts", "value", "balance",
+        "value_to_balance", "is_funded",
+    )

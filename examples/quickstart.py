@@ -113,6 +113,44 @@ def main(sf_dir: str) -> None:
     uid = table.head()["user_id"]
     print(f"online lookup user {uid}:", store.lookup(uid))
 
+    # 8. Leak-safe composition: on-demand expressions over a
+    #    point-in-time lookup — each purchase enriched with the user's
+    #    balance AS OF that moment (timestamp_lookup_key), plus
+    #    request-context features derived from spine + PIT columns in
+    #    the same plan. This is the serve-time shape of the platform.
+    versions = events.select(
+        "user_id",
+        F.col("ts").alias("fts"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy(F.unix_micros(F.col("ts")))
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("double")
+        .alias("balance"),
+    ).distinct()
+    pit_spine = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    pit_ts = create_training_set(
+        spark, pit_spine,
+        [FeatureLookup(
+            table_name="user_balance_versions",
+            feature_names=("balance",),
+            lookup_key=("user_id",),
+            spine_keys=("user_id",),
+            timestamp_lookup_key=("ts", "fts"),
+        )],
+        resolve_table={"user_balance_versions": versions}.__getitem__,
+        on_demand_features={
+            "value_to_balance": "round(value / nullif(balance, 0), 6)",
+            "is_funded": "balance >= value",
+        },
+    )
+    print("PIT + on-demand sample:",
+          pit_ts.load_df().select("event_id", "balance", "is_funded").head(3))
+
     fs.drop_table("qs_user_features")
     spark.stop()
 
