@@ -630,3 +630,37 @@ def udtf_native_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_native_docs d, LATERAL split_words_udtf(d.text) s
         """
     )
+
+
+@query(
+    "fn_regexp",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Z][a-z]+')) AS BIGINT)
+               AS n_capitalized,
+           regexp_extract(text, '[0-9]+') AS first_number,
+           CAST(regexp_matches(text, '[0-9]') AS BOOLEAN) AS has_digits,
+           substr(regexp_replace(text, '[aeiou]', '*', 'g'), 1, 40)
+               AS masked40
+    FROM documents
+    """,
+)
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp function family: extract-all (vectorized token harvest),
+    first-match extract, containment test, and global replace — the
+    PII-scrub / pattern-mining workhorses. Patterns stay inside the
+    character-class subset where Java regex (Spark) and RE2 (DuckDB)
+    agree, which is also the subset that stays fast at 100 TB (no
+    backtracking). All JVM-side; map-only.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr("CAST(size(regexp_extract_all(text, '[A-Z][a-z]+')) AS BIGINT)")
+            .alias("n_capitalized"),
+        F.regexp_extract("text", "[0-9]+", 0).alias("first_number"),
+        F.expr("text RLIKE '[0-9]'").alias("has_digits"),
+        F.expr("substr(regexp_replace(text, '[aeiou]', '*'), 1, 40)").alias(
+            "masked40"
+        ),
+    )

@@ -583,3 +583,60 @@ def text_tfidf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("min_emitted_tf") * 3
         ).alias("tf_is_max"),
     )
+
+
+CHUNK_SIZE = 16
+CHUNK_STRIDE = 12
+
+
+@query(
+    "text_chunk_sliding",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(s // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(w, s + 1, s + {CHUNK_SIZE})) AS BIGINT)
+               AS n_tokens,
+           array_to_string(list_slice(w, s + 1, s + {CHUNK_SIZE}), ' ')
+               AS chunk_text
+    FROM (SELECT doc_id, w,
+                 unnest(range(0, greatest(len(w), 1), {CHUNK_STRIDE})) AS s
+          FROM (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents))
+    """,
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: split each document into overlapping
+    {CHUNK_SIZE}-word chunks at stride {CHUNK_STRIDE} — the standard
+    context-window packing prep for LLM pretraining (every token is
+    seen; consecutive chunks overlap by size - stride words so no
+    boundary context is lost). The final chunk may be short; a document
+    with fewer words than one stride still yields chunk 0.
+
+    Pure JVM: split + sequence + explode + slice — the chunk fan-out is
+    bounded by ceil(words/stride) per document and the whole operator is
+    map-only (no shuffle), so at 100 TB it runs at scan speed and feeds
+    straight into pack_sequences.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_WORDS).alias("w")
+    )
+    d = d.select(
+        "doc_id",
+        "w",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size("w") - 1, F.lit(0)),
+                F.lit(CHUNK_STRIDE),
+            )
+        ).alias("s"),
+    )
+    return d.select(
+        "doc_id",
+        F.expr(f"CAST(s div {CHUNK_STRIDE} AS BIGINT)").alias("chunk_idx"),
+        F.expr(f"CAST(size(slice(w, s + 1, {CHUNK_SIZE})) AS BIGINT)").alias(
+            "n_tokens"
+        ),
+        F.expr(f"array_join(slice(w, s + 1, {CHUNK_SIZE}), ' ')").alias(
+            "chunk_text"
+        ),
+    )

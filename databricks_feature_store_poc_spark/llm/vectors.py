@@ -1,0 +1,225 @@
+"""Vector-column operators for embedding pipelines: int8 quantization
+and exact fixed-point k-means clustering.
+
+Both are staples of a 100 TB embedding pipeline:
+- **int8 quantization** cuts vector storage/bandwidth 4x before ANN
+  indexing (the standard serving-side compression); it is a pure
+  map-only transform — higher-order array functions, no shuffle, no
+  Python.
+- **k-means** is the clustering primitive behind IVF coarse quantizers
+  (llm/similarity.py fits its centroids on a driver sample; this is the
+  full distributed Lloyd's iteration) and behind semantic dedup /
+  topic-bucketing of corpora.
+
+Correctness strategy (same trick as operators/graph.py): all checked
+arithmetic is **fixed-point BIGINT**. Embeddings are quantized to
+integer grid units once, then every distance, sum, and centroid mean is
+exact integer math — bit-identical across Spark, DuckDB, and any
+partition order. Doubles appear only where a single IEEE op per value
+is involved (scale factors), never accumulated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_feature_store_poc_spark.registry import query
+from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+DIMS = 64
+
+# --- int8 quantization -----------------------------------------------------
+# Symmetric per-vector quantization: scale = amax/127; q = round(x/scale).
+# round() is floor(v + 0.5) on both engines — an explicit, tie-stable rule
+# (SQL round() half-away vs half-even varies by engine/type).
+_Q_EXPR = (
+    "transform(embedding, x -> CAST(floor((CAST(x AS DOUBLE) * 127.0) / amax"
+    " + 0.5) AS BIGINT))"
+)
+# Per-element |x - dequant(q)| scaled to 1e-9 units and floor-rounded to
+# BIGINT before summing — the sum is then exact and order-free.
+_ERR_EXPR = (
+    "aggregate(embedding, CAST(0 AS BIGINT), (acc, x) -> acc + CAST(floor("
+    "abs(CAST(x AS DOUBLE) - (CAST(CAST(floor((CAST(x AS DOUBLE) * 127.0) / amax"
+    " + 0.5) AS BIGINT) AS DOUBLE) * amax) / 127.0) * 1000000000.0 + 0.5)"
+    " AS BIGINT))"
+)
+
+
+@query(
+    "embed_quantize_int8",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               embedding,
+               list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) AS amax
+        FROM embeddings
+    )
+    SELECT vec_id,
+           amax,
+           CAST(list_max([CAST(floor((CAST(x AS DOUBLE) * 127.0) / amax + 0.5)
+                          AS BIGINT) FOR x IN embedding]) AS BIGINT) AS max_q,
+           CAST(list_min([CAST(floor((CAST(x AS DOUBLE) * 127.0) / amax + 0.5)
+                          AS BIGINT) FOR x IN embedding]) AS BIGINT) AS min_q,
+           CAST(list_aggregate([CAST(floor(abs(CAST(x AS DOUBLE)
+                 - (CAST(CAST(floor((CAST(x AS DOUBLE) * 127.0) / amax + 0.5)
+                         AS BIGINT) AS DOUBLE) * amax) / 127.0)
+                 * 1000000000.0 + 0.5) AS BIGINT) FOR x IN embedding], 'sum')
+                AS BIGINT) AS sum_abs_err_q
+    FROM q
+    WHERE amax > 0
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column with an exact
+    per-vector reconstruction-error audit.
+
+    Checked values: the per-vector scale bound (amax — a single float
+    element cast to double, bit-exact), the quantized extrema (must lie
+    in [-127, 127]), and the total |reconstruction error| in 1e-9 units
+    (BIGINT — exact). The oracle recomputes the identical per-element
+    IEEE ops, so the driver verifies the quantizer's arithmetic, not
+    just its shape. Map-only; at 100 TB this runs at scan speed with
+    zero shuffles.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.withColumn(
+        "amax",
+        F.expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"),
+    ).filter(F.col("amax") > 0)
+    return q.select(
+        "vec_id",
+        "amax",
+        F.expr(f"array_max({_Q_EXPR})").alias("max_q"),
+        F.expr(f"array_min({_Q_EXPR})").alias("min_q"),
+        F.expr(_ERR_EXPR).alias("sum_abs_err_q"),
+    )
+
+
+# --- fixed-point k-means ---------------------------------------------------
+# Grid: q = floor(x * 2^20 + 0.5) + 2^21. The +2^21 offset keeps every
+# value non-negative, so integer division is floor division on every
+# engine (negative "div" truncates toward zero in Spark/Python but not
+# everywhere); distances are offset-invariant.
+K = 8
+KM_ITERS = 2  # assignment rounds: assign -> update -> assign -> report
+_GRID = 1_048_576  # 2^20
+_OFFSET = 2_097_152  # 2^21
+_QV = (
+    f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {_GRID} + 0.5)"
+    f" AS BIGINT) + {_OFFSET})"
+)
+_DUCK_QV = (
+    f"[CAST(floor(CAST(x AS DOUBLE) * {_GRID} + 0.5) AS BIGINT) + {_OFFSET}"
+    " FOR x IN embedding]"
+)
+
+
+def _dist_expr(qv_col: str, centroid: list[int]) -> str:
+    """Exact squared L2 between a quantized vector column and a literal
+    centroid: aggregate(zip_with(...)) — one fused JVM expression."""
+    arr = "array(" + ",".join(f"CAST({c} AS BIGINT)" for c in centroid) + ")"
+    return (
+        f"aggregate(zip_with({qv_col}, {arr}, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+def kmeans_assign(vectors: DataFrame, centroids: dict[int, list[int]]) -> DataFrame:
+    """Map-only assignment: distances to all centroids as one array
+    expression, best = first minimum (ties break to the lowest cid, the
+    same rule as the oracle's ORDER BY dist, cid)."""
+    cids = sorted(centroids)
+    dists = "array(" + ",".join(_dist_expr("qv", centroids[c]) for c in cids) + ")"
+    cid_arr = "array(" + ",".join(str(c) for c in cids) + ")"
+    return vectors.select(
+        "vec_id",
+        "qv",
+        F.expr(f"element_at({cid_arr}, CAST(array_position({dists},"
+               f" array_min({dists})) AS INT))").alias("cid"),
+        F.expr(f"array_min({dists})").alias("dist"),
+    )
+
+
+def kmeans_update(assigned: DataFrame) -> dict[int, list[int]]:
+    """One centroid update: per-cluster integer mean (sum // count) of
+    each dimension. The per-cluster aggregate is K x DIMS cells — tiny —
+    so collecting it to the driver is the standard Lloyd's orchestration
+    (Spark MLlib does the same); all heavy work stays distributed."""
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(DIMS)
+    ]
+    rows = assigned.groupBy("cid").agg(*aggs).collect()
+    return {
+        int(r["cid"]): [int(r[f"s{i}"]) // int(r["n"]) for i in range(DIMS)]
+        for r in rows
+    }
+
+
+@query(
+    "cluster_kmeans",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, {_DUCK_QV} AS qv FROM embeddings),
+    ve AS (SELECT vec_id, i, qv[i] AS q FROM v, range(1, {DIMS + 1}) r(i)),
+    c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid, vec_id
+        FROM (SELECT vec_id FROM v ORDER BY vec_id LIMIT {K})
+    ),
+    ce0 AS (SELECT c0.cid, ve.i, ve.q AS c FROM c0 JOIN ve USING (vec_id)),
+    d1 AS (
+        SELECT ve.vec_id, ce0.cid,
+               CAST(SUM((ve.q - ce0.c) * (ve.q - ce0.c)) AS BIGINT) AS dist
+        FROM ve JOIN ce0 ON ve.i = ce0.i GROUP BY ve.vec_id, ce0.cid
+    ),
+    a1 AS (
+        SELECT vec_id, cid, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d1
+    ),
+    ce1 AS (
+        SELECT a.cid, ve.i, CAST(SUM(ve.q) // COUNT(*) AS BIGINT) AS c
+        FROM (SELECT vec_id, cid FROM a1 WHERE rn = 1) a
+        JOIN ve USING (vec_id) GROUP BY a.cid, ve.i
+    ),
+    d2 AS (
+        SELECT ve.vec_id, ce1.cid,
+               CAST(SUM((ve.q - ce1.c) * (ve.q - ce1.c)) AS BIGINT) AS dist
+        FROM ve JOIN ce1 ON ve.i = ce1.i GROUP BY ve.vec_id, ce1.cid
+    ),
+    a2 AS (
+        SELECT vec_id, cid, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d2
+    )
+    SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(SUM(dist) AS BIGINT) AS inertia_q
+    FROM a2 WHERE rn = 1 GROUP BY cid
+    """,
+)
+def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding table, exact enough
+    for the driver to hash-verify: embeddings on a 2^20 fixed-point grid,
+    init = the K lowest vec_ids, two assignment rounds with one integer-
+    mean centroid update between them; output per-cluster sizes and
+    exact integer inertia. The DuckDB oracle unrolls the identical
+    recurrence relationally, so assignment ties, the centroid division,
+    and the inertia sum are all value-checked.
+
+    Scale: assignments are map-only against broadcast centroid literals
+    (K x DIMS ints); the only shuffle per iteration is a K-row aggregate.
+    BIGINT inertia holds to ~1e6 vectors per cluster at this grid; past
+    that, report per-cluster mean inertia instead.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", F.expr(_QV).alias("qv"))
+    init_rows = base.orderBy("vec_id").limit(K).collect()
+    centroids = {i + 1: [int(x) for x in r["qv"]] for i, r in enumerate(init_rows)}
+    assigned = kmeans_assign(base, centroids)
+    for _ in range(KM_ITERS - 1):
+        centroids = kmeans_update(assigned)
+        assigned = kmeans_assign(base, centroids)
+    return assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("dist").alias("inertia_q"),
+    )

@@ -1,0 +1,141 @@
+"""Iterative graph analytics over the relational tables: PageRank.
+
+A 100 TB training-data pipeline routinely needs link-graph signals
+(page/domain authority for web-corpus quality weighting — the reference
+class of curation signal popularized by the C4/CCNet pipelines). This
+module implements PageRank as iterated DataFrame joins — the classic
+Spark formulation — with one deliberate twist that makes it
+driver-adjudicable: **fixed-point integer arithmetic**.
+
+Why fixed-point: PageRank in doubles sums in-neighbor contributions,
+and double addition is not associative — the result depends on Spark's
+partition/merge order AND diverges from any oracle engine at the last
+few ulps. Scaling ranks to BIGINT "rank units" (1e12 = total mass) and
+using integer division makes every step exact, order-free, and
+bit-identical across Spark, DuckDB, and any partitioning — the same
+trick the oracle contract uses for decimal sums (registry.py docstring).
+
+Graph: the customer–supplier bipartite graph implied by orders x
+lineitem (who buys from whom), made bidirectional so every node has
+out-degree >= 1 (no dangling-mass redistribution needed — at scale,
+dangling handling adds one broadcast scalar per iteration).
+
+Scale notes:
+- Edges are built once per plan; Spark's ReuseExchange dedups the
+  repeated scan+distinct subtree across iterations.
+- Each iteration is one shuffle (groupBy dst); ranks/degrees stay
+  keyed by node so AQE can pick broadcast when one side is small.
+- The iteration count is fixed (3) — the plan is static and lazy; no
+  driver-side convergence loop, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_feature_store_poc_spark.registry import query
+from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+SCALE = 1_000_000_000_000  # 1e12 rank units of total mass
+ITERS = 3
+TOPK = 20
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customer->supplier edges from orders x lineitem, plus the
+    reverse direction (bidirectional => no dangling nodes)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    ce = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return ce.unionByName(ce.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def pagerank(edges: DataFrame, iters: int = ITERS) -> DataFrame:
+    """Fixed-point PageRank (damping 0.85) over a bidirectional edge list.
+
+    Returns (node, rank) with rank in integer rank units. Every node
+    appears as a src (bidirectional contract), so out-degree is total.
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n1 = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # rank0 = SCALE div N; teleport base = (15 * (SCALE div N)) div 100.
+    ranks = deg.crossJoin(F.broadcast(n1)).select(
+        F.col("src").alias("node"),
+        F.expr(f"CAST({SCALE} AS BIGINT) div n").alias("rank"),
+    )
+    for _ in range(iters):
+        contribs = (
+            edges.join(deg, "src")
+            .join(ranks, edges["src"] == ranks["node"])
+            .select(F.col("dst"), F.expr("rank div outdeg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inbound"))
+        )
+        ranks = contribs.crossJoin(F.broadcast(n1)).select(
+            F.col("dst").alias("node"),
+            F.expr(
+                f"(15 * (CAST({SCALE} AS BIGINT) div n)) div 100"
+                " + (85 * inbound) div 100"
+            ).alias("rank"),
+        )
+    return ranks
+
+
+@query(
+    "graph_pagerank",
+    oracle=f"""
+    WITH ce AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+        SELECT src, dst FROM ce
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM ce
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+    r0 AS (SELECT src AS node, CAST({SCALE} AS BIGINT) // nn.n AS rank FROM deg, nn),
+    r1 AS (
+        SELECT e.dst AS node,
+               CAST((15 * (CAST({SCALE} AS BIGINT) // nn.n)) // 100
+                    + (85 * SUM(r.rank // d.outdeg)) // 100 AS BIGINT) AS rank
+        FROM edges e JOIN r0 r ON r.node = e.src JOIN deg d ON d.src = e.src, nn
+        GROUP BY e.dst, nn.n
+    ),
+    r2 AS (
+        SELECT e.dst AS node,
+               CAST((15 * (CAST({SCALE} AS BIGINT) // nn.n)) // 100
+                    + (85 * SUM(r.rank // d.outdeg)) // 100 AS BIGINT) AS rank
+        FROM edges e JOIN r1 r ON r.node = e.src JOIN deg d ON d.src = e.src, nn
+        GROUP BY e.dst, nn.n
+    ),
+    r3 AS (
+        SELECT e.dst AS node,
+               CAST((15 * (CAST({SCALE} AS BIGINT) // nn.n)) // 100
+                    + (85 * SUM(r.rank // d.outdeg)) // 100 AS BIGINT) AS rank
+        FROM edges e JOIN r2 r ON r.node = e.src JOIN deg d ON d.src = e.src, nn
+        GROUP BY e.dst, nn.n
+    )
+    SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT {TOPK}
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOPK} PageRank nodes of the customer–supplier graph after 3
+    exact fixed-point iterations. The DuckDB oracle unrolls the identical
+    integer recurrence in CTEs, so the driver hash-verifies every
+    division and summation of the iteration — not just the final shape.
+    All quantities are bounded: contributions sum to <= SCALE (1e12)
+    globally, so 85 * sum stays far inside BIGINT at any graph size.
+    """
+    ranks = pagerank(_edges(spark, sf_dir))
+    return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(TOPK)

@@ -1032,7 +1032,6 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs the literal quadratic join (its IEJoin handles the test scale),
     value-checking that bucketization changes the plan, not the answer.
     """
-    W_DAYS = 30  # bucket width >= the longest interval span
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-02-01")
     ).select(
@@ -1046,13 +1045,27 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate").alias("l_start"),
         (F.col("l_shipdate") + F.expr("INTERVAL 7 DAY")).alias("l_end"),
     )
+    return (
+        interval_overlap_pairs(o, li)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def interval_overlap_pairs(
+    o: DataFrame, li: DataFrame, w_days: int = 30
+) -> DataFrame:
+    """Bucketized interval-overlap pair enumeration (the reusable core of
+    join_interval_overlap). Inputs carry (o_start, o_end) / (l_start,
+    l_end); ``w_days`` must be >= the longest interval span so every
+    overlapping pair shares at least one bucket."""
 
     def bucketed(df: DataFrame, start: str, end: str) -> DataFrame:
-        b0 = F.floor(F.unix_date(F.col(start).cast("date")) / W_DAYS)
+        b0 = F.floor(F.unix_date(F.col(start).cast("date")) / w_days)
         # end is exclusive: the last covered bucket belongs to end - 1s
         b1 = F.floor(
             F.unix_date((F.col(end) - F.expr("INTERVAL 1 SECOND")).cast("date"))
-            / W_DAYS
+            / w_days
         )
         return df.withColumn("b0", b0).withColumn(
             "bucket", F.explode(F.sequence(b0, b1))
@@ -1060,17 +1073,12 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ob = bucketed(o, "o_start", "o_end").withColumnRenamed("b0", "o_b0")
     lb = bucketed(li, "l_start", "l_end").withColumnRenamed("b0", "l_b0")
-    return (
-        ob.join(lb, "bucket")
-        .filter(
-            (F.col("o_start") < F.col("l_end"))
-            & (F.col("l_start") < F.col("o_end"))
-            # canonical bucket: the later start-bucket — counts each
-            # overlapping pair exactly once across shared buckets
-            & (F.col("bucket") == F.greatest("o_b0", "l_b0"))
-        )
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    return ob.join(lb, "bucket").filter(
+        (F.col("o_start") < F.col("l_end"))
+        & (F.col("l_start") < F.col("o_end"))
+        # canonical bucket: the later start-bucket — counts each
+        # overlapping pair exactly once across shared buckets
+        & (F.col("bucket") == F.greatest("o_b0", "l_b0"))
     )
 
 

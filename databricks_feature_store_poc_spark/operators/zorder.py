@@ -1,0 +1,100 @@
+"""Z-order (Morton) clustered sink: multi-dimensional data skipping.
+
+``sink_sorted_parquet`` clusters on ONE column; queries filtering the
+other dimension still scan everything. Interleaving the bits of two key
+columns into one Morton code and range-sorting on it gives every output
+file a narrow range in BOTH dimensions — the layout trick behind
+Delta/Databricks OPTIMIZE ZORDER and Iceberg's z-ordered rewrites — so
+min/max file stats skip on either predicate. The code is plain integer
+bit-algebra, identically expressible in Spark and DuckDB, so the driver
+hash-verifies the interleave itself, not just the round-trip.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_feature_store_poc_spark.registry import query
+from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+BITS = 16  # each dimension masked to 16 bits -> 32-bit Morton code
+
+
+def _morton_spark(x: str, y: str) -> str:
+    terms = []
+    for i in range(BITS):
+        terms.append(f"shiftleft((shiftright({x}, {i}) & 1), {2 * i})")
+        terms.append(f"shiftleft((shiftright({y}, {i}) & 1), {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _morton_duck(x: str, y: str) -> str:
+    terms = []
+    for i in range(BITS):
+        terms.append(f"(((({x}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({y}) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+_SPARK_X = f"(o_custkey & {(1 << BITS) - 1})"
+_SPARK_Y = f"(CAST(unix_date(CAST(o_orderdate AS DATE)) AS BIGINT) & {(1 << BITS) - 1})"
+_DUCK_X = f"(o_custkey & {(1 << BITS) - 1})"
+_DUCK_Y = (
+    "(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))"
+    f" & {(1 << BITS) - 1})"
+)
+
+
+@query(
+    "sink_zorder",
+    oracle=f"""
+    SELECT CAST({_morton_duck(_DUCK_X, _DUCK_Y)} AS BIGINT) AS zorder,
+           o_orderkey, o_custkey,
+           CAST(date_diff('day', DATE '1970-01-01',
+                CAST(o_orderdate AS DATE)) AS BIGINT) AS o_day
+    FROM orders
+    ORDER BY zorder, o_orderkey
+    LIMIT 20
+    """,
+)
+def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders written z-ordered on (customer, order day): Morton code
+    computed JVM-side, repartitionByRange + sortWithinPartitions on it,
+    parquet out, read back. Checked values: the 20 lowest (zorder,
+    o_orderkey) rows with the code and both source dimensions — the
+    driver verifies all 32 bit-interleave terms against DuckDB's
+    arithmetic. The two-dimensional file-locality property (every file
+    narrow in custkey AND day) is pinned in tests.
+
+    Scale: the Morton map is free at scan speed; the range partition on
+    the code is the same single shuffle a one-column sort costs, but
+    buys skipping on two predicates. Dimensions are masked to {BITS}
+    bits — at larger key domains, z-order bucket numbers (key div
+    domain/2^{BITS}), not raw keys.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr(f"CAST({_morton_spark(_SPARK_X, _SPARK_Y)} AS BIGINT)").alias(
+            "zorder"
+        ),
+        "o_orderkey",
+        "o_custkey",
+        F.expr("CAST(unix_date(CAST(o_orderdate AS DATE)) AS BIGINT)").alias(
+            "o_day"
+        ),
+    )
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_zorder_orders")
+    (
+        o.repartitionByRange(8, "zorder")
+        .sortWithinPartitions("zorder")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .orderBy("zorder", "o_orderkey")
+        .limit(20)
+    )

@@ -56,10 +56,14 @@ def load_all_queries() -> None:
     import databricks_feature_store_poc_spark.llm.multimodal  # noqa: F401
     import databricks_feature_store_poc_spark.llm.similarity  # noqa: F401
     import databricks_feature_store_poc_spark.llm.text  # noqa: F401
+    import databricks_feature_store_poc_spark.llm.vectors  # noqa: F401
     import databricks_feature_store_poc_spark.operators.analytics  # noqa: F401
+    import databricks_feature_store_poc_spark.operators.bloom  # noqa: F401
+    import databricks_feature_store_poc_spark.operators.graph  # noqa: F401
     import databricks_feature_store_poc_spark.operators.relational  # noqa: F401
     import databricks_feature_store_poc_spark.operators.rolling  # noqa: F401
     import databricks_feature_store_poc_spark.operators.rollup_maintenance  # noqa: F401
     import databricks_feature_store_poc_spark.operators.skew  # noqa: F401
     import databricks_feature_store_poc_spark.operators.tpch  # noqa: F401
+    import databricks_feature_store_poc_spark.operators.zorder  # noqa: F401
     import databricks_feature_store_poc_spark.streaming.windows  # noqa: F401
