@@ -43,8 +43,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # is emitted in ADJUDICATION-PRIORITY order, not alphabetical. After r5,
 # merged r1-r5 leaves every registered key with >=1 green verdict except
 # the merge pair (hash-red r5, re-encoded this round). Tiers:
-#   0. new-in-r6, never driver-adjudicated (the PIT + on-demand
-#      composition);
+#   0. new-in-r6, never driver-adjudicated: the PIT + on-demand
+#      composition plus the round-6 operators (fixed-point PageRank,
+#      fixed-point k-means, int8 quantization, relational Bloom filter,
+#      sliding chunking, regexp family, z-ordered sink);
 #   1. queries whose implementation or checked encoding CHANGED in r6,
 #      so their newest verdict describes a different query: the merge
 #      pair (BIGINT-cents/epoch-micros re-encoding), the gram-hash
@@ -61,6 +63,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #      (shared persisted index).
 _NEVER_ADJUDICATED = (
     "training_set_pit_on_demand",
+    "graph_pagerank",
+    "cluster_kmeans",
+    "embed_quantize_int8",
+    "agg_bloom_filter",
+    "text_chunk_sliding",
+    "fn_regexp",
+    "sink_zorder",
 )
 _CHANGED_IN_R6 = (
     "merge_scd1_upsert",

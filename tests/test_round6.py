@@ -1,0 +1,190 @@
+"""Oracle + invariant tests for the round-6 operators.
+
+Seven new first-class queries: fixed-point PageRank, exact fixed-point
+k-means, int8 embedding quantization, a relational Bloom filter,
+sliding-window chunking, the regexp function family, and the z-ordered
+sink. Each gets its DuckDB-oracle gate plus the structural properties
+the value hash can't see.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from databricks_feature_store_poc_spark.registry import QUERIES, load_all_queries
+from tests.conftest import SF_TEST
+from tests.harness import compare
+
+load_all_queries()
+
+NEW_R6 = [
+    "graph_pagerank",
+    "cluster_kmeans",
+    "embed_quantize_int8",
+    "agg_bloom_filter",
+    "text_chunk_sliding",
+    "fn_regexp",
+    "sink_zorder",
+]
+
+
+@pytest.mark.parametrize("name", NEW_R6)
+def test_oracle_match(name, spark):
+    r = compare(name, spark, SF_TEST, verbose=False)
+    assert r["ok"], f"{name}: {r.get('issues')}"
+
+
+def test_pagerank_conserves_mass(spark):
+    """Total rank stays within integer-division loss of SCALE: each
+    division drops < 1 unit per edge/node per iteration, so the sum over
+    all nodes must sit in (SCALE - loss_bound, SCALE]."""
+    from databricks_feature_store_poc_spark.operators.graph import (
+        ITERS,
+        SCALE,
+        _edges,
+        pagerank,
+    )
+
+    edges = _edges(spark, SF_TEST)
+    n_edges = edges.count()
+    n_nodes = edges.select("src").distinct().count()
+    total = pagerank(edges).agg(F.sum("rank")).collect()[0][0]
+    # per iteration: <=1 unit lost per edge (contrib div), <=1 per node
+    # (base div + /100 truncations, x3 terms); init loses <= n_nodes.
+    loss_bound = ITERS * (n_edges + 3 * n_nodes) + n_nodes
+    assert SCALE - loss_bound <= total <= SCALE
+
+
+def test_pagerank_ranks_both_sides(spark):
+    rows = QUERIES["graph_pagerank"](spark, SF_TEST).collect()
+    assert len(rows) == 20
+    ranks = [r["rank"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    # suppliers aggregate many customers' mass: the top of the graph
+    # must contain supplier nodes
+    assert any(r["node"].startswith("s") for r in rows)
+
+
+def test_kmeans_partitions_all_vectors(spark):
+    rows = QUERIES["cluster_kmeans"](spark, SF_TEST).collect()
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    n_vec = load_table(spark, SF_TEST, "embeddings").count()
+    assert sum(r["n_members"] for r in rows) == n_vec
+    assert all(r["inertia_q"] >= 0 for r in rows)
+    assert len(rows) == len({r["cid"] for r in rows})
+
+
+def test_quantize_int8_bounds(spark):
+    df = QUERIES["embed_quantize_int8"](spark, SF_TEST)
+    bad = df.filter((F.col("max_q") > 127) | (F.col("min_q") < -127)).count()
+    assert bad == 0
+    # the max-|x| element quantizes to exactly +-127 in every vector
+    extreme = df.filter(
+        (F.col("max_q") == 127) | (F.col("min_q") == -127)
+    ).count()
+    assert extreme == df.count()
+    # per-element error <= half a quantization step (amax/254), so the
+    # 1e-9-unit sum over 64 dims is bounded (+64 for the floor rounding)
+    over = df.filter(
+        F.col("sum_abs_err_q")
+        > F.col("amax") / 254.0 * 64 * 1e9 + 64
+    ).count()
+    assert over == 0
+
+
+def test_bloom_properties_hold(spark):
+    row = QUERIES["agg_bloom_filter"](spark, SF_TEST).collect()[0]
+    assert row["no_false_negatives"] is True
+    assert row["fp_rate_ok"] is True
+    assert 0 < row["n_members"] <= row["n_probes"]
+
+
+def test_bloom_probe_matches_exact_semi_join(spark):
+    """Bit-level check beyond the aggregate booleans: the pass-set is a
+    superset of the member set and barely larger (fp bound)."""
+    from databricks_feature_store_poc_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    keys = (
+        load_table(spark, SF_TEST, "customer")
+        .filter(F.col("c_custkey") % 3 == 0)
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+    probes = (
+        load_table(spark, SF_TEST, "customer").select(F.col("c_custkey").alias("k")).distinct()
+    )
+    passed = bloom_probe(probes, "k", bloom_build(keys, "k"))
+    joined = passed.join(keys.withColumn("m", F.lit(1)), "k", "left")
+    fn = joined.filter(F.col("m").isNotNull() & ~F.col("bloom_pass")).count()
+    fp = joined.filter(F.col("m").isNull() & F.col("bloom_pass")).count()
+    n_non = joined.filter(F.col("m").isNull()).count()
+    assert fn == 0
+    assert fp <= max(1, int(n_non * 0.01))
+
+
+def test_chunks_cover_every_word(spark):
+    from databricks_feature_store_poc_spark.llm.text import CHUNK_SIZE, CHUNK_STRIDE
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    chunks = QUERIES["text_chunk_sliding"](spark, SF_TEST)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.max("chunk_idx").alias("last_idx"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+    docs = load_table(spark, SF_TEST, "documents").select(
+        "doc_id",
+        F.size(F.expr(r"filter(split(text, '\\s+'), x -> x != '')")).alias("n_words"),
+    )
+    j = per_doc.join(docs, "doc_id")
+    # chunk_idx is dense 0..last and the last stride reaches the end
+    bad = j.filter(
+        (F.col("n_chunks") != F.col("last_idx") + 1)
+        | (F.col("max_tokens") > CHUNK_SIZE)
+        | (
+            F.col("last_idx")
+            != F.floor(F.greatest(F.col("n_words") - 1, F.lit(0)) / CHUNK_STRIDE)
+        )
+    ).count()
+    assert bad == 0
+    assert j.count() == docs.count()  # every document chunked
+
+
+def test_zorder_files_are_narrow_in_both_dims(spark):
+    """The point of z-order: every written file spans a small fraction of
+    BOTH dimensions' global ranges (a 1-D sort would leave one dimension
+    at ~full width per file)."""
+    import os
+    import tempfile
+
+    QUERIES["sink_zorder"](spark, SF_TEST).collect()  # materialize the sink
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_zorder_orders")
+    df = spark.read.parquet(out).withColumn(
+        "file", F.input_file_name()
+    )
+    stats = (
+        df.groupBy("file")
+        .agg(
+            (F.max("o_custkey") - F.min("o_custkey")).alias("ck_span"),
+            (F.max("o_day") - F.min("o_day")).alias("day_span"),
+        )
+        .collect()
+    )
+    glob = df.agg(
+        (F.max("o_custkey") - F.min("o_custkey")).alias("ck"),
+        (F.max("o_day") - F.min("o_day")).alias("dy"),
+    ).collect()[0]
+    n_files = len(stats)
+    assert n_files >= 4
+    avg_ck = sum(r["ck_span"] for r in stats) / n_files / glob["ck"]
+    avg_dy = sum(r["day_span"] for r in stats) / n_files / glob["dy"]
+    # both dims meaningfully narrower than global on average; a 1-D sort
+    # keeps the unsorted dim at ~1.0
+    assert avg_ck < 0.8 and avg_dy < 0.8, (avg_ck, avg_dy)
