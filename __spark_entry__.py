@@ -70,6 +70,8 @@ _NEVER_ADJUDICATED = (
     "text_chunk_sliding",
     "fn_regexp",
     "sink_zorder",
+    "agg_countmin_sketch",
+    "text_bloom_decontaminate",
 )
 _CHANGED_IN_R6 = (
     "merge_scd1_upsert",

@@ -435,3 +435,110 @@ def pack_sequences_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bins_within_bounds"),
         )
     )
+
+
+@query(
+    "text_bloom_decontaminate",
+    oracle=rf"""
+    WITH words AS (
+        SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(w[i : i + {DECON_NGRAM - 1}], ' ')
+                              FOR i IN range(1, greatest(len(w) - {DECON_NGRAM - 2}, 1))])
+                   AS shingles
+        FROM words
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    ev AS (SELECT DISTINCT shingle FROM ex WHERE doc_id % {EVAL_MOD} = 0),
+    leaked AS (
+        SELECT DISTINCT e.doc_id
+        FROM ex e JOIN ev USING (shingle)
+        WHERE e.doc_id % {EVAL_MOD} <> 0
+    )
+    SELECT CAST((SELECT count(*) FROM documents
+                 WHERE doc_id % {EVAL_MOD} <> 0) AS BIGINT) AS n_train_docs,
+           CAST((SELECT count(*) FROM leaked) AS BIGINT) AS n_contaminated,
+           TRUE AS bloom_catches_all,
+           TRUE AS candidate_inflation_ok
+    """,
+)
+def text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase decontamination: Bloom pre-filter, exact verify — the
+    shape that survives when the eval-set n-gram list is itself too big
+    to broadcast as exact strings (a 131072-bit bitmap replaces hundreds
+    of MB of 8-gram text; the exact join then touches only the bloom's
+    candidate shingles, orders of magnitude fewer than the corpus).
+
+    Checked values: the exact training-doc and contaminated-doc counts
+    (identical algebra to text_decontaminate's oracle) plus the two
+    phase-contract booleans — the bloom pass may never drop a truly
+    leaked shingle (no false negatives), and candidate inflation stays
+    inside the fp band (candidates <= leaked + 1% of clean shingles + 1).
+    """
+    from databricks_feature_store_poc_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    with_words = d.select("doc_id", F.expr(_WORDS).alias("words"))
+    ex = with_words.select(
+        "doc_id", F.explode(F.expr(shingle_expr(DECON_NGRAM))).alias("shingle")
+    )
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    eval_shingles = ex.filter(is_eval).select("shingle").distinct()
+    train_shingles = ex.filter(~is_eval).select("doc_id", "shingle")
+
+    bloom = bloom_build(eval_shingles, "shingle")
+    distinct_train = train_shingles.select("shingle").distinct()
+    passed = bloom_probe(distinct_train, "shingle", bloom)
+    candidates = passed.filter(F.col("bloom_pass")).select("shingle")
+    # phase 2: exact verification restricted to the candidate shingles
+    verified = candidates.join(eval_shingles, "shingle").distinct()
+    contaminated = (
+        train_shingles.join(F.broadcast(verified), "shingle")
+        .select("doc_id").distinct()
+    )
+
+    counts = (
+        distinct_train
+        .join(passed.filter(F.col("bloom_pass")), "shingle", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_candidates"))
+    )
+    truth_sh = (
+        distinct_train.join(eval_shingles, "shingle", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_leaked_shingles"))
+    )
+    n_distinct = distinct_train.agg(
+        F.count(F.lit(1)).alias("n_train_shingles")
+    )
+    # the bloom candidate set must contain every truly leaked shingle:
+    # leaked-but-not-candidate count == 0
+    missed = (
+        distinct_train.join(eval_shingles, "shingle", "left_semi")
+        .join(candidates, "shingle", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_missed"))
+    )
+    n_train = d.filter(~is_eval).agg(F.count(F.lit(1)).alias("n_train_docs"))
+    n_cont = contaminated.agg(F.count(F.lit(1)).alias("n_contaminated"))
+    return (
+        n_train.crossJoin(F.broadcast(n_cont))
+        .crossJoin(F.broadcast(missed))
+        .crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(truth_sh))
+        .crossJoin(F.broadcast(n_distinct))
+        .select(
+            "n_train_docs",
+            "n_contaminated",
+            (F.col("n_missed") == 0).alias("bloom_catches_all"),
+            (
+                F.col("n_candidates")
+                <= F.col("n_leaked_shingles")
+                + (F.col("n_train_shingles") - F.col("n_leaked_shingles"))
+                * 0.01
+                + 1
+            ).alias("candidate_inflation_ok"),
+        )
+    )

@@ -1,4 +1,5 @@
-"""Bloom-filter build + probe as pure relational algebra.
+"""Probabilistic membership + frequency sketches as pure relational
+algebra: Bloom filter and count-min sketch.
 
 The 100 TB join-pruning primitive: build a compact bit-set over the
 small side's keys, broadcast it, and pre-filter the huge side before
@@ -131,4 +132,96 @@ def agg_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.count_if(~F.col("is_member")) * 0.01).cast("bigint"), F.lit(1)
             )
         ).alias("fp_rate_ok"),
+    )
+
+
+# --- count-min sketch ------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_build(rows: DataFrame, key_col: str) -> DataFrame:
+    """(row_i, bucket, cnt) counter table: CMS_DEPTH seeded hash rows of
+    CMS_WIDTH counters each — one |rows| x depth shuffle, sketch size
+    depth x width regardless of input size."""
+    coords = rows.select(
+        F.posexplode(
+            F.array(*[
+                F.pmod(F.xxhash64(F.col(key_col), F.lit(100 + i)), F.lit(CMS_WIDTH))
+                for i in range(CMS_DEPTH)
+            ])
+        ).alias("row_i", "bucket")
+    )
+    return coords.groupBy("row_i", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_estimate(keys: DataFrame, key_col: str, cms: DataFrame) -> DataFrame:
+    """Append ``est`` to ``keys``: min over the depth counters at the
+    key's hash positions (the CMS point estimate; always >= truth)."""
+    coords = keys.select(
+        key_col,
+        F.posexplode(
+            F.array(*[
+                F.pmod(F.xxhash64(F.col(key_col), F.lit(100 + i)), F.lit(CMS_WIDTH))
+                for i in range(CMS_DEPTH)
+            ])
+        ).alias("row_i", "bucket"),
+    )
+    hit = coords.join(F.broadcast(cms), ["row_i", "bucket"], "left")
+    return hit.groupBy(key_col).agg(
+        F.min(F.coalesce("cnt", F.lit(0))).alias("est")
+    )
+
+
+@query(
+    "agg_countmin_sketch",
+    oracle=f"""
+    WITH freq AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS true_cnt
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, true_cnt,
+           TRUE AS never_underestimates,
+           TRUE AS within_band
+    FROM freq
+    ORDER BY true_cnt DESC, o_custkey
+    LIMIT 10
+    """,
+)
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch over order counts per customer, checked
+    on the top-10 heaviest keys: the estimate may never undercount
+    (CMS's hard guarantee — counters only collide upward) and must stay
+    within the analytic band est <= true + 2N/width (Markov bound at
+    twice the expected collision mass; depth 4 makes exceeding it
+    vanishingly unlikely).
+
+    The sketch is {CMS_DEPTH} x {CMS_WIDTH} counters no matter how many
+    rows flow in — the fixed-size frequency summary a 100 TB pipeline
+    ships between stages instead of a full GROUP BY (same role as the
+    HLL sketch for distincts). Build is one narrow shuffle; estimation
+    is a broadcast join against the 4 KB counter table.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    cms = cms_build(o, "o_custkey")
+    truth = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("true_cnt"))
+    n1 = o.agg(F.count(F.lit(1)).alias("n_total"))
+    est = cms_estimate(truth.select("o_custkey"), "o_custkey", cms)
+    top = (
+        truth.join(est, "o_custkey")
+        .crossJoin(F.broadcast(n1))
+        .orderBy(F.desc("true_cnt"), F.asc("o_custkey"))
+        .limit(10)
+    )
+    return top.select(
+        "o_custkey",
+        "true_cnt",
+        (F.col("est") >= F.col("true_cnt")).alias("never_underestimates"),
+        (
+            F.col("est")
+            <= F.col("true_cnt") + (2 * F.col("n_total")) / CMS_WIDTH
+        ).alias("within_band"),
     )

@@ -21,15 +21,18 @@ out-degree >= 1 (no dangling-mass redistribution needed — at scale,
 dangling handling adds one broadcast scalar per iteration).
 
 Scale notes:
-- Edges are built once per plan; Spark's ReuseExchange dedups the
-  repeated scan+distinct subtree across iterations.
-- Each iteration is one shuffle (groupBy dst); ranks/degrees stay
-  keyed by node so AQE can pick broadcast when one side is small.
+- The edge list is session-persisted (the GraphX edge-cache move) and
+  keyed by INTEGER node ids — display labels are built only on the
+  final top-k.
+- Each iteration is one join against the small rank table (AQE
+  broadcasts it) plus one groupBy(dst) shuffle of the contributions.
 - The iteration count is fixed (3) — the plan is static and lazy; no
   driver-side convergence loop, no collect.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -44,25 +47,48 @@ TOPK = 20
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct customer->supplier edges from orders x lineitem, plus the
-    reverse direction (bidirectional => no dangling nodes)."""
+    reverse direction (bidirectional => no dangling nodes).
+
+    The edge list is referenced in every iteration's join; it is
+    session-persisted (standard iterative-graph practice — GraphX caches
+    its edge RDD the same way) so the orders x lineitem join + distinct
+    runs once per corpus per session, not once per plan reference."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # Integer node ids while iterating (customer k -> 2k, supplier k ->
+    # 2k+1): bigint joins/aggregates shuffle a fraction of what string
+    # keys cost; the display label is built once on the final top-k.
     ce = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
-    return ce.unionByName(ce.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = ce.unionByName(
+        ce.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    from databricks_feature_store_poc_spark.cacheutil import session_persist
+
+    return session_persist(
+        spark,
+        "pagerank_edges",
+        [os.path.join(sf_dir, "orders.parquet"), os.path.join(sf_dir, "lineitem.parquet")],
+        edges,
+    )
 
 
 def pagerank(edges: DataFrame, iters: int = ITERS) -> DataFrame:
-    """Fixed-point PageRank (damping 0.85) over a bidirectional edge list.
+    """Fixed-point PageRank (damping 0.85) over a bidirectional
+    (src, dst) edge list.
 
     Returns (node, rank) with rank in integer rank units. Every node
     appears as a src (bidirectional contract), so out-degree is total.
+    The out-degree is folded into the |nodes|-row rank table (a tiny
+    node-keyed join), so each iteration is one join of the cached edge
+    list against that small table — AQE broadcasts it — plus one
+    groupBy(dst) shuffle of the contributions.
     """
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     n1 = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
@@ -72,10 +98,11 @@ def pagerank(edges: DataFrame, iters: int = ITERS) -> DataFrame:
         F.expr(f"CAST({SCALE} AS BIGINT) div n").alias("rank"),
     )
     for _ in range(iters):
+        shares = ranks.join(deg, ranks["node"] == deg["src"]).select(
+            F.col("node"), F.expr("rank div outdeg").alias("contrib")
+        )
         contribs = (
-            edges.join(deg, "src")
-            .join(ranks, edges["src"] == ranks["node"])
-            .select(F.col("dst"), F.expr("rank div outdeg").alias("contrib"))
+            edges.join(shares, edges["src"] == shares["node"])
             .groupBy("dst")
             .agg(F.sum("contrib").alias("inbound"))
         )
@@ -137,5 +164,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     All quantities are bounded: contributions sum to <= SCALE (1e12)
     globally, so 85 * sum stays far inside BIGINT at any graph size.
     """
-    ranks = pagerank(_edges(spark, sf_dir))
+    ranks = pagerank(_edges(spark, sf_dir)).select(
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("c"), (F.col("node") / 2).cast("bigint").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("bigint").cast("string"))
+        )
+        .alias("node"),
+        "rank",
+    )
     return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(TOPK)

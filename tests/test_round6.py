@@ -188,3 +188,46 @@ def test_zorder_files_are_narrow_in_both_dims(spark):
     # both dims meaningfully narrower than global on average; a 1-D sort
     # keeps the unsorted dim at ~1.0
     assert avg_ck < 0.8 and avg_dy < 0.8, (avg_ck, avg_dy)
+
+
+def test_cms_oracle_and_bounds(spark):
+    r = compare("agg_countmin_sketch", spark, SF_TEST, verbose=False)
+    assert r["ok"], r.get("issues")
+    rows = QUERIES["agg_countmin_sketch"](spark, SF_TEST).collect()
+    assert len(rows) == 10
+    assert all(r["never_underestimates"] and r["within_band"] for r in rows)
+
+
+def test_cms_estimate_exact_on_sparse_keys(spark):
+    """With far fewer keys than counters, collisions are rare: the
+    estimate must be exactly the true count for almost every key."""
+    from databricks_feature_store_poc_spark.operators.bloom import (
+        cms_build,
+        cms_estimate,
+    )
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    o = load_table(spark, SF_TEST, "orders").select("o_custkey").filter(
+        F.col("o_custkey") % 50 == 0
+    )
+    truth = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = cms_estimate(truth.select("o_custkey"), "o_custkey", cms_build(o, "o_custkey"))
+    j = truth.join(est, "o_custkey")
+    n = j.count()
+    exact = j.filter(F.col("est") == F.col("true_cnt")).count()
+    under = j.filter(F.col("est") < F.col("true_cnt")).count()
+    assert under == 0
+    assert exact >= n * 0.9
+
+
+def test_bloom_decontaminate_matches_exact_path(spark):
+    r = compare("text_bloom_decontaminate", spark, SF_TEST, verbose=False)
+    assert r["ok"], r.get("issues")
+    row = QUERIES["text_bloom_decontaminate"](spark, SF_TEST).collect()[0]
+    assert row["bloom_catches_all"] is True
+    assert row["candidate_inflation_ok"] is True
+    # the two-phase path must agree with the exact broadcast path
+    exact = QUERIES["text_decontaminate"](spark, SF_TEST)
+    n_exact = exact.filter(F.col("contaminated")).count()
+    assert row["n_contaminated"] == n_exact
+    assert row["n_train_docs"] == exact.count()
