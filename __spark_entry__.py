@@ -72,6 +72,9 @@ _NEVER_ADJUDICATED = (
     "sink_zorder",
     "agg_countmin_sketch",
     "text_bloom_decontaminate",
+    "dq_benford_digits",
+    "fn_hash",
+    "scan_text_lines",
 )
 _CHANGED_IN_R6 = (
     "merge_scd1_upsert",

@@ -322,3 +322,57 @@ def dq_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.expr(z)) > 3).alias("is_outlier"),
         )
     )
+
+
+def _leading_digit_cases(cents: str) -> str:
+    """First significant digit of a positive BIGINT via a CASE ladder —
+    pure integer arithmetic, identical in Spark and DuckDB (no log10 /
+    string formatting, both of which differ cross-engine at edges)."""
+    cases = " ".join(
+        f"WHEN {cents} >= {10 ** k} THEN CAST({cents} DIV {10 ** (k)} AS INT)"
+        for k in range(17, 0, -1)
+    )
+    return f"(CASE {cases} ELSE CAST({cents} AS INT) END)"
+
+
+@query(
+    "dq_benford_digits",
+    oracle=f"""
+    WITH cents AS (
+        SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        FROM orders WHERE o_totalprice > 0
+    ),
+    d AS (SELECT {_leading_digit_cases("c").replace(" DIV ", " // ")} AS digit
+          FROM cents)
+    SELECT digit,
+           CAST(count(*) AS BIGINT) AS n,
+           count(*) * 1.0 / (SELECT count(*) FROM d) AS pct
+    FROM d GROUP BY digit ORDER BY digit
+    """,
+)
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen: leading-digit distribution of order totals —
+    the classic fraud/synthetic-data smell test (real multiplicative
+    amounts lean toward low leading digits; fabricated ones look
+    uniform). Digit extraction is a pure integer CASE ladder over
+    BIGINT cents, so the checked distribution is bit-identical across
+    engines; pct is one int/int double division (IEEE-stable).
+    Map-only + one 9-row aggregate — scan speed at any size.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    cents = o.select(
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("c")
+    )
+    d = cents.select(F.expr(_leading_digit_cases("c")).alias("digit"))
+    total = d.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            (F.col("n") * 1.0 / F.col("n_total")).alias("pct"),
+        )
+        .orderBy("digit")
+    )

@@ -664,3 +664,28 @@ def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
             "masked40"
         ),
     )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS md5_hex,
+           sha256(text) AS sha256_hex,
+           CAST(length(md5(text)) AS BIGINT) AS md5_len
+    FROM documents
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic digest functions (md5 / sha2-256) — the
+    content-addressing primitives behind exact dedup, cache keys, and
+    data-integrity manifests. Both engines emit lowercase hex, so the
+    digests are value-checked verbatim (unlike xxhash64, whose seeds are
+    engine-specific). JVM-side, map-only."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        F.sha2(F.col("text"), 256).alias("sha256_hex"),
+        F.length(F.md5("text")).cast("bigint").alias("md5_len"),
+    )

@@ -98,3 +98,32 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("zorder", "o_orderkey")
         .limit(20)
     )
+
+
+@query(
+    "scan_text_lines",
+    oracle="SELECT doc_id, text FROM documents",
+)
+def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text scan: documents written as TAB-delimited lines
+    (`doc_id\\ttext` — the corpus text is newline/tab-free by generator
+    contract, asserted by the oracle equality), read back with
+    ``spark.read.text`` and re-parsed JVM-side. The raw-text path is how
+    web-scale corpora usually arrive (WET/JSONL-ish dumps) before any
+    columnar conversion; the oracle proves the round-trip is lossless.
+    """
+    from databricks_feature_store_poc_spark.sources.catalog import load_table as _lt
+
+    d = _lt(spark, sf_dir, "documents").select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text")).alias(
+            "value"
+        )
+    )
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_text_documents")
+    d.write.mode("overwrite").text(out)
+    lines = spark.read.text(out)
+    tab = F.instr(F.col("value"), "\t")
+    return lines.select(
+        F.substring(F.col("value"), 1, tab - 1).cast("bigint").alias("doc_id"),
+        F.expr("substr(value, instr(value, '\t') + 1)").alias("text"),
+    )

@@ -66,16 +66,17 @@ def main() -> int:
     replicate(spark, "orders", {"o_orderkey": "offset", "o_custkey": "offset"})
     replicate(spark, "lineitem", {"l_orderkey": "offset"})
     replicate(spark, "events", {"event_id": "offset", "ts": "jitter_ts"})
+    replicate(spark, "documents", {"doc_id": "offset"})
+    replicate(spark, "embeddings", {"vec_id": "offset"})
 
     import __spark_entry__ as entry
 
     qs = entry.queries()
-    targets = [
-        "join_interval_overlap",
-        "join_bucketed_colocated",
-        "rollup_incremental",
+    targets = os.environ.get(
+        "STRESS_TARGETS",
+        "join_interval_overlap,join_bucketed_colocated,rollup_incremental,"
         "agg_hll_sketch",
-    ]
+    ).split(",")
     results = []
     for sf_dir in (SRC, DST):
         tag = "sf0.1" if sf_dir == SRC else "10x"
@@ -85,7 +86,7 @@ def main() -> int:
             print(r, flush=True)
             results.append(r)
         # steady-state second run of the bucketed join (tables now exist)
-        if sf_dir == DST:
+        if sf_dir == DST and "join_bucketed_colocated" in targets:
             r = run("join_bucketed_colocated", qs["join_bucketed_colocated"], spark, sf_dir)
             r["data"] = "10x-2nd"
             print(r, flush=True)
@@ -122,10 +123,11 @@ def main() -> int:
             .agg(F.count(F.lit(1)).alias("n_pairs"))
         )
 
-    r = run("join_interval_overlap", wide_window, spark, SRC)
-    r["data"] = "12x-range"
-    print(r, flush=True)
-    results.append(r)
+    if "join_interval_overlap" in targets:
+        r = run("join_interval_overlap", wide_window, spark, SRC)
+        r["data"] = "12x-range"
+        print(r, flush=True)
+        results.append(r)
     print("RESULTS", results)
     return 0
 

@@ -21,6 +21,9 @@ load_all_queries()
 
 NEW_R6 = [
     "graph_pagerank",
+    "dq_benford_digits",
+    "fn_hash",
+    "scan_text_lines",
     "cluster_kmeans",
     "embed_quantize_int8",
     "agg_bloom_filter",
@@ -231,3 +234,10 @@ def test_bloom_decontaminate_matches_exact_path(spark):
     n_exact = exact.filter(F.col("contaminated")).count()
     assert row["n_contaminated"] == n_exact
     assert row["n_train_docs"] == exact.count()
+
+
+def test_benford_is_a_distribution(spark):
+    rows = QUERIES["dq_benford_digits"](spark, SF_TEST).collect()
+    assert [r["digit"] for r in rows] == sorted({r["digit"] for r in rows})
+    assert all(1 <= r["digit"] <= 9 for r in rows)
+    assert abs(sum(r["pct"] for r in rows) - 1.0) < 1e-9
