@@ -75,6 +75,7 @@ _NEVER_ADJUDICATED = (
     "dq_benford_digits",
     "fn_hash",
     "scan_text_lines",
+    "sim_range_search",
 )
 _CHANGED_IN_R6 = (
     "merge_scd1_upsert",

@@ -461,3 +461,60 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim_ivf_topk_pairs(spark, sf_dir),
         RECALL_FLOOR_IVF,
     )
+
+
+RANGE_THRESHOLD = 0.3
+
+
+@query(
+    "sim_range_search",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    )
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cosine
+    FROM v q JOIN v c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    WHERE list_dot_product(q.e, c.e) / (q.nrm * c.nrm) >= {RANGE_THRESHOLD}
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search (the top-k dual): ALL neighbors with cosine >=
+    {RANGE_THRESHOLD} for each query vector — the retrieval mode behind
+    near-duplicate thresholds and recall-complete candidate generation,
+    where a fixed k silently truncates dense neighborhoods.
+
+    Same plan family as sim_cosine_topk: queries broadcast, corpus scan
+    map-only, but NO window/shuffle at all — the threshold filters in
+    the scan stage, so this is strictly cheaper than top-k and the
+    output size is data-dependent (the oracle pins it exactly). Both
+    engines compute the dot product as the identical left-to-right
+    fold, so thresholding cannot flip rows cross-engine.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = _with_norm(e.select("vec_id", _as_double("embedding").alias("e")))
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("q_e"),
+        F.col("nrm").alias("q_n"),
+    )
+    c = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("c_e"),
+        F.col("nrm").alias("c_n"),
+    )
+    cos = F.expr(_DOT.format(a="q_e", b="c_e")) / (F.col("q_n") * F.col("c_n"))
+    return (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= RANGE_THRESHOLD)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine_raw", 6).alias("cosine"),
+        )
+    )

@@ -241,3 +241,23 @@ def test_benford_is_a_distribution(spark):
     assert [r["digit"] for r in rows] == sorted({r["digit"] for r in rows})
     assert all(1 <= r["digit"] <= 9 for r in rows)
     assert abs(sum(r["pct"] for r in rows) - 1.0) < 1e-9
+
+
+def test_range_search_consistent_with_topk(spark):
+    r = compare("sim_range_search", spark, SF_TEST, verbose=False)
+    assert r["ok"], r.get("issues")
+    from databricks_feature_store_poc_spark.llm.similarity import RANGE_THRESHOLD
+
+    rng = QUERIES["sim_range_search"](spark, SF_TEST)
+    topk = QUERIES["sim_cosine_topk"](spark, SF_TEST)
+    # any top-k neighbor at or above the threshold must be in the range
+    # result (range search is recall-complete by definition)
+    hot = topk.filter(F.col("cosine") >= RANGE_THRESHOLD + 1e-6).select(
+        "query_id", "neighbor_id"
+    )
+    missing = hot.join(
+        rng.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_anti",
+    ).count()
+    assert missing == 0
