@@ -76,6 +76,7 @@ _NEVER_ADJUDICATED = (
     "fn_hash",
     "scan_text_lines",
     "sim_range_search",
+    "dedup_semantic_cluster",
 )
 _CHANGED_IN_R6 = (
     "merge_scd1_upsert",

@@ -157,10 +157,8 @@ def kmeans_update(assigned: DataFrame) -> dict[int, list[int]]:
     }
 
 
-@query(
-    "cluster_kmeans",
-    oracle=f"""
-    WITH v AS (SELECT vec_id, {_DUCK_QV} AS qv FROM embeddings),
+_KMEANS_CTES = f"""
+    v AS (SELECT vec_id, {_DUCK_QV} AS qv FROM embeddings),
     ve AS (SELECT vec_id, i, qv[i] AS q FROM v, range(1, {DIMS + 1}) r(i)),
     c0 AS (
         SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid, vec_id
@@ -191,7 +189,13 @@ def kmeans_update(assigned: DataFrame) -> dict[int, list[int]]:
         SELECT vec_id, cid, dist,
                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
         FROM d2
-    )
+    )"""
+
+
+@query(
+    "cluster_kmeans",
+    oracle=f"""
+    WITH {_KMEANS_CTES}
     SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
            CAST(SUM(dist) AS BIGINT) AS inertia_q
     FROM a2 WHERE rn = 1 GROUP BY cid
@@ -211,15 +215,145 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT inertia holds to ~1e6 vectors per cluster at this grid; past
     that, report per-cluster mean inertia instead.
     """
-    e = load_table(spark, sf_dir, "embeddings")
-    base = e.select("vec_id", F.expr(_QV).alias("qv"))
+    assigned = kmeans_fit_assign(load_table(spark, sf_dir, "embeddings"))
+    return assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("dist").alias("inertia_q"),
+    )
+
+
+def kmeans_fit_assign(embeddings: DataFrame) -> DataFrame:
+    """The fit+assign pipeline shared by cluster_kmeans and
+    dedup_semantic_cluster: init = K lowest vec_ids, KM_ITERS assignment
+    rounds with integer-mean updates between them. Returns
+    (vec_id, qv, cid, dist)."""
+    base = embeddings.select("vec_id", F.expr(_QV).alias("qv"))
     init_rows = base.orderBy("vec_id").limit(K).collect()
     centroids = {i + 1: [int(x) for x in r["qv"]] for i, r in enumerate(init_rows)}
     assigned = kmeans_assign(base, centroids)
     for _ in range(KM_ITERS - 1):
         centroids = kmeans_update(assigned)
         assigned = kmeans_assign(base, centroids)
-    return assigned.groupBy("cid").agg(
-        F.count(F.lit(1)).alias("n_members"),
-        F.sum("dist").alias("inertia_q"),
+    return assigned
+
+
+# --- SemDeDup: cluster-then-pair semantic dedup ----------------------------
+# Cosine threshold 2/5 (0.4) applied in exact integer arithmetic on the
+# UN-offset grid: cos(a,b) >= t  <=>  dot > 0 AND den^2*dot^2 >= num^2*|a|^2*|b|^2
+# (cross-multiplied to avoid sqrt; squares go through DECIMAL(38,0) /
+# HUGEINT, both exact).
+COS_NUM = 2
+COS_DEN = 5
+_QV0 = (
+    f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {_GRID} + 0.5)"
+    " AS BIGINT))"
+)
+_DUCK_QV0 = (
+    f"[CAST(floor(CAST(x AS DOUBLE) * {_GRID} + 0.5) AS BIGINT)"
+    " FOR x IN embedding]"
+)
+
+
+@query(
+    "dedup_semantic_cluster",
+    oracle=f"""
+    WITH {_KMEANS_CTES},
+    asgn AS (SELECT vec_id, cid FROM a2 WHERE rn = 1),
+    v0 AS (SELECT vec_id, {_DUCK_QV0} AS q0 FROM embeddings),
+    ve0 AS (SELECT vec_id, i, q0[i] AS q FROM v0, range(1, {DIMS + 1}) r(i)),
+    norms AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS n2
+              FROM ve0 GROUP BY vec_id),
+    pairs AS (
+        SELECT a.cid, a.vec_id AS va, b.vec_id AS vb
+        FROM asgn a JOIN asgn b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    ),
+    dots AS (
+        SELECT p.cid, p.va, p.vb, CAST(SUM(x.q * y.q) AS BIGINT) AS dot
+        FROM pairs p
+        JOIN ve0 x ON x.vec_id = p.va
+        JOIN ve0 y ON y.vec_id = p.vb AND y.i = x.i
+        GROUP BY p.cid, p.va, p.vb
+    ),
+    dup AS (
+        SELECT d.cid, d.va, d.vb
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.va
+        JOIN norms nb ON nb.vec_id = d.vb
+        WHERE d.dot > 0
+          AND {COS_DEN * COS_DEN} * (CAST(d.dot AS HUGEINT) * d.dot)
+              >= {COS_NUM * COS_NUM} * (CAST(na.n2 AS HUGEINT) * nb.n2)
+    )
+    SELECT g.cid,
+           CAST(g.n_vectors AS BIGINT) AS n_vectors,
+           CAST(COALESCE(p.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+           CAST(COALESCE(p.n_dup_vectors, 0) AS BIGINT) AS n_dup_vectors
+    FROM (SELECT cid, count(*) AS n_vectors FROM asgn GROUP BY cid) g
+    LEFT JOIN (SELECT cid, count(*) AS n_dup_pairs,
+                      count(DISTINCT vb) AS n_dup_vectors
+               FROM dup GROUP BY cid) p USING (cid)
+    """,
+)
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shape semantic deduplication: k-means buckets the corpus
+    (the fixed-point pipeline shared with cluster_kmeans), then exact
+    cosine pairs are enumerated ONLY within each cluster — pair cost is
+    sum over clusters of |c|^2, never |corpus|^2, which is the whole
+    point of cluster-then-dedup at 100 TB (SemDeDup, Abbas et al. 2023:
+    drop all-but-one of each within-cluster near-dup group).
+
+    Checked per cluster: member count, near-dup pair count, and distinct
+    dedup-victim count (the higher vec_id of each pair — keep-lowest
+    policy). The cosine threshold is evaluated in cross-multiplied
+    integer arithmetic (no sqrt, no double accumulation), so the oracle
+    hash-verifies every pair decision exactly. Within-cluster recall vs
+    the global pair set is measured in tests — the documented trade of
+    the clustered formulation.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_fit_assign(e).select("vec_id", "cid")
+    v0 = e.select("vec_id", F.expr(_QV0).alias("q0"), F.expr(
+        f"aggregate(zip_with({_QV0}, {_QV0}, (a, b) -> a * b),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    ).alias("n2"))
+    side = assigned.join(v0, "vec_id")
+    a = side.select(
+        F.col("cid"),
+        F.col("vec_id").alias("va"),
+        F.col("q0").alias("qa"),
+        F.col("n2").alias("na2"),
+    )
+    b = side.select(
+        F.col("cid"),
+        F.col("vec_id").alias("vb"),
+        F.col("q0").alias("qb"),
+        F.col("n2").alias("nb2"),
+    )
+    pairs = a.join(b, ["cid"]).filter(F.col("va") < F.col("vb"))
+    dot = F.expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    dup = (
+        pairs.withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.lit(COS_DEN * COS_DEN)
+                * (F.col("dot").cast("decimal(38,0)") * F.col("dot").cast("decimal(38,0)"))
+                >= F.lit(COS_NUM * COS_NUM)
+                * (F.col("na2").cast("decimal(38,0)") * F.col("nb2").cast("decimal(38,0)"))
+            )
+        )
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_pairs"),
+            F.countDistinct("vb").alias("n_dup_vectors"),
+        )
+    )
+    sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return sizes.join(dup, "cid", "left").select(
+        "cid",
+        "n_vectors",
+        F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+        F.coalesce("n_dup_vectors", F.lit(0)).alias("n_dup_vectors"),
     )

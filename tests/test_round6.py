@@ -261,3 +261,53 @@ def test_range_search_consistent_with_topk(spark):
         "left_anti",
     ).count()
     assert missing == 0
+
+
+def test_semantic_dedup_oracle_and_recall(spark):
+    r = compare("dedup_semantic_cluster", spark, SF_TEST, verbose=False)
+    assert r["ok"], r.get("issues")
+    # recall audit: within-cluster pairs vs the global pair set at the
+    # same integer threshold — the documented trade of cluster-then-pair.
+    from databricks_feature_store_poc_spark.llm.vectors import (
+        COS_DEN,
+        COS_NUM,
+        _QV0,
+    )
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    e = load_table(spark, SF_TEST, "embeddings")
+    v0 = e.select(
+        "vec_id",
+        F.expr(_QV0).alias("q0"),
+        F.expr(
+            f"aggregate(zip_with({_QV0}, {_QV0}, (a, b) -> a * b),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("n2"),
+    )
+    a = v0.select(F.col("vec_id").alias("va"), F.col("q0").alias("qa"), F.col("n2").alias("na2"))
+    b = v0.select(F.col("vec_id").alias("vb"), F.col("q0").alias("qb"), F.col("n2").alias("nb2"))
+    pairs = a.join(b, F.col("va") < F.col("vb"))
+    dot = F.expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    n_global = (
+        pairs.withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.lit(COS_DEN * COS_DEN)
+                * (F.col("dot").cast("decimal(38,0)") * F.col("dot").cast("decimal(38,0)"))
+                >= F.lit(COS_NUM * COS_NUM)
+                * (F.col("na2").cast("decimal(38,0)") * F.col("nb2").cast("decimal(38,0)"))
+            )
+        )
+        .count()
+    )
+    rows = QUERIES["dedup_semantic_cluster"](spark, SF_TEST).collect()
+    n_within = sum(r["n_dup_pairs"] for r in rows)
+    assert sum(r["n_vectors"] for r in rows) == e.count()
+    assert 0 < n_within <= n_global
+    # at K=8 on this corpus the clustered pass must keep a meaningful
+    # fraction of true pairs (SemDeDup's operating premise)
+    assert n_within >= 0.1 * n_global, (n_within, n_global)
