@@ -77,6 +77,7 @@ _NEVER_ADJUDICATED = (
     "scan_text_lines",
     "sim_range_search",
     "dedup_semantic_cluster",
+    "sample_hard_negatives",
 )
 _CHANGED_IN_R6 = (
     "merge_scd1_upsert",

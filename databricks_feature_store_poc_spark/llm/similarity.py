@@ -518,3 +518,72 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cosine_raw", 6).alias("cosine"),
         )
     )
+
+
+@query(
+    "sample_hard_negatives",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    )
+    SELECT q.vec_id AS query_id, c.vec_id AS negative_id,
+           c.label AS negative_label,
+           round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cosine
+    FROM v q JOIN v c
+      ON q.vec_id < {N_QUERIES} AND c.label <> q.label
+    QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm) DESC, c.vec_id
+    ) <= {TOP_K}
+    """,
+)
+def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-5 most-similar vectors carrying a DIFFERENT label —
+    the negatives that actually move an embedding model (random
+    negatives are trivially separable; hard ones define the margin).
+
+    Identical plan family to sim_cosine_topk — broadcast queries,
+    map-only corpus scan, one per-query top-k window — with the label
+    inequality folded into the join, so mismatched labels are filtered
+    before ranking. Ties break on vec_id; the oracle pins the exact
+    negative set.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = _with_norm(
+        e.select("vec_id", "label", _as_double("embedding").alias("e"))
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("e").alias("q_e"),
+        F.col("nrm").alias("q_n"),
+    )
+    c = v.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        F.col("e").alias("c_e"),
+        F.col("nrm").alias("c_n"),
+    )
+    from pyspark.sql.window import Window
+
+    cos = F.expr(_DOT.format(a="q_e", b="c_e")) / (F.col("q_n") * F.col("c_n"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_raw"), F.asc("negative_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(c, F.col("negative_label") != F.col("q_label"))
+        .withColumn("cosine_raw", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "negative_id",
+            "negative_label",
+            F.round("cosine_raw", 6).alias("cosine"),
+        )
+    )

@@ -21,6 +21,7 @@ load_all_queries()
 
 NEW_R6 = [
     "graph_pagerank",
+    "sample_hard_negatives",
     "dq_benford_digits",
     "fn_hash",
     "scan_text_lines",
