@@ -78,6 +78,8 @@ _NEVER_ADJUDICATED = (
     "sim_range_search",
     "dedup_semantic_cluster",
     "sample_hard_negatives",
+    "embed_gram_matrix",
+    "win_streaks",
 )
 _CHANGED_IN_R6 = (
     "merge_scd1_upsert",

@@ -476,6 +476,9 @@ def text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     phase-contract booleans — the bloom pass may never drop a truly
     leaked shingle (no false negatives), and candidate inflation stays
     inside the fp band (candidates <= leaked + 1% of clean shingles + 1).
+    Sizing: the shared 131072-bit bitmap is ample for the test-SF eval
+    sets (<3k shingles); size m ~ 10-15 bits per eval shingle in a real
+    deployment — the fp band is a function of m/n, not of corpus size.
     """
     from databricks_feature_store_poc_spark.operators.bloom import (
         bloom_build,

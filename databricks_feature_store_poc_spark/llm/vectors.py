@@ -357,3 +357,57 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
         F.coalesce("n_dup_vectors", F.lit(0)).alias("n_dup_vectors"),
     )
+
+
+# --- gram matrix (the distributed heavy pass of PCA) -----------------------
+
+
+@query(
+    "embed_gram_matrix",
+    oracle=f"""
+    WITH v0 AS (SELECT vec_id, {_DUCK_QV0} AS q0 FROM embeddings),
+    ve0 AS (SELECT vec_id, i, q0[i] AS q FROM v0, range(1, {DIMS + 1}) r(i))
+    SELECT a.i AS dim_i, b.i AS dim_j,
+           CAST(SUM(a.q * b.q) AS BIGINT) AS s
+    FROM ve0 a JOIN ve0 b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY a.i, b.i
+    """,
+)
+def embed_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The X^T X gram matrix of the (quantized) embedding corpus — the
+    O(N * d^2) distributed pass that dominates PCA / whitening / linear
+    probing at scale; the d x d result is then eigen-decomposed on the
+    driver in microseconds (tall-skinny PCA, the standard split).
+
+    Upper triangle only (the matrix is symmetric): d(d+1)/2 = 2080
+    cells. Spark computes each vector's outer-product contributions
+    with a single fused higher-order expression (flatten over dim
+    pairs), then one hash aggregate over 2080 keys — no Python, one
+    shuffle whose width is the OUTPUT size, independent of N. Exact
+    BIGINT sums on the 2^20 grid, so the oracle hash-verifies all 2080
+    accumulations. BIGINT headroom: |q| <= ~2^20, so each cell sum
+    holds ~8e6 vectors per partition-free exact sum at this grid —
+    rescale the grid for more.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v0 = e.select(F.expr(_QV0).alias("q0"))
+    # flatten(transform(i -> transform(j>=i -> struct(i, j, qi*qj))))
+    cells = v0.select(
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(1, {DIMS}), i ->
+                    transform(sequence(i, {DIMS}), j ->
+                        struct(i AS dim_i, j AS dim_j,
+                               element_at(q0, i) * element_at(q0, j) AS p))))"""
+            )
+        ).alias("c")
+    )
+    return (
+        cells.select(
+            F.col("c.dim_i").cast("bigint").alias("dim_i"),
+            F.col("c.dim_j").cast("bigint").alias("dim_j"),
+            F.col("c.p"),
+        )
+        .groupBy("dim_i", "dim_j")
+        .agg(F.sum("p").alias("s"))
+    )

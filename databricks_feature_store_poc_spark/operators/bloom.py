@@ -103,6 +103,10 @@ def agg_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The member segment is picked as min(c_mktsegment) so the query is
     deterministic at any SF without naming generator-specific values.
+    Sizing: m is fixed at 131072 bits, ample through sf0.1 (~3k members
+    -> 11% bits set). A production build sizes m ~ 10-15 bits/key (m
+    scales with n, the fp bound does not) — at 100 TB that is still a
+    few hundred MB broadcast, far under the exact key set.
     """
     c = load_table(spark, sf_dir, "customer")
     seg = c.agg(F.min("c_mktsegment").alias("seg"))

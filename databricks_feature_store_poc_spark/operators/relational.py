@@ -1865,3 +1865,55 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("first_id"),
         F.max("event_id").alias("last_id"),
     )
+
+
+@query(
+    "win_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS d
+        FROM events
+    ),
+    grp AS (
+        SELECT user_id, d,
+               d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS g
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, g, CAST(count(*) AS BIGINT) AS len
+        FROM grp GROUP BY user_id, g
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak
+    FROM streaks GROUP BY user_id
+    """,
+)
+def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active days per
+    user (longest streak, streak count, active-day count) — the classic
+    engagement/retention feature, and the canonical window pattern that
+    `sessionize`'s gap rule can't express (islands need the
+    day - row_number() group key, constant within each consecutive run).
+
+    One window + two hash aggregates, all on (user, day) grain — the
+    raw event stream collapses to distinct days first, so the window
+    state is bounded by active days, not events. All-integer outputs;
+    exact at any partition count.
+    """
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id",
+        F.expr("CAST(unix_date(CAST(ts AS DATE)) AS BIGINT)").alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn("g", F.col("d") - F.row_number().over(w))
+    streaks = grp.groupBy("user_id", "g").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+    )

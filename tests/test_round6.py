@@ -21,6 +21,8 @@ load_all_queries()
 
 NEW_R6 = [
     "graph_pagerank",
+    "embed_gram_matrix",
+    "win_streaks",
     "sample_hard_negatives",
     "dq_benford_digits",
     "fn_hash",
@@ -312,3 +314,30 @@ def test_semantic_dedup_oracle_and_recall(spark):
     # at K=8 on this corpus the clustered pass must keep a meaningful
     # fraction of true pairs (SemDeDup's operating premise)
     assert n_within >= 0.1 * n_global, (n_within, n_global)
+
+
+def test_gram_matrix_is_symmetric_psd_diagonal(spark):
+    rows = QUERIES["embed_gram_matrix"](spark, SF_TEST).collect()
+    from databricks_feature_store_poc_spark.llm.vectors import DIMS
+
+    assert len(rows) == DIMS * (DIMS + 1) // 2  # full upper triangle
+    diag = {r["dim_i"]: r["s"] for r in rows if r["dim_i"] == r["dim_j"]}
+    assert len(diag) == DIMS
+    assert all(v >= 0 for v in diag.values())  # x^T x diagonal is a sum of squares
+    # Cauchy-Schwarz on every off-diagonal cell
+    bad = [
+        r for r in rows
+        if r["dim_i"] != r["dim_j"]
+        and r["s"] * r["s"] > diag[r["dim_i"]] * diag[r["dim_j"]]
+    ]
+    assert not bad
+
+
+def test_streaks_are_consistent(spark):
+    rows = QUERIES["win_streaks"](spark, SF_TEST).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["longest_streak"] <= r["n_active_days"]
+        assert r["n_streaks"] <= r["n_active_days"]
+        # streak lengths sum to active days, so their mean is bounded
+        assert r["longest_streak"] * r["n_streaks"] >= r["n_active_days"]
