@@ -341,3 +341,61 @@ def test_streaks_are_consistent(spark):
         assert r["n_streaks"] <= r["n_active_days"]
         # streak lengths sum to active days, so their mean is bounded
         assert r["longest_streak"] * r["n_streaks"] >= r["n_active_days"]
+
+
+# --- plan pins: the scale property each round-6 operator claims ------------
+
+
+def test_map_only_ops_plan_zero_shuffles(spark):
+    """embed_quantize_int8, text_chunk_sliding, fn_regexp, fn_hash, and
+    sim_range_search all claim map-only execution — zero shuffle
+    exchanges (range search additionally pays no window)."""
+    from databricks_feature_store_poc_spark.plans.inspect import count_exchanges
+
+    for name in (
+        "embed_quantize_int8",
+        "text_chunk_sliding",
+        "fn_regexp",
+        "fn_hash",
+        "sim_range_search",
+    ):
+        df = QUERIES[name](spark, SF_TEST)
+        assert count_exchanges(df) == 0, name
+
+
+def test_bloom_and_cms_probe_broadcasts(spark):
+    """The sketch tables must reach the probe side as broadcasts — a
+    shuffled probe join would defeat the fixed-size-summary point."""
+    from databricks_feature_store_poc_spark.plans.inspect import (
+        count_broadcast_joins,
+        physical_plan,
+    )
+
+    for name in ("agg_bloom_filter", "agg_countmin_sketch"):
+        df = QUERIES[name](spark, SF_TEST)
+        assert count_broadcast_joins(df) >= 1, name
+        assert "CartesianProduct" not in physical_plan(df), name
+
+
+def test_pagerank_iteration_broadcasts_ranks(spark):
+    """Each PageRank iteration joins the edge list against the rank
+    table; at test SF the rank side must broadcast (AQE or static) so
+    the edge stream is never shuffled for the join — only the
+    contribution aggregate shuffles."""
+    from databricks_feature_store_poc_spark.plans.inspect import (
+        count_broadcast_joins,
+        simple_plan,
+    )
+
+    df = QUERIES["graph_pagerank"](spark, SF_TEST)
+    assert count_broadcast_joins(df) >= 3  # one per iteration
+    assert "CartesianProduct" not in simple_plan(df)
+
+
+def test_gram_matrix_single_aggregate_shuffle(spark):
+    """The gram pass shuffles only the 2080-cell aggregate — output-
+    sized, independent of corpus size."""
+    from databricks_feature_store_poc_spark.plans.inspect import count_exchanges
+
+    df = QUERIES["embed_gram_matrix"](spark, SF_TEST)
+    assert count_exchanges(df) <= 1
