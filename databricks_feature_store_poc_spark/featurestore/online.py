@@ -59,3 +59,177 @@ class OnlineStore:
 
     def __len__(self) -> int:
         return len(self._data)
+
+
+# ---------------------------------------------------------------------------
+# Production-shape sync: feature table -> external KV, executor-parallel
+# ---------------------------------------------------------------------------
+
+
+class KVBackend:
+    """What an online store needs from its KV system: batched upsert,
+    point get, batched delete. Redis (pipelined MSET/DEL), Cassandra
+    (batch statements), or DynamoDB (BatchWriteItem) each implement
+    these three calls; the backend object must be picklable and usable
+    from EXECUTOR processes — writes happen data-parallel inside
+    foreachPartition, never through the driver."""
+
+    def mset(self, items: list[tuple[tuple, dict]]) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+    def get(self, key: tuple) -> dict | None:  # pragma: no cover
+        raise NotImplementedError
+
+    def delete(self, keys: list[tuple]) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+
+class SpoolDirKV(KVBackend):
+    """File-spool reference backend that works across PROCESS boundaries
+    — PySpark runs foreachPartition functions in separate Python worker
+    processes, so a plain in-memory dict written "on the executor" would
+    never reach the driver. Writers append immutable batch files
+    (timestamped, so replay order is total); readers replay the spool
+    into a point-lookup dict on first get(). This is the same
+    write-path contract a Redis/Cassandra client object has: picklable,
+    usable from any worker, durable to the reader."""
+
+    def __init__(self, spool_dir: str):
+        import os
+
+        self.spool_dir = spool_dir
+        os.makedirs(spool_dir, exist_ok=True)
+        self._view: dict | None = None
+
+    def _append(self, payload) -> None:
+        import os
+        import pickle
+        import time
+        import uuid
+
+        name = f"{time.time_ns():020d}_{uuid.uuid4().hex}.pkl"
+        tmp = os.path.join(self.spool_dir, "." + name)
+        with open(tmp, "wb") as f:
+            pickle.dump(payload, f)
+        os.replace(tmp, os.path.join(self.spool_dir, name))
+
+    def mset(self, items):
+        if items:
+            self._append(("mset", list(items)))
+
+    def delete(self, keys):
+        if keys:
+            self._append(("delete", list(keys)))
+
+    def load(self) -> dict:
+        """Replay the spool (filename order = write order) into a dict."""
+        import os
+        import pickle
+
+        view: dict = {}
+        for name in sorted(os.listdir(self.spool_dir)):
+            if name.startswith("."):
+                continue
+            with open(os.path.join(self.spool_dir, name), "rb") as f:
+                op, payload = pickle.load(f)
+            if op == "mset":
+                for k, v in payload:
+                    view[k] = v
+            else:
+                for k in payload:
+                    view.pop(k, None)
+        return view
+
+    def get(self, key):
+        if self._view is None:
+            self._view = self.load()
+        return self._view.get(key)
+
+    def refresh(self) -> None:
+        self._view = self.load()
+
+    def stats(self) -> dict:
+        """Write-traffic accounting from the spool (what a billed KV
+        would charge): total upserted items and deleted keys."""
+        import os
+        import pickle
+
+        n_writes = n_deletes = 0
+        for name in sorted(os.listdir(self.spool_dir)):
+            if name.startswith("."):
+                continue
+            with open(os.path.join(self.spool_dir, name), "rb") as f:
+                op, payload = pickle.load(f)
+            if op == "mset":
+                n_writes += len(payload)
+            else:
+                n_deletes += len(payload)
+        return {"n_writes": n_writes, "n_deletes": n_deletes}
+
+
+class OnlineStoreSync:
+    """Incremental table -> KV synchronization (the production serving
+    path the capped driver-side OnlineStore emulates; SURVEY §7 /
+    VERDICT r5 'What's missing' #1).
+
+    - ``full_sync(df)``: every row upserted, executor-parallel
+      (foreachPartition batches of ``batch_size``). One scan, no
+      driver collect at any size.
+    - ``delta_sync(old_df, new_df)``: only keys whose feature values
+      CHANGED (or are new) are written, and keys absent from the new
+      snapshot are deleted — computed as two hash anti/inequality
+      joins, so refresh cost is O(changed + |snapshot scan|), and KV
+      write traffic is O(changed) — the number that matters when the
+      KV is a networked system billed per write.
+
+    Pair with VersionedFeatureTable: sync version N-1 -> N by passing
+    the two snapshot reads.
+    """
+
+    def __init__(self, backend: KVBackend, primary_keys: list[str], batch_size: int = 1000):
+        self.backend = backend
+        self.primary_keys = list(primary_keys)
+        self.batch_size = batch_size
+
+    def _push(self, df: DataFrame) -> None:
+        pks, backend, batch_size = self.primary_keys, self.backend, self.batch_size
+        feats = [c for c in df.columns if c not in pks]
+
+        def write_partition(rows):
+            batch = []
+            for row in rows:
+                batch.append(
+                    (tuple(row[k] for k in pks), {f: row[f] for f in feats})
+                )
+                if len(batch) >= batch_size:
+                    backend.mset(batch)
+                    batch = []
+            if batch:
+                backend.mset(batch)
+
+        df.foreachPartition(write_partition)
+
+    def full_sync(self, df: DataFrame) -> None:
+        self._push(df)
+
+    def delta_sync(self, old_df: DataFrame, new_df: DataFrame) -> None:
+        from pyspark.sql import functions as F
+
+        pks = self.primary_keys
+        feats = [c for c in new_df.columns if c not in pks]
+        old = old_df.select(*pks, *[F.col(f).alias(f"__old_{f}") for f in feats])
+        joined = new_df.join(old, pks, "left")
+        changed_pred = F.lit(False)
+        for f in feats:
+            changed_pred = changed_pred | ~F.col(f).eqNullSafe(F.col(f"__old_{f}"))
+        self._push(joined.filter(changed_pred).select(*pks, *feats))
+        # deletions: keys that vanished from the snapshot
+        gone = old_df.select(*pks).join(new_df.select(*pks), pks, "left_anti")
+        pks_l, backend = pks, self.backend
+
+        def delete_partition(rows):
+            keys = [tuple(r[k] for k in pks_l) for r in rows]
+            if keys:
+                backend.delete(keys)
+
+        gone.foreachPartition(delete_partition)

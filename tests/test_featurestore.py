@@ -383,3 +383,80 @@ class TestOnDemandFeatures:
                 resolve_table={"t": features}.__getitem__,
                 on_demand_features={"f": "f * 2"},
             )
+
+
+# --- online sync: table -> KV, executor-parallel ---------------------------
+
+
+def test_online_full_sync_matches_table(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_TEST
+
+    from databricks_feature_store_poc_spark.featurestore.online import (
+        OnlineStoreSync,
+        SpoolDirKV,
+    )
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    table = (
+        load_table(spark, SF_TEST, "customer")
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+        .filter(F.col("c_custkey") <= 300)
+    )
+    kv = SpoolDirKV(str(tmp_path / "kv"))
+    OnlineStoreSync(kv, ["c_custkey"], batch_size=64).full_sync(table)
+    rows = table.collect()
+    assert len(kv.load()) == len(rows)
+    for r in rows[:25]:
+        assert kv.get((r["c_custkey"],)) == {
+            "c_acctbal": r["c_acctbal"],
+            "c_mktsegment": r["c_mktsegment"],
+        }
+    assert kv.get((-1,)) is None
+
+
+def test_online_delta_sync_writes_only_changes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_TEST
+
+    from databricks_feature_store_poc_spark.featurestore.online import (
+        OnlineStoreSync,
+        SpoolDirKV,
+    )
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    base = (
+        load_table(spark, SF_TEST, "customer")
+        .select("c_custkey", "c_acctbal")
+        .filter(F.col("c_custkey") <= 200)
+    )
+    kv = SpoolDirKV(str(tmp_path / "kv"))
+    sync = OnlineStoreSync(kv, ["c_custkey"], batch_size=64)
+    sync.full_sync(base)
+    n_full = kv.stats()["n_writes"]
+
+    # new snapshot: 10 keys changed, 5 keys dropped, 3 new keys
+    changed = base.filter(F.col("c_custkey") <= 10).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1.0
+    )
+    kept = base.filter((F.col("c_custkey") > 10) & (F.col("c_custkey") <= 195))
+    new = spark.createDataFrame(
+        [(10_001, 1.0), (10_002, 2.0), (10_003, 3.0)], "c_custkey long, c_acctbal double"
+    )
+    snapshot2 = changed.unionByName(kept).unionByName(new)
+    sync.delta_sync(base, snapshot2)
+
+    stats = kv.stats()
+    n_delta_writes = stats["n_writes"] - n_full
+    # only changed + new keys are written, NOT the whole table
+    assert n_delta_writes == changed.count() + new.count()
+    assert n_delta_writes < n_full
+    # dropped keys are deleted
+    assert stats["n_deletes"] == base.count() - changed.count() - kept.count()
+
+    view = kv.load()
+    assert len(view) == snapshot2.count()
+    for r in snapshot2.collect():
+        assert view[(r["c_custkey"],)]["c_acctbal"] == r["c_acctbal"]
