@@ -215,26 +215,39 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT inertia holds to ~1e6 vectors per cluster at this grid; past
     that, report per-cluster mean inertia instead.
     """
-    assigned = kmeans_fit_assign(load_table(spark, sf_dir, "embeddings"))
+    assigned = kmeans_fit_assign(spark, sf_dir)
     return assigned.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.sum("dist").alias("inertia_q"),
     )
 
 
-def kmeans_fit_assign(embeddings: DataFrame) -> DataFrame:
+def kmeans_fit_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fit+assign pipeline shared by cluster_kmeans and
     dedup_semantic_cluster: init = K lowest vec_ids, KM_ITERS assignment
     rounds with integer-mean updates between them. Returns
-    (vec_id, qv, cid, dist)."""
-    base = embeddings.select("vec_id", F.expr(_QV).alias("qv"))
+    (vec_id, qv, cid, dist), session-persisted per corpus (both callers
+    need the identical assignment — the fit's collect-driven jobs run
+    once, not once per query)."""
+    import os as _os
+
+    from databricks_feature_store_poc_spark.cacheutil import session_persist
+
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_QV).alias("qv")
+    )
     init_rows = base.orderBy("vec_id").limit(K).collect()
     centroids = {i + 1: [int(x) for x in r["qv"]] for i, r in enumerate(init_rows)}
     assigned = kmeans_assign(base, centroids)
     for _ in range(KM_ITERS - 1):
         centroids = kmeans_update(assigned)
         assigned = kmeans_assign(base, centroids)
-    return assigned
+    return session_persist(
+        spark,
+        "kmeans_assignment",
+        [_os.path.join(sf_dir, "embeddings.parquet")],
+        assigned,
+    )
 
 
 # --- SemDeDup: cluster-then-pair semantic dedup ----------------------------
@@ -310,7 +323,7 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     the clustered formulation.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    assigned = kmeans_fit_assign(e).select("vec_id", "cid")
+    assigned = kmeans_fit_assign(spark, sf_dir).select("vec_id", "cid")
     v0 = e.select("vec_id", F.expr(_QV0).alias("q0"), F.expr(
         f"aggregate(zip_with({_QV0}, {_QV0}, (a, b) -> a * b),"
         " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
