@@ -233,3 +233,26 @@ class OnlineStoreSync:
                 backend.delete(keys)
 
         gone.foreachPartition(delete_partition)
+
+
+def sync_versioned_history(vt, sync: OnlineStoreSync) -> int:
+    """Replay a VersionedFeatureTable's version history into a KV store:
+    full_sync of the first snapshot, then delta_sync between each
+    consecutive pair — the CDC-replay shape that keeps an online store
+    continuously fed from a streaming-maintained table
+    (run_streaming_feature_maintenance writes one version per
+    micro-batch epoch; this ships each epoch's CHANGED keys only).
+
+    Returns the number of versions applied. Idempotent per history —
+    replaying the same chain rewrites the same final state (upserts are
+    last-write-wins, deletes re-delete absent keys harmlessly)."""
+    versions = sorted(v["version"] for v in vt.history())
+    prev = None
+    for v in versions:
+        cur = vt.read(version=v)
+        if prev is None:
+            sync.full_sync(cur)
+        else:
+            sync.delta_sync(vt.read(version=prev), cur)
+        prev = v
+    return len(versions)

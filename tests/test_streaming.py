@@ -208,3 +208,36 @@ def test_transform_with_state_equals_batch(spark):
         .collect()
     }
     assert final == batch and final
+
+
+def test_streaming_maintenance_feeds_online_store(spark, tmp_path):
+    """The full serving loop: events stream -> per-epoch versioned
+    feature snapshots -> CDC replay into the KV store. The final KV
+    view must equal the latest snapshot (== the one-shot batch
+    aggregate, already pinned above), and the delta replay must ship
+    FEWER writes than re-pushing the full table every epoch."""
+    from databricks_feature_store_poc_spark.featurestore.online import (
+        OnlineStoreSync,
+        SpoolDirKV,
+        sync_versioned_history,
+    )
+    from databricks_feature_store_poc_spark.streaming.windows import (
+        run_streaming_feature_maintenance,
+    )
+
+    vt = run_streaming_feature_maintenance(
+        spark, SF_SMOKE, str(tmp_path / "feature_tables")
+    )
+    kv = SpoolDirKV(str(tmp_path / "kv"))
+    sync = OnlineStoreSync(kv, ["user_id"])
+    n_versions = sync_versioned_history(vt, sync)
+    assert n_versions >= 2  # multiple micro-batch epochs
+
+    final = {(r["user_id"],): r for r in vt.read().collect()}
+    view = kv.load()
+    assert len(view) == len(final)
+    for key, row in final.items():
+        assert view[key]["n_events"] == row["n_events"]
+        assert view[key]["total_value"] == row["total_value"]
+    # delta replay writes less than full-table x epochs
+    assert kv.stats()["n_writes"] < n_versions * len(final) + len(final)
