@@ -80,6 +80,7 @@ _NEVER_ADJUDICATED = (
     "sample_hard_negatives",
     "embed_gram_matrix",
     "win_streaks",
+    "fn_url",
 )
 _CHANGED_IN_R6 = (
     "merge_scd1_upsert",

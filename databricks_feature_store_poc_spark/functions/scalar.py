@@ -689,3 +689,47 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("text"), 256).alias("sha256_hex"),
         F.length(F.md5("text")).cast("bigint").alias("md5_len"),
     )
+
+
+@query(
+    "fn_url",
+    oracle="""
+    WITH u AS (
+        SELECT c_custkey,
+               'https://' || lower(c_mktsegment) || '.example.com/c/'
+                   || CAST(c_custkey AS VARCHAR) || '?seg='
+                   || lower(c_mktsegment) || '&v=1' AS url
+        FROM customer
+    )
+    SELECT c_custkey,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]seg=([^&#]*)', 1) AS seg_param,
+           regexp_extract(url, '^([a-z]+)://', 1) AS protocol
+    FROM u
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing via parse_url — host/path/query-parameter/protocol
+    extraction, the per-domain bucketing primitive behind web-corpus
+    quality weighting and URL-level dedup (C4/RefinedWeb keep per-domain
+    stats). URLs are constructed from customer columns so the oracle can
+    verify the extraction with equivalent regexes (DuckDB has no
+    parse_url); Spark-side uses the real parse_url builtin — JVM-side,
+    map-only."""
+    c = load_table(spark, sf_dir, "customer")
+    u = c.select(
+        "c_custkey",
+        F.concat(
+            F.lit("https://"), F.lower("c_mktsegment"), F.lit(".example.com/c/"),
+            F.col("c_custkey").cast("string"), F.lit("?seg="),
+            F.lower("c_mktsegment"), F.lit("&v=1"),
+        ).alias("url"),
+    )
+    return u.select(
+        "c_custkey",
+        F.expr("parse_url(url, 'HOST')").alias("host"),
+        F.expr("parse_url(url, 'PATH')").alias("path"),
+        F.expr("parse_url(url, 'QUERY', 'seg')").alias("seg_param"),
+        F.expr("parse_url(url, 'PROTOCOL')").alias("protocol"),
+    )
