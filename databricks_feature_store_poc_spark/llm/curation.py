@@ -33,6 +33,29 @@ DECON_NGRAM = 8
 # Every doc_id ≡ 0 (mod 97) plays the role of the held-out eval set.
 EVAL_MOD = 97
 
+
+def _decon_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) table of distinct 8-gram shingles per document,
+    session-persisted per corpus — the decontamination family references
+    this explode from several plan branches (eval set, train probes,
+    verification), so one cached copy replaces up to six recomputes of
+    the split + shingle fan-out."""
+    import os as _os
+
+    from databricks_feature_store_poc_spark.cacheutil import session_persist
+
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.expr(_WORDS).alias("words")).select(
+        "doc_id", F.explode(F.expr(shingle_expr(DECON_NGRAM))).alias("shingle")
+    )
+    return session_persist(
+        spark,
+        "decon_shingles",
+        [_os.path.join(sf_dir, "documents.parquet")],
+        ex,
+    )
+
+
 _WORDS = r"filter(split(text, '\\s+'), x -> x != '')"
 _DUCK_WORDS = r"list_filter(string_split_regex(text, '\s+'), x -> x != '')"
 
@@ -77,10 +100,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct within a doc by construction).
     """
     d = load_table(spark, sf_dir, "documents")
-    with_words = d.select("doc_id", F.expr(_WORDS).alias("words"))
-    ex = with_words.select(
-        "doc_id", F.explode(F.expr(shingle_expr(DECON_NGRAM))).alias("shingle")
-    )
+    ex = _decon_shingles(spark, sf_dir)
     is_eval = F.col("doc_id") % EVAL_MOD == 0
     eval_shingles = ex.filter(is_eval).select("shingle").distinct()
     hits = (
@@ -303,10 +323,7 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = quality.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
     kept0 = quality.join(keep, "doc_id")
 
-    with_words = d.select("doc_id", F.expr(_WORDS).alias("words"))
-    ex = with_words.select(
-        "doc_id", F.explode(F.expr(shingle_expr(DECON_NGRAM))).alias("shingle")
-    )
+    ex = _decon_shingles(spark, sf_dir)
     is_eval = F.col("doc_id") % EVAL_MOD == 0
     eval_shingles = ex.filter(is_eval).select("shingle").distinct()
     contaminated = (
@@ -486,52 +503,42 @@ def text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    with_words = d.select("doc_id", F.expr(_WORDS).alias("words"))
-    ex = with_words.select(
-        "doc_id", F.explode(F.expr(shingle_expr(DECON_NGRAM))).alias("shingle")
-    )
+    ex = _decon_shingles(spark, sf_dir)
     is_eval = F.col("doc_id") % EVAL_MOD == 0
     eval_shingles = ex.filter(is_eval).select("shingle").distinct()
     train_shingles = ex.filter(~is_eval).select("doc_id", "shingle")
 
     bloom = bloom_build(eval_shingles, "shingle")
-    distinct_train = train_shingles.select("shingle").distinct()
-    passed = bloom_probe(distinct_train, "shingle", bloom)
-    candidates = passed.filter(F.col("bloom_pass")).select("shingle")
+    # One pass marks every distinct training shingle with both verdicts:
+    # the bloom's (bloom_pass) and the exact truth (leaked) — all the
+    # contract aggregates then come from a single table instead of
+    # re-probing per metric.
+    marked = (
+        bloom_probe(train_shingles.select("shingle").distinct(), "shingle", bloom)
+        .join(eval_shingles.withColumn("lk", F.lit(True)), "shingle", "left")
+        .select(
+            "shingle", "bloom_pass", F.coalesce("lk", F.lit(False)).alias("leaked")
+        )
+    )
+    sh_stats = marked.agg(
+        F.count(F.lit(1)).alias("n_train_shingles"),
+        F.count_if(F.col("bloom_pass")).alias("n_candidates"),
+        F.count_if(F.col("leaked")).alias("n_leaked_shingles"),
+        # the bloom candidate set must contain every truly leaked
+        # shingle: leaked-but-not-candidate count == 0
+        F.count_if(F.col("leaked") & ~F.col("bloom_pass")).alias("n_missed"),
+    )
     # phase 2: exact verification restricted to the candidate shingles
-    verified = candidates.join(eval_shingles, "shingle").distinct()
+    verified = marked.filter(F.col("bloom_pass") & F.col("leaked")).select("shingle")
     contaminated = (
         train_shingles.join(F.broadcast(verified), "shingle")
         .select("doc_id").distinct()
-    )
-
-    counts = (
-        distinct_train
-        .join(passed.filter(F.col("bloom_pass")), "shingle", "left_semi")
-        .agg(F.count(F.lit(1)).alias("n_candidates"))
-    )
-    truth_sh = (
-        distinct_train.join(eval_shingles, "shingle", "left_semi")
-        .agg(F.count(F.lit(1)).alias("n_leaked_shingles"))
-    )
-    n_distinct = distinct_train.agg(
-        F.count(F.lit(1)).alias("n_train_shingles")
-    )
-    # the bloom candidate set must contain every truly leaked shingle:
-    # leaked-but-not-candidate count == 0
-    missed = (
-        distinct_train.join(eval_shingles, "shingle", "left_semi")
-        .join(candidates, "shingle", "left_anti")
-        .agg(F.count(F.lit(1)).alias("n_missed"))
     )
     n_train = d.filter(~is_eval).agg(F.count(F.lit(1)).alias("n_train_docs"))
     n_cont = contaminated.agg(F.count(F.lit(1)).alias("n_contaminated"))
     return (
         n_train.crossJoin(F.broadcast(n_cont))
-        .crossJoin(F.broadcast(missed))
-        .crossJoin(F.broadcast(counts))
-        .crossJoin(F.broadcast(truth_sh))
-        .crossJoin(F.broadcast(n_distinct))
+        .crossJoin(F.broadcast(sh_stats))
         .select(
             "n_train_docs",
             "n_contaminated",
