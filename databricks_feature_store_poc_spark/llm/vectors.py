@@ -413,34 +413,38 @@ def embed_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver in microseconds (tall-skinny PCA, the standard split).
 
     Upper triangle only (the matrix is symmetric): d(d+1)/2 = 2080
-    cells. Spark computes each vector's outer-product contributions
-    with a single fused higher-order expression (flatten over dim
-    pairs), then one hash aggregate over 2080 keys — no Python, one
-    shuffle whose width is the OUTPUT size, independent of N. Exact
-    BIGINT sums on the 2^20 grid, so the oracle hash-verifies all 2080
-    accumulations. BIGINT headroom: |q| <= ~2^20, so each cell sum
-    holds ~8e6 vectors per partition-free exact sum at this grid —
-    rescale the grid for more.
+    cells. Each partition computes its PARTIAL gram with chunked float64
+    BLAS matmuls that are exact (chunk 2048: every cell sum <= 2048 *
+    1.1e12 = 2.3e15 < 2^53 — no rounding) accumulated into an int64
+    matrix, and emits just 2080 (i, j, s) rows — no per-vector d^2
+    explode, and the one shuffle carries partitions x 2080 rows
+    regardless of N. Exact BIGINT end to end (the int64 accumulator
+    holds ~8M vectors per partition at this grid; rescale for more), so
+    the oracle hash-verifies all 2080 accumulations.
     """
-    e = load_table(spark, sf_dir, "embeddings")
-    v0 = e.select(F.expr(_QV0).alias("q0"))
-    # flatten(transform(i -> transform(j>=i -> struct(i, j, qi*qj))))
-    cells = v0.select(
-        F.explode(
-            F.expr(
-                f"""flatten(transform(sequence(1, {DIMS}), i ->
-                    transform(sequence(i, {DIMS}), j ->
-                        struct(i AS dim_i, j AS dim_j,
-                               element_at(q0, i) * element_at(q0, j) AS p))))"""
-            )
-        ).alias("c")
-    )
-    return (
-        cells.select(
-            F.col("c.dim_i").cast("bigint").alias("dim_i"),
-            F.col("c.dim_j").cast("bigint").alias("dim_j"),
-            F.col("c.p"),
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select(F.expr(_QV0).alias("q0"))
+
+    def partial_gram(batches):
+        import numpy as np
+
+        acc = np.zeros((DIMS, DIMS), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            Q = np.vstack(pdf["q0"].to_numpy()).astype(np.float64)
+            for lo in range(0, len(Q), 2048):
+                c = Q[lo:lo + 2048]
+                acc += (c.T @ c).astype(np.int64)  # exact: chunk sums < 2^53
+        if not seen:
+            return
+        iu = np.triu_indices(DIMS)
+        yield pd.DataFrame(
+            {"dim_i": iu[0] + 1, "dim_j": iu[1] + 1, "p": acc[iu]}
         )
-        .groupBy("dim_i", "dim_j")
-        .agg(F.sum("p").alias("s"))
-    )
+
+    cells = e.mapInPandas(partial_gram, schema="dim_i long, dim_j long, p long")
+    return cells.groupBy("dim_i", "dim_j").agg(F.sum("p").alias("s"))
