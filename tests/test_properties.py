@@ -257,3 +257,89 @@ def test_canonical_bucket_counts_each_overlap_exactly_once(a, b):
             )
             bucketized += hits
     assert bucketized == brute
+
+
+# --- round-6 primitives ----------------------------------------------------
+
+
+@given(
+    xy=st.lists(
+        st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_morton_interleave_roundtrip(xy):
+    """The 32 interleave terms must place every bit of x on even and
+    every bit of y on odd positions — deinterleaving recovers (x, y)
+    exactly, and the code preserves lexicographic locality at bit
+    granularity (pure-Python mirror of the SQL arithmetic)."""
+    from databricks_feature_store_poc_spark.operators.zorder import BITS
+
+    for x, y in xy:
+        z = 0
+        for i in range(BITS):
+            z += ((x >> i) & 1) << (2 * i)
+            z += ((y >> i) & 1) << (2 * i + 1)
+        rx = sum(((z >> (2 * i)) & 1) << i for i in range(BITS))
+        ry = sum(((z >> (2 * i + 1)) & 1) << i for i in range(BITS))
+        assert (rx, ry) == (x, y)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(10, 16)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pagerank_matches_pure_python_reference(spark, edges):
+    """The Spark fixed-point PageRank must equal a 20-line pure-Python
+    implementation of the same integer recurrence on arbitrary small
+    bipartite graphs — partition count cannot matter (exact integers)."""
+    from databricks_feature_store_poc_spark.operators.graph import (
+        ITERS,
+        SCALE,
+        pagerank,
+    )
+
+    bi = sorted({(a, b) for a, b in edges})
+    both = bi + [(b, a) for a, b in bi]
+    df = spark.createDataFrame(both, "src long, dst long").repartition(7)
+    got = {r["node"]: r["rank"] for r in pagerank(df).collect()}
+
+    outdeg: dict[int, int] = {}
+    for s, _ in both:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    n = len(outdeg)
+    base = (15 * (SCALE // n)) // 100
+    rank = {v: SCALE // n for v in outdeg}
+    for _ in range(ITERS):
+        inbound: dict[int, int] = {}
+        for s, d in both:
+            inbound[d] = inbound.get(d, 0) + rank[s] // outdeg[s]
+        rank = {d: base + (85 * v) // 100 for d, v in inbound.items()}
+    assert got == rank
+
+
+@given(
+    n_words=st.integers(0, 60),
+    size=st.integers(2, 20),
+    stride=st.integers(1, 20),
+)
+@settings(max_examples=40, deadline=None)
+def test_chunk_grid_covers_every_word(n_words, size, stride):
+    """For any (size, stride), the start grid 0, stride, 2*stride, ...
+    (up to max(n-1, 0)) covers every word index when stride <= size,
+    and chunk_idx is dense — the pure arithmetic the SQL sequence()
+    encodes."""
+    starts = list(range(0, max(n_words - 1, 0) + 1, stride))
+    assert starts[0] == 0
+    covered = set()
+    for s in starts:
+        covered.update(range(s, min(s + size, n_words)))
+    if stride <= size:
+        assert covered == set(range(n_words))
+    assert len(starts) == (max(n_words - 1, 0)) // stride + 1
