@@ -81,6 +81,7 @@ _NEVER_ADJUDICATED = (
     "embed_gram_matrix",
     "win_streaks",
     "fn_url",
+    "scan_binary_files",
 )
 _CHANGED_IN_R6 = (
     "merge_scd1_upsert",

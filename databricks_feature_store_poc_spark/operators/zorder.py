@@ -127,3 +127,58 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.col("value"), 1, tab - 1).cast("bigint").alias("doc_id"),
         F.expr("substr(value, instr(value, '\t') + 1)").alias("text"),
     )
+
+
+@query(
+    "scan_binary_files",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file binary ingestion via ``spark.read.format("binaryFile")``
+    — the entry path for multimodal corpora (images/audio arrive as one
+    opaque file each; the reader yields (path, length, content) rows
+    that feed the mapInPandas decode pipeline in llm/multimodal.py).
+
+    Staging writes one file per document from the EXECUTORS
+    (foreachPartition — the scalable shape; a driver loop would
+    serialize the corpus), then the binary scan re-parses the doc id
+    from the filename and digests the bytes. The oracle only touches
+    the documents table: equal ids + byte lengths + md5 digests prove
+    the file round-trip is lossless (corpus text is ASCII, so byte and
+    character digests coincide).
+    """
+    from databricks_feature_store_poc_spark.sources.catalog import load_table as _lt
+
+    d = _lt(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = d.count()
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_binfiles_"
+        + os.path.basename(sf_dir.rstrip("/")).replace(".", "_"),
+    )
+    marker = os.path.join(out, "_STAGED")
+    if not (os.path.exists(marker) and open(marker).read() == str(n_docs)):
+        os.makedirs(out, exist_ok=True)
+
+        def write_files(rows):
+            for r in rows:
+                with open(os.path.join(out, f"{r['doc_id']}.txt"), "wb") as f:
+                    f.write(r["text"].encode("utf-8"))
+
+        d.foreachPartition(write_files)
+        with open(marker, "w") as f:
+            f.write(str(n_docs))
+
+    files = spark.read.format("binaryFile").load(os.path.join(out, "*.txt"))
+    return files.select(
+        F.regexp_extract(F.col("path"), r"([0-9]+)\.txt$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )

@@ -21,6 +21,7 @@ load_all_queries()
 
 NEW_R6 = [
     "graph_pagerank",
+    "scan_binary_files",
     "fn_url",
     "embed_gram_matrix",
     "win_streaks",
