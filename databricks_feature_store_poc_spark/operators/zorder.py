@@ -136,6 +136,7 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(text) AS BIGINT) AS n_bytes,
            md5(text) AS content_md5
     FROM documents
+    WHERE doc_id % 10 = 0
     """,
 )
 def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,7 +155,16 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from databricks_feature_store_poc_spark.sources.catalog import load_table as _lt
 
-    d = _lt(spark, sf_dir, "documents").select("doc_id", "text")
+    # Deterministic 10% subset: whole-file readers pay per-file open
+    # cost (the classic small-files problem) — the reader is exercised
+    # on hundreds of files per SF, not hundreds of thousands; at scale,
+    # pack small payloads into parquet binary columns or sequence-file
+    # style containers instead of one-file-per-record.
+    d = (
+        _lt(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+    )
     n_docs = d.count()
     out = os.path.join(
         tempfile.gettempdir(),
