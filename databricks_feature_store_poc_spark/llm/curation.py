@@ -484,22 +484,26 @@ def pack_sequences_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase decontamination: Bloom pre-filter, exact verify — the
     shape that survives when the eval-set n-gram list is itself too big
-    to broadcast as exact strings (a 131072-bit bitmap replaces hundreds
-    of MB of 8-gram text; the exact join then touches only the bloom's
-    candidate shingles, orders of magnitude fewer than the corpus).
+    to broadcast as exact strings (a ~12-bits-per-shingle bitmap
+    replaces hundreds of MB of 8-gram text; the exact join then touches
+    only the bloom's candidate shingles, orders of magnitude fewer than
+    the corpus).
 
     Checked values: the exact training-doc and contaminated-doc counts
     (identical algebra to text_decontaminate's oracle) plus the two
     phase-contract booleans — the bloom pass may never drop a truly
     leaked shingle (no false negatives), and candidate inflation stays
     inside the fp band (candidates <= leaked + 1% of clean shingles + 1).
-    Sizing: the shared 131072-bit bitmap is ample for the test-SF eval
-    sets (<3k shingles); size m ~ 10-15 bits per eval shingle in a real
-    deployment — the fp band is a function of m/n, not of corpus size.
+    Sizing: the bitmap is sized from the eval set's own distinct-shingle
+    count (bloom_size_bits: ~12 bits per shingle, next power of two) —
+    the fp band is a function of m/n, so sizing m with n keeps the
+    contract booleans green at every scale factor, and the count job
+    runs on the eval side, the small side by construction.
     """
     from databricks_feature_store_poc_spark.operators.bloom import (
         bloom_build,
         bloom_probe,
+        bloom_size_bits,
     )
 
     d = load_table(spark, sf_dir, "documents")
@@ -508,13 +512,16 @@ def text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_shingles = ex.filter(is_eval).select("shingle").distinct()
     train_shingles = ex.filter(~is_eval).select("doc_id", "shingle")
 
-    bloom = bloom_build(eval_shingles, "shingle")
+    m_bits = bloom_size_bits(eval_shingles.count())
+    bloom = bloom_build(eval_shingles, "shingle", m_bits)
     # One pass marks every distinct training shingle with both verdicts:
     # the bloom's (bloom_pass) and the exact truth (leaked) — all the
     # contract aggregates then come from a single table instead of
     # re-probing per metric.
     marked = (
-        bloom_probe(train_shingles.select("shingle").distinct(), "shingle", bloom)
+        bloom_probe(
+            train_shingles.select("shingle").distinct(), "shingle", bloom, m_bits
+        )
         .join(eval_shingles.withColumn("lk", F.lit(True)), "shingle", "left")
         .select(
             "shingle", "bloom_pass", F.coalesce("lk", F.lit(False)).alias("leaked")

@@ -28,16 +28,27 @@ from pyspark.sql import functions as F
 from databricks_feature_store_poc_spark.registry import query
 from databricks_feature_store_poc_spark.sources.catalog import load_table
 
-M_BITS = 1 << 17  # 131072 bits => 2048 words
+M_BITS = 1 << 17  # floor: 131072 bits => 2048 words
 N_HASH = 5
+BITS_PER_KEY = 12  # sizing target; fp ~ (1-e^(-k/12))^5 ~ 0.3% at k=5
 
 
-def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
+def bloom_size_bits(n_keys: int) -> int:
+    """Next power of two >= BITS_PER_KEY * n (floor M_BITS): keeps kn/m —
+    and therefore the analytic fp rate — constant at EVERY scale factor,
+    instead of letting a fixed bitmap saturate past sf0.1."""
+    m = M_BITS
+    while m < n_keys * BITS_PER_KEY:
+        m <<= 1
+    return m
+
+
+def bloom_build(keys: DataFrame, key_col: str, m_bits: int = M_BITS) -> DataFrame:
     """(word, bits) bitmap over the distinct values of ``key_col``."""
     coords = keys.select(
         F.explode(
             F.array(*[
-                F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(M_BITS))
+                F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
                 for i in range(N_HASH)
             ])
         ).alias("pos")
@@ -52,14 +63,17 @@ def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
     )
 
 
-def bloom_probe(probes: DataFrame, key_col: str, bloom: DataFrame) -> DataFrame:
+def bloom_probe(
+    probes: DataFrame, key_col: str, bloom: DataFrame, m_bits: int = M_BITS
+) -> DataFrame:
     """Append ``bloom_pass`` to ``probes``: true iff every one of the k
-    hash positions is set in the (broadcast) bitmap."""
+    hash positions is set in the (broadcast) bitmap. ``m_bits`` must
+    match the value the bitmap was built with."""
     coords = probes.select(
         key_col,
         F.posexplode(
             F.array(*[
-                F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(M_BITS))
+                F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
                 for i in range(N_HASH)
             ])
         ).alias("slot", "pos"),
@@ -97,16 +111,18 @@ def agg_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a Bloom filter over one market segment's customers, probe
     every ordering customer through it, and check the two properties
     that define the structure: no member is ever rejected, and the
-    false-positive rate stays inside the sizing bound (k=5, m=131072;
-    analytic fp ~ (1 - e^(-kn/m))^k — far under 1% at test scale; the
-    1% assertion leaves headroom for hash clustering).
+    false-positive rate stays inside the sizing bound (k=5, m sized at
+    {BITS_PER_KEY} bits per build-side key; analytic fp ~
+    (1 - e^(-kn/m))^k — well under 1% at ANY scale factor; the 1%
+    assertion leaves headroom for hash clustering).
 
     The member segment is picked as min(c_mktsegment) so the query is
     deterministic at any SF without naming generator-specific values.
-    Sizing: m is fixed at 131072 bits, ample through sf0.1 (~3k members
-    -> 11% bits set). A production build sizes m ~ 10-15 bits/key (m
-    scales with n, the fp bound does not) — at 100 TB that is still a
-    few hundred MB broadcast, far under the exact key set.
+    Sizing: m = next power of two >= {BITS_PER_KEY}*n from the build
+    side's own count (one cheap job on the SMALL side — the side that
+    is broadcastable by construction), so kn/m and the fp band are
+    scale-invariant. At 100 TB a 10^9-key filter is still ~1.5 GB of
+    bitmap, far under the exact key set.
     """
     c = load_table(spark, sf_dir, "customer")
     seg = c.agg(F.min("c_mktsegment").alias("seg"))
@@ -115,8 +131,9 @@ def agg_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("member_key")).distinct()
     )
     probes = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
-    bloom = bloom_build(members, "member_key")
-    passed = bloom_probe(probes, "o_custkey", bloom)
+    m_bits = bloom_size_bits(members.count())
+    bloom = bloom_build(members, "member_key", m_bits)
+    passed = bloom_probe(probes, "o_custkey", bloom, m_bits)
     truth = passed.join(
         members, passed["o_custkey"] == members["member_key"], "left"
     ).select(

@@ -13,15 +13,38 @@ hash-verifies the interleave itself, not just the round-trip.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from databricks_feature_store_poc_spark import cacheutil
 from databricks_feature_store_poc_spark.registry import query
 from databricks_feature_store_poc_spark.sources.catalog import load_table
 
 BITS = 16  # each dimension masked to 16 bits -> 32-bit Morton code
+
+
+def _staging_root() -> str:
+    """Root for file-staging side outputs.
+
+    ``SPARK_GRAFT_STAGING_DIR`` overrides; on a multi-node cluster it MUST
+    point at a shared filesystem (NFS/DBFS/object-store fuse mount) because
+    executor tasks write files here that the driver-side reader then lists.
+    The local default (tempfile.gettempdir()) is correct only for local[N],
+    where driver and executors share one machine.
+    """
+    return os.environ.get("SPARK_GRAFT_STAGING_DIR", tempfile.gettempdir())
+
+
+def _run_scoped_path(spark: SparkSession, name: str, sf_dir: str) -> str:
+    """Per-(application, scale-factor) output path: concurrent runs at
+    different SFs (or concurrent sessions) never race on an overwrite,
+    and a re-read of the directory always sees THIS session's write."""
+    sf = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    return os.path.join(_staging_root(), f"spark_graft_{name}_{sf}_{app}")
 
 
 def _morton_spark(x: str, y: str) -> str:
@@ -86,7 +109,7 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_day"
         ),
     )
-    out = os.path.join(tempfile.gettempdir(), "spark_graft_zorder_orders")
+    out = _run_scoped_path(spark, "zorder_orders", sf_dir)
     (
         o.repartitionByRange(8, "zorder")
         .sortWithinPartitions("zorder")
@@ -119,7 +142,7 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value"
         )
     )
-    out = os.path.join(tempfile.gettempdir(), "spark_graft_text_documents")
+    out = _run_scoped_path(spark, "text_documents", sf_dir)
     d.write.mode("overwrite").text(out)
     lines = spark.read.text(out)
     tab = F.instr(F.col("value"), "\t")
@@ -146,12 +169,22 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     that feed the mapInPandas decode pipeline in llm/multimodal.py).
 
     Staging writes one file per document from the EXECUTORS
-    (foreachPartition — the scalable shape; a driver loop would
-    serialize the corpus), then the binary scan re-parses the doc id
-    from the filename and digests the bytes. The oracle only touches
-    the documents table: equal ids + byte lengths + md5 digests prove
-    the file round-trip is lossless (corpus text is ASCII, so byte and
+    (foreachPartition, so a driver loop never serializes the corpus).
+    Executor-side file writes require ``SPARK_GRAFT_STAGING_DIR`` to be
+    a SHARED filesystem on a real multi-node cluster — tasks write where
+    they run, and the driver-side binaryFile reader must see every file.
+    On local[N] (one machine) the tempdir default satisfies that
+    trivially. The binary scan then re-parses the doc id from the
+    filename and digests the bytes. The oracle only touches the
+    documents table: equal ids + byte lengths + md5 digests prove the
+    file round-trip is lossless (corpus text is ASCII, so byte and
     character digests coincide).
+
+    The staged directory is memoized on the SOURCE FINGERPRINT of
+    documents.parquet (mtime+size via cacheutil.source_fingerprint):
+    regenerating the corpus in place — even at the same row count —
+    invalidates the cache, and re-staging clears the directory first so
+    no stale ``*.txt`` from a previous subset survives as an extra row.
     """
     from databricks_feature_store_poc_spark.sources.catalog import load_table as _lt
 
@@ -165,14 +198,21 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 10 == 0)
         .select("doc_id", "text")
     )
-    n_docs = d.count()
+    fp = cacheutil.source_fingerprint(
+        [os.path.join(sf_dir, "documents.parquet")]
+    )
     out = os.path.join(
-        tempfile.gettempdir(),
+        _staging_root(),
         "spark_graft_binfiles_"
         + os.path.basename(sf_dir.rstrip("/")).replace(".", "_"),
     )
     marker = os.path.join(out, "_STAGED")
-    if not (os.path.exists(marker) and open(marker).read() == str(n_docs)):
+    staged = False
+    if os.path.exists(marker):
+        with open(marker) as f:
+            staged = f.read() == fp
+    if not staged:
+        shutil.rmtree(out, ignore_errors=True)
         os.makedirs(out, exist_ok=True)
 
         def write_files(rows):
@@ -182,7 +222,7 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         d.foreachPartition(write_files)
         with open(marker, "w") as f:
-            f.write(str(n_docs))
+            f.write(fp)
 
     files = spark.read.format("binaryFile").load(os.path.join(out, "*.txt"))
     return files.select(

@@ -110,6 +110,27 @@ def test_bloom_properties_hold(spark):
     assert 0 < row["n_members"] <= row["n_probes"]
 
 
+def test_bloom_size_scales_with_build_side():
+    """fp band is a function of kn/m: sizing m from n keeps it constant
+    at every SF (ADVICE r6: a fixed 131072-bit bitmap saturates ~sf1)."""
+    import math
+
+    from databricks_feature_store_poc_spark.operators.bloom import (
+        BITS_PER_KEY,
+        M_BITS,
+        N_HASH,
+        bloom_size_bits,
+    )
+
+    assert bloom_size_bits(0) == M_BITS
+    assert bloom_size_bits(1000) == M_BITS  # floor holds for tiny sets
+    for n in (30_000, 300_000, 10_000_000):
+        m = bloom_size_bits(n)
+        assert m >= n * BITS_PER_KEY and m & (m - 1) == 0
+        fp = (1 - math.exp(-N_HASH * n / m)) ** N_HASH
+        assert fp < 0.01, (n, m, fp)
+
+
 def test_bloom_probe_matches_exact_semi_join(spark):
     """Bit-level check beyond the aggregate booleans: the pass-set is a
     superset of the member set and barely larger (fp bound)."""
@@ -169,11 +190,12 @@ def test_zorder_files_are_narrow_in_both_dims(spark):
     """The point of z-order: every written file spans a small fraction of
     BOTH dimensions' global ranges (a 1-D sort would leave one dimension
     at ~full width per file)."""
-    import os
-    import tempfile
+    from databricks_feature_store_poc_spark.operators.zorder import (
+        _run_scoped_path,
+    )
 
     QUERIES["sink_zorder"](spark, SF_TEST).collect()  # materialize the sink
-    out = os.path.join(tempfile.gettempdir(), "spark_graft_zorder_orders")
+    out = _run_scoped_path(spark, "zorder_orders", SF_TEST)
     df = spark.read.parquet(out).withColumn(
         "file", F.input_file_name()
     )
