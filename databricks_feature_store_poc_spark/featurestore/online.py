@@ -167,6 +167,68 @@ class SpoolDirKV(KVBackend):
         return {"n_writes": n_writes, "n_deletes": n_deletes}
 
 
+class RedisKV(KVBackend):
+    """Redis-protocol implementation of the KVBackend contract (the real
+    client for what SpoolDirKV emulates on a shared filesystem).
+
+    Import-gated: the optional ``redis`` client package is resolved
+    lazily at first use, so merely constructing/pickling the backend
+    never imports it. The object ships to EXECUTOR processes by value —
+    sockets are not picklable, so only the connection parameters cross
+    the boundary and each worker process opens its own connection on
+    first mset/get/delete (the standard Spark foreachPartition client
+    pattern). Keys are namespaced binary strings (pickled key tuples —
+    deterministic for the primitive PK types a feature table uses);
+    values are pickled feature dicts. ``mset`` maps onto one pipelined
+    MSET and ``delete`` onto one DEL, so KV round-trips are
+    O(batches), not O(rows).
+    """
+
+    def __init__(self, url: str = "redis://localhost:6379/0", namespace: str = "fs"):
+        self.url = url
+        self.namespace = namespace.encode()
+        self._client = None
+
+    # connections never cross process boundaries — reconnect per worker
+    def __getstate__(self):
+        return {"url": self.url, "namespace": self.namespace}
+
+    def __setstate__(self, state):
+        self.url = state["url"]
+        self.namespace = state["namespace"]
+        self._client = None
+
+    def _conn(self):
+        if self._client is None:
+            import redis  # optional dependency; absent in this sandbox
+
+            self._client = redis.Redis.from_url(self.url)
+        return self._client
+
+    def _key(self, key: tuple) -> bytes:
+        import pickle
+
+        return self.namespace + b"\x00" + pickle.dumps(key, protocol=4)
+
+    def mset(self, items):
+        import pickle
+
+        if items:
+            self._conn().mset(
+                {self._key(k): pickle.dumps(v, protocol=4) for k, v in items}
+            )
+
+    def get(self, key):
+        import pickle
+
+        raw = self._conn().get(self._key(key))
+        return None if raw is None else pickle.loads(raw)
+
+    def delete(self, keys):
+        if keys:
+            self._conn().delete(*[self._key(k) for k in keys])
+
+
 class OnlineStoreSync:
     """Incremental table -> KV synchronization (the production serving
     path the capped driver-side OnlineStore emulates; SURVEY §7 /
@@ -217,9 +279,17 @@ class OnlineStoreSync:
 
         pks = self.primary_keys
         feats = [c for c in new_df.columns if c not in pks]
-        old = old_df.select(*pks, *[F.col(f).alias(f"__old_{f}") for f in feats])
+        # __present marks rows that existed in the old snapshot: value
+        # inequality alone misclassifies a NEW key whose features are
+        # all NULL as unchanged (every eqNullSafe(NULL, NULL) is true
+        # against the left-join's NULL __old_* columns) — ADVICE r6.
+        old = old_df.select(
+            *pks,
+            F.lit(True).alias("__present"),
+            *[F.col(f).alias(f"__old_{f}") for f in feats],
+        )
         joined = new_df.join(old, pks, "left")
-        changed_pred = F.lit(False)
+        changed_pred = F.col("__present").isNull()
         for f in feats:
             changed_pred = changed_pred | ~F.col(f).eqNullSafe(F.col(f"__old_{f}"))
         self._push(joined.filter(changed_pred).select(*pks, *feats))

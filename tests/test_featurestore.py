@@ -460,3 +460,64 @@ def test_online_delta_sync_writes_only_changes(spark, tmp_path):
     assert len(view) == snapshot2.count()
     for r in snapshot2.collect():
         assert view[(r["c_custkey"],)]["c_acctbal"] == r["c_acctbal"]
+
+
+def test_online_delta_sync_catches_all_null_insert(spark, tmp_path):
+    """ADVICE r6: a NEW key whose features are all NULL must still be
+    written — value inequality alone sees eqNullSafe(NULL, NULL) = true
+    against the left-join's NULL __old_* columns and drops it."""
+    from databricks_feature_store_poc_spark.featurestore.online import (
+        OnlineStoreSync,
+        SpoolDirKV,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k long, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None)], "k long, v double"
+    )
+    kv = SpoolDirKV(str(tmp_path / "kv"))
+    sync = OnlineStoreSync(kv, ["k"], batch_size=8)
+    sync.full_sync(old)
+    sync.delta_sync(old, new)
+    view = kv.load()
+    assert (3,) in view and view[(3,)] == {"v": None}
+    # and unchanged keys were still NOT rewritten
+    assert kv.stats()["n_writes"] == old.count() + 1
+
+
+def test_redis_kv_contract_is_executor_shippable():
+    """RedisKV must cross a process boundary by value: pickling carries
+    connection params only, key encoding is deterministic and
+    namespaced, and nothing touches the network until first use."""
+    import pickle
+
+    from databricks_feature_store_poc_spark.featurestore.online import RedisKV
+
+    kv = RedisKV("redis://example:6379/2", namespace="ft")
+    clone = pickle.loads(pickle.dumps(kv))
+    assert clone.url == kv.url and clone._client is None
+    k1, k2 = kv._key((42, "a")), clone._key((42, "a"))
+    assert k1 == k2 and k1.startswith(b"ft\x00")
+    assert kv._key((43, "a")) != k1
+
+
+def test_redis_kv_live_roundtrip(tmp_path):
+    """Exercises the real client only when both the redis package AND a
+    reachable server exist (neither does in this sandbox)."""
+    import pytest
+
+    redis = pytest.importorskip("redis")
+    from databricks_feature_store_poc_spark.featurestore.online import RedisKV
+
+    kv = RedisKV("redis://localhost:6379/0", namespace="fs_test")
+    try:
+        kv._conn().ping()
+    except Exception:
+        pytest.skip("no reachable redis server")
+    kv.mset([((1,), {"v": 1.5}), ((2,), {"v": None})])
+    assert kv.get((1,)) == {"v": 1.5}
+    assert kv.get((2,)) == {"v": None}
+    kv.delete([(1,), (2,)])
+    assert kv.get((1,)) is None
