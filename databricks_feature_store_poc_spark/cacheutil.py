@@ -38,6 +38,18 @@ def source_fingerprint(paths: list[str]) -> str:
     return h.hexdigest()[:16]
 
 
+def session_get(
+    spark: SparkSession, kind: str, source_paths: list[str]
+) -> DataFrame | None:
+    """Peek the memo WITHOUT building anything: lets callers whose
+    DataFrame construction is itself expensive (collect-driven fits)
+    skip the construction when a live entry already exists. Returns
+    None on miss or stale fingerprint (the next session_persist call
+    evicts stale entries)."""
+    key = (spark.sparkContext.applicationId, kind, source_fingerprint(source_paths))
+    return _CACHE.get(key)
+
+
 def session_persist(
     spark: SparkSession, kind: str, source_paths: list[str], df: DataFrame
 ) -> DataFrame:

@@ -226,12 +226,22 @@ def kmeans_fit_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fit+assign pipeline shared by cluster_kmeans and
     dedup_semantic_cluster: init = K lowest vec_ids, KM_ITERS assignment
     rounds with integer-mean updates between them. Returns
-    (vec_id, qv, cid, dist), session-persisted per corpus (both callers
-    need the identical assignment — the fit's collect-driven jobs run
-    once, not once per query)."""
+    (vec_id, qv, cid, dist), session-persisted per corpus: the memo is
+    checked BEFORE the fit runs, so the second caller (cluster_kmeans
+    vs dedup_semantic_cluster) pays neither the init collect nor the
+    per-iteration centroid-update collects — only the first call runs
+    the collect-driven fit (ADVICE r6)."""
     import os as _os
 
-    from databricks_feature_store_poc_spark.cacheutil import session_persist
+    from databricks_feature_store_poc_spark.cacheutil import (
+        session_get,
+        session_persist,
+    )
+
+    sources = [_os.path.join(sf_dir, "embeddings.parquet")]
+    cached = session_get(spark, "kmeans_assignment", sources)
+    if cached is not None:
+        return cached
 
     base = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(_QV).alias("qv")
@@ -242,12 +252,7 @@ def kmeans_fit_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(KM_ITERS - 1):
         centroids = kmeans_update(assigned)
         assigned = kmeans_assign(base, centroids)
-    return session_persist(
-        spark,
-        "kmeans_assignment",
-        [_os.path.join(sf_dir, "embeddings.parquet")],
-        assigned,
-    )
+    return session_persist(spark, "kmeans_assignment", sources, assigned)
 
 
 # --- SemDeDup: cluster-then-pair semantic dedup ----------------------------

@@ -1,0 +1,60 @@
+"""Round-7 hardening tests: memo short-circuits, staging invalidation,
+and the new confirmation queries (simhash audit twin, streaming parity,
+quantized-IVF ANN).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from databricks_feature_store_poc_spark.registry import QUERIES, load_all_queries
+from tests.conftest import SF_TEST
+from tests.harness import compare
+
+load_all_queries()
+
+
+def test_kmeans_fit_runs_once_per_corpus(spark, monkeypatch):
+    """ADVICE r6: the SECOND caller must hit the assignment memo before
+    the collect-driven fit re-executes — patch the fit internals to
+    explode and prove they are never touched on a warm call."""
+    from databricks_feature_store_poc_spark.llm import vectors
+
+    first = vectors.kmeans_fit_assign(spark, SF_TEST)
+    assert first is not None
+
+    def boom(*a, **k):  # any fit work on the warm path is a bug
+        raise AssertionError("fit re-executed despite memo hit")
+
+    monkeypatch.setattr(vectors, "kmeans_assign", boom)
+    monkeypatch.setattr(vectors, "kmeans_update", boom)
+    warm = vectors.kmeans_fit_assign(spark, SF_TEST)
+    assert warm is first
+
+
+def test_binary_staging_invalidates_on_fingerprint(spark, tmp_path, monkeypatch):
+    """Regenerating the corpus in place (same row count, different
+    bytes) must re-stage, and re-staging must clear stale files."""
+    import os
+    import shutil
+
+    src = str(tmp_path / "sfX")
+    os.makedirs(src)
+    shutil.copy(f"{SF_TEST}/documents.parquet", f"{src}/documents.parquet")
+    monkeypatch.setenv("SPARK_GRAFT_STAGING_DIR", str(tmp_path / "stage"))
+
+    r1 = QUERIES["scan_binary_files"](spark, src).count()
+    stage_dir = os.path.join(str(tmp_path / "stage"), "spark_graft_binfiles_sfX")
+    # plant a stale file that only a directory reset would remove
+    with open(os.path.join(stage_dir, "999999990.txt"), "w") as f:
+        f.write("stale")
+    # rewrite the source in place: same count, fresh mtime/fingerprint
+    spark.read.parquet(f"{src}/documents.parquet").write.mode("overwrite").parquet(
+        f"{src}/doc_tmp.parquet"
+    )
+    os.remove(f"{src}/documents.parquet")
+    os.rename(f"{src}/doc_tmp.parquet", f"{src}/documents.parquet")
+
+    r2 = QUERIES["scan_binary_files"](spark, src).count()
+    assert r2 == r1  # stale planted file did not survive the re-stage
+    assert not os.path.exists(os.path.join(stage_dir, "999999990.txt"))
