@@ -314,16 +314,12 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_for_pairs(idx, candidates)
 
 
-@query("dedup_simhash")  # fingerprint bits depend on xxhash64: rows-only
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash near-dup: per-doc fingerprint from word hashes
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h_lo, h_hi) 64-bit SimHash fingerprints for the corpus
     (bit b of the fingerprint = sign of the sum of ±1 contributions of
-    each distinct word's hash bit b), then banded Hamming search: 4 bands
-    of 16 bits; a pair sharing any exact band becomes a candidate
-    (guarantees recall for Hamming distance <= 3 by pigeonhole, since 4
-    bands can't all differ); candidates within Hamming <= 8 are emitted.
+    each distinct word's hash bit b).
 
-    The fingerprint pipeline: explode(distinct words) -> xxhash64 (JVM)
+    The pipeline: explode(distinct words) -> xxhash64 (JVM)
     -> collect_list per doc (one shuffle) -> an Arrow-batched numpy
     kernel that bit-unpacks all hashes of a batch at once and
     segment-sums per document (np.add.reduceat), emitting the packed
@@ -331,9 +327,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order-function lambda folding a 64-wide array per word runs
     interpreted (~50x), and 64 conditional-sum JVM aggregates spend more
     time COMPILING their giant codegen unit than executing it at any
-    scale where compile time matters per plan. Pair search is a bucket
-    join on 16-bit band values, never all-pairs.
+    scale where compile time matters per plan.
+
+    Session-persisted per corpus: dedup_simhash and its audit twin both
+    consume the identical fingerprint table.
     """
+    import os as _os
+
+    from databricks_feature_store_poc_spark.cacheutil import (
+        session_get,
+        session_persist,
+    )
+
+    sources = [_os.path.join(sf_dir, "documents.parquet")]
+    cached = session_get(spark, "simhash_fingerprints", sources)
+    if cached is not None:
+        return cached
+
     d = load_table(spark, sf_dir, "documents")
     tokens = d.select(
         "doc_id",
@@ -370,6 +380,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = hashes.select("doc_id", fingerprint("hs").alias("f")).select(
         "doc_id", F.col("f.lo").alias("h_lo"), F.col("f.hi").alias("h_hi")
     )
+    return session_persist(spark, "simhash_fingerprints", sources, docs)
+
+
+@query("dedup_simhash")  # fingerprint bits depend on xxhash64: rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup over ``simhash_fingerprints``, banded
+    Hamming search: 4 bands of 16 bits; a pair sharing any exact band
+    becomes a candidate (guarantees recall for Hamming distance <= 3 by
+    pigeonhole, since 4 bands can't all differ); candidates within
+    Hamming <= 8 are emitted. Pair search is a bucket join on 16-bit
+    band values, never all-pairs. The audit twin
+    (``dedup_simhash_audit``) oracle-checks the contract.
+    """
+    docs = simhash_fingerprints(spark, sf_dir)
     band_keys = [
         F.col("h_lo").bitwiseAND(65535),
         F.shiftright("h_lo", 16).bitwiseAND(65535),
@@ -807,4 +831,94 @@ def dedup_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_exact").cast("long").alias("n_exact_pairs"),
         (F.col("n_mh_only") == 0).alias("precision_ok"),
         (F.col("n_both") >= F.col("n_exact") * 0.8).alias("recall_ok"),
+    )
+
+
+@query(
+    "dedup_simhash_audit",
+    oracle=_DUCK_SHINGLES + f"""
+    , shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    exact_pairs AS (
+        SELECT s.doc_a, s.doc_b
+        FROM shared s
+        JOIN doc_sizes sa ON s.doc_a = sa.doc_id
+        JOIN doc_sizes sb ON s.doc_b = sb.doc_id
+        WHERE s.shared * 1.0 / (sa.n_shingles + sb.n_shingles - s.shared)
+              >= {JACCARD_THRESHOLD}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+           TRUE AS guarantee_recall_ok,
+           TRUE AS radius_ok,
+           TRUE AS signal_ok
+    FROM exact_pairs
+    """,
+)
+def dedup_simhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash contract made oracle-checkable — the audit-twin move
+    dedup_minhash_audit uses, adapted to what banded SimHash actually
+    guarantees (VERDICT r6 'do this' #2). SimHash approximates COSINE of
+    the word-indicator vectors, not Jaccard, and 4x16 banding only
+    pigeonhole-guarantees recall at Hamming <= 3 — so a minhash-style
+    "recall >= 0.8 of all Jaccard pairs" boolean would be dishonest
+    (measured: several jaccard>0.95 pairs sit at Hamming 4..16 with no
+    shared band). The three booleans that ARE the contract:
+
+    - ``guarantee_recall_ok``: every exact-Jaccard pair whose true
+      fingerprint Hamming distance is <= 3 appears in the emitted pair
+      set — the deterministic pigeonhole guarantee; a band-join bug
+      flips it false.
+    - ``radius_ok``: no emitted pair exceeds Hamming 8 (the emission
+      filter's own bound, re-derived from the fingerprints).
+    - ``signal_ok``: the mean Hamming distance over exact near-dup
+      pairs is <= 16 — half the 32-bit expectation of independent
+      fingerprints (measured ~5 at sf0.001/0.01/0.1); the statistical
+      property that makes SimHash a near-dup signal at all.
+
+    The checked value column is the exact-Jaccard pair count, which the
+    DuckDB oracle recomputes independently; fingerprint bits (xxhash64)
+    never reach the hashed output. Scale: the Hamming re-derivation
+    joins fingerprints onto the bucket-bounded exact pair set only —
+    cost O(exact pairs), never all-pairs.
+    """
+    fp = simhash_fingerprints(spark, sf_dir)
+    exact = _jaccard_pairs_from_index(shingle_index(spark, sf_dir))
+    fa = fp.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("h_lo").alias("a_lo"), F.col("h_hi").alias("a_hi"),
+    )
+    fb = fp.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("h_lo").alias("b_lo"), F.col("h_hi").alias("b_hi"),
+    )
+    emitted = dedup_simhash(spark, sf_dir)
+    ex = (
+        exact.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn(
+            "hamming_fp",
+            F.expr("bit_count(a_lo ^ b_lo) + bit_count(a_hi ^ b_hi)").cast("int"),
+        )
+        .join(
+            emitted.select("doc_a", "doc_b", F.lit(1).alias("in_emitted")),
+            ["doc_a", "doc_b"],
+            "left",
+        )
+    )
+    ex_agg = ex.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count_if(
+            (F.col("hamming_fp") <= 3) & F.col("in_emitted").isNull()
+        ).alias("n_guaranteed_missed"),
+        F.avg("hamming_fp").alias("avg_hamming"),
+    )
+    em_agg = emitted.agg(F.max("hamming").alias("max_emitted_hamming"))
+    return ex_agg.crossJoin(F.broadcast(em_agg)).select(
+        F.col("n_exact").cast("long").alias("n_exact_pairs"),
+        (F.col("n_guaranteed_missed") == 0).alias("guarantee_recall_ok"),
+        (F.coalesce("max_emitted_hamming", F.lit(0)) <= 8).alias("radius_ok"),
+        (F.coalesce("avg_hamming", F.lit(0.0)) <= 16.0).alias("signal_ok"),
     )

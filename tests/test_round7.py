@@ -58,3 +58,19 @@ def test_binary_staging_invalidates_on_fingerprint(spark, tmp_path, monkeypatch)
     r2 = QUERIES["scan_binary_files"](spark, src).count()
     assert r2 == r1  # stale planted file did not survive the re-stage
     assert not os.path.exists(os.path.join(stage_dir, "999999990.txt"))
+
+
+def test_simhash_audit_oracle_and_booleans(spark):
+    r = compare("dedup_simhash_audit", spark, SF_TEST, verbose=False)
+    assert r["ok"], r.get("issues")
+    row = QUERIES["dedup_simhash_audit"](spark, SF_TEST).collect()[0]
+    assert row["guarantee_recall_ok"] and row["radius_ok"] and row["signal_ok"]
+    assert row["n_exact_pairs"] > 0
+
+
+def test_simhash_fingerprints_memoized(spark):
+    from databricks_feature_store_poc_spark.llm.dedup import simhash_fingerprints
+
+    a = simhash_fingerprints(spark, SF_TEST)
+    b = simhash_fingerprints(spark, SF_TEST)
+    assert a is b  # second consumer reuses the persisted table
