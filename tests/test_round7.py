@@ -74,3 +74,25 @@ def test_simhash_fingerprints_memoized(spark):
     a = simhash_fingerprints(spark, SF_TEST)
     b = simhash_fingerprints(spark, SF_TEST)
     assert a is b  # second consumer reuses the persisted table
+
+
+def test_overwrite_barrier_modes(spark):
+    """VERDICT r6 #5: the cluster path must keep lineage recomputable
+    (persist, NOT localCheckpoint) when no checkpoint dir is set; the
+    local path truncates lineage via localCheckpoint."""
+    from databricks_feature_store_poc_spark.featurestore.merge import (
+        _overwrite_barrier,
+    )
+
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+
+    local = _overwrite_barrier(spark, df, is_local=True)
+    # a checkpoint replaces the plan with a scan of materialized blocks
+    assert "LogicalRDD" in local._jdf.queryExecution().analyzed().toString()
+
+    cluster = _overwrite_barrier(spark, df, is_local=False)
+    analyzed = cluster._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" not in analyzed  # lineage intact (recomputable)
+    assert cluster.storageLevel.useDisk  # disk-backed persist
+    assert cluster.count() == 100
+    cluster.unpersist()
