@@ -96,3 +96,10 @@ def test_overwrite_barrier_modes(spark):
     assert cluster.storageLevel.useDisk  # disk-backed persist
     assert cluster.count() == 100
     cluster.unpersist()
+
+
+def test_stream_true_parity_query(spark):
+    r = compare("stream_true_parity", spark, SF_TEST, verbose=False)
+    assert r["ok"], r.get("issues")
+    row = QUERIES["stream_true_parity"](spark, SF_TEST).collect()[0]
+    assert row["n_diff_rows"] == 0 and row["n_windows"] > 0
