@@ -103,3 +103,20 @@ def test_stream_true_parity_query(spark):
     assert r["ok"], r.get("issues")
     row = QUERIES["stream_true_parity"](spark, SF_TEST).collect()[0]
     assert row["n_diff_rows"] == 0 and row["n_windows"] > 0
+
+
+def test_ivf_quantized_oracle_and_agreement(spark):
+    r = compare("sim_ivf_quantized", spark, SF_TEST, verbose=False)
+    assert r["ok"], r.get("issues")
+    rows = QUERIES["sim_ivf_quantized"](spark, SF_TEST).collect()
+    assert all(x["recall_ok"] and x["delta_ok"] for x in rows)
+
+
+def test_ivf_fit_memoized_across_variants(spark):
+    """Float and quantized searches must share one fit: the centers memo
+    and the persisted assignment are both reused on the second call."""
+    from databricks_feature_store_poc_spark.llm import similarity as S
+
+    a1, c1 = S._ivf_fit(spark, SF_TEST)
+    a2, c2 = S._ivf_fit(spark, SF_TEST)
+    assert a1 is a2 and c1 is c2
