@@ -40,89 +40,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver adjudicates ~50 queries per round in dict order, so the dict
-# is emitted in ADJUDICATION-PRIORITY order, not alphabetical. After r5,
-# merged r1-r5 leaves every registered key with >=1 green verdict except
-# the merge pair (hash-red r5, re-encoded this round). Tiers:
-#   0. new-in-r6, never driver-adjudicated: the PIT + on-demand
-#      composition plus the round-6 operators (fixed-point PageRank,
-#      fixed-point k-means, int8 quantization, relational Bloom filter,
-#      sliding chunking, regexp family, z-ordered sink);
-#   1. queries whose implementation or checked encoding CHANGED in r6,
-#      so their newest verdict describes a different query: the merge
-#      pair (BIGINT-cents/epoch-micros re-encoding), the gram-hash
-#      rewrite, the Arrow DataSource, the coarsened UDAF shuffle, the
-#      fingerprinted partitioned-sink cache pair, the ANN memo pair;
-#   2. the timestamp regen (NANOS -> MICROS, r5) postdates many r2-r4
-#      verdicts; r5 re-checked representatives only. These are the
-#      remaining ts/date-consuming queries whose newest verdict is
-#      pre-regen (VERDICT r5 #5) — after this round no ts query's
-#      verdict predates the regen;
-#   3. headline shapes for re-confirmation;
-#   4. oldest-verdict (r2) rotation, then everything else green and
-#      unchanged, with the expensive shingle-pipeline dedup family last
-#      (shared persisted index).
-_NEVER_ADJUDICATED = (
-    "training_set_pit_on_demand",
-    "graph_pagerank",
-    "cluster_kmeans",
-    "embed_quantize_int8",
-    "agg_bloom_filter",
-    "text_chunk_sliding",
-    "fn_regexp",
-    "sink_zorder",
-    "agg_countmin_sketch",
-    "text_bloom_decontaminate",
-    "dq_benford_digits",
-    "fn_hash",
-    "scan_text_lines",
-    "sim_range_search",
-    "dedup_semantic_cluster",
-    "sample_hard_negatives",
-    "embed_gram_matrix",
-    "win_streaks",
-    "fn_url",
-    "scan_binary_files",
+# is emitted in ADJUDICATION-PRIORITY order, not alphabetical. After r6
+# the merged r1-r6 verdicts are 0-red, but 33 queries' newest verdict is
+# from r2 and 28 from r3 — before several testdata/session-conf changes
+# (VERDICT r6 'do this' #1). Round-7 tiers:
+#   0. new-in-r7, never driver-adjudicated: the simhash audit twin, the
+#      true-streaming parity gate, the quantized-IVF ANN;
+#   1. the r2 cohort — every query whose newest verdict is r2 — with
+#      the shingle-pipeline dedup family contiguous at the tail so the
+#      persisted index builds once inside the tier;
+#   2. the r3 cohort, core relational shapes first;
+#   3. everything else green and unchanged (r4-r6 verdicts), headline
+#      shapes first. With a ~50-slot budget, tiers 0-1 and ~half of
+#      tier 2 land this round; the r3 remainder rotates into r8.
+_NEW_IN_R7 = (
+    "dedup_simhash_audit",
+    "stream_true_parity",
+    "sim_ivf_quantized",
 )
-_CHANGED_IN_R6 = (
-    "merge_scd1_upsert",
-    "merge_scd2_history",
-    "text_repetition_score",
-    "scan_python_datasource",
-    "udaf_grouped",
-    "sink_partitioned_pruned",
-    "join_dynamic_partition_pruning",
-    "sim_ann_lsh",
-    "sim_ivf_topk",
-)
-_TS_PRE_REGEN = (
-    "stream_sliding",
-    "stream_late_data",
-    "join_asof",
-    "agg_latency_bands",
-    "fn_date",
-    "fn_date_extended",
-    "dq_expectations",
-    "dq_outlier_zscore",
-    "feature_drift_chi2",
-    "split_hash_8020",
-    "split_kfold",
-    "sink_sorted_parquet",
-    "scan_parquet",
-    "score_batch_replay",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q10",
-    "tpch_q18",
-)
-_HEADLINE = (
-    "training_set_flagship",
-    "training_set_point_in_time",
-    "training_set_on_demand",
-    "sink_feature_table",
-)
-_OLDEST_ROTATION = (
+_R2_COHORT = (
     "agg_hash",
     "agg_distinct",
     "agg_grouping_sets",
@@ -133,8 +69,12 @@ _OLDEST_ROTATION = (
     "agg_rollup",
     "agg_stats",
     "class_distribution",
-    "dedup_exact",
-    "dedup_distinct",
+    "dtype_classification",
+    "eval_metrics",
+    "feature_importance",
+    "filter_pred",
+    "filter_in",
+    "filter_like",
     "fn_array",
     "fn_bitwise",
     "fn_case",
@@ -146,36 +86,62 @@ _OLDEST_ROTATION = (
     "fn_string_extended",
     "join_anti",
     "join_broadcast",
-    "filter_pred",
-    "filter_in",
-    "filter_like",
-    "dtype_classification",
-    "eval_metrics",
-    "feature_importance",
-)
-_EXPENSIVE_LAST = (
-    "dedup_clusters",
-    "dedup_near_minhash",
+    "dedup_exact",
+    "dedup_distinct",
     "dedup_ngram_jaccard",
+    "dedup_near_minhash",
     "dedup_simhash",
+    "dedup_clusters",
+)
+_R3_COHORT = (
+    "join_inner_hash",
+    "join_left_lookup",
+    "join_semi",
+    "join_full_outer",
+    "join_null_safe",
+    "join_theta_range",
+    "join_multiway_star",
+    "join_lateral_topn",
+    "project_exprs",
+    "limit_topk",
+    "scalar_subquery",
+    "scan_csv_infer",
+    "scan_json",
+    "scan_orc",
+    "set_union_all",
+    "set_intersect",
+    "set_except",
+    "missing_value_scan",
+    "mm_embedding_norm",
+    "mm_binary_meta",
+    "mm_frame_sample",
+    "sim_cosine_topk",
+    "sample_stratified_hash",
+    "sample_weighted_bernoulli",
+    "sample_quota_per_lang",
+    "pipeline_clean_corpus",
+    "pipeline_curate_corpus",
+    "pack_sequences",
+)
+_HEADLINE = (
+    "training_set_flagship",
+    "training_set_point_in_time",
+    "training_set_on_demand",
+    "sink_feature_table",
 )
 
 
 def _priority_order(names: list[str]) -> list[str]:
     def tier(name: str) -> tuple:
-        if name in _NEVER_ADJUDICATED:
-            return (0, _NEVER_ADJUDICATED.index(name), "")
-        if name in _CHANGED_IN_R6:
-            return (1, _CHANGED_IN_R6.index(name), "")
-        if name in _TS_PRE_REGEN:
-            return (2, _TS_PRE_REGEN.index(name), "")
+        if name in _NEW_IN_R7:
+            return (0, _NEW_IN_R7.index(name), "")
+        if name in _R2_COHORT:
+            return (1, _R2_COHORT.index(name), "")
+        if name in _R3_COHORT:
+            return (2, _R3_COHORT.index(name), "")
         if name in _HEADLINE:
             return (3, _HEADLINE.index(name), "")
-        if name in _OLDEST_ROTATION:
-            return (4, _OLDEST_ROTATION.index(name), "")
-        if name in _EXPENSIVE_LAST:
-            return (6, _EXPENSIVE_LAST.index(name), "")
-        return (5, 0, name)
+        return (4, 0, name)
 
     return sorted(names, key=tier)
 

@@ -1,0 +1,230 @@
+"""Registry-WIDE 10x headroom sweep (VERDICT r6 'do this' #4).
+
+Generalizes scripts/stress_r5_10x.py from selected families to every
+registered query: builds a ~sf1 replica of sf0.1 (fact tables cloned 10x
+with per-clone key offsets so cardinalities genuinely grow; dimension
+tables kept fixed, the realistic scale-up shape and the TPC-H one), then
+runs EVERY entry in ``__spark_entry__.queries()`` against both the
+original and the replica — same code path the driver adjudicates —
+recording wall time, executed-plan Exchange counts, and output rows.
+
+Claims under test, per query:
+- exchange count is FLAT across the 10x step (no plan degradation —
+  no bucket explosion, no broadcast falling back to shuffle-join, no
+  nested loop appearing);
+- wall time grows sub-~10x unless the query's OUTPUT is inherently
+  quadratic in corpus density (the dedup pair families on a cloned
+  corpus: every clone pair of an identical doc is a true near-dup, so
+  pair counts grow ~45x by construction — those are flagged QUADRATIC
+  and judged on plan shape + output-proportional growth instead).
+
+Foreign-key consistency: o_custkey is offset with CUSTOMER's key span
+and l_orderkey with ORDERS', so cross-table joins keep their real hit
+rates — a replica that silently breaks join selectivity would
+understate shuffle sizes and overstate headroom.
+
+Usage:
+    python scripts/stress_registry_10x.py                 # full sweep
+    STRESS_ONLY=tpch_q1,graph_pagerank python scripts/stress_registry_10x.py
+    STRESS_KEEP_REPLICA=1 ... # skip the teardown (iterating locally)
+
+Writes one JSON line per (query, dataset) to stdout and a final summary
+to scripts/stress_registry_10x_results.json consumed by SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from databricks_feature_store_poc_spark.session import get_spark  # noqa: E402
+from databricks_feature_store_poc_spark.sources.catalog import (  # noqa: E402
+    TABLES,
+    load_table,
+)
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = "/tmp/spark_graft_stress10x_full"
+CLONES = 10
+
+# Dimension tables stay fixed (10x facts, same dims — the TPC-H scaling
+# rule); facts get per-clone key offsets. FK columns use the span of the
+# table that OWNS the key domain.
+DIM_TABLES = ("region", "nation", "supplier", "part")
+
+# Queries whose output row count is inherently superlinear on a cloned
+# corpus (every cross-clone copy of a duplicated doc is a TRUE pair):
+# judged on plan shape + output-proportional wall, not the 10x wall bar.
+QUADRATIC_OUTPUT = {
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_near_minhash",
+    "dedup_simhash",
+    "dedup_simhash_audit",
+    "dedup_minhash_audit",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_semantic_cluster",
+    "join_interval_overlap",
+    "text_span_dedup",
+}
+
+
+def _span(spark, table: str, col: str) -> int:
+    return load_table(spark, SRC, table).agg(F.max(col)).first()[0] + 1
+
+
+def replicate(spark, table: str, key_offsets: dict[str, object]) -> None:
+    out = os.path.join(DST, f"{table}.parquet")
+    if os.path.isdir(out) and os.path.exists(os.path.join(out, "_SUCCESS")):
+        return
+    df = load_table(spark, SRC, table)
+    df = df.withColumn("__r", F.explode(F.sequence(F.lit(0), F.lit(CLONES - 1))))
+    for col, spec in key_offsets.items():
+        if spec == "jitter_ts":  # keep events inside the same hour buckets
+            df = df.withColumn(
+                col, F.col(col) + F.make_interval(secs=F.col("__r").cast("double"))
+            )
+        else:  # integer span: disjoint keyspaces per clone, FK-consistent
+            df = df.withColumn(col, F.col(col) + F.col("__r") * F.lit(int(spec)))
+    df.drop("__r").write.mode("overwrite").parquet(out)
+
+
+def copy_dim(table: str) -> None:
+    out = os.path.join(DST, f"{table}.parquet")
+    if os.path.exists(out):
+        return
+    src = os.path.join(SRC, f"{table}.parquet")
+    try:
+        os.link(src, out)
+    except OSError:
+        shutil.copy(src, out)
+
+
+def build_replica(spark) -> None:
+    os.makedirs(DST, exist_ok=True)
+    for t in DIM_TABLES:
+        copy_dim(t)
+    ck = _span(spark, "customer", "c_custkey")
+    ok = _span(spark, "orders", "o_orderkey")
+    replicate(spark, "customer", {"c_custkey": ck})
+    replicate(spark, "orders", {"o_orderkey": ok, "o_custkey": ck})
+    replicate(spark, "lineitem", {"l_orderkey": ok})
+    replicate(
+        spark,
+        "events",
+        {"event_id": _span(spark, "events", "event_id"), "ts": "jitter_ts"},
+    )
+    replicate(spark, "documents", {"doc_id": _span(spark, "documents", "doc_id")})
+    replicate(spark, "embeddings", {"vec_id": _span(spark, "embeddings", "vec_id")})
+
+
+def run_one(name: str, fn, spark, sf_dir: str, with_rows: bool) -> dict:
+    t0 = time.perf_counter()
+    try:
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        sec = time.perf_counter() - t0
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        rec = {
+            "query": name,
+            "sec": round(sec, 2),
+            "exchanges": plan.count("Exchange "),
+            "cartesian": "CartesianProduct" in plan or "BroadcastNestedLoop" in plan,
+        }
+        if with_rows or sec < 30:
+            rec["rows"] = df.count()
+        return rec
+    except Exception as exc:  # record, keep sweeping
+        return {
+            "query": name,
+            "sec": round(time.perf_counter() - t0, 2),
+            "error": f"{type(exc).__name__}: {exc}"[:300],
+            "trace": traceback.format_exc()[-500:],
+        }
+
+
+def main() -> int:
+    spark = get_spark("stress-registry-10x")
+    build_replica(spark)
+    # sanity: the replica really is ~10x on every fact table
+    for t in TABLES:
+        a = load_table(spark, SRC, t).count()
+        b = load_table(spark, DST, t).count()
+        print(json.dumps({"table": t, "sf01_rows": a, "x10_rows": b}), flush=True)
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    only = os.environ.get("STRESS_ONLY")
+    names = only.split(",") if only else list(qs)
+
+    results: dict[str, dict] = {}
+    for tag, sf_dir in (("sf0.1", SRC), ("10x", DST)):
+        for name in names:
+            r = run_one(name, qs[name], spark, sf_dir, with_rows=(tag == "sf0.1"))
+            r["data"] = tag
+            print(json.dumps(r), flush=True)
+            results.setdefault(name, {})[tag] = r
+
+    summary = []
+    for name, pair in results.items():
+        base, big = pair.get("sf0.1", {}), pair.get("10x", {})
+        row = {
+            "query": name,
+            "sec_sf01": base.get("sec"),
+            "sec_10x": big.get("sec"),
+            "exch_sf01": base.get("exchanges"),
+            "exch_10x": big.get("exchanges"),
+            "rows_sf01": base.get("rows"),
+            "rows_10x": big.get("rows"),
+            "quadratic_output": name in QUADRATIC_OUTPUT,
+            "error": base.get("error") or big.get("error"),
+        }
+        if row["sec_sf01"] and row["sec_10x"] and not row["error"]:
+            row["wall_ratio"] = round(row["sec_10x"] / max(row["sec_sf01"], 0.05), 1)
+            row["exchanges_flat"] = row["exch_sf01"] == row["exch_10x"]
+            row["flag"] = bool(
+                (not row["quadratic_output"] and row["wall_ratio"] > 12)
+                or big.get("cartesian")
+                or not row["exchanges_flat"]
+            )
+        summary.append(row)
+
+    out_path = os.path.join(REPO, "scripts", "stress_registry_10x_results.json")
+    with open(out_path, "w") as f:
+        json.dump(summary, f, indent=1)
+    flagged = [r for r in summary if r.get("flag")]
+    errored = [r for r in summary if r.get("error")]
+    print(
+        json.dumps(
+            {
+                "n_queries": len(summary),
+                "n_flagged": len(flagged),
+                "flagged": [r["query"] for r in flagged],
+                "n_errors": len(errored),
+                "errors": [r["query"] for r in errored],
+                "results_file": out_path,
+            }
+        ),
+        flush=True,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    try:
+        sys.exit(main())
+    finally:
+        if not os.environ.get("STRESS_KEEP_REPLICA"):
+            shutil.rmtree(DST, ignore_errors=True)
