@@ -45,7 +45,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # from r2 and 28 from r3 — before several testdata/session-conf changes
 # (VERDICT r6 'do this' #1). Round-7 tiers:
 #   0. new-in-r7, never driver-adjudicated: the simhash audit twin, the
-#      true-streaming parity gate, the quantized-IVF ANN;
+#      true-streaming parity gate, the quantized-IVF ANN, blocked entity
+#      resolution, incremental aggregate-state merge, small-file
+#      compaction;
 #   1. the r2 cohort — every query whose newest verdict is r2 — with
 #      the shingle-pipeline dedup family contiguous at the tail so the
 #      persisted index builds once inside the tier;
@@ -57,6 +59,9 @@ _NEW_IN_R7 = (
     "dedup_simhash_audit",
     "stream_true_parity",
     "sim_ivf_quantized",
+    "join_entity_resolution",
+    "agg_incremental_state",
+    "sink_compact_smallfiles",
 )
 _R2_COHORT = (
     "agg_hash",

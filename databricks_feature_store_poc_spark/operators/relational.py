@@ -1917,3 +1917,65 @@ def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_streaks"),
         F.max("len").alias("longest_streak"),
     )
+
+
+@query(
+    "agg_incremental_state",
+    oracle="""
+    SELECT event_type,
+           CAST(CAST(ts AS DATE) AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+    """,
+)
+def agg_incremental_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: merge yesterday's stored
+    partial-aggregate STATE with today's delta batch instead of
+    rescanning history — the pattern that keeps a 100 TB metrics/feature
+    table updatable in O(delta), because count and sum are MERGEABLE
+    (commutative-monoid) aggregates: agg(base UNION delta) ==
+    merge(agg(base), agg(delta)).
+
+    The Spark side genuinely exercises the incremental path: events
+    before the cutoff are aggregated to per-(event_type, day) partials
+    (simulating state already materialized by prior runs), the
+    post-cutoff delta is aggregated separately, and the result is a
+    re-aggregation over the UNION OF PARTIALS — input size O(groups),
+    never O(base rows). The oracle is the full recompute; equality IS
+    the mergeability proof.
+
+    Determinism: values enter the state as floor(value*100) BIGINT cents
+    (floor on bit-identical doubles is engine-exact; no rounding-mode
+    dependence), so partial sums merge exactly in any order. Plan: two
+    partial aggregations (each with map-side combine) + one tiny merge
+    aggregation; the merge shuffle moves |groups| rows, not |events|.
+    """
+    e = load_table(spark, sf_dir, "events")
+    # Mid-day cutoff on purpose: Jan-16 groups exist in BOTH the base
+    # state and the delta, so the merge aggregation demonstrably combines
+    # split partials rather than concatenating disjoint key sets.
+    cutoff = "2024-01-16 12:00:00"
+
+    def partials(df):
+        return df.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.expr("CAST(floor(value * 100) AS BIGINT)")
+            ).alias("sum_value_cents"),
+        )
+
+    base_state = partials(e.filter(F.col("ts") < F.lit(cutoff).cast("timestamp")))
+    delta_state = partials(e.filter(F.col("ts") >= F.lit(cutoff).cast("timestamp")))
+    return (
+        base_state.unionByName(delta_state)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value_cents").alias("sum_value_cents"),
+        )
+    )

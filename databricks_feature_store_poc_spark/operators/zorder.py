@@ -232,3 +232,60 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+@query(
+    "sink_compact_smallfiles",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(4 AS BIGINT) AS files_after,
+           TRUE AS small_files_written_ok,
+           TRUE AS compaction_reduced_files_ok
+    FROM documents
+    """,
+)
+def sink_compact_smallfiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: the #1 operational failure mode of 100 TB
+    parquet lakes. Streaming/per-task writers fragment a table into
+    thousands of KB-sized files; every later scan then pays per-file
+    open + footer-read + scheduling cost, and the NameNode/object-store
+    listing becomes the bottleneck. Compaction rewrites the data into
+    few large files WITHOUT a shuffle: ``coalesce(N)`` stitches existing
+    partitions together map-side (unlike ``repartition``, which would
+    shuffle every byte — at 100 TB that difference is the whole job).
+
+    Here: documents are first written deliberately fragmented
+    (``repartition(64)`` — the anti-pattern under test), then compacted
+    with ``coalesce(4)`` and read back. Checked values: exact row count
+    through the round-trip (compaction must be byte-lossless), the
+    compacted file count (coalesce(4) over 64 hash partitions yields
+    exactly 4 non-empty outputs at every SF), and two booleans pinning
+    that fragmentation actually happened (>= 16 small files) and that
+    compaction reduced it. File counts come from a driver-side directory
+    listing — a metadata operation, not a data scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    frag = _run_scoped_path(spark, "compact_frag", sf_dir)
+    compacted = _run_scoped_path(spark, "compact_out", sf_dir)
+    d.repartition(64, "doc_id").write.mode("overwrite").parquet(frag)
+
+    def _n_parquet_files(path: str) -> int:
+        return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+
+    files_before = _n_parquet_files(frag)
+    spark.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(
+        compacted
+    )
+    files_after = _n_parquet_files(compacted)
+    return (
+        spark.read.parquet(compacted)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "n_rows",
+            F.lit(files_after).cast("long").alias("files_after"),
+            F.lit(files_before >= 16).alias("small_files_written_ok"),
+            F.lit(files_after < files_before).alias(
+                "compaction_reduced_files_ok"
+            ),
+        )
+    )

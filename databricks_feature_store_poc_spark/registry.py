@@ -59,6 +59,7 @@ def load_all_queries() -> None:
     import databricks_feature_store_poc_spark.llm.vectors  # noqa: F401
     import databricks_feature_store_poc_spark.operators.analytics  # noqa: F401
     import databricks_feature_store_poc_spark.operators.bloom  # noqa: F401
+    import databricks_feature_store_poc_spark.operators.entity  # noqa: F401
     import databricks_feature_store_poc_spark.operators.graph  # noqa: F401
     import databricks_feature_store_poc_spark.operators.relational  # noqa: F401
     import databricks_feature_store_poc_spark.operators.rolling  # noqa: F401

@@ -120,3 +120,80 @@ def test_ivf_fit_memoized_across_variants(spark):
     a1, c1 = S._ivf_fit(spark, SF_TEST)
     a2, c2 = S._ivf_fit(spark, SF_TEST)
     assert a1 is a2 and c1 is c2
+
+
+def test_entity_resolution_symbolic_pairs_match_materialized(spark):
+    """The symbolic entity_pairs product must equal the count the
+    (deliberately avoided) row-level pair join would materialize, and
+    the driver-shaped oracle gate must be green."""
+    r = compare("join_entity_resolution", spark, SF_TEST, verbose=False)
+    assert r["ok"], r
+
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    out = QUERIES["join_entity_resolution"](spark, SF_TEST)
+    symbolic = out.agg(F.sum("entity_pairs")).collect()[0][0]
+    p = load_table(spark, SF_TEST, "part").select(
+        "p_partkey", "p_brand", "p_name"
+    )
+    a, b = p.alias("a"), p.alias("b")
+    materialized = (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 2)
+        .count()
+    )
+    assert symbolic == materialized
+
+
+def test_entity_resolution_joins_on_dictionary_not_rows(spark):
+    """The fuzzy self-join must run on the distinct-name dictionary: no
+    CartesianProduct, and the join inputs are aggregates (the name
+    dictionary), not raw part scans."""
+    out = QUERIES["join_entity_resolution"](spark, SF_TEST)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan  # dictionary built before the join
+
+
+def test_incremental_state_merges_split_partials(spark):
+    """The mid-day cutoff must place Jan-16 groups in BOTH partial
+    states, so the merge aggregation genuinely combines partials."""
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    e = load_table(spark, SF_TEST, "events")
+    cutoff = F.lit("2024-01-16 12:00:00").cast("timestamp")
+    day = F.col("ts").cast("date")
+    base_16 = e.filter((F.col("ts") < cutoff) & (day == "2024-01-16")).count()
+    delta_16 = e.filter((F.col("ts") >= cutoff) & (day == "2024-01-16")).count()
+    assert base_16 > 0 and delta_16 > 0
+
+    merged = (
+        QUERIES["agg_incremental_state"](spark, SF_TEST)
+        .filter(F.col("day") == "2024-01-16")
+        .agg(F.sum("n_events"))
+        .collect()[0][0]
+    )
+    assert merged == base_16 + delta_16
+    assert compare("agg_incremental_state", spark, SF_TEST, verbose=False)["ok"]
+
+
+def test_compaction_is_shuffle_free_and_lossless(spark):
+    """coalesce-based compaction must not plan an Exchange (that is the
+    whole point vs repartition), and the round-trip must be lossless."""
+    row = QUERIES["sink_compact_smallfiles"](spark, SF_TEST).collect()[0]
+    assert row["small_files_written_ok"] and row["compaction_reduced_files_ok"]
+    assert row["files_after"] == 4
+
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    n_docs = load_table(spark, SF_TEST, "documents").count()
+    assert row["n_rows"] == n_docs
+
+    # The compaction read plan: Coalesce over the scan, zero Exchange.
+    d = spark.read.parquet(SF_TEST + "/documents.parquet").coalesce(4)
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Coalesce" in plan
