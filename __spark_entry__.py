@@ -62,6 +62,9 @@ _NEW_IN_R7 = (
     "join_entity_resolution",
     "agg_incremental_state",
     "sink_compact_smallfiles",
+    "cdf_snapshot_diff",
+    "feature_target_encoding_oof",
+    "win_forward_fill",
 )
 _R2_COHORT = (
     "agg_hash",

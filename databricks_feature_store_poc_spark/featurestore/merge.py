@@ -385,3 +385,121 @@ def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("valid_from")).alias("valid_from_us"),
         F.unix_micros(F.col("valid_to")).alias("valid_to_us"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Change-data-feed between two table snapshots: one full-outer join
+    on the primary key, rows classified insert / update / delete, with
+    unchanged rows dropped so the feed is O(changed) for every consumer
+    downstream (online-store sync, incremental view maintenance, audit).
+
+    Null-safe throughout: presence is decided by the outer join's key
+    nullability (never by value comparison — a genuinely all-NULL new
+    row is an insert, the delta_sync lesson from ADVICE r6), and change
+    detection uses eqNullSafe so NULL->value and value->NULL transitions
+    count as updates.
+
+    Scale: the one shuffle is the PK equi-join — co-located (zero
+    exchanges) when both snapshots share a bucketed layout, which
+    successive snapshots of the same table naturally do. Output columns:
+    keys..., `action`, then `old_<c>`/`new_<c>` for each compared column.
+    """
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in keys],
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    cond = None
+    for k in keys:
+        e = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
+        cond = e if cond is None else cond & e
+    j = o.join(n, cond, "full_outer")
+
+    in_old = F.col(f"__ok_{keys[0]}").isNotNull()
+    in_new = F.col(f"__nk_{keys[0]}").isNotNull()
+    same = None
+    for c in compare_cols:
+        e = F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        same = e if same is None else same & e
+    action = (
+        F.when(~in_old, F.lit("insert"))
+        .when(~in_new, F.lit("delete"))
+        .when(~same, F.lit("update"))
+    )
+    return (
+        j.withColumn("action", action)
+        .filter(F.col("action").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"__ok_{k}"), F.col(f"__nk_{k}")).alias(k)
+                for k in keys
+            ],
+            "action",
+            *[F.col(f"old_{c}") for c in compare_cols],
+            *[F.col(f"new_{c}") for c in compare_cols],
+        )
+    )
+
+
+@query(
+    "cdf_snapshot_diff",
+    oracle="""
+    WITH old_snap AS (
+        SELECT c_custkey,
+               CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer WHERE c_custkey % 10 <> 4
+    ),
+    new_snap AS (
+        SELECT c_custkey,
+               CAST(floor(c_acctbal * 100) AS BIGINT)
+                   + CASE WHEN c_custkey % 10 = 2 THEN 5000 ELSE 0 END
+                   AS bal_cents
+        FROM customer WHERE c_custkey % 10 <> 9
+    )
+    SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'insert'
+                WHEN n.c_custkey IS NULL THEN 'delete'
+                ELSE 'update' END AS action,
+           o.bal_cents AS old_bal_cents,
+           n.bal_cents AS new_bal_cents
+    FROM old_snap o FULL OUTER JOIN new_snap n
+      ON o.c_custkey = n.c_custkey
+    WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+       OR o.bal_cents <> n.bal_cents
+    """,
+)
+def cdf_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed through ``snapshot_diff``: two deterministic
+    customer snapshots — keys ending in 4 absent from the old snapshot
+    (inserts), keys ending in 9 absent from the new one (deletes), keys
+    ending in 2 re-priced +50.00 (updates), everything else unchanged
+    and therefore NOT in the feed. The oracle replays the full-outer
+    classification in SQL, so all three action classes plus the
+    unchanged-row suppression are value-checked.
+
+    This is the read side of the feature-store sync pair:
+    ``OnlineStoreSync.delta_sync`` (online.py) ships exactly this feed's
+    rows to the KV store, and ``rollup_incremental`` consumes the same
+    shape to maintain aggregates in O(changed).
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr("CAST(floor(c_acctbal * 100) AS BIGINT)").alias("bal_cents"),
+    )
+    old_snap = c.filter(F.col("c_custkey") % 10 != 4)
+    new_snap = c.filter(F.col("c_custkey") % 10 != 9).select(
+        "c_custkey",
+        (
+            F.col("bal_cents")
+            + F.when(F.col("c_custkey") % 10 == 2, 5000).otherwise(0)
+        ).alias("bal_cents"),
+    )
+    return snapshot_diff(old_snap, new_snap, ["c_custkey"], ["bal_cents"])

@@ -591,3 +591,81 @@ class ModelRegistry:
                 self._mlflow.MlflowClient().delete_registered_model(name)
             except Exception:
                 pass  # not registered — same idempotence as the local path
+
+
+@query(
+    "feature_target_encoding_oof",
+    oracle="""
+    WITH folded AS (
+        SELECT o_orderpriority AS category,
+               o_orderkey % 5 AS fold,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    per_fold AS (
+        SELECT category, fold,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM folded GROUP BY category, fold
+    )
+    SELECT category,
+           CAST(fold AS BIGINT) AS fold,
+           n, pos,
+           CAST(SUM(pos) OVER (PARTITION BY category) - pos AS BIGINT)
+               AS oof_pos,
+           CAST(SUM(n) OVER (PARTITION BY category) - n AS BIGINT)
+               AS oof_n,
+           CAST(SUM(pos) OVER (PARTITION BY category) - pos AS DOUBLE)
+               / CAST(SUM(n) OVER (PARTITION BY category) - n AS DOUBLE)
+               AS oof_encoding
+    FROM per_fold
+    """,
+)
+def feature_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding — the leakage-free way to turn a
+    high-cardinality categorical into a numeric feature: each fold's
+    rows are encoded with the target mean computed on the OTHER folds
+    only, so a row never sees its own label (in-fold encoding leaks the
+    target and inflates offline metrics; K-fold OOF is the standard
+    remedy, cf. the CatBoost ordered-target-statistics idea the
+    reference's model family is built around, 02_model_training.py's
+    categorical handling).
+
+    Category = order priority, label = (status == 'F'), fold =
+    deterministic key hash (o_orderkey % 5 — same folds every run and
+    every engine). The complete encoding table is (category x fold)
+    grain — 25 rows whatever the corpus size — so this IS the 100 TB
+    shape: one partial-aggregated shuffle to (category, fold), a window
+    over the tiny grouped frame for the leave-fold-out sums, and a
+    broadcast join back onto rows when materializing (demonstrated by
+    the grain itself; the join is the training_set lookup path).
+    Determinism: counts are exact BIGINTs; the encoding is ONE double
+    division of two BIGINTs — bit-identical IEEE in both engines.
+    """
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    per_fold = (
+        o.select(
+            F.col("o_orderpriority").alias("category"),
+            (F.col("o_orderkey") % 5).alias("fold"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        )
+        .groupBy("category", "fold")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+    )
+    w = Window.partitionBy("category")
+    oof_pos = (F.sum("pos").over(w) - F.col("pos")).cast("long")
+    oof_n = (F.sum("n").over(w) - F.col("n")).cast("long")
+    return per_fold.select(
+        "category",
+        F.col("fold").cast("long").alias("fold"),
+        "n",
+        "pos",
+        oof_pos.alias("oof_pos"),
+        oof_n.alias("oof_n"),
+        (oof_pos.cast("double") / oof_n.cast("double")).alias("oof_encoding"),
+    )

@@ -1979,3 +1979,53 @@ def agg_incremental_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_value_cents").alias("sum_value_cents"),
         )
     )
+
+
+@query(
+    "win_forward_fill",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(purchase_cents IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_cents
+    FROM (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(floor(value * 100) AS BIGINT)
+                    ELSE NULL END AS purchase_cents
+        FROM events
+    )
+    """,
+)
+def win_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (last-observation-carried-forward) per key: every
+    event carries the user's most recent purchase amount, NULL until
+    their first purchase — the time-series gap-filling primitive behind
+    as-of feature snapshots, sensor downsampling, and sparse-attribute
+    densification. ``last(col, ignorenulls=True)`` over an
+    UNBOUNDED-PRECEDING rows frame is the whole operator; no self-join,
+    no sentinel values.
+
+    Determinism: the window order is (ts, event_id) — event_id is the
+    unique tiebreak, so ts collisions cannot reorder the fill between
+    engines or partitionings. Scale: one shuffle on user_id; the
+    running-frame state is a single value per partition stream (Spark
+    evaluates UnboundedPreceding..CurrentRow frames incrementally, not
+    by re-scanning the frame per row).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_cents = F.when(
+        F.col("event_type") == "purchase",
+        F.expr("CAST(floor(value * 100) AS BIGINT)"),
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.last(purchase_cents, ignorenulls=True).over(w).alias("filled_cents"),
+    )

@@ -197,3 +197,100 @@ def test_compaction_is_shuffle_free_and_lossless(spark):
     d = spark.read.parquet(SF_TEST + "/documents.parquet").coalesce(4)
     plan = d._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Coalesce" in plan
+
+
+def test_snapshot_diff_null_transitions_and_classes(spark):
+    """snapshot_diff on hand-built snapshots: NULL->value and
+    value->NULL are updates (eqNullSafe), an all-NULL new row is still
+    an insert (presence by key, not value), unchanged rows — including
+    NULL==NULL — are suppressed."""
+    from databricks_feature_store_poc_spark.featurestore.merge import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30), (4, None), (5, 50)],
+        "k int, v int",
+    )
+    new = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None), (5, 55), (6, None)],
+        "k int, v int",
+    )
+    rows = {
+        r["k"]: (r["action"], r["old_v"], r["new_v"])
+        for r in snapshot_diff(old, new, ["k"], ["v"]).collect()
+    }
+    assert rows == {
+        2: ("update", None, 20),   # NULL -> value
+        3: ("update", 30, None),   # value -> NULL
+        4: ("delete", None, None),
+        5: ("update", 50, 55),
+        6: ("insert", None, None),  # all-NULL insert still surfaces
+    }  # k=1 unchanged: suppressed
+
+
+def test_cdf_feed_is_o_changed(spark):
+    """The registered CDF query emits only changed keys: feed size ==
+    |inserts| + |deletes| + |updates| derived from the key rules."""
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    out = QUERIES["cdf_snapshot_diff"](spark, SF_TEST)
+    by_action = {
+        r["action"]: r["n"]
+        for r in out.groupBy("action").agg(F.count("*").alias("n")).collect()
+    }
+    c = load_table(spark, SF_TEST, "customer")
+    n4 = c.filter(F.col("c_custkey") % 10 == 4).count()
+    n9 = c.filter(F.col("c_custkey") % 10 == 9).count()
+    n2 = c.filter(F.col("c_custkey") % 10 == 2).count()
+    assert by_action == {"insert": n4, "delete": n9, "update": n2}
+    assert compare("cdf_snapshot_diff", spark, SF_TEST, verbose=False)["ok"]
+
+
+def test_target_encoding_is_leakage_free(spark):
+    """For every (category, fold): the OOF sums exclude exactly that
+    fold's own contribution, and the encoding equals the mean label of
+    the other folds."""
+    out = QUERIES["feature_target_encoding_oof"](spark, SF_TEST).collect()
+    by_cat: dict = {}
+    for r in out:
+        by_cat.setdefault(r["category"], []).append(r)
+    for cat, rows in by_cat.items():
+        tot_n = sum(r["n"] for r in rows)
+        tot_pos = sum(r["pos"] for r in rows)
+        for r in rows:
+            assert r["oof_n"] == tot_n - r["n"]
+            assert r["oof_pos"] == tot_pos - r["pos"]
+            assert r["oof_encoding"] == r["oof_pos"] / r["oof_n"]
+
+
+def test_forward_fill_carries_last_purchase(spark):
+    """Spot-check one user's timeline: NULL until the first purchase,
+    then the most recent purchase's cents thereafter."""
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    e = load_table(spark, SF_TEST, "events")
+    uid = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id").count().orderBy(F.desc("count"), "user_id")
+        .first()["user_id"]
+    )
+    timeline = (
+        e.filter(F.col("user_id") == uid)
+        .select("event_id", "ts", "event_type", "value")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    filled = {
+        r["event_id"]: r["filled_cents"]
+        for r in QUERIES["win_forward_fill"](spark, SF_TEST)
+        .filter(F.col("user_id") == uid)
+        .collect()
+    }
+    import math
+
+    expect = None
+    for r in timeline:
+        if r["event_type"] == "purchase":
+            expect = int(math.floor(r["value"] * 100))
+        assert filled[r["event_id"]] == expect
