@@ -616,7 +616,8 @@ class ModelRegistry:
            CAST(SUM(n) OVER (PARTITION BY category) - n AS BIGINT)
                AS oof_n,
            CAST(SUM(pos) OVER (PARTITION BY category) - pos AS DOUBLE)
-               / CAST(SUM(n) OVER (PARTITION BY category) - n AS DOUBLE)
+               / CAST(nullif(SUM(n) OVER (PARTITION BY category) - n, 0)
+                      AS DOUBLE)
                AS oof_encoding
     FROM per_fold
     """,
@@ -667,5 +668,11 @@ def feature_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         oof_pos.alias("oof_pos"),
         oof_n.alias("oof_n"),
-        (oof_pos.cast("double") / oof_n.cast("double")).alias("oof_encoding"),
+        # nullif: a category confined to a single fold has oof_n = 0 —
+        # Spark's non-ANSI divide gives NULL, DuckDB's IEEE divide NaN;
+        # pinning both engines to NULL (the corr_covar convention).
+        (
+            oof_pos.cast("double")
+            / F.nullif(oof_n, F.lit(0)).cast("double")
+        ).alias("oof_encoding"),
     )
