@@ -32,20 +32,43 @@ from databricks_feature_store_poc_spark.sources.catalog import load_table
 
 def _stream_source_dir(sf_dir: str) -> str:
     """FileStreamSource wants a *directory* of files; the testdata ships
-    one parquet file per table. Stage events.parquet into a temp dir
-    (hard-link when possible, copy otherwise)."""
+    one parquet file per table, while real tables (and the 10x stress
+    replicas) are DIRECTORIES of part files — both shapes are staged
+    (hard-link when possible, copy otherwise). The staged copy is
+    memoized on the source fingerprint (mtime+size), so a source
+    regenerated in place invalidates instead of silently streaming
+    stale bytes (the scan_binary_files staging rule)."""
+    from databricks_feature_store_poc_spark import cacheutil
+
+    src = os.path.join(sf_dir, "events.parquet")
     staged = os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_stream_{os.path.basename(sf_dir.rstrip('/'))}",
     )
+    if os.path.isdir(src):
+        parts = sorted(
+            os.path.join(src, f)
+            for f in os.listdir(src)
+            if f.endswith(".parquet")
+        )
+    else:
+        parts = [src]
+    fp = cacheutil.source_fingerprint(parts)
+    marker = os.path.join(staged, "_STAGED")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == fp:
+                return staged
+    shutil.rmtree(staged, ignore_errors=True)
     os.makedirs(staged, exist_ok=True)
-    dst = os.path.join(staged, "events.parquet")
-    if not os.path.exists(dst):
-        src = os.path.join(sf_dir, "events.parquet")
+    for i, p in enumerate(parts):
+        dst = os.path.join(staged, f"events_{i}.parquet")
         try:
-            os.link(src, dst)
+            os.link(p, dst)
         except OSError:
-            shutil.copy(src, dst)
+            shutil.copy(p, dst)
+    with open(marker, "w") as f:
+        f.write(fp)
     return staged
 
 

@@ -140,7 +140,14 @@ def run_one(name: str, fn, spark, sf_dir: str, with_rows: bool) -> dict:
             "query": name,
             "sec": round(sec, 2),
             "exchanges": plan.count("Exchange "),
-            "cartesian": "CartesianProduct" in plan or "BroadcastNestedLoop" in plan,
+            # CartesianProduct is always a scale bug. BroadcastNestedLoop
+            # is recorded separately: every occurrence in this repo is the
+            # crossJoin(broadcast(<1-row aggregate>)) scalar-subquery
+            # shape, which test_plans.py pins fleet-wide (no registered
+            # query may plan a CartesianProduct) — a 1-row broadcast side
+            # is O(n), not O(n^2).
+            "cartesian": "CartesianProduct" in plan,
+            "bnlj": "BroadcastNestedLoop" in plan,
         }
         if with_rows or sec < 30:
             rec["rows"] = df.count()
