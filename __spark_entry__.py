@@ -65,6 +65,7 @@ _NEW_IN_R7 = (
     "cdf_snapshot_diff",
     "feature_target_encoding_oof",
     "win_forward_fill",
+    "scan_schema_evolution",
 )
 _R2_COHORT = (
     "agg_hash",

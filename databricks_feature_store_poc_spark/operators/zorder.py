@@ -289,3 +289,53 @@ def sink_compact_smallfiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(NULL AS VARCHAR) AS source,
+           CAST(NULL AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, lang, source, n_chars
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: a table whose ingestion epochs wrote
+    DIFFERENT schemas — epoch 1 (doc_id, lang), epoch 2 adds (source,
+    n_chars) — unified by ``mergeSchema`` at read time. Old files
+    surface NULL for columns they predate; no historical file is ever
+    rewritten. This is how a 100 TB lake absorbs additive schema drift:
+    the merge happens across parquet FOOTERS during planning (one
+    metadata pass), the data files are untouched, and column pruning /
+    predicate pushdown still apply per-file against each file's own
+    physical schema.
+
+    The oracle replays the epoch split + NULL-extension in SQL, so the
+    read-side union semantics (not just row counts) are value-checked.
+    mergeSchema is opt-in per read here; a production table pins it (or
+    a catalog schema) table-wide.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    out = _run_scoped_path(spark, "schema_evo", sf_dir)
+    (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "lang")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "epoch=1"))
+    )
+    (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "epoch=2"))
+    )
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", out)
+        .parquet(os.path.join(out, "epoch=1"), os.path.join(out, "epoch=2"))
+    )
+    return merged.select("doc_id", "lang", "source", "n_chars")

@@ -294,3 +294,16 @@ def test_forward_fill_carries_last_purchase(spark):
         if r["event_type"] == "purchase":
             expect = int(math.floor(r["value"] * 100))
         assert filled[r["event_id"]] == expect
+
+
+def test_schema_evolution_preserves_pushdown(spark):
+    """After mergeSchema, per-file predicate pushdown and column pruning
+    must still reach the scan (the docstring's planning claim), and the
+    oracle gate must be green."""
+    assert compare("scan_schema_evolution", spark, SF_TEST, verbose=False)["ok"]
+    df = QUERIES["scan_schema_evolution"](spark, SF_TEST)
+    pruned = df.filter(F.col("lang") == "en").select("doc_id", "lang")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "lang" in plan.split("PushedFilters")[1][:120]
+    read_schema = plan.split("ReadSchema:")[1][:200]
+    assert "source" not in read_schema and "n_chars" not in read_schema
