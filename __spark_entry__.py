@@ -66,6 +66,7 @@ _NEW_IN_R7 = (
     "feature_target_encoding_oof",
     "win_forward_fill",
     "scan_schema_evolution",
+    "pipeline_incremental_curate",
 )
 _R2_COHORT = (
     "agg_hash",

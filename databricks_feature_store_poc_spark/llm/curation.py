@@ -559,3 +559,65 @@ def text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("candidate_inflation_ok"),
         )
     )
+
+
+@query(
+    "pipeline_incremental_curate",
+    oracle=f"""
+    WITH arriving AS (
+        SELECT doc_id, text,
+               CAST(len({_DUCK_WORDS}) AS BIGINT) AS n_tokens
+        FROM documents WHERE doc_id % 10 = 4
+    ),
+    existing AS (
+        SELECT md5(text) AS h FROM documents WHERE doc_id % 10 <> 4
+    ),
+    passq AS (SELECT * FROM arriving WHERE n_tokens >= 20),
+    novel AS (
+        SELECT * FROM passq
+        WHERE md5(text) NOT IN (SELECT h FROM existing)
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM arriving) AS n_arriving,
+           (SELECT CAST(count(*) AS BIGINT) FROM passq) AS n_pass_quality,
+           (SELECT CAST(count(*) AS BIGINT) FROM novel) AS n_novel,
+           (SELECT CAST(coalesce(SUM(n_tokens), 0) AS BIGINT) FROM novel)
+               AS tokens_added
+    """,
+)
+def pipeline_incremental_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus curation — the daily-operations capstone: only
+    TODAY'S arrivals (the CDF insert feed; here the doc_id%10==4 cohort)
+    flow through the curation stages, and cross-corpus exact dedup runs
+    as an ANTI-JOIN of the small arrival batch against the existing
+    corpus's content-hash index. Cost is O(new docs) + one index probe —
+    never a re-curation of the accumulated corpus, which is the only
+    shape that survives a corpus that grows to 100 TB (at which point
+    the hash index probe becomes the Bloom pre-filter of
+    text_bloom_decontaminate / agg_bloom_filter, same algebra).
+
+    Stages: arrival accounting -> rule-based quality gate (>= 20
+    whitespace tokens — the integer-exact stand-in for the
+    text_quality_score threshold) -> novelty anti-join -> token-budget
+    accounting. One row out; every number is an exact BIGINT the oracle
+    recomputes from the same stage definitions.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    arriving = d.filter(F.col("doc_id") % 10 == 4).select(
+        "doc_id",
+        F.expr(f"CAST(size({_WORDS}) AS BIGINT)").alias("n_tokens"),
+        F.md5(F.col("text")).alias("h"),
+    )
+    existing = d.filter(F.col("doc_id") % 10 != 4).select(
+        F.md5(F.col("text")).alias("h")
+    )
+    passq = arriving.filter(F.col("n_tokens") >= 20)
+    novel = passq.join(existing, "h", "left_anti")
+    r_arr = arriving.agg(F.count(F.lit(1)).alias("n_arriving"))
+    r_q = passq.agg(F.count(F.lit(1)).alias("n_pass_quality"))
+    r_n = novel.agg(
+        F.count(F.lit(1)).alias("n_novel"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias(
+            "tokens_added"
+        ),
+    )
+    return r_arr.crossJoin(F.broadcast(r_q)).crossJoin(F.broadcast(r_n))
