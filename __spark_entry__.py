@@ -48,13 +48,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #      true-streaming parity gate, the quantized-IVF ANN, blocked entity
 #      resolution, incremental aggregate-state merge, small-file
 #      compaction;
+#      plus the second/third-wave r7 construction (entity resolution,
+#      incremental agg state, compaction, CDF diff, OOF target
+#      encoding, forward fill, schema evolution, incremental curation);
 #   1. the r2 cohort — every query whose newest verdict is r2 — with
 #      the shingle-pipeline dedup family contiguous at the tail so the
 #      persisted index builds once inside the tier;
 #   2. the r3 cohort, core relational shapes first;
 #   3. everything else green and unchanged (r4-r6 verdicts), headline
-#      shapes first. With a ~50-slot budget, tiers 0-1 and ~half of
-#      tier 2 land this round; the r3 remainder rotates into r8.
+#      shapes first. With a ~50-slot budget: 11 never-adjudicated + the
+#      33-query r2 cohort + the first ~6 of r3 land this round; the r3
+#      remainder (~22) rotates into r8.
 _NEW_IN_R7 = (
     "dedup_simhash_audit",
     "stream_true_parity",
