@@ -225,6 +225,14 @@ def main() -> int:
         summary.append(row)
 
     out_path = os.path.join(REPO, "scripts", "stress_registry_10x_results.json")
+    if only and os.path.exists(out_path):
+        # Targeted re-run: merge into the existing full-sweep file instead of
+        # clobbering 190+ rows with the handful just measured.
+        with open(out_path) as f:
+            prior = {r["query"]: r for r in json.load(f)}
+        for row in summary:
+            prior[row["query"]] = row
+        summary = list(prior.values())
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=1)
     flagged = [r for r in summary if r.get("flag")]
