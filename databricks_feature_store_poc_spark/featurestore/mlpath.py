@@ -676,3 +676,79 @@ def feature_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(oof_n, F.lit(0)).cast("double")
         ).alias("oof_encoding"),
     )
+
+
+@query(
+    "feature_quantile_bin",
+    oracle="""
+    WITH cents_t AS (
+        SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ),
+    cuts AS (
+        SELECT quantile_disc(cents, 0.1) AS c1, quantile_disc(cents, 0.2) AS c2,
+               quantile_disc(cents, 0.3) AS c3, quantile_disc(cents, 0.4) AS c4,
+               quantile_disc(cents, 0.5) AS c5, quantile_disc(cents, 0.6) AS c6,
+               quantile_disc(cents, 0.7) AS c7, quantile_disc(cents, 0.8) AS c8,
+               quantile_disc(cents, 0.9) AS c9
+        FROM cents_t
+    )
+    SELECT CAST(1 + CAST(cents > c1 AS INT) + CAST(cents > c2 AS INT)
+                  + CAST(cents > c3 AS INT) + CAST(cents > c4 AS INT)
+                  + CAST(cents > c5 AS INT) + CAST(cents > c6 AS INT)
+                  + CAST(cents > c7 AS INT) + CAST(cents > c8 AS INT)
+                  + CAST(cents > c9 AS INT) AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(cents) AS min_cents,
+           MAX(cents) AS max_cents
+    FROM cents_t CROSS JOIN cuts
+    GROUP BY 1
+    """,
+)
+def feature_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (quantile) binning — the feature-engineering
+    discretizer behind monotonic-feature bucketing, WOE/IV credit
+    scorecards, and histogram features: o_totalprice (as exact BIGINT
+    cents) split into deciles at its own order statistics.
+
+    Cut points use SQL-standard PERCENTILE_DISC (smallest value whose
+    cumulative distribution >= p), so every boundary is an actual data
+    value — BIGINT-exact, no interpolation, no float drift between
+    engines (DuckDB's quantile_disc implements the same definition;
+    test_round7 pins the corner semantics on a tiny frame). Bin id is
+    1 + the count of cut points strictly below the value: pure integer
+    comparisons, identical everywhere.
+
+    Scale shape — the textbook two-pass discretizer: pass 1 reduces the
+    corpus to NINE numbers (percentile_disc aggregate, partial+final);
+    pass 2 broadcasts that 1-row frame back onto the scan (explicitly
+    marked broadcast, so the plan is BroadcastNestedLoopJoin of 1 row —
+    i.e. a map-side constant) and bins with a CASE chain, then a
+    10-group aggregate. No sort of the data, no window over the corpus;
+    the only full materialization Spark's own QuantileDiscretizer
+    avoids is avoided here the same way (reservoir-free exact
+    percentiles are fine because the aggregate state is bounded).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents")
+    )
+    cuts = cents.agg(
+        *[
+            F.expr(
+                f"percentile_disc(0.{i}) WITHIN GROUP (ORDER BY cents)"
+            ).alias(f"c{i}")
+            for i in range(1, 10)
+        ]
+    )
+    binned = cents.crossJoin(F.broadcast(cuts))
+    bin_id = F.lit(1)
+    for i in range(1, 10):
+        bin_id = bin_id + F.when(F.col("cents") > F.col(f"c{i}"), 1).otherwise(0)
+    return (
+        binned.groupBy(bin_id.cast("long").alias("bin_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )

@@ -2029,3 +2029,82 @@ def win_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.last(purchase_cents, ignorenulls=True).over(w).alias("filled_cents"),
     )
+
+
+@query(
+    "win_cumulative_distinct",
+    oracle="""
+    WITH flagged AS (
+        SELECT event_type, user_id, CAST(ts AS DATE) AS day,
+               row_number() OVER (
+                   PARTITION BY event_type, user_id ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    ),
+    daily AS (
+        SELECT event_type, day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS new_users
+        FROM flagged GROUP BY event_type, day
+    )
+    SELECT event_type, day, n_events, new_users,
+           CAST(SUM(new_users) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_distinct_users
+    FROM daily
+    """,
+)
+def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) — cumulative unique users per event type
+    by day, the growth-accounting metric (DAU -> cumulative reach).
+    Spark's window functions reject DISTINCT aggregates outright, and
+    the naive emulation (collect a set per frame) is O(frame) state per
+    row; the scalable identity is
+
+        cumulative distinct  ==  running SUM of first-occurrence flags
+
+    computed in three shuffle-cheap steps: (1) row_number() over
+    (event_type, user_id) in (ts, event_id) order marks each user's
+    first-ever event of that type; (2) a daily aggregate counts events
+    and first-occurrences; (3) a running sum over the (event_type, day)
+    grain — a frame over the tiny aggregated table, not the raw events
+    — accumulates new_users into cumulative reach.
+
+    Scale: one shuffle on (event_type, user_id) for the flag window,
+    one partial-aggregated shuffle to (event_type, day), and the final
+    running frame partitions by event_type over day-grain rows (365
+    rows/year/type — driver-window territory at any corpus size). The
+    raw corpus is never sorted globally and no per-row set state ever
+    exists. Determinism: the flag window's (ts, event_id) tiebreak is
+    total, and which row within a day carries rn=1 cannot change the
+    day-level SUM.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    flagged = e.select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.row_number().over(w_first).alias("rn"),
+    )
+    daily = flagged.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("new_users"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        "new_users",
+        F.sum("new_users").over(w_cum).cast("long").alias("cum_distinct_users"),
+    )

@@ -46,6 +46,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[Any], Any]:
 
 def load_all_queries() -> None:
     """Import every module that registers queries (idempotent)."""
+    import databricks_feature_store_poc_spark.featurestore.governance  # noqa: F401
     import databricks_feature_store_poc_spark.featurestore.merge  # noqa: F401
     import databricks_feature_store_poc_spark.featurestore.mlpath  # noqa: F401
     import databricks_feature_store_poc_spark.featurestore.quality  # noqa: F401

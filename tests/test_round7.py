@@ -307,3 +307,112 @@ def test_schema_evolution_preserves_pushdown(spark):
     assert "PushedFilters: [" in plan and "lang" in plan.split("PushedFilters")[1][:120]
     read_schema = plan.split("ReadSchema:")[1][:200]
     assert "source" not in read_schema and "n_chars" not in read_schema
+
+
+# ---------------------------------------------------------------------------
+# Fourth wave: governance purge, quantile binning, cumulative distinct
+# ---------------------------------------------------------------------------
+
+def test_gdpr_delete_oracle_and_propagation(spark):
+    """Driver-shaped gate green, and the reusable propagate_deletions
+    API actually removes every subject-derived row — including the
+    transitive lineitem rows that never carried a customer key."""
+    from databricks_feature_store_poc_spark.featurestore.governance import (
+        propagate_deletions,
+    )
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    r = compare("pipeline_gdpr_delete", spark, SF_TEST, verbose=False)
+    assert r["ok"], r
+
+    cust = load_table(spark, SF_TEST, "customer")
+    orders = load_table(spark, SF_TEST, "orders")
+    li = load_table(spark, SF_TEST, "lineitem")
+    subjects = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+
+    kept = propagate_deletions(
+        {
+            "customer": (cust, "c_custkey"),
+            "orders": (orders, "o_custkey"),
+        },
+        subjects,
+        transitive={"lineitem": (li, "orders", "o_orderkey", "l_orderkey")},
+    )
+    # no deleted subject survives anywhere
+    subj = {r[0] for r in subjects.collect()}
+    assert kept["customer"].filter(F.col("c_custkey").isin(subj)).count() == 0
+    assert kept["orders"].filter(F.col("o_custkey").isin(subj)).count() == 0
+    purged_orders = {
+        r[0]
+        for r in orders.filter(F.col("o_custkey").isin(subj))
+        .select("o_orderkey")
+        .collect()
+    }
+    assert (
+        kept["lineitem"].filter(F.col("l_orderkey").isin(purged_orders)).count()
+        == 0
+    )
+    # counts reconcile with the audit query
+    audit = {row["tbl"]: row for row in QUERIES["pipeline_gdpr_delete"](
+        spark, SF_TEST).collect()}
+    for tbl in ("customer", "orders", "lineitem"):
+        assert audit[tbl]["n_after"] == kept[tbl].count()
+        assert audit[tbl]["n_before"] == (
+            audit[tbl]["n_purged"] + audit[tbl]["n_after"]
+        )
+
+
+def test_quantile_bin_equal_frequency_and_disc_parity(spark):
+    """Gate green; bins are equal-frequency (within the tie slack the
+    data allows) and contiguous in value; and Spark's percentile_disc
+    agrees with DuckDB's quantile_disc on the corner case where the
+    two common discrete-quantile definitions diverge (n=9, p=0.7:
+    SQL-standard ceil(p*n) gives the 7th value; the floor(p*(n-1))
+    convention would give the 6th)."""
+    import duckdb
+
+    r = compare("feature_quantile_bin", spark, SF_TEST, verbose=False)
+    assert r["ok"], r
+
+    rows = sorted(
+        QUERIES["feature_quantile_bin"](spark, SF_TEST).collect(),
+        key=lambda x: x["bin_id"],
+    )
+    assert [x["bin_id"] for x in rows] == list(range(1, 11))
+    total = sum(x["n_rows"] for x in rows)
+    assert max(x["n_rows"] for x in rows) - min(x["n_rows"] for x in rows) <= max(
+        1, total // 100
+    )
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo["max_cents"] < hi["min_cents"]  # bins partition the value axis
+
+    sdf = spark.range(1, 10).selectExpr(
+        "percentile_disc(0.7) WITHIN GROUP (ORDER BY id) AS p"
+    )
+    d = duckdb.sql(
+        "SELECT quantile_disc(x, 0.7) FROM (SELECT unnest(range(1,10)) x)"
+    ).fetchone()[0]
+    assert sdf.collect()[0]["p"] == d == 7
+
+
+def test_cumulative_distinct_identity(spark):
+    """Gate green, and the running-sum-of-first-flags identity really
+    computes COUNT(DISTINCT): the last cumulative value per event type
+    equals the exact distinct user count for that type."""
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    r = compare("win_cumulative_distinct", spark, SF_TEST, verbose=False)
+    assert r["ok"], r
+
+    out = QUERIES["win_cumulative_distinct"](spark, SF_TEST).collect()
+    last_cum: dict[str, int] = {}
+    for row in sorted(out, key=lambda x: (x["event_type"], x["day"])):
+        last_cum[row["event_type"]] = row["cum_distinct_users"]
+    exact = {
+        row["event_type"]: row["n"]
+        for row in load_table(spark, SF_TEST, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert last_cum == exact
