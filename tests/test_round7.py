@@ -394,6 +394,29 @@ def test_quantile_bin_equal_frequency_and_disc_parity(spark):
     ).fetchone()[0]
     assert sdf.collect()[0]["p"] == d == 7
 
+    # the histogram/cum-count formulation the query uses must equal
+    # Spark's own percentile_disc on the real column
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    cents = load_table(spark, SF_TEST, "orders").selectExpr(
+        "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents"
+    )
+    direct = cents.agg(
+        *[
+            F.expr(
+                f"percentile_disc(0.{i}) WITHIN GROUP (ORDER BY cents)"
+            ).alias(f"c{i}")
+            for i in range(1, 10)
+        ]
+    ).collect()[0]
+    via_query = {
+        row["bin_id"]: row["max_cents"]
+        for row in QUERIES["feature_quantile_bin"](spark, SF_TEST).collect()
+    }
+    # bin i's max value IS the i-th decile cut (disc cuts are data values)
+    for i in range(1, 10):
+        assert via_query[i] == direct[f"c{i}"]
+
 
 def test_cumulative_distinct_identity(spark):
     """Gate green, and the running-sum-of-first-flags identity really
