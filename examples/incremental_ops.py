@@ -10,7 +10,11 @@ store. Every day after that, nothing is recomputed from scratch:
      (``merge_rollup`` — identical to a full rebuild, never rescans
      history),
   4. newly arrived documents are curated against the existing corpus
-     (``pipeline_incremental_curate`` — novelty via hash anti-join).
+     (``pipeline_incremental_curate`` — novelty via hash anti-join),
+  5. a right-to-be-forgotten batch is propagated across every
+     subject-keyed table (``propagate_deletions`` — broadcast
+     anti-joins, the transitive lineage handled for you) and the
+     purged keys are removed from the online store too.
 
     python examples/incremental_ops.py [sf_dir]   # default sf0.001
 """
@@ -93,6 +97,37 @@ def main(sf_dir: str) -> None:
         "incremental curation: "
         f"{row['n_arriving']} arrived, {row['n_pass_quality']} pass quality, "
         f"{row['n_novel']} novel, +{row['tokens_added']} tokens"
+    )
+
+    # A deletion request arrives: purge the subjects everywhere — the
+    # offline tables via broadcast anti-joins (lineitem transitively,
+    # through its deleted orders) and the online KV via delete_sync
+    # (delta_sync against the purged snapshot emits exactly the
+    # deletions).
+    from databricks_feature_store_poc_spark.featurestore.governance import (
+        propagate_deletions,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    subjects = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    kept = propagate_deletions(
+        {
+            "customer": (cust, "c_custkey"),
+            "orders": (orders, "o_custkey"),
+            "events": (events, "user_id"),
+        },
+        subjects,
+        transitive={"lineitem": (lineitem, "orders", "o_orderkey", "l_orderkey")},
+    )
+    snap3 = feature_snapshot(kept["events"])
+    sync.delta_sync(snap2, snap3)
+    kv.refresh()
+    print(
+        "gdpr purge: "
+        + ", ".join(f"{t} -> {df.count()} rows kept" for t, df in kept.items())
+        + f"; kv stats after delete feed {kv.stats()}"
     )
 
 
