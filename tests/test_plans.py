@@ -287,3 +287,38 @@ def test_no_query_plans_a_cartesian_product(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_gdpr_delete_no_fact_shuffle_all_broadcast(spark):
+    """Deletion propagation must never shuffle a fact table: every
+    membership test is a BroadcastHashJoin (4 audit branches + the
+    transitive deleted-orders LeftSemi) and the only exchanges are the
+    1-row SinglePartition finals, which count_exchanges excludes."""
+    df = QUERIES["pipeline_gdpr_delete"](spark, SF_SMOKE)
+    assert count_exchanges(df) == 0
+    assert count_broadcast_joins(df) == 5
+    assert has_partial_aggregate(df)
+
+
+def test_quantile_bin_histogram_pass_and_constant_reentry(spark):
+    """The discretizer pays exactly two hash shuffles (value histogram +
+    the 10-bin final aggregate); the cut frame re-enters as a 1-row
+    broadcast (BroadcastNestedLoopJoin of one row = map-side constant),
+    and the raw data is never sort-merge joined or globally sorted."""
+    from databricks_feature_store_poc_spark.plans.inspect import simple_plan
+
+    df = QUERIES["feature_quantile_bin"](spark, SF_SMOKE)
+    assert count_exchanges(df) == 2
+    sp = simple_plan(df)
+    assert "BroadcastNestedLoop" in sp
+    assert "SortMergeJoin" not in sp
+
+
+def test_cumulative_distinct_three_bounded_shuffles(spark):
+    """Running COUNT(DISTINCT): one shuffle for the first-flag window on
+    (event_type, user_id), one partial+final aggregate to day grain, and
+    the cumulative frame's exchange over the aggregated table — never a
+    per-row distinct state or a global sort of the raw events."""
+    df = QUERIES["win_cumulative_distinct"](spark, SF_SMOKE)
+    assert count_exchanges(df) == 3
+    assert has_partial_aggregate(df)
