@@ -439,3 +439,33 @@ def test_cumulative_distinct_identity(spark):
         .collect()
     }
     assert last_cum == exact
+
+
+def test_propagate_deletions_transitive_ignores_key_collisions(spark):
+    """A transitive table must be purged ONLY through its parent's purge
+    set: an l_orderkey that numerically equals a deleted custkey is a
+    key-space collision, not a subject reference, and must survive."""
+    from databricks_feature_store_poc_spark.featurestore.governance import (
+        propagate_deletions,
+    )
+
+    cust = spark.createDataFrame([(1,), (2,)], "c_custkey bigint")
+    # order 1 belongs to the NON-deleted customer 2; order 7 to subject 1
+    orders = spark.createDataFrame(
+        [(1, 2), (7, 1)], "o_orderkey bigint, o_custkey bigint"
+    )
+    # line of order 1 collides numerically with subject key 1
+    li = spark.createDataFrame(
+        [(1, 100), (7, 200)], "l_orderkey bigint, l_qty bigint"
+    )
+    subjects = spark.createDataFrame([(1,)], "c_custkey bigint")
+
+    kept = propagate_deletions(
+        {"customer": (cust, "c_custkey"), "orders": (orders, "o_custkey")},
+        subjects,
+        transitive={"lineitem": (li, "orders", "o_orderkey", "l_orderkey")},
+    )
+    assert [r["c_custkey"] for r in kept["customer"].collect()] == [2]
+    assert [r["o_orderkey"] for r in kept["orders"].collect()] == [1]
+    # the colliding line survives; the truly derived line is purged
+    assert [r["l_orderkey"] for r in kept["lineitem"].collect()] == [1]
