@@ -54,8 +54,11 @@ from databricks_feature_store_poc_spark.sources.catalog import (  # noqa: E402
 )
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-DST = "/tmp/spark_graft_stress10x_full"
-CLONES = 10
+# STRESS_CLONES scales the replica (default 10x ~= sf1; 100 ~= sf10 for
+# the deeper headroom probe — pair it with STRESS_ONLY, the full registry
+# at 100x includes deliberately quadratic-output pair queries).
+CLONES = int(os.environ.get("STRESS_CLONES", "10"))
+DST = f"/tmp/spark_graft_stress{CLONES}x_full"
 
 # Dimension tables stay fixed (10x facts, same dims — the TPC-H scaling
 # rule); facts get per-clone key offsets. FK columns use the span of the
@@ -216,7 +219,7 @@ def main() -> int:
             row["flag"] = bool(
                 (
                     not row["quadratic_output"]
-                    and row["wall_ratio"] > 12
+                    and row["wall_ratio"] > CLONES * 1.2
                     and row["sec_10x"] > 5.0
                 )
                 or big.get("cartesian")
@@ -224,7 +227,10 @@ def main() -> int:
             )
         summary.append(row)
 
-    out_path = os.path.join(REPO, "scripts", "stress_registry_10x_results.json")
+    suffix = "" if CLONES == 10 else f"_{CLONES}x"
+    out_path = os.path.join(
+        REPO, "scripts", f"stress_registry_10x_results{suffix}.json"
+    )
     if only and os.path.exists(out_path):
         # Targeted re-run: merge into the existing full-sweep file instead of
         # clobbering 190+ rows with the handful just measured.

@@ -469,3 +469,37 @@ def test_propagate_deletions_transitive_ignores_key_collisions(spark):
     assert [r["o_orderkey"] for r in kept["orders"].collect()] == [1]
     # the colliding line survives; the truly derived line is purged
     assert [r["l_orderkey"] for r in kept["lineitem"].collect()] == [1]
+
+
+def test_rolling_prefix_equals_sliding_frame(spark):
+    """The prefix-subtraction rolling sum must be row-identical to the
+    naive sliding-RANGE-frame formulation (which is O(frame) per row
+    and survives only as the oracle + this in-engine cross-check)."""
+    from pyspark.sql.window import Window
+
+    from databricks_feature_store_poc_spark.operators.rolling import (
+        _DAY_US,
+        rolling_prefix_sums,
+    )
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    e = load_table(spark, SF_TEST, "events")
+    order = F.unix_micros(F.col("ts"))
+    w7 = Window.partitionBy("user_id").orderBy(order).rangeBetween(
+        -7 * _DAY_US, 0
+    )
+    w30 = Window.partitionBy("user_id").orderBy(order).rangeBetween(
+        -30 * _DAY_US, 0
+    )
+    dec_val = F.col("value").cast("decimal(18,2)")
+    naive = e.select(
+        "event_id", "user_id", "ts",
+        F.sum(dec_val).over(w7).cast("double").alias("sum_7d"),
+        F.sum(dec_val).over(w30).cast("double").alias("sum_30d"),
+        F.count(F.lit(1)).over(w7).alias("n_7d"),
+    )
+    fast = rolling_prefix_sums(
+        e, "user_id", "ts", "event_id", "value", (7, 30)
+    ).select("event_id", "user_id", "ts", "sum_7d", "sum_30d", "n_7d")
+    assert fast.exceptAll(naive).count() == 0
+    assert naive.exceptAll(fast).count() == 0
