@@ -56,9 +56,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #      persisted index builds once inside the tier;
 #   2. the r3 cohort, core relational shapes first;
 #   3. everything else green and unchanged (r4-r6 verdicts), headline
-#      shapes first. With a ~50-slot budget: 14 never-adjudicated + the
-#      33-query r2 cohort + the first ~3 of r3 land this round; the r3
-#      remainder (~25) rotates into r8.
+#      shapes first. With a ~50-slot budget: 17 never-adjudicated + the
+#      33-query r2 cohort land this round; the full r3 cohort (~28)
+#      rotates into r8.
 _NEW_IN_R7 = (
     "dedup_simhash_audit",
     "stream_true_parity",
@@ -74,6 +74,9 @@ _NEW_IN_R7 = (
     "pipeline_gdpr_delete",
     "feature_quantile_bin",
     "win_cumulative_distinct",
+    "win_retention_cohorts",
+    "densify_daily_spine",
+    "stream_stateful_parity",
 )
 _R2_COHORT = (
     "agg_hash",

@@ -587,3 +587,53 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"        * ({nd} * {syyd} - {syd} * {syd})), 0)"
         ).alias("corr_qty_price"),
     )
+
+
+@query(
+    "win_retention_cohorts",
+    oracle="""
+    WITH wk AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        FROM events
+    ),
+    firsts AS (
+        SELECT user_id, min(wk) AS cohort_week FROM wk GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(datediff('day', f.cohort_week, w.wk) // 7 AS BIGINT)
+               AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM wk w JOIN firsts f ON w.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def win_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the engagement report every product
+    warehouse runs: users grouped by the week of their FIRST event
+    (cohort), counted in every subsequent week they were active
+    (offset), yielding (cohort_week, week_offset, n_users).
+
+    Shape at 100 TB: the distinct (user, week) activity grid and the
+    per-user first-week aggregate BOTH shuffle on user_id, so the
+    self-join that tags each active week with its user's cohort is
+    co-partitioned (AQE reuses the exchange; no broadcast needed — the
+    firsts side is |users|-sized, which at scale is itself huge). The
+    final matrix aggregate collapses to |cohorts| x |offsets| rows —
+    tiny regardless of corpus. Week arithmetic is pure integer
+    (Monday-truncated dates, day-diff div 7), so no float crosses
+    engines; both engines truncate weeks to Monday (ISO).
+    """
+    e = load_table(spark, sf_dir, "events")
+    wk = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct()
+    firsts = wk.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        wk.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr("datediff(wk, cohort_week) div 7")
+            .cast("long").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

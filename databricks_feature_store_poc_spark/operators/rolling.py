@@ -368,3 +368,74 @@ def feature_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"),
         )
     )
+
+
+@query(
+    "densify_daily_spine",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    b AS (SELECT min(day) AS d0, max(day) AS d1 FROM p),
+    days AS (
+        SELECT CAST(unnest(generate_series(
+            CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+            INTERVAL 1 DAY)) AS DATE) AS day
+        FROM b
+    ),
+    u AS (SELECT DISTINCT user_id FROM p),
+    g AS (
+        SELECT user_id, day, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS cents
+        FROM p GROUP BY 1, 2
+    )
+    SELECT u.user_id, d.day,
+           CAST(coalesce(g.n, 0) AS BIGINT) AS n_purchases,
+           CAST(coalesce(g.cents, 0) AS BIGINT) AS sum_value_cents
+    FROM u CROSS JOIN days d
+    LEFT JOIN g ON g.user_id = u.user_id AND g.day = d.day
+    """,
+)
+def densify_daily_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification (gap filling): every (user, day) cell over
+    the corpus's purchase date span, zero-filled where the user bought
+    nothing — the dense spine that feeds fixed-length model inputs,
+    forward fills ([win_forward_fill]), and day-over-day deltas, none of
+    which tolerate missing rows.
+
+    Shape at 100 TB: the spine is GENERATED, not scanned — a 1-row
+    global min/max aggregate broadcast onto the distinct-user dim, then
+    ``explode(sequence(d0, d1))`` fans each user into its days map-side
+    (|users| x |days| rows that never existed in the source and never
+    shuffle as a unit; the only exchanges are the two user-keyed aggs
+    and the left join's, all on the same key). Values carry as
+    floor(value*100) BIGINT cents, so the zero-fill and the sums are
+    engine-exact at any accumulation order.
+    """
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+    )
+    bounds = p.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = (
+        p.select("user_id").distinct()
+        .join(F.broadcast(bounds))  # 1-row bounds: broadcast, not cartesian
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+        )
+    )
+    g = p.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    return spine.join(g, ["user_id", "day"], "left").select(
+        "user_id", "day",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_purchases"),
+        F.coalesce(F.col("cents"), F.lit(0)).cast("long")
+        .alias("sum_value_cents"),
+    )

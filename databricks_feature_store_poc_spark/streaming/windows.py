@@ -390,6 +390,59 @@ def stream_true_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_stateful_parity",
+    oracle="""
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
+           CAST(0 AS BIGINT) AS n_diff_rows
+    FROM events
+    """,
+)
+def stream_stateful_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-adjudicated CUSTOM stateful streaming: run the
+    applyInPandasWithState per-key counter as a real streaming job
+    (readStream -> groupBy -> Arrow-batched state update -> availableNow
+    into a memory sink), reduce the update-mode sink to its final
+    emission per key, and diff against the batch group-by with exceptAll
+    in both directions. The oracle pins (distinct-key count, 0 diff
+    rows) — extending the ``stream_true_parity`` gate (built-in windowed
+    agg) to the escape-hatch operator class the built-ins can't express.
+
+    The final emission per key is the one with the highest running
+    n_events (strictly increasing across micro-batches — every emission
+    for a key follows at least one new event), selected with a
+    max(struct) aggregate rather than a window. Parity is exact, not
+    tolerance-based, because the state accumulates BIGINT cents
+    (see ``run_stateful_counter_stream``).
+    """
+    streamed = run_stateful_counter_stream(spark, sf_dir)
+    final = (
+        streamed.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_cents")).alias("m"))
+        .select("user_id", F.col("m.n_events").alias("n_events"),
+                F.col("m.total_cents").alias("total_cents"))
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr("CAST(floor(value * 100) AS BIGINT)"))
+            .cast("long").alias("total_cents"),
+        )
+    )
+    diff = final.exceptAll(batch).unionAll(batch.exceptAll(final))
+    n_diff = diff.agg(F.count(F.lit(1)).alias("n_diff_rows"))
+    return (
+        final.agg(F.count(F.lit(1)).alias("n_keys"))
+        .crossJoin(F.broadcast(n_diff))
+        .select(
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("n_diff_rows").cast("long").alias("n_diff_rows"),
+        )
+    )
+
+
 def run_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stream_session through a real streaming plan (session_window +
     watermark + availableNow). Session windows require watermark +
@@ -431,12 +484,19 @@ def run_stateful_counter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     built-in windowed aggregation can't express the semantics (custom
     session logic, CEP-ish patterns, per-key models).
 
-    State = one (count, total) pair per user_id, updated per micro-batch;
+    State = one (count, cents) pair per user_id, updated per micro-batch;
     each batch emits the keys it touched with their post-update totals,
     so the final emission per key equals the batch group-by (asserted in
-    tests/test_streaming.py). At scale, state lives in the state store
+    tests/test_streaming.py and driver-adjudicated by
+    ``stream_stateful_parity``). At scale, state lives in the state store
     (RocksDB-backed on a real cluster) partitioned by key — memory per
     executor is bounded by its key range, not the stream length.
+
+    Totals accumulate as floor(value*100) BIGINT cents, not floats: the
+    repo-wide fixed-point convention. A float-typed state would make the
+    final emission depend on pandas' batch accumulation order vs the
+    batch twin's Spark accumulation order — integer state makes the
+    stream-vs-batch comparison exact at any batch split.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -448,23 +508,28 @@ def run_stateful_counter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
     def update_counts(key, pdfs, state: GroupState):
+        import numpy as np
         import pandas as pd
 
-        n, total = state.get if state.exists else (0, 0.0)
+        n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, round(total, 2)))
+            # IEEE double *100 then floor — bit-identical to the Spark/
+            # DuckDB expression floor(value * 100) on the same doubles.
+            cents += int(
+                np.floor(pdf["value"].to_numpy() * 100.0).astype(np.int64).sum()
+            )
+        state.update((n, cents))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
         )
 
     out = (
         stream.groupBy("user_id")
         .applyInPandasWithState(
             update_counts,
-            outputStructType="user_id LONG, n_events LONG, total_value DOUBLE",
-            stateStructType="n LONG, total DOUBLE",
+            outputStructType="user_id LONG, n_events LONG, total_cents LONG",
+            stateStructType="n LONG, cents LONG",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

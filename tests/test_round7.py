@@ -503,3 +503,67 @@ def test_rolling_prefix_equals_sliding_frame(spark):
     ).select("event_id", "user_id", "ts", "sum_7d", "sum_30d", "n_7d")
     assert fast.exceptAll(naive).count() == 0
     assert naive.exceptAll(fast).count() == 0
+
+
+def test_retention_cohorts_gate_and_identities(spark):
+    """Gate green, plus the two cohort identities: offset 0 contains
+    every cohort member (a user is by definition active in their first
+    week), and summing offset-0 counts recovers the distinct user
+    count."""
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    r = compare("win_retention_cohorts", spark, SF_TEST, verbose=False)
+    assert r["ok"], r
+
+    rows = QUERIES["win_retention_cohorts"](spark, SF_TEST).collect()
+    offset0 = {row["cohort_week"]: row["n_users"] for row in rows
+               if row["week_offset"] == 0}
+    assert all(row["week_offset"] >= 0 for row in rows)
+    # every cohort appears at offset 0 and no later offset exceeds it
+    for row in rows:
+        assert row["cohort_week"] in offset0
+        assert row["n_users"] <= offset0[row["cohort_week"]]
+    n_users = (
+        load_table(spark, SF_TEST, "events")
+        .select("user_id").distinct().count()
+    )
+    assert sum(offset0.values()) == n_users
+
+
+def test_densify_daily_spine_gate_and_grid(spark):
+    """Gate green, plus: the output is the FULL dense grid (|users| x
+    |days| rows), zero-filled cells included, and the cents total equals
+    the raw purchase cents total (densification adds no value)."""
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    r = compare("densify_daily_spine", spark, SF_TEST, verbose=False)
+    assert r["ok"], r
+
+    out = QUERIES["densify_daily_spine"](spark, SF_TEST)
+    p = (
+        load_table(spark, SF_TEST, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", F.col("ts").cast("date").alias("day"),
+            F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    n_users = p.select("user_id").distinct().count()
+    d0, d1 = p.agg(F.min("day"), F.max("day")).collect()[0]
+    n_days = (d1 - d0).days + 1
+    assert out.count() == n_users * n_days
+    got = out.agg(F.sum("sum_value_cents")).collect()[0][0]
+    want = p.agg(F.sum("cents")).collect()[0][0]
+    assert got == want
+    # at least one genuinely zero-filled cell, or the operator is a no-op
+    assert out.filter("n_purchases = 0").count() > 0
+
+
+def test_stream_stateful_parity_gate(spark):
+    """The applyInPandasWithState runner's final per-key emission must
+    equal the batch group-by under the driver's own hash gate — and the
+    diff count inside the result must be literally zero."""
+    r = compare("stream_stateful_parity", spark, SF_TEST, verbose=False)
+    assert r["ok"], r
+    row = QUERIES["stream_stateful_parity"](spark, SF_TEST).collect()[0]
+    assert row["n_diff_rows"] == 0 and row["n_keys"] > 0

@@ -63,9 +63,11 @@ def test_stateful_counter_matches_batch_groupby(spark):
 
     out = run_stateful_counter_stream(spark, SF_SMOKE)
     # update-mode sink may hold one row per key per micro-batch: keep max
+    # (n_events is strictly increasing, cents rides along in the struct)
     final = (
         out.groupBy("user_id")
-        .agg(F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value"))
+        .agg(F.max(F.struct("n_events", "total_cents")).alias("m"))
+        .select("user_id", "m.n_events", "m.total_cents")
         .collect()
     )
     batch = (
@@ -73,13 +75,13 @@ def test_stateful_counter_matches_batch_groupby(spark):
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2)
-            .alias("total_value"),
+            F.sum(F.expr("CAST(floor(value * 100) AS BIGINT)"))
+            .cast("long").alias("total_cents"),
         )
         .collect()
     )
-    fmap = {r["user_id"]: (r["n_events"], r["total_value"]) for r in final}
-    bmap = {r["user_id"]: (r["n_events"], r["total_value"]) for r in batch}
+    fmap = {r["user_id"]: (r["n_events"], r["total_cents"]) for r in final}
+    bmap = {r["user_id"]: (r["n_events"], r["total_cents"]) for r in batch}
     assert fmap == bmap
 
 
