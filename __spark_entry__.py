@@ -77,6 +77,7 @@ _NEW_IN_R7 = (
     "win_retention_cohorts",
     "densify_daily_spine",
     "stream_stateful_parity",
+    "sim_mmr_diversify",
 )
 _R2_COHORT = (
     "agg_hash",

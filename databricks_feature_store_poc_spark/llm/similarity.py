@@ -707,3 +707,137 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cosine_raw", 6).alias("cosine"),
         )
     )
+
+
+MMR_QUERY_ID = 0   # the anchor query vector
+MMR_CAND = 16      # relevance-ranked candidate pool size
+MMR_K = 8          # diversified selections
+MMR_LAMBDA = 0.5   # relevance/diversity trade-off
+
+
+@query(
+    "sim_mmr_diversify",
+    oracle=f"""
+    WITH RECURSIVE v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    ),
+    q AS (SELECT e, nrm FROM v WHERE vec_id = {MMR_QUERY_ID}),
+    cand AS (
+        SELECT c.vec_id, c.e, c.nrm,
+               list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS rel
+        FROM v c, q WHERE c.vec_id <> {MMR_QUERY_ID}
+        ORDER BY rel DESC, c.vec_id LIMIT {MMR_CAND}
+    ),
+    pair AS (
+        SELECT a.vec_id AS i, b.vec_id AS j,
+               list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS sim
+        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    sel AS (
+        SELECT 1 AS step,
+               [(SELECT vec_id FROM cand
+                 ORDER BY rel DESC, vec_id LIMIT 1)] AS picked
+        UNION ALL
+        SELECT step + 1,
+               list_append(picked, (
+                   SELECT c.vec_id FROM cand c
+                   WHERE NOT list_contains(sel.picked, c.vec_id)
+                   ORDER BY {MMR_LAMBDA} * c.rel - {1 - MMR_LAMBDA} * (
+                       SELECT max(p.sim) FROM pair p
+                       WHERE p.i = c.vec_id AND list_contains(sel.picked, p.j)
+                   ) DESC, c.vec_id
+                   LIMIT 1))
+        FROM sel WHERE step < {MMR_K}
+    ),
+    final AS (SELECT picked FROM sel WHERE step = {MMR_K}),
+    outp AS (
+        SELECT CAST(t.i AS BIGINT) AS rank, picked[t.i] AS vec_id
+        FROM final, generate_series(1, {MMR_K}) AS t(i)
+    )
+    SELECT o.rank, o.vec_id, round(c.rel, 6) AS relevance
+    FROM outp o JOIN cand c ON c.vec_id = o.vec_id
+    """,
+)
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking: from the anchor query's
+    top-{MMR_CAND} cosine candidates, greedily pick {MMR_K} results
+    maximizing ``lambda*relevance - (1-lambda)*max-similarity-to-picked``
+    — the diversified-retrieval step that keeps a training-data sampler
+    (or RAG context) from returning {MMR_K} near-copies of one document.
+
+    Scale split, the way every production re-ranker works: the EXPENSIVE
+    stage — relevance against the full corpus plus the top-C cut — is
+    distributed (broadcast anchor, map-only dots, TakeOrderedAndProject);
+    the greedy stage is inherently sequential over C*(C-1) pairwise sims
+    and runs on the driver over a CONSTANT-size pool (C={MMR_CAND}
+    candidates regardless of corpus size — same capped-collect contract
+    as dedup_clusters' union-find). Both rel and pairwise sims come out
+    of the same Spark fold expression, and the greedy comparator uses
+    the identical IEEE expression the oracle's recursive CTE evaluates,
+    with vec_id tie-breaks, so the selection is engine-exact.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = _with_norm(e.select("vec_id", _as_double("embedding").alias("e")))
+    q = v.filter(F.col("vec_id") == MMR_QUERY_ID).select(
+        F.col("e").alias("q_e"), F.col("nrm").alias("q_n")
+    )
+    rel = F.expr(_DOT.format(a="q_e", b="c_e")) / (F.col("q_n") * F.col("c_n"))
+    cand = (
+        v.filter(F.col("vec_id") != MMR_QUERY_ID)
+        .select(F.col("vec_id"), F.col("e").alias("c_e"), F.col("nrm").alias("c_n"))
+        .join(F.broadcast(q))
+        .withColumn("rel", rel)
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(MMR_CAND)
+        .select("vec_id", "c_e", "c_n", "rel")
+    )
+    cand.persist()
+    a = cand.select(
+        F.col("vec_id").alias("i"), F.col("c_e").alias("a_e"),
+        F.col("c_n").alias("a_n"),
+    )
+    b = cand.select(
+        F.col("vec_id").alias("j"), F.col("c_e").alias("b_e"),
+        F.col("c_n").alias("b_n"),
+    )
+    sim = F.expr(_DOT.format(a="a_e", b="b_e")) / (F.col("a_n") * F.col("b_n"))
+    pair_rows = (
+        a.join(F.broadcast(b), F.col("i") != F.col("j"))
+        .select("i", "j", sim.alias("sim"))
+        .collect()
+    )
+    rel_by_id = {r["vec_id"]: r["rel"] for r in cand.select("vec_id", "rel").collect()}
+    cand.unpersist()
+    sims: dict[int, dict[int, float]] = {}
+    for r in pair_rows:
+        sims.setdefault(r["i"], {})[r["j"]] = r["sim"]
+
+    picked: list[int] = []
+    while len(picked) < MMR_K:
+        if not picked:
+            # seed = pure-relevance argmax, vec_id tie-break (asc)
+            nxt = min(rel_by_id, key=lambda c: (-rel_by_id[c], c))
+        else:
+            pool = [c for c in rel_by_id if c not in picked]
+            nxt = min(
+                pool,
+                key=lambda c: (
+                    -(MMR_LAMBDA * rel_by_id[c]
+                      - (1 - MMR_LAMBDA) * max(sims[c][s] for s in picked)),
+                    c,
+                ),
+            )
+        picked.append(nxt)
+
+    rows = [
+        (rank + 1, int(vid), float(rel_by_id[vid]))
+        for rank, vid in enumerate(picked)
+    ]
+    # round in-plan (Spark HALF_UP, same as every other cosine output)
+    # rather than Python's banker's rounding
+    return spark.createDataFrame(
+        rows, "rank LONG, vec_id LONG, relevance DOUBLE"
+    ).withColumn("relevance", F.round("relevance", 6))

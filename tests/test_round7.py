@@ -567,3 +567,61 @@ def test_stream_stateful_parity_gate(spark):
     assert r["ok"], r
     row = QUERIES["stream_stateful_parity"](spark, SF_TEST).collect()[0]
     assert row["n_diff_rows"] == 0 and row["n_keys"] > 0
+
+
+def test_mmr_diversify_gate_and_contract(spark):
+    """Gate green, plus the MMR contract: rank 1 is the pure-relevance
+    argmax, every pick comes from the top-C relevance pool, no repeats,
+    and each later pick maximized the (relevance - max-sim-to-picked)
+    margin over the pool REMAINING at its step (re-verified here from
+    the exact pairwise sims)."""
+    from databricks_feature_store_poc_spark.llm.similarity import (
+        MMR_CAND, MMR_K, MMR_LAMBDA, MMR_QUERY_ID, _DOT, _as_double, _with_norm,
+    )
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    r = compare("sim_mmr_diversify", spark, SF_TEST, verbose=False)
+    assert r["ok"], r
+
+    out = sorted(
+        QUERIES["sim_mmr_diversify"](spark, SF_TEST).collect(),
+        key=lambda x: x["rank"],
+    )
+    assert len(out) == MMR_K
+    assert len({row["vec_id"] for row in out}) == MMR_K
+
+    e = load_table(spark, SF_TEST, "embeddings")
+    v = _with_norm(e.select("vec_id", _as_double("embedding").alias("e")))
+    q = v.filter(F.col("vec_id") == MMR_QUERY_ID).select(
+        F.col("e").alias("q_e"), F.col("nrm").alias("q_n")
+    )
+    rel_col = F.expr(_DOT.format(a="q_e", b="c_e")) / (F.col("q_n") * F.col("c_n"))
+    cand = (
+        v.filter(F.col("vec_id") != MMR_QUERY_ID)
+        .select("vec_id", F.col("e").alias("c_e"), F.col("nrm").alias("c_n"))
+        .join(F.broadcast(q))
+        .withColumn("rel", rel_col)
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(MMR_CAND)
+    ).collect()
+    rel = {row["vec_id"]: row["rel"] for row in cand}
+    assert out[0]["vec_id"] == min(rel, key=lambda c: (-rel[c], c))
+    assert all(row["vec_id"] in rel for row in out)
+
+    import math
+    vecs = {row["vec_id"]: (row["c_e"], row["c_n"]) for row in cand}
+
+    def sim(i, j):
+        (ei, ni), (ej, nj) = vecs[i], vecs[j]
+        return math.fsum(x * y for x, y in zip(ei, ej)) / (ni * nj)
+
+    picked = [out[0]["vec_id"]]
+    for row in out[1:]:
+        pool = [c for c in rel if c not in picked]
+        def score(c):
+            return MMR_LAMBDA * rel[c] - (1 - MMR_LAMBDA) * max(
+                sim(c, s) for s in picked
+            )
+        best = min(pool, key=lambda c: (-score(c), c))
+        assert row["vec_id"] == best
+        picked.append(row["vec_id"])
