@@ -78,6 +78,9 @@ _NEW_IN_R7 = (
     "densify_daily_spine",
     "stream_stateful_parity",
     "sim_mmr_diversify",
+    "pipeline_dataset_mixture",
+    "eval_auc_roc",
+    "win_session_paths",
 )
 _R2_COHORT = (
     "agg_hash",

@@ -34,6 +34,7 @@ except ImportError:  # pragma: no cover
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from databricks_feature_store_poc_spark.featurestore.lookup import TrainingSet
 from databricks_feature_store_poc_spark.registry import QUERIES, query
@@ -778,4 +779,85 @@ def feature_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("cents").alias("min_cents"),
             F.max("cents").alias("max_cents"),
         )
+    )
+
+
+@query(
+    "eval_auc_roc",
+    oracle="""
+    WITH scored AS (
+        SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+               CAST(embedding[1] AS DOUBLE) AS s
+        FROM embeddings
+    ),
+    g AS (
+        SELECT s, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS n_pos
+        FROM scored GROUP BY s
+    ),
+    c AS (
+        SELECT n, n_pos,
+               CAST(coalesce(SUM(n) OVER (
+                   ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_before
+        FROM g
+    ),
+    t AS (
+        SELECT CAST(sum(n_pos * (2 * cum_before + n + 1)) AS BIGINT)
+                   AS sum_pos_2ranks,
+               CAST(sum(n_pos) AS BIGINT) AS p,
+               CAST(sum(n - n_pos) AS BIGINT) AS nn
+        FROM c
+    )
+    SELECT p AS n_pos, nn AS n_neg,
+           CAST(sum_pos_2ranks - p * (p + 1) AS DOUBLE)
+               / CAST(2 * p * nn AS DOUBLE) AS auc
+    FROM t
+    """,
+)
+def eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC as the Mann-Whitney rank statistic — the
+    threshold-free eval metric `eval_metrics`' confusion counts can't
+    give. Labels/scores follow that query's deterministic convention
+    (y = label < 5, score = first embedding coordinate).
+
+    Exactness contract: ties get average ranks, but the whole statistic
+    is computed in DOUBLED integer rank units (2*avg_rank =
+    2*cum_before + n + 1), so every accumulation is BIGINT-exact and
+    only the single final division produces a float — bit-identical on
+    any engine at any partition count, unlike the float-summed textbook
+    formulation. Shape at 100 TB: one groupBy(score) collapse (a
+    distinct-score table, orders of magnitude smaller than the corpus),
+    one prefix-sum window over it, one scalar aggregate; the global
+    window runs over the COLLAPSED table only — the raw corpus is never
+    globally sorted.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    scored = e.select(
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+        F.element_at("embedding", 1).cast("double").alias("s"),
+    )
+    g = scored.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.withColumn(
+        "cum_before", F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long")
+    )
+    t = c.agg(
+        F.sum(F.col("n_pos") * (2 * F.col("cum_before") + F.col("n") + 1))
+        .cast("long").alias("sum_pos_2ranks"),
+        F.sum("n_pos").cast("long").alias("p"),
+        F.sum(F.col("n") - F.col("n_pos")).cast("long").alias("nn"),
+    )
+    return t.select(
+        F.col("p").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        (
+            (F.col("sum_pos_2ranks") - F.col("p") * (F.col("p") + 1))
+            .cast("double")
+            / (2 * F.col("p") * F.col("nn")).cast("double")
+        ).alias("auc"),
     )

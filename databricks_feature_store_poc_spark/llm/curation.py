@@ -621,3 +621,76 @@ def pipeline_incremental_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return r_arr.crossJoin(F.broadcast(r_q)).crossJoin(F.broadcast(r_n))
+
+
+@query(
+    "pipeline_dataset_mixture",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST(n_chars // 4 AS BIGINT) AS n_tokens,
+               300 * (CAST(substr(source, 4) AS BIGINT) % 4 + 1)
+                   AS budget_tokens,
+               (doc_id * 2654435761) % 4294967296 AS pri
+        FROM documents
+    ),
+    c AS (
+        SELECT *,
+               SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY pri, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_tokens
+        FROM d
+    )
+    SELECT source, budget_tokens,
+           CAST(count(*) AS BIGINT) AS n_docs_selected,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_selected,
+           CAST(sum(doc_id) AS BIGINT) AS doc_id_checksum
+    FROM c
+    WHERE cum_tokens <= budget_tokens
+    GROUP BY source, budget_tokens
+    """,
+)
+def pipeline_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture composition: each source gets a TOKEN budget (the
+    mixture weight x total budget — here a deterministic per-source
+    schedule, 300-1200 tokens), and docs are admitted in a deterministic
+    hash-priority order until the budget is exhausted — the operation
+    that turns "web 50% / books 30% / code 20%" into an actual document
+    selection for a pretraining run.
+
+    Mechanics: priority = Knuth multiplicative hash of doc_id (the
+    repo's cross-engine split convention — uniform, reproducible, and
+    independent of layout), token cost = the cheap ``n_chars div 4``
+    estimator, cut = inclusive running sum <= budget (window per
+    source). The per-source result carries a selected-doc_id checksum,
+    so the oracle verifies WHICH docs made the mixture, not just how
+    many. At 100 TB: one shuffle on source for the running-sum window —
+    and a skewed giant source can first be pre-cut per partition (any
+    doc whose within-partition prefix already exceeds the budget can be
+    dropped before the shuffle) since the hash order is layout-free;
+    the final aggregate is |sources| rows.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.expr("CAST(n_chars div 4 AS BIGINT)").alias("n_tokens"),
+        F.expr(
+            "300 * (CAST(substring(source, 4, 18) AS BIGINT) % 4 + 1)"
+        ).alias("budget_tokens"),
+        F.expr("(doc_id * 2654435761) % 4294967296").alias("pri"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("pri", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        c.filter(F.col("cum_tokens") <= F.col("budget_tokens"))
+        .groupBy("source", "budget_tokens")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_selected"),
+            F.sum("n_tokens").cast("long").alias("tokens_selected"),
+            F.sum("doc_id").cast("long").alias("doc_id_checksum"),
+        )
+    )

