@@ -81,6 +81,8 @@ _NEW_IN_R7 = (
     "pipeline_dataset_mixture",
     "eval_auc_roc",
     "win_session_paths",
+    "graph_jaccard_neighbors",
+    "scan_csv_malformed_quarantine",
 )
 _R2_COHORT = (
     "agg_hash",

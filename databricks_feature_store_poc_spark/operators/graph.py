@@ -176,3 +176,79 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
     )
     return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(TOPK)
+
+
+JACCARD_TOPK = 20
+
+
+@query(
+    "graph_jaccard_neighbors",
+    oracle=f"""
+    WITH bip AS (
+        SELECT DISTINCT o.o_custkey AS c, li.l_suppkey AS s
+        FROM orders o JOIN lineitem li ON o.o_orderkey = li.l_orderkey
+    ),
+    deg AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM bip GROUP BY s),
+    w AS (
+        SELECT a.s AS x, b.s AS y, CAST(count(*) AS BIGINT) AS shared
+        FROM bip a JOIN bip b ON a.c = b.c AND a.s < b.s
+        GROUP BY 1, 2
+    )
+    SELECT w.x, w.y, w.shared,
+           CAST(w.shared AS DOUBLE)
+               / CAST(dx.d + dy.d - w.shared AS DOUBLE) AS jaccard
+    FROM w JOIN deg dx ON dx.s = w.x JOIN deg dy ON dy.s = w.y
+    ORDER BY jaccard DESC, w.x, w.y
+    LIMIT {JACCARD_TOPK}
+    """,
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link prediction: the top-{JACCARD_TOPK}
+    supplier pairs by Jaccard similarity of their customer sets —
+    |N(x) ∩ N(y)| / |N(x) ∪ N(y)| over the customer–supplier bipartite
+    projection. The "suppliers like this one" / co-purchase
+    recommendation primitive.
+
+    Exactness: intersection and degrees are BIGINT; the union comes from
+    inclusion–exclusion (dx + dy - shared), so Jaccard is ONE division
+    of exact integers — bit-identical on both engines, ranked with
+    (x, y) tie-breaks.
+
+    Plan: one shuffle on custkey for the bipartite self-join, one
+    groupBy on the (x, y) pair, degree table joined back (AQE
+    broadcasts it when small), TakeOrderedAndProject for the top-k. At
+    100 TB the self-join's per-customer deg² blowup is the scale
+    hazard: hub customers get capped/dropped exactly like
+    dedup_ngram_jaccard's DF_CAP stop-shingles (a customer connected to
+    everything predicts nothing), or the whole similarity moves to the
+    MinHash route in llm/dedup.py; here the projection is exact.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    bip = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg = bip.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a = bip.select(F.col("c"), F.col("s").alias("x"))
+    b = bip.select(F.col("c"), F.col("s").alias("y"))
+    w = (
+        a.join(b, (a["c"] == b["c"]) & (a["x"] < b["y"]))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    dx = deg.select(F.col("s").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("s").alias("y"), F.col("d").alias("dy"))
+    return (
+        w.join(dx, "x").join(dy, "y")
+        .select(
+            "x", "y", "shared",
+            (
+                F.col("shared").cast("double")
+                / (F.col("dx") + F.col("dy") - F.col("shared")).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("x"), F.asc("y"))
+        .limit(JACCARD_TOPK)
+    )

@@ -339,3 +339,76 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(os.path.join(out, "epoch=1"), os.path.join(out, "epoch=2"))
     )
     return merged.select("doc_id", "lang", "source", "n_chars")
+
+
+@query(
+    "scan_csv_malformed_quarantine",
+    oracle="""
+    SELECT CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clean,
+           CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_quarantined,
+           CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN doc_id END) AS BIGINT)
+               AS clean_docid_sum,
+           CAST(sum(CASE WHEN doc_id % 7 = 0 THEN doc_id END) AS BIGINT)
+               AS quarantined_docid_sum,
+           CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN n_chars END) AS BIGINT)
+               AS clean_nchars_sum
+    FROM documents
+    """,
+)
+def scan_csv_malformed_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest robustness: a staged CSV where every doc_id % 7 == 0 row is
+    deliberately malformed (non-numeric garbage in the BIGINT n_chars
+    field) is read in PERMISSIVE mode with a corrupt-record column —
+    the quarantine pattern for dirty feeds at scale, where MALFORMED
+    rows must be counted, triaged, and kept (FAILFAST kills the job;
+    DROPMALFORMED silently loses data).
+
+    Triage recovers doc_id from the RAW quarantined line (the corrupt
+    column carries it verbatim), so the audit proves Spark quarantined
+    EXACTLY the malformed set — the oracle replays the deterministic
+    malformation rule against the source table. The parsed frame is
+    persisted before the corrupt-column filter (Spark's documented
+    requirement for queries over the internal corrupt-record column).
+    Scale shape: the staging write and the CSV parse are both map-only;
+    the audit is one aggregate.
+    """
+    from databricks_feature_store_poc_spark.sources.catalog import load_table as _lt
+
+    d = _lt(spark, sf_dir, "documents")
+    lines = d.select(
+        F.concat_ws(
+            ",",
+            F.col("doc_id").cast("string"),
+            F.col("lang"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("#bad#"))
+            .otherwise(F.col("n_chars").cast("string")),
+        ).alias("value")
+    )
+    out = _run_scoped_path(spark, "csv_quarantine", sf_dir)
+    lines.write.mode("overwrite").text(out)
+    parsed = (
+        spark.read.schema("doc_id LONG, lang STRING, n_chars LONG, _corrupt STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(out)
+    )
+    parsed.persist()
+    clean = parsed.filter(F.col("_corrupt").isNull())
+    quar = parsed.filter(F.col("_corrupt").isNotNull()).select(
+        F.split(F.col("_corrupt"), ",").getItem(0).cast("long").alias("qid")
+    )
+    c = clean.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clean"),
+        F.sum("doc_id").cast("long").alias("clean_docid_sum"),
+        F.sum("n_chars").cast("long").alias("clean_nchars_sum"),
+    )
+    q = quar.agg(
+        F.count(F.lit(1)).cast("long").alias("n_quarantined"),
+        F.sum("qid").cast("long").alias("quarantined_docid_sum"),
+    )
+    return c.crossJoin(F.broadcast(q)).select(
+        "n_clean", "n_quarantined", "clean_docid_sum",
+        "quarantined_docid_sum", "clean_nchars_sum",
+    )

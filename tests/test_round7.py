@@ -714,3 +714,44 @@ def test_session_paths_gate_and_replay(spark):
                for row in rows)
     ns = [row["n"] for row in rows]
     assert ns == sorted(ns, reverse=True)
+
+
+def test_jaccard_neighbors_gate_and_definition(spark):
+    """Gate green, plus a brute-force replay of one emitted pair's
+    Jaccard from the raw neighbor sets, and the ranking invariant."""
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    r = compare("graph_jaccard_neighbors", spark, SF_TEST, verbose=False)
+    assert r["ok"], r
+
+    rows = QUERIES["graph_jaccard_neighbors"](spark, SF_TEST).collect()
+    assert rows and all(0.0 < row["jaccard"] <= 1.0 for row in rows)
+    js = [row["jaccard"] for row in rows]
+    assert js == sorted(js, reverse=True)
+
+    top = rows[0]
+    o = load_table(spark, SF_TEST, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, SF_TEST, "lineitem").select("l_orderkey", "l_suppkey")
+    bip = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_suppkey").distinct().collect()
+    )
+    nx = {b["o_custkey"] for b in bip if b["l_suppkey"] == top["x"]}
+    ny = {b["o_custkey"] for b in bip if b["l_suppkey"] == top["y"]}
+    assert top["shared"] == len(nx & ny)
+    assert top["jaccard"] == len(nx & ny) / len(nx | ny)
+
+
+def test_csv_quarantine_gate_and_membership(spark):
+    """Gate green, plus: the quarantined doc_id set is EXACTLY the
+    deterministic malformed set (doc_id % 7 == 0), recovered from the
+    raw corrupt records."""
+    r = compare("scan_csv_malformed_quarantine", spark, SF_TEST, verbose=False)
+    assert r["ok"], r
+    row = QUERIES["scan_csv_malformed_quarantine"](spark, SF_TEST).collect()[0]
+    n = row["n_clean"] + row["n_quarantined"]
+    # every 7th id in 0..n-1 is malformed (doc_ids are dense from 0)
+    bad = [i for i in range(n) if i % 7 == 0]
+    assert row["n_quarantined"] == len(bad)
+    assert row["quarantined_docid_sum"] == sum(bad)
+    assert row["clean_docid_sum"] == n * (n - 1) // 2 - sum(bad)
