@@ -83,6 +83,8 @@ _NEW_IN_R7 = (
     "win_session_paths",
     "graph_jaccard_neighbors",
     "scan_csv_malformed_quarantine",
+    "feature_rfm_segments",
+    "win_first_touch_attribution",
 )
 _R2_COHORT = (
     "agg_hash",

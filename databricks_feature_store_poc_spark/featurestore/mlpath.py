@@ -861,3 +861,86 @@ def eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (2 * F.col("p") * F.col("nn")).cast("double")
         ).alias("auc"),
     )
+
+
+@query(
+    "feature_rfm_segments",
+    oracle="""
+    WITH anchor AS (SELECT max(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+    cust AS (
+        SELECT o_custkey,
+               CAST(datediff('day', max(CAST(o_orderdate AS DATE)),
+                             (SELECT d1 FROM anchor)) AS BIGINT)
+                   AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey, monetary_cents,
+               ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r,
+               ntile(5) OVER (ORDER BY frequency, o_custkey) AS f,
+               ntile(5) OVER (ORDER BY monetary_cents, o_custkey) AS m
+        FROM cust
+    )
+    SELECT CAST(r AS BIGINT) AS r_score, CAST(f AS BIGINT) AS f_score,
+           CAST(m AS BIGINT) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(monetary_cents) AS BIGINT) AS monetary_cents_total
+    FROM scored
+    GROUP BY 1, 2, 3
+    """,
+)
+def feature_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic marketing feature triple:
+    Recency (days since last order vs the corpus anchor), Frequency
+    (order count), Monetary (BIGINT-cents spend), each quintile-scored
+    and rolled up to the (r, f, m) segment grain.
+
+    Determinism: ntile over a total order (metric, custkey) — the
+    repo's win_ntile convention — so quintile boundaries are identical
+    on both engines; money stays integer cents end-to-end. Scale shape:
+    orders collapse to one row per customer FIRST (partial+final agg),
+    so the global ntile windows run over the customer table, not the
+    fact table; at true 100 TB customer counts the quantile cut moves
+    to the feature_quantile_bin histogram shape (ntile's single-window
+    total order is the documented small-dim shortcut). The anchor date
+    is a 1-row broadcast.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    anchor = o.agg(F.max("od").alias("d1"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("od").alias("last_od"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum("cents").cast("long").alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey", "frequency", "monetary_cents",
+            F.datediff(F.col("d1"), F.col("last_od")).cast("long")
+            .alias("recency_days"),
+        )
+    )
+    scored = cust.select(
+        "o_custkey", "monetary_cents",
+        F.ntile(5).over(
+            Window.orderBy(F.desc("recency_days"), F.asc("o_custkey"))
+        ).cast("long").alias("r_score"),
+        F.ntile(5).over(
+            Window.orderBy(F.asc("frequency"), F.asc("o_custkey"))
+        ).cast("long").alias("f_score"),
+        F.ntile(5).over(
+            Window.orderBy(F.asc("monetary_cents"), F.asc("o_custkey"))
+        ).cast("long").alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("monetary_cents").cast("long").alias("monetary_cents_total"),
+    )

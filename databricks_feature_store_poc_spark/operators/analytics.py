@@ -715,3 +715,82 @@ def win_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(15)
     )
+
+
+@query(
+    "win_first_touch_attribution",
+    oracle="""
+    WITH g AS (
+        SELECT event_id, user_id, ts, event_type, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    s AS (
+        SELECT event_id, user_id, ts, event_type, value,
+               CAST(SUM(new_s) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_id
+        FROM g
+    ),
+    ft AS (
+        SELECT event_type, value,
+               first_value(event_type) OVER (
+                   PARTITION BY user_id, session_id
+                   ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS first_touch
+        FROM s
+    )
+    SELECT first_touch,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS attributed_cents
+    FROM ft WHERE event_type = 'purchase'
+    GROUP BY first_touch
+    """,
+)
+def win_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: every purchase credits the event type
+    that OPENED its session — the marketing-attribution aggregate
+    (which entry channel drives revenue) and a second composition proof
+    for the gap-sessionization primitive.
+
+    Plan: the sessionizing lag/running-sum and the per-session
+    first_value all run over user_id-prefixed windows, so ONE Exchange
+    on user_id feeds every window node (the (user_id, session_id)
+    window reuses the partitioning with a local re-sort, exactly as in
+    ``win_session_paths``); revenue is floor(value*100) BIGINT cents
+    and the result is |event_types| rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
+    gap = us - F.lag(us).over(w)
+    new_s = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = e.select(
+        "event_id", "user_id", "ts", "event_type", "value",
+        F.sum(new_s).over(run).cast("long").alias("session_id"),
+    )
+    w2 = (
+        Window.partitionBy("user_id", "session_id")
+        .orderBy(F.unix_micros(F.col("ts")), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ft = s.select(
+        "event_type", "value",
+        F.first("event_type").over(w2).alias("first_touch"),
+    )
+    return (
+        ft.filter(F.col("event_type") == "purchase")
+        .groupBy("first_touch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum(F.expr("CAST(floor(value * 100) AS BIGINT)"))
+            .cast("long").alias("attributed_cents"),
+        )
+    )

@@ -755,3 +755,52 @@ def test_csv_quarantine_gate_and_membership(spark):
     assert row["n_quarantined"] == len(bad)
     assert row["quarantined_docid_sum"] == sum(bad)
     assert row["clean_docid_sum"] == n * (n - 1) // 2 - sum(bad)
+
+
+def test_rfm_segments_gate_and_quintile_laws(spark):
+    """Gate green, plus the quintile laws: scores span 1..5, each score
+    dimension partitions all customers into near-equal fifths, and the
+    monetary totals reconcile with the raw orders table."""
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    r = compare("feature_rfm_segments", spark, SF_TEST, verbose=False)
+    assert r["ok"], r
+
+    rows = QUERIES["feature_rfm_segments"](spark, SF_TEST).collect()
+    n_cust = (
+        load_table(spark, SF_TEST, "orders")
+        .select("o_custkey").distinct().count()
+    )
+    assert sum(row["n_customers"] for row in rows) == n_cust
+    for dim in ("r_score", "f_score", "m_score"):
+        per = {}
+        for row in rows:
+            per[row[dim]] = per.get(row[dim], 0) + row["n_customers"]
+        assert set(per) == {1, 2, 3, 4, 5}
+        assert max(per.values()) - min(per.values()) <= 1  # ntile law
+    total = sum(row["monetary_cents_total"] for row in rows)
+    want = (
+        load_table(spark, SF_TEST, "orders")
+        .selectExpr("CAST(floor(o_totalprice * 100) AS BIGINT) AS c")
+        .agg(F.sum("c")).collect()[0][0]
+    )
+    assert total == want
+
+
+def test_first_touch_attribution_gate_and_conservation(spark):
+    """Gate green, plus conservation: attributed purchases across all
+    first-touch channels equal the raw purchase count and cents."""
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    r = compare("win_first_touch_attribution", spark, SF_TEST, verbose=False)
+    assert r["ok"], r
+
+    rows = QUERIES["win_first_touch_attribution"](spark, SF_TEST).collect()
+    p = (
+        load_table(spark, SF_TEST, "events")
+        .filter(F.col("event_type") == "purchase")
+        .selectExpr("CAST(floor(value * 100) AS BIGINT) AS c")
+    )
+    assert sum(row["n_purchases"] for row in rows) == p.count()
+    assert (sum(row["attributed_cents"] for row in rows)
+            == p.agg(F.sum("c")).collect()[0][0])
