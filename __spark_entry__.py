@@ -56,9 +56,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #      persisted index builds once inside the tier;
 #   2. the r3 cohort, core relational shapes first;
 #   3. everything else green and unchanged (r4-r6 verdicts), headline
-#      shapes first. With a ~50-slot budget: 17 never-adjudicated + the
-#      33-query r2 cohort land this round; the full r3 cohort (~28)
-#      rotates into r8.
+#      shapes first. With a ~50-slot budget: the 26 never-adjudicated
+#      r7 queries + the first ~24 of the r2 cohort land this round; the
+#      r2 remainder (~9) and the r3 cohort (~28) rotate into r8
+#      (never-adjudicated queries outrank stale-but-green by policy).
 _NEW_IN_R7 = (
     "dedup_simhash_audit",
     "stream_true_parity",
