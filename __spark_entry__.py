@@ -86,6 +86,7 @@ _NEW_IN_R7 = (
     "scan_csv_malformed_quarantine",
     "feature_rfm_segments",
     "win_first_touch_attribution",
+    "agg_histogram_equiwidth",
 )
 _R2_COHORT = (
     "agg_hash",

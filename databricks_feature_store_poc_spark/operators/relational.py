@@ -2108,3 +2108,58 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w_cum).cast("long").alias("cum_distinct_users"),
     )
+
+
+@query(
+    "agg_histogram_equiwidth",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ),
+    b AS (
+        SELECT min(cents) AS lo,
+               (max(cents) - min(cents)) // 10 + 1 AS width
+        FROM c
+    )
+    SELECT CAST((cents - lo) // width AS BIGINT) AS bin_id,
+           CAST(min(lo + ((cents - lo) // width) * width) AS BIGINT)
+               AS bin_lo_cents,
+           CAST(min(lo + ((cents - lo) // width + 1) * width - 1) AS BIGINT)
+               AS bin_hi_cents,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM c, b
+    GROUP BY 1
+    """,
+)
+def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-WIDTH 10-bin histogram of order value — the dashboard /
+    distribution-profiling complement to ``feature_quantile_bin``'s
+    equal-frequency cuts. Width = (max-min) div 10 + 1 in BIGINT cents,
+    so bin ids, bounds, counts, and sums are all integer-exact and the
+    top value provably lands in bin 9 (not a phantom bin 10).
+
+    Shape: one scan computes the 1-row (min, width) bounds aggregate,
+    broadcast back over the scan (two passes — the unavoidable cost of
+    data-dependent bounds; a FIXED business range would be one pass);
+    binning is map-side arithmetic and the result is <= 10 rows.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents")
+    )
+    b = o.agg(
+        F.min("cents").alias("lo"),
+        F.expr("(max(cents) - min(cents)) div 10 + 1").alias("width"),
+    )
+    binned = o.join(F.broadcast(b)).select(
+        "cents",
+        F.expr("(cents - lo) div width").cast("long").alias("bin_id"),
+        F.expr("lo + ((cents - lo) div width) * width").alias("blo"),
+        F.expr("lo + ((cents - lo) div width + 1) * width - 1").alias("bhi"),
+    )
+    return binned.groupBy("bin_id").agg(
+        F.min("blo").cast("long").alias("bin_lo_cents"),
+        F.min("bhi").cast("long").alias("bin_hi_cents"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )

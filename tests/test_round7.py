@@ -804,3 +804,32 @@ def test_first_touch_attribution_gate_and_conservation(spark):
     assert sum(row["n_purchases"] for row in rows) == p.count()
     assert (sum(row["attributed_cents"] for row in rows)
             == p.agg(F.sum("c")).collect()[0][0])
+
+
+def test_histogram_equiwidth_gate_and_laws(spark):
+    """Gate green, plus histogram laws: bins tile the [min, max] range
+    with one fixed width, counts conserve the row total, and the max
+    value lands in bin 9 (no phantom bin 10)."""
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    r = compare("agg_histogram_equiwidth", spark, SF_TEST, verbose=False)
+    assert r["ok"], r
+
+    rows = sorted(
+        QUERIES["agg_histogram_equiwidth"](spark, SF_TEST).collect(),
+        key=lambda x: x["bin_id"],
+    )
+    assert rows[0]["bin_id"] >= 0 and rows[-1]["bin_id"] == 9
+    widths = {row["bin_hi_cents"] - row["bin_lo_cents"] for row in rows}
+    assert len(widths) == 1
+    o = load_table(spark, SF_TEST, "orders").selectExpr(
+        "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents"
+    )
+    stats = o.agg(
+        F.count(F.lit(1)).alias("n"), F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"), F.sum("cents").alias("s"),
+    ).collect()[0]
+    assert sum(row["n"] for row in rows) == stats["n"]
+    assert sum(row["sum_cents"] for row in rows) == stats["s"]
+    assert rows[0]["bin_lo_cents"] == stats["lo"]
+    assert rows[-1]["bin_hi_cents"] >= stats["hi"]
