@@ -87,6 +87,8 @@ _NEW_IN_R7 = (
     "feature_rfm_segments",
     "win_first_touch_attribution",
     "agg_histogram_equiwidth",
+    "stream_session_parity",
+    "dq_outlier_mad",
 )
 _R2_COHORT = (
     "agg_hash",

@@ -376,3 +376,81 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@query(
+    "dq_outlier_mad",
+    oracle="""
+    WITH c AS (
+        SELECT event_id, event_type,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    med AS (
+        SELECT event_type,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)
+                    AS BIGINT) AS med
+        FROM c GROUP BY event_type
+    ),
+    mad AS (
+        SELECT c.event_type,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(c.cents - m.med))
+                    AS BIGINT) AS mad
+        FROM c JOIN med m ON c.event_type = m.event_type
+        GROUP BY c.event_type
+    )
+    SELECT c.event_id, c.event_type, c.cents,
+           (CAST(c.cents - m.med AS DOUBLE) * 0.6745)
+               / nullif(CAST(d.mad AS DOUBLE), 0) AS modified_z,
+           abs((CAST(c.cents - m.med AS DOUBLE) * 0.6745)
+               / nullif(CAST(d.mad AS DOUBLE), 0)) > 3.5 AS is_outlier
+    FROM c JOIN med m ON c.event_type = m.event_type
+           JOIN mad d ON c.event_type = d.event_type
+    """,
+)
+def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier scoring via the modified z-score
+    (0.6745 * (x - median) / MAD, flag at |mz| > 3.5 — the Iglewicz-
+    Hoaglin rule): the median/MAD pair shrugs off the very outliers
+    that inflate ``dq_outlier_zscore``'s mean/stddev, so a heavy-tailed
+    feed doesn't mask its own anomalies.
+
+    Exactness: both the median and the MAD are PERCENTILE_DISC over
+    BIGINT cents — actual data values, no interpolation — so the only
+    floats are one multiply and one divide of exact integers, written
+    in the same order on both engines. Plan: two grouped percentile
+    passes (groupBy event_type; the second over |rows| re-joined
+    against the 5-row median table, AQE-broadcast), then a map-side
+    score join — all shuffles on event_type.
+    """
+    e = load_table(spark, sf_dir, "events")
+    c = e.select(
+        "event_id", "event_type",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+    )
+    med = c.groupBy("event_type").agg(
+        F.expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT)")
+        .alias("med")
+    )
+    mad = (
+        c.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "CAST(percentile_disc(0.5)"
+                " WITHIN GROUP (ORDER BY abs(cents - med)) AS BIGINT)"
+            ).alias("mad")
+        )
+    )
+    mz = (F.col("cents") - F.col("med")).cast("double") * F.lit(0.6745) / F.expr(
+        "nullif(CAST(mad AS DOUBLE), 0)"
+    )
+    return (
+        c.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .select(
+            "event_id", "event_type", "cents",
+            mz.alias("modified_z"),
+            (F.abs(mz) > 3.5).alias("is_outlier"),
+        )
+    )

@@ -881,3 +881,74 @@ def run_transform_with_state_stream(spark: SparkSession, sf_dir: str) -> DataFra
     )
     q.awaitTermination()
     return spark.table("tws_sink")
+
+
+@query(
+    "stream_session_parity",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTES
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged
+    ),
+    sess AS (
+        SELECT user_id, MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTES AS session_end
+        FROM numbered GROUP BY user_id, session_id
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 10 MINUTES AS w FROM events)
+    SELECT CAST(count(*) AS BIGINT) AS n_closed_sessions,
+           CAST(0 AS BIGINT) AS n_diff_rows
+    FROM sess, wm WHERE sess.session_end <= wm.w
+    """,
+)
+def stream_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third leg of the driver-adjudicated streaming-parity gates (after
+    ``stream_true_parity``'s built-in windowed agg and
+    ``stream_stateful_parity``'s custom stateful operator): a REAL
+    session_window streaming run in APPEND mode — the mode whose output
+    depends on WATERMARK-driven state eviction, not just aggregation —
+    diffed against the batch sessionization restricted to
+    watermark-closed sessions (session_end <= max(ts) - 10min, the
+    final global watermark of the drained stream).
+
+    The oracle pins (closed-session count, 0 diff rows), so the driver
+    adjudicates that append-mode session semantics — gap merging, state
+    flush at the final watermark — exactly reproduce the batch gap
+    sessionization on the closed prefix. The watermark bound is
+    computed in-plan (1-row broadcast), never collected.
+    """
+    streamed = run_session_stream(spark, sf_dir).select(
+        "user_id", "session_start", "session_end", F.col("n").cast("long").alias("n")
+    )
+    batch = stream_session(spark, sf_dir).select(
+        "user_id", "session_start", "session_end", F.col("n").cast("long").alias("n")
+    )
+    wm = load_table(spark, sf_dir, "events").agg(
+        (F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("w")
+    )
+    closed = (
+        batch.crossJoin(F.broadcast(wm))
+        .filter(F.col("session_end") <= F.col("w"))
+        .drop("w")
+    )
+    diff = streamed.exceptAll(closed).unionAll(closed.exceptAll(streamed))
+    n_diff = diff.agg(F.count(F.lit(1)).alias("n_diff_rows"))
+    return (
+        closed.agg(F.count(F.lit(1)).alias("n_closed_sessions"))
+        .crossJoin(F.broadcast(n_diff))
+        .select(
+            F.col("n_closed_sessions").cast("long").alias("n_closed_sessions"),
+            F.col("n_diff_rows").cast("long").alias("n_diff_rows"),
+        )
+    )

@@ -833,3 +833,48 @@ def test_histogram_equiwidth_gate_and_laws(spark):
     assert sum(row["sum_cents"] for row in rows) == stats["s"]
     assert rows[0]["bin_lo_cents"] == stats["lo"]
     assert rows[-1]["bin_hi_cents"] >= stats["hi"]
+
+
+def test_stream_session_parity_gate(spark):
+    """Gate green, and the diff count inside the result is literally
+    zero — append-mode session windows reproduce batch sessionization
+    on the watermark-closed prefix."""
+    r = compare("stream_session_parity", spark, SF_TEST, verbose=False)
+    assert r["ok"], r
+    row = QUERIES["stream_session_parity"](spark, SF_TEST).collect()[0]
+    assert row["n_diff_rows"] == 0 and row["n_closed_sessions"] > 0
+
+
+def test_mad_outlier_gate_and_robustness(spark):
+    """Gate green, plus the definitional replay for one event type and
+    the robustness property the operator exists for: half the values of
+    a group are within one MAD of the median (by construction of the
+    MAD as the median absolute deviation)."""
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    r = compare("dq_outlier_mad", spark, SF_TEST, verbose=False)
+    assert r["ok"], r
+
+    cents = sorted(
+        row["cents"]
+        for row in load_table(spark, SF_TEST, "events")
+        .filter(F.col("event_type") == "purchase")
+        .selectExpr("CAST(floor(value * 100) AS BIGINT) AS cents")
+        .collect()
+    )
+    import statistics
+    out = [
+        row for row in QUERIES["dq_outlier_mad"](spark, SF_TEST).collect()
+        if row["event_type"] == "purchase"
+    ]
+    n = len(cents)
+    med_low = statistics.median_low(cents)  # percentile_disc-style value
+    devs = sorted(abs(c - med_low) for c in cents)
+    within = sum(1 for row in out
+                 if abs(row["cents"] - med_low) <= devs[(n - 1) // 2])
+    assert within * 2 >= n  # at least half within one MAD of the median
+    # scores re-derive from (cents, med, mad): spot-check one row
+    mad = devs[(n - 1) // 2]
+    some = out[0]
+    assert abs(some["modified_z"]
+               - (some["cents"] - med_low) * 0.6745 / mad) < 1e-9
