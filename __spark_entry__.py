@@ -89,6 +89,7 @@ _NEW_IN_R7 = (
     "agg_histogram_equiwidth",
     "stream_session_parity",
     "dq_outlier_mad",
+    "scan_json_nested",
 )
 _R2_COHORT = (
     "agg_hash",

@@ -412,3 +412,62 @@ def scan_csv_malformed_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_clean", "n_quarantined", "clean_docid_sum",
         "quarantined_docid_sum", "clean_nchars_sum",
     )
+
+
+@query(
+    "scan_json_nested",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, n_chars,
+               list_slice(string_split(text, ' '), 1, 3) AS tags
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars,
+           CAST(unnest(range(1, len(tags) + 1)) AS BIGINT) AS tag_pos,
+           unnest(tags) AS tag
+    FROM t
+    """,
+)
+def scan_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED JSON ingestion — the shape real event/API feeds arrive in:
+    each staged line carries a struct (`meta.lang`, `meta.n_chars`) and
+    an array (`tags`, the doc's first three tokens), read back with an
+    explicit nested schema (no inference pass), projected by dot path
+    and fanned out with ``posexplode``. Complements the flat
+    ``scan_json`` round-trip: this one proves struct field access,
+    array explode with positions, and JSON string escaping all survive
+    the round trip (the oracle replays the same projection from the
+    source table, so any escaping loss diverges the hash).
+
+    Scale shape: write and read are map-only; the explode multiplies
+    rows <= 3x with zero shuffle — the plan has no exchange at all
+    until a downstream consumer aggregates.
+    """
+    from databricks_feature_store_poc_spark.sources.catalog import load_table as _lt
+
+    d = _lt(spark, sf_dir, "documents")
+    lines = d.select(
+        F.to_json(
+            F.struct(
+                F.col("doc_id"),
+                F.struct(F.col("lang"), F.col("n_chars")).alias("meta"),
+                F.slice(F.split(F.col("text"), " "), 1, 3).alias("tags"),
+            )
+        ).alias("value")
+    )
+    out = _run_scoped_path(spark, "json_nested", sf_dir)
+    lines.write.mode("overwrite").text(out)
+    schema = (
+        "doc_id LONG, meta STRUCT<lang: STRING, n_chars: LONG>,"
+        " tags ARRAY<STRING>"
+    )
+    j = spark.read.schema(schema).json(out)
+    return j.select(
+        "doc_id",
+        F.col("meta.lang").alias("lang"),
+        F.col("meta.n_chars").alias("n_chars"),
+        F.posexplode("tags").alias("pos", "tag"),
+    ).select(
+        "doc_id", "lang", "n_chars",
+        (F.col("pos") + 1).cast("long").alias("tag_pos"), "tag",
+    )

@@ -878,3 +878,30 @@ def test_mad_outlier_gate_and_robustness(spark):
     some = out[0]
     assert abs(some["modified_z"]
                - (some["cents"] - med_low) * 0.6745 / mad) < 1e-9
+
+
+def test_json_nested_gate_and_roundtrip(spark):
+    """Gate green, plus the round-trip law: every doc contributes
+    exactly min(3, token_count) tag rows, positions are 1..k, and one
+    doc's tags equal its first three raw tokens verbatim (escaping
+    survived the JSON round trip)."""
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    r = compare("scan_json_nested", spark, SF_TEST, verbose=False)
+    assert r["ok"], r
+
+    out = QUERIES["scan_json_nested"](spark, SF_TEST).collect()
+    by_doc: dict[int, list] = {}
+    for row in out:
+        by_doc.setdefault(row["doc_id"], []).append(row)
+    docs = {
+        row["doc_id"]: row["text"]
+        for row in load_table(spark, SF_TEST, "documents")
+        .select("doc_id", "text").collect()
+    }
+    assert set(by_doc) == set(docs)
+    for doc_id, rows in list(by_doc.items())[:25]:
+        toks = docs[doc_id].split(" ")[:3]
+        rows.sort(key=lambda x: x["tag_pos"])
+        assert [row["tag_pos"] for row in rows] == list(range(1, len(toks) + 1))
+        assert [row["tag"] for row in rows] == toks
