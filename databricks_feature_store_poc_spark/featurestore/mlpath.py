@@ -353,8 +353,6 @@ def score_batch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     inference path (02:478-484 + README.md:100-102). The stub model is a
     deterministic threshold rule so the whole replay (lineage load ->
     join -> pandas_udf predict) is oracle-checkable."""
-    import tempfile
-
     from databricks_feature_store_poc_spark.featurestore.lookup import (
         FeatureLookup,
         create_training_set,
@@ -386,7 +384,14 @@ def score_batch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, spine, lookups, label=None, exclude_columns=["o_custkey"],
         resolve_table={"customer": customer}.__getitem__,
     )
-    artifact_dir = os.path.join(tempfile.gettempdir(), "spark_graft_model_replay")
+    # Run-scoped artifact dir (the _run_scoped_path convention): two
+    # concurrent sessions must not race on the same pickle, and a reader
+    # must never observe a partially written artifact from another run.
+    from databricks_feature_store_poc_spark.operators.zorder import (
+        _run_scoped_path,
+    )
+
+    artifact_dir = _run_scoped_path(spark, "model_replay", sf_dir)
     log_model(ThresholdModel(), artifact_dir, ts)
     scored = score_batch(
         spark, artifact_dir, spine,
@@ -812,7 +817,7 @@ def feature_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p AS n_pos, nn AS n_neg,
            CAST(sum_pos_2ranks - p * (p + 1) AS DOUBLE)
-               / CAST(2 * p * nn AS DOUBLE) AS auc
+               / CAST(nullif(2 * p * nn, 0) AS DOUBLE) AS auc
     FROM t
     """,
 )
@@ -858,7 +863,12 @@ def eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (F.col("sum_pos_2ranks") - F.col("p") * (F.col("p") + 1))
             .cast("double")
-            / (2 * F.col("p") * F.col("nn")).cast("double")
+            # nullif: a degenerate corpus with all labels on one side
+            # (p=0 or nn=0) must be NULL on BOTH engines — Spark's
+            # non-ANSI divide gives NULL but DuckDB's IEEE divide gives
+            # ±Inf/NaN, the exact cross-engine divergence the repo's
+            # corr_covar/oof nullif convention exists to prevent.
+            / F.nullif(2 * F.col("p") * F.col("nn"), F.lit(0)).cast("double")
         ).alias("auc"),
     )
 

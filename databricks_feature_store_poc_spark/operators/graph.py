@@ -179,15 +179,33 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 JACCARD_TOPK = 20
+# Hub cap: customers connected to more than this many suppliers are
+# dropped from the bipartite projection BEFORE the pair self-join. The
+# pair join emits deg²/2 rows per customer, so one hub customer joined
+# to everything is a straight scale-killer — and a customer connected
+# to everything predicts nothing (the same information-theoretic
+# argument as dedup_ngram_jaccard's DF_CAP stop-shingles). 256 is far
+# above the real per-customer supplier degree at every test SF (max 102
+# at sf0.1, 67 at sf0.01), so capped and uncapped results are
+# bit-identical on the testdata; at corpus scale it bounds the worst
+# per-customer pair fanout at 256²/2 ≈ 33k rows. The cap is
+# deterministic, so the DuckDB oracle applies the identical filter and
+# the query stays hash-adjudicable.
+JACCARD_HUB_CAP = 256
 
 
 @query(
     "graph_jaccard_neighbors",
     oracle=f"""
-    WITH bip AS (
+    WITH bip0 AS (
         SELECT DISTINCT o.o_custkey AS c, li.l_suppkey AS s
         FROM orders o JOIN lineitem li ON o.o_orderkey = li.l_orderkey
     ),
+    cdeg AS (
+        SELECT c FROM bip0 GROUP BY c
+        HAVING count(*) <= {JACCARD_HUB_CAP}
+    ),
+    bip AS (SELECT bip0.c, bip0.s FROM bip0 JOIN cdeg ON bip0.c = cdeg.c),
     deg AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM bip GROUP BY s),
     w AS (
         SELECT a.s AS x, b.s AS y, CAST(count(*) AS BIGINT) AS shared
@@ -218,18 +236,30 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy on the (x, y) pair, degree table joined back (AQE
     broadcasts it when small), TakeOrderedAndProject for the top-k. At
     100 TB the self-join's per-customer deg² blowup is the scale
-    hazard: hub customers get capped/dropped exactly like
-    dedup_ngram_jaccard's DF_CAP stop-shingles (a customer connected to
-    everything predicts nothing), or the whole similarity moves to the
-    MinHash route in llm/dedup.py; here the projection is exact.
+    hazard, so the hub cap is IN THE PLAN: customers with bipartite
+    degree > {JACCARD_HUB_CAP} are filtered out of the projection
+    before the pair join (see JACCARD_HUB_CAP above — identical filter
+    in the oracle, results unchanged at every test SF, worst-case pair
+    fanout bounded). The degree count, the filter join, and the pair
+    self-join all key on ``c``, so one hash exchange on ``c`` serves
+    all three stages. Corpora where even capped exact counting is too
+    dense move to the MinHash route in llm/dedup.py; here the
+    projection is exact.
     """
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    bip = (
+    bip0 = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
+    nonhub = (
+        bip0.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("cd"))
+        .filter(F.col("cd") <= JACCARD_HUB_CAP)
+        .select("c")
+    )
+    bip = bip0.join(nonhub, "c")
     deg = bip.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("d"))
     a = bip.select(F.col("c"), F.col("s").alias("x"))
     b = bip.select(F.col("c"), F.col("s").alias("y"))

@@ -84,9 +84,12 @@ def rolling_prefix_sums(
 
     The identity: with integer-microsecond timestamps,
 
-        sum over (t_i - d, t_i]  ==  prefix(t_i) - prefix(t_i - d - 1µs)
+        sum over [t_i - d, t_i]  ==  prefix(t_i) - prefix(t_i - d - 1µs)
 
-    where prefix(x) is the tie-inclusive cumulative sum at x. Both
+    (closed on BOTH ends — the probe at t_i - d·86400e6 - 1 excludes
+    exactly the rows strictly before t_i - d, matching a RANGE frame's
+    `d PRECEDING AND CURRENT ROW`). prefix(x) is the tie-inclusive
+    cumulative sum at x. Both
     prefixes come from ONE unbounded-preceding RANGE window (Spark
     evaluates those incrementally — no per-row frame re-scan) over the
     union of the anchor rows and one probe row per (row, window) placed
@@ -96,6 +99,12 @@ def rolling_prefix_sums(
     clustered by the window's hash partitioning, so the whole operator
     pays a single shuffle. ``id_col`` must be unique per row; sums
     accumulate in DECIMAL, so the subtraction is exact.
+
+    NULL semantics match the sliding RANGE frame's SUM exactly: a
+    window whose in-frame values are all NULL yields a NULL sum (not
+    0.0 from ``cum - cum``) — a separate non-NULL-value count prefix
+    detects that case. ``n_<d>d`` keeps counting ROWS in the frame
+    (``COUNT(*)`` semantics), NULL values included.
     """
     ts_type = df.schema[ts_col].dataType.simpleString()
     base = df.select(
@@ -130,6 +139,9 @@ def rolling_prefix_sums(
         "__kind",
         F.sum(F.when(anchor, F.col("__v"))).over(w).alias("__cum_v"),
         F.sum(F.when(anchor, 1).otherwise(0)).over(w).alias("__cum_n"),
+        F.sum(
+            F.when(anchor & F.col("__v").isNotNull(), 1).otherwise(0)
+        ).over(w).alias("__cum_nv"),
     )
     probe_v = [
         F.max(F.when(F.col("__kind") == f"p{d}", F.col("__cum_v"))).alias(
@@ -143,12 +155,20 @@ def rolling_prefix_sums(
         )
         for d in days_list
     ]
+    probe_nv = [
+        F.max(F.when(F.col("__kind") == f"p{d}", F.col("__cum_nv"))).alias(
+            f"__p{d}_nv"
+        )
+        for d in days_list
+    ]
     res = cum.groupBy("__k", "__id").agg(
         F.max(F.when(anchor, F.col("__ts"))).alias("__ats"),
         F.max(F.when(anchor, F.col("__cum_v"))).alias("__a_v"),
         F.max(F.when(anchor, F.col("__cum_n"))).alias("__a_n"),
+        F.max(F.when(anchor, F.col("__cum_nv"))).alias("__a_nv"),
         *probe_v,
         *probe_n,
+        *probe_nv,
     )
     zero = F.lit(0).cast("decimal(18,2)")
     return res.select(
@@ -156,8 +176,15 @@ def rolling_prefix_sums(
         F.col("__id").alias(id_col),
         F.col("__ats").alias(ts_col),
         *[
-            (F.col("__a_v") - F.coalesce(F.col(f"__p{d}_v"), zero))
-            .cast("double")
+            F.when(
+                (F.col("__a_nv") - F.coalesce(F.col(f"__p{d}_nv"), F.lit(0)))
+                == 0,
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
+                (F.col("__a_v") - F.coalesce(F.col(f"__p{d}_v"), zero))
+                .cast("double")
+            )
             .alias(f"sum_{d}d")
             for d in days_list
         ],

@@ -186,7 +186,10 @@ def test_compaction_is_shuffle_free_and_lossless(spark):
     whole point vs repartition), and the round-trip must be lossless."""
     row = QUERIES["sink_compact_smallfiles"](spark, SF_TEST).collect()[0]
     assert row["small_files_written_ok"] and row["compaction_reduced_files_ok"]
-    assert row["files_after"] == 4
+    # ADVICE r7 #2: exact ==4 was split-packing-dependent (few cores or a
+    # large maxPartitionBytes pack 64 tiny files into <4 scan partitions);
+    # the environment-independent contract is <= target.
+    assert row["files_after_le_target"]
 
     from databricks_feature_store_poc_spark.sources.catalog import load_table
 
