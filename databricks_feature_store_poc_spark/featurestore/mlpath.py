@@ -913,18 +913,33 @@ def feature_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines; money stays integer cents end-to-end. Scale shape:
     orders collapse to one row per customer FIRST (partial+final agg),
     so the global ntile windows run over the customer table, not the
-    fact table; at true 100 TB customer counts the quantile cut moves
-    to the feature_quantile_bin histogram shape (ntile's single-window
-    total order is the documented small-dim shortcut). The anchor date
-    is a 1-row broadcast.
+    fact table; above RFM_NTILE_MAX customers the engine AUTOMATICALLY
+    switches to the feature_quantile_bin histogram-cut route (see
+    ``rfm_segments``) so the single-task global-ntile sort can never be
+    silently carried to a huge customer dim. The anchor date is a 1-row
+    broadcast.
     """
+    return rfm_segments(spark, sf_dir)
+
+
+# Above this many customer-dim rows the global-ntile quintile scoring
+# (one single-task total-order sort per metric) hands over to the
+# histogram-cut route. 2M rows of (key, 3 longs) sort in seconds on one
+# task; the gate exists so the shortcut can't silently reach a 100 TB
+# customer dim. Overridable per deployment via env.
+RFM_NTILE_MAX = int(os.environ.get("SPARK_GRAFT_RFM_NTILE_MAX", "2000000"))
+
+
+def _rfm_customer_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per customer: (recency_days, frequency, monetary_cents),
+    all BIGINT — partial+final agg over orders, anchor date broadcast."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         F.col("o_orderdate").cast("date").alias("od"),
         F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
     )
     anchor = o.agg(F.max("od").alias("d1"))
-    cust = (
+    return (
         o.groupBy("o_custkey")
         .agg(
             F.max("od").alias("last_od"),
@@ -938,19 +953,186 @@ def feature_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recency_days"),
         )
     )
-    scored = cust.select(
-        "o_custkey", "monetary_cents",
-        F.ntile(5).over(
-            Window.orderBy(F.desc("recency_days"), F.asc("o_custkey"))
-        ).cast("long").alias("r_score"),
-        F.ntile(5).over(
-            Window.orderBy(F.asc("frequency"), F.asc("o_custkey"))
-        ).cast("long").alias("f_score"),
-        F.ntile(5).over(
-            Window.orderBy(F.asc("monetary_cents"), F.asc("o_custkey"))
-        ).cast("long").alias("m_score"),
+
+
+def _disc_cut_frame(df: DataFrame, col: str, prefix: str, k: int = 5) -> DataFrame:
+    """1-row frame of the k-quantile PERCENTILE_DISC cut points of
+    ``col`` (columns ``{prefix}1 .. {prefix}{k-1}``), computed via the
+    feature_quantile_bin histogram route: groupBy(value) collapses the
+    corpus to its distinct-value histogram (partial+final combine), a
+    running-count window ranks that domain-bounded table, and each cut
+    is one conditional MIN at the BIGINT rank threshold ceil(i*n/k) =
+    (i*n + k - 1) DIV k. No percentile state buffering, no float."""
+    hist = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy(col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = hist.select(
+        F.col(col).alias("v"),
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    return ranked.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"({i} * n + {k - 1}) DIV {k}"),
+                    F.col("v"),
+                )
+            ).alias(f"{prefix}{i}")
+            for i in range(1, k)
+        ]
+    )
+
+
+def rfm_segments(
+    spark: SparkSession, sf_dir: str, ntile_max_rows: int | None = None
+) -> DataFrame:
+    """RFM segment rollup with an automatic scale switch (VERDICT r7
+    'do this' #4): customer dims up to ``ntile_max_rows`` use exact
+    equal-count quintiles (three global ntile windows — a single-task
+    total-order sort, fine for small dims); larger dims use
+    PERCENTILE_DISC histogram cuts per metric (the
+    feature_quantile_bin shape — every stage partial-aggregated, the
+    only single-task step a window over the DISTINCT-VALUE histogram,
+    domain-bounded rather than row-bounded).
+
+    The two branches differ on ties by construction (ntile splits a
+    tied run across quintiles via the custkey tie-break; value cuts
+    keep it together), so each branch has its own driver oracle:
+    feature_rfm_segments (ntile) and feature_rfm_segments_hist
+    (forced cuts via ntile_max_rows=0).
+
+    The branch gate reads the customer dim's parquet row count — a
+    metadata-only count(*) over footers, no data scan.
+    """
+    if ntile_max_rows is None:
+        ntile_max_rows = RFM_NTILE_MAX
+    cust = _rfm_customer_frame(spark, sf_dir)
+    if ntile_max_rows > 0:
+        n_dim = load_table(spark, sf_dir, "customer").count()
+    else:
+        n_dim = 1  # forced histogram branch: skip the probe entirely
+    if 0 < n_dim <= ntile_max_rows:
+        scored = cust.select(
+            "o_custkey", "monetary_cents",
+            F.ntile(5).over(
+                Window.orderBy(F.desc("recency_days"), F.asc("o_custkey"))
+            ).cast("long").alias("r_score"),
+            F.ntile(5).over(
+                Window.orderBy(F.asc("frequency"), F.asc("o_custkey"))
+            ).cast("long").alias("f_score"),
+            F.ntile(5).over(
+                Window.orderBy(F.asc("monetary_cents"), F.asc("o_custkey"))
+            ).cast("long").alias("m_score"),
+        )
+    else:
+        from databricks_feature_store_poc_spark.cacheutil import session_persist
+
+        # The three cut scans + the scoring pass reference cust 4x;
+        # persist ONE copy for the session (fingerprint-keyed, evicted
+        # on testdata regeneration) instead of re-aggregating orders.
+        cust = session_persist(
+            spark, "rfm_cust",
+            [os.path.join(sf_dir, "orders.parquet")], cust,
+        )
+        r_cuts = _disc_cut_frame(
+            cust.select((-F.col("recency_days")).alias("v")), "v", "r"
+        )
+        f_cuts = _disc_cut_frame(
+            cust.select(F.col("frequency").alias("v")), "v", "f"
+        )
+        m_cuts = _disc_cut_frame(
+            cust.select(F.col("monetary_cents").alias("v")), "v", "m"
+        )
+
+        def _score(v, prefix: str):
+            s = F.lit(1)
+            for i in range(1, 5):
+                s = s + F.when(v > F.col(f"{prefix}{i}"), 1).otherwise(0)
+            return s.cast("long")
+
+        scored = (
+            cust.crossJoin(F.broadcast(r_cuts))
+            .crossJoin(F.broadcast(f_cuts))
+            .crossJoin(F.broadcast(m_cuts))
+            .select(
+                "o_custkey", "monetary_cents",
+                _score(-F.col("recency_days"), "r").alias("r_score"),
+                _score(F.col("frequency"), "f").alias("f_score"),
+                _score(F.col("monetary_cents"), "m").alias("m_score"),
+            )
+        )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("monetary_cents").cast("long").alias("monetary_cents_total"),
     )
+
+
+@query(
+    "feature_rfm_segments_hist",
+    oracle="""
+    WITH anchor AS (SELECT max(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+    cust AS (
+        SELECT o_custkey,
+               CAST(datediff('day', max(CAST(o_orderdate AS DATE)),
+                             (SELECT d1 FROM anchor)) AS BIGINT)
+                   AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    cuts AS (
+        SELECT quantile_disc(-recency_days, 0.2) AS r1,
+               quantile_disc(-recency_days, 0.4) AS r2,
+               quantile_disc(-recency_days, 0.6) AS r3,
+               quantile_disc(-recency_days, 0.8) AS r4,
+               quantile_disc(frequency, 0.2) AS f1,
+               quantile_disc(frequency, 0.4) AS f2,
+               quantile_disc(frequency, 0.6) AS f3,
+               quantile_disc(frequency, 0.8) AS f4,
+               quantile_disc(monetary_cents, 0.2) AS m1,
+               quantile_disc(monetary_cents, 0.4) AS m2,
+               quantile_disc(monetary_cents, 0.6) AS m3,
+               quantile_disc(monetary_cents, 0.8) AS m4
+        FROM cust
+    ),
+    scored AS (
+        SELECT o_custkey, monetary_cents,
+               1 + CAST(-recency_days > r1 AS INT)
+                 + CAST(-recency_days > r2 AS INT)
+                 + CAST(-recency_days > r3 AS INT)
+                 + CAST(-recency_days > r4 AS INT) AS r,
+               1 + CAST(frequency > f1 AS INT)
+                 + CAST(frequency > f2 AS INT)
+                 + CAST(frequency > f3 AS INT)
+                 + CAST(frequency > f4 AS INT) AS f,
+               1 + CAST(monetary_cents > m1 AS INT)
+                 + CAST(monetary_cents > m2 AS INT)
+                 + CAST(monetary_cents > m3 AS INT)
+                 + CAST(monetary_cents > m4 AS INT) AS m
+        FROM cust CROSS JOIN cuts
+    )
+    SELECT CAST(r AS BIGINT) AS r_score, CAST(f AS BIGINT) AS f_score,
+           CAST(m AS BIGINT) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(monetary_cents) AS BIGINT) AS monetary_cents_total
+    FROM scored
+    GROUP BY 1, 2, 3
+    """,
+)
+def feature_rfm_segments_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RFM rollup through the FORCED histogram-cut branch — the
+    shape `rfm_segments` automatically selects above RFM_NTILE_MAX
+    customers. Quintile scores are 1 + the count of PERCENTILE_DISC
+    cut points strictly below the metric (recency negated so more
+    recent scores higher, matching the ntile branch's DESC order);
+    pure BIGINT comparisons, bit-identical on both engines. This
+    oracle adjudicates the huge-dim branch so the automatic switch is
+    driver-verified on BOTH sides, not just the small-dim shortcut.
+    """
+    return rfm_segments(spark, sf_dir, ntile_max_rows=0)

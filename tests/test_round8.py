@@ -99,6 +99,41 @@ def test_jaccard_hub_cap_drops_hub_customers(spark, tmp_path):
     assert r["jaccard"] == pytest.approx(1.0)
 
 
+def test_rfm_auto_switch_pins_plan_shape(spark):
+    """VERDICT r7 'do this' #4: above the dim-size threshold the
+    global-ntile quintile scoring must hand over to the histogram-cut
+    route — pinned on the optimized plan (ntile windows present below
+    the threshold, absent above it), with both branches oracle-green
+    via their own driver gates."""
+    from databricks_feature_store_poc_spark.featurestore.mlpath import (
+        rfm_segments,
+    )
+
+    def plan(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    small_dim = rfm_segments(spark, SF_TEST, ntile_max_rows=10**9)
+    huge_dim = rfm_segments(spark, SF_TEST, ntile_max_rows=1)
+    assert "ntile" in plan(small_dim)
+    assert "ntile" not in plan(huge_dim)
+
+    # both branches are driver-adjudicated against their own oracles
+    for key in ("feature_rfm_segments", "feature_rfm_segments_hist"):
+        r = compare(key, spark, SF_TEST, verbose=False)
+        assert r["ok"], r
+
+    # sanity: both branches partition all customers and conserve money
+    tot = {
+        name: df.agg(
+            F.sum("n_customers").alias("n"),
+            F.sum("monetary_cents_total").alias("cents"),
+        ).first()
+        for name, df in (("ntile", small_dim), ("hist", huge_dim))
+    }
+    assert tot["ntile"]["n"] == tot["hist"]["n"]
+    assert tot["ntile"]["cents"] == tot["hist"]["cents"]
+
+
 def test_jaccard_gate_unchanged_by_cap(spark):
     """CAP=256 exceeds every real customer degree at the test SFs, so
     the capped query must stay hash-green against the capped oracle AND
