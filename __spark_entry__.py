@@ -40,79 +40,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver adjudicates ~50 queries per round in dict order, so the dict
-# is emitted in ADJUDICATION-PRIORITY order, not alphabetical. After r6
-# the merged r1-r6 verdicts are 0-red, but 33 queries' newest verdict is
-# from r2 and 28 from r3 — before several testdata/session-conf changes
-# (VERDICT r6 'do this' #1). Round-7 tiers:
-#   0. new-in-r7, never driver-adjudicated: the simhash audit twin, the
-#      true-streaming parity gate, the quantized-IVF ANN, blocked entity
-#      resolution, incremental aggregate-state merge, small-file
-#      compaction;
-#      plus the second/third-wave r7 construction (entity resolution,
-#      incremental agg state, compaction, CDF diff, OOF target
-#      encoding, forward fill, schema evolution, incremental curation);
-#   1. the r2 cohort — every query whose newest verdict is r2 — with
-#      the shingle-pipeline dedup family contiguous at the tail so the
-#      persisted index builds once inside the tier;
-#   2. the r3 cohort, core relational shapes first;
-#   3. everything else green and unchanged (r4-r6 verdicts), headline
-#      shapes first. With a ~50-slot budget: the 26 never-adjudicated
-#      r7 queries + the first ~24 of the r2 cohort land this round; the
-#      r2 remainder (~9) and the r3 cohort (~28) rotate into r8
-#      (never-adjudicated queries outrank stale-but-green by policy).
-_NEW_IN_R7 = (
-    "dedup_simhash_audit",
-    "stream_true_parity",
-    "sim_ivf_quantized",
-    "join_entity_resolution",
-    "agg_incremental_state",
-    "sink_compact_smallfiles",
-    "cdf_snapshot_diff",
-    "feature_target_encoding_oof",
-    "win_forward_fill",
-    "scan_schema_evolution",
-    "pipeline_incremental_curate",
-    "pipeline_gdpr_delete",
-    "feature_quantile_bin",
-    "win_cumulative_distinct",
-    "win_retention_cohorts",
-    "densify_daily_spine",
-    "stream_stateful_parity",
-    "sim_mmr_diversify",
-    "pipeline_dataset_mixture",
-    "eval_auc_roc",
-    "win_session_paths",
+# is emitted in ADJUDICATION-PRIORITY order, not alphabetical. Round-8
+# policy (VERDICT r7 'do this' #1 — finish the stale-verdict rotation;
+# few new queries on purpose so the FULL 40-query r2/r3 stale cohort fits
+# in one 50-slot round):
+#   0. new-in-r8 or changed-in-r8: the two new queries (vacuum/retention,
+#      the forced histogram-branch RFM twin) plus every query whose plan,
+#      oracle, or shared helper changed this round (jaccard hub cap,
+#      compaction contract, AUC nullif, RFM refactor, rolling NULL
+#      semantics, quarantine cache release, run-scoped model path) —
+#      changed queries must carry a FRESH verdict, not coast on r7's;
+#   1. the r2 remainder — the 12 queries whose newest verdict is still
+#      r2 — with the shingle-pipeline dedup family contiguous at the
+#      tail so the persisted index builds once inside the tier;
+#   2. the full r3 cohort (28), core relational shapes first;
+#   3. the oldest r4 verdicts next (any budget beyond 49 starts
+#      refreshing these), then headline shapes, then the rest.
+#   => slots 1-49 retire every pre-r4 verdict; slot 50 begins the r4
+#      rotation for r9.
+_NEW_IN_R8 = (
+    "sink_vacuum_retention",
+    "feature_rfm_segments_hist",
     "graph_jaccard_neighbors",
-    "scan_csv_malformed_quarantine",
+    "sink_compact_smallfiles",
+    "eval_auc_roc",
     "feature_rfm_segments",
-    "win_first_touch_attribution",
-    "agg_histogram_equiwidth",
-    "stream_session_parity",
-    "dq_outlier_mad",
-    "scan_json_nested",
+    "feature_rolling_sum",
+    "scan_csv_malformed_quarantine",
+    "score_batch_replay",
 )
-_R2_COHORT = (
-    "agg_hash",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_heavy_hitters",
-    "agg_percentile",
-    "agg_pivot",
-    "agg_rollup",
-    "agg_stats",
-    "class_distribution",
-    "dtype_classification",
-    "eval_metrics",
-    "feature_importance",
-    "filter_pred",
-    "filter_in",
-    "filter_like",
-    "fn_array",
-    "fn_bitwise",
-    "fn_case",
-    "fn_json",
-    "fn_levenshtein",
+_R2_STALE = (
     "fn_map",
     "fn_null_semantics",
     "fn_string",
@@ -156,25 +113,59 @@ _R3_COHORT = (
     "pipeline_curate_corpus",
     "pack_sequences",
 )
+# Newest verdict r4 — the next rotation cohort (r9); any round-8 budget
+# past slot 49 starts here.
+_R4_COHORT = (
+    "sink_feature_table",
+    "dedup_embedding_cosine",
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "agg_collect_set",
+    "agg_corr_covar",
+    "agg_cube",
+    "fn_math",
+    "mm_decode_stub",
+    "sort_multi",
+    "subquery_exists",
+    "text_decontaminate",
+    "text_fingerprint",
+    "text_lang_dist",
+    "text_langid",
+    "text_ngrams",
+    "text_pii_scrub",
+    "text_quality_score",
+    "text_stats",
+    "text_tfidf_topterms",
+    "text_token_count",
+    "udf_scalar",
+    "udtf_explode_tokens",
+    "unpivot_melt",
+    "win_distribution",
+    "win_lag_lead",
+    "win_rank",
+    "win_running",
+    "win_topk_per_group",
+)
 _HEADLINE = (
     "training_set_flagship",
     "training_set_point_in_time",
     "training_set_on_demand",
-    "sink_feature_table",
 )
 
 
 def _priority_order(names: list[str]) -> list[str]:
     def tier(name: str) -> tuple:
-        if name in _NEW_IN_R7:
-            return (0, _NEW_IN_R7.index(name), "")
-        if name in _R2_COHORT:
-            return (1, _R2_COHORT.index(name), "")
+        if name in _NEW_IN_R8:
+            return (0, _NEW_IN_R8.index(name), "")
+        if name in _R2_STALE:
+            return (1, _R2_STALE.index(name), "")
         if name in _R3_COHORT:
             return (2, _R3_COHORT.index(name), "")
+        if name in _R4_COHORT:
+            return (3, _R4_COHORT.index(name), "")
         if name in _HEADLINE:
-            return (3, _HEADLINE.index(name), "")
-        return (4, 0, name)
+            return (4, _HEADLINE.index(name), "")
+        return (5, 0, name)
 
     return sorted(names, key=tier)
 

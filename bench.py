@@ -7,6 +7,17 @@ Each query is executed with a `noop` materialization (full computation,
 results discarded executor-side — no driver collect skewing the timing).
 Per-query failures are recorded as null and don't sink the run.
 
+Robustness (VERDICT r7 'do this' #5): single-run walls carried a
+measured ~1.5x environment drift and up to 4x per-query jitter across
+rounds, so the suite now runs up to SPARK_GRAFT_BENCH_REPEATS full
+passes (default 3) and reports the PER-QUERY MEDIAN (median_low — an
+actual measured wall, never an average of two). A wall-clock budget
+(SPARK_GRAFT_BENCH_BUDGET_SEC, default 1500) degrades gracefully: pass
+1 always completes (never worse than the old single-run bench); extra
+passes run only while the projected time fits the budget. The JSON
+reports "passes" so a 1-pass fallback is visible, and the sidecar
+keeps every pass's raw walls under "passes_raw".
+
 Usage:  python bench.py            # $SPARK_GRAFT_SF_DIR (default sf0.1)
         python bench.py q1 q2 ...  # subset
 """
@@ -82,30 +93,59 @@ def main() -> int:
         except Exception:
             pass
 
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500"))
+    t_start = time.perf_counter()
+    passes_raw: dict[str, list[float | None]] = {n: [] for n in queries}
+    n_passes = 0
+    for p in range(repeats):
+        # pass 1 always runs (the bench is never worse than single-run);
+        # later passes only if one more full pass fits the budget,
+        # projected from the mean cost of the passes so far.
+        elapsed = time.perf_counter() - t_start
+        if p > 0 and elapsed + elapsed / p > budget:
+            print(
+                f"# budget: stopping after {p} pass(es), "
+                f"{elapsed:.0f}s elapsed of {budget:.0f}s",
+                file=sys.stderr,
+            )
+            break
+        n_passes = p + 1
+        for name in sorted(queries):
+            try:
+                sec = run_query(queries[name], spark, name)
+                passes_raw[name].append(round(sec, 3))
+                print(f"# pass{p + 1} {name}: {sec:.3f}s", file=sys.stderr)
+            except Exception as e:  # record and continue
+                passes_raw[name].append(None)
+                print(
+                    f"# pass{p + 1} {name}: FAILED {type(e).__name__}: {e}",
+                    file=sys.stderr,
+                )
+
+    import statistics
+
     timings: dict[str, float | None] = {}
     total = 0.0
-    for name in sorted(queries):
-        try:
-            sec = run_query(queries[name], spark, name)
-            timings[name] = round(sec, 3)
-            total += sec
-            print(f"# {name}: {sec:.3f}s", file=sys.stderr)
-        except Exception as e:  # record and continue
-            timings[name] = None
-            print(f"# {name}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
+    for name, walls in passes_raw.items():
+        ok = [w for w in walls if w is not None]
+        # a query is a failure only if EVERY pass failed
+        timings[name] = statistics.median_low(ok) if ok else None
+        total += timings[name] or 0.0
 
     result = {
         "metric": "suite_wall_seconds",
         "value": round(total, 3),
         "unit": "sec",
+        "passes": n_passes,
         "queries": timings,
         "sf": _sf_of(SF_DIR),
     }
     # Sidecar with the FULL per-query dict (committed to the repo, the
-    # judge diffs this round-over-round).
+    # judge diffs this round-over-round) plus every pass's raw walls.
     try:
         with open(os.path.join(REPO, "bench_result.json"), "w") as f:
-            f.write(json.dumps(result) + "\n")
+            f.write(json.dumps({**result, "passes_raw": passes_raw}) + "\n")
     except OSError:
         pass
     # The driver captures only the last 2000 BYTES of stdout and parses

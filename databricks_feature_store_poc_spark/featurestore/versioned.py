@@ -136,3 +136,97 @@ class VersionedFeatureTable:
         for v in drop:
             shutil.rmtree(v["path"], ignore_errors=True)
         return [v["version"] for v in drop]
+
+
+# ---------------------------------------------------------------------------
+# Registry query: the VACUUM/retention analog for the managed-store
+# maintenance story (VERDICT r7 'do this' #8 — reference's managed Delta
+# store implies retention; README.md:91-94's feature-table lifecycle).
+# ---------------------------------------------------------------------------
+
+from databricks_feature_store_poc_spark.registry import query  # noqa: E402
+
+
+@query(
+    "sink_vacuum_retention",
+    oracle="""
+    SELECT CAST(3 AS BIGINT) AS n_versions_before,
+           CAST(2 AS BIGINT) AS n_versions_after,
+           CAST(1 AS BIGINT) AS n_dropped,
+           CAST(count(*) AS BIGINT) AS latest_rows,
+           CAST(sum(doc_id) AS BIGINT) AS latest_docid_sum,
+           CAST(sum(CASE WHEN doc_id % 3 <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS v2_rows,
+           TRUE AS dropped_dirs_removed,
+           TRUE AS pruned_version_unreadable,
+           TRUE AS survivor_as_of_ok
+    FROM documents
+    """,
+)
+def sink_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM/retention end-to-end: write three snapshot versions of a
+    feature table (1/3, 2/3, then all of documents), prune to
+    ``keep_last=2``, and verify the whole retention contract —
+
+    - exactly the oldest version is dropped and its directory is GONE
+      from disk (vacuum reclaims storage, not just manifest entries);
+    - time travel to the pruned version now raises (no dangling-path
+      reads — the manifest flips before directories are removed);
+    - the surviving snapshots are byte-lossless: the newest version's
+      row count and doc_id checksum match the source exactly, the
+      middle version keeps its original rows, and `as_of` time travel
+      still resolves to the middle snapshot.
+
+    The audit values are computed from REAL reads of the surviving
+    snapshots and materialized while they exist (the staging tree is
+    deleted afterwards — this query must not leak disk across a
+    211-query sweep, the scan_csv_malformed_quarantine convention).
+    Scale shape: three distributed parquet writes + two aggregate
+    scans; prune itself is O(#versions) driver metadata plus directory
+    removal — never a data scan.
+    """
+    import tempfile
+
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    root = tempfile.mkdtemp(prefix="spark_graft_vacuum_")
+    try:
+        vt = VersionedFeatureTable(spark, root, "docs")
+        vt.write(d.filter(F.col("doc_id") % 3 == 0), timestamp=1.0)
+        vt.write(d.filter(F.col("doc_id") % 3 <= 1), timestamp=2.0)
+        vt.write(d, timestamp=3.0)
+        n_before = len(vt.history())
+        dropped = vt.prune(keep_last=2)
+        n_after = len(vt.history())
+        dropped_dirs_removed = all(
+            not os.path.exists(os.path.join(root, "docs", f"v={v}"))
+            for v in dropped
+        )
+        try:
+            vt.read(version=dropped[0])
+            pruned_version_unreadable = False
+        except VersionedTableError:
+            pruned_version_unreadable = True
+        latest = vt.read().agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("doc_id").cast("long").alias("s"),
+        ).first()
+        v2_rows = vt.read(version=2).count()
+        # as_of=2.5 must resolve to the surviving middle snapshot
+        survivor_as_of_ok = vt.read(as_of=2.5).count() == v2_rows
+        row = (
+            n_before, n_after, len(dropped),
+            latest["n"], latest["s"], v2_rows,
+            dropped_dirs_removed, pruned_version_unreadable,
+            survivor_as_of_ok,
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
+        "n_versions_before long, n_versions_after long, n_dropped long,"
+        " latest_rows long, latest_docid_sum long, v2_rows long,"
+        " dropped_dirs_removed boolean, pruned_version_unreadable boolean,"
+        " survivor_as_of_ok boolean",
+    )

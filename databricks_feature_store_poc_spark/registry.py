@@ -51,6 +51,7 @@ def load_all_queries() -> None:
     import databricks_feature_store_poc_spark.featurestore.mlpath  # noqa: F401
     import databricks_feature_store_poc_spark.featurestore.quality  # noqa: F401
     import databricks_feature_store_poc_spark.featurestore.queries  # noqa: F401
+    import databricks_feature_store_poc_spark.featurestore.versioned  # noqa: F401
     import databricks_feature_store_poc_spark.functions.scalar  # noqa: F401
     import databricks_feature_store_poc_spark.llm.curation  # noqa: F401
     import databricks_feature_store_poc_spark.llm.dedup  # noqa: F401
