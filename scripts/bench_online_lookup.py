@@ -1,0 +1,152 @@
+"""Online-lookup latency microbench (VERDICT r7 'do this' #6).
+
+The reference README.md:110-116 sets a <10 ms online point-lookup
+target ('lookup_mode: online', 02_model_training.py:77). The real
+Redis/Cassandra server is absent from this sandbox, so this measures
+the two paths that ARE runnable end-to-end:
+
+- SpoolDirKV — the emulated networked backend: executor-parallel
+  full_sync of the sf0.1 customer feature table through
+  foreachPartition, then point `get()`s against the replayed view
+  (cold first-get pays the spool replay; steady-state gets are dict
+  probes — the shape a Redis client shows after connection setup).
+- OnlineStore — the capped driver-side dict view (the POC's
+  'lookup_mode: online' emulation): `from_table` build + `lookup()`.
+
+Reported: sync wall, cold-first-get, then p50/p99/max over N random
+point lookups (80% hits / 20% misses — misses must also be fast, they
+are the left-join-NULL path). If the optional `redis` client AND a
+reachable server exist, RedisKV is measured identically; otherwise the
+row records why it was skipped.
+
+Writes scripts/bench_online_lookup.json and prints one JSON line.
+
+Usage: python scripts/bench_online_lookup.py   # $SPARK_GRAFT_SF_DIR
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_LOOKUPS = int(os.environ.get("ONLINE_BENCH_LOOKUPS", "100000"))
+TARGET_MS = 10.0  # reference README.md:115
+
+
+def _quantiles(ns: list[int]) -> dict:
+    ns = sorted(ns)
+    return {
+        "p50_us": round(statistics.median_low(ns) / 1e3, 2),
+        "p99_us": round(ns[int(len(ns) * 0.99)] / 1e3, 2),
+        "max_us": round(ns[-1] / 1e3, 2),
+        "under_10ms_pct": round(
+            100.0 * sum(1 for v in ns if v < TARGET_MS * 1e6) / len(ns), 4
+        ),
+    }
+
+
+def bench_gets(get, keys: list[tuple]) -> dict:
+    laps = []
+    for k in keys:
+        t0 = time.perf_counter_ns()
+        get(k)
+        laps.append(time.perf_counter_ns() - t0)
+    return _quantiles(laps)
+
+
+def main() -> int:
+    from databricks_feature_store_poc_spark.featurestore.online import (
+        OnlineStore,
+        OnlineStoreSync,
+        SpoolDirKV,
+    )
+    from databricks_feature_store_poc_spark.session import get_spark
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    spark = get_spark("bench-online")
+    cust = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment", "c_nationkey"
+    )
+    key_rows = [r["c_custkey"] for r in cust.select("c_custkey").collect()]
+    n_rows = len(key_rows)
+    rng = random.Random(8)
+    # 80% existing keys, 20% misses (fast-NULL path must also be fast)
+    probe_keys = [
+        (rng.choice(key_rows),) if rng.random() < 0.8 else (-rng.randrange(1, 1 << 30),)
+        for _ in range(N_LOOKUPS)
+    ]
+
+    result: dict = {"sf_dir": SF_DIR, "n_rows": n_rows, "n_lookups": N_LOOKUPS}
+
+    # --- SpoolDirKV: executor-parallel sync + replayed point view ------
+    spool = tempfile.mkdtemp(prefix="spark_graft_online_bench_")
+    try:
+        kv = SpoolDirKV(spool)
+        sync = OnlineStoreSync(kv, ["c_custkey"])
+        t0 = time.perf_counter()
+        sync.full_sync(cust)
+        sync_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        kv.get((key_rows[0],))  # cold: replays the spool into the view
+        cold_ms = (time.perf_counter() - t0) * 1e3
+        result["spooldir_kv"] = {
+            "full_sync_sec": round(sync_sec, 2),
+            "rows_per_sec_sync": round(n_rows / max(sync_sec, 1e-9)),
+            "cold_first_get_ms": round(cold_ms, 2),
+            **bench_gets(kv.get, probe_keys),
+        }
+    finally:
+        shutil.rmtree(spool, ignore_errors=True)
+
+    # --- OnlineStore: driver-side dict view -----------------------------
+    t0 = time.perf_counter()
+    store = OnlineStore.from_table(cust, ["c_custkey"])
+    build_sec = time.perf_counter() - t0
+    result["online_store_dict"] = {
+        "build_sec": round(build_sec, 2),
+        **bench_gets(lambda k: store.lookup(*k), probe_keys),
+    }
+
+    # --- RedisKV: only if client + server are actually present ----------
+    try:
+        import redis  # noqa: F401
+
+        from databricks_feature_store_poc_spark.featurestore.online import (
+            RedisKV,
+        )
+
+        kv = RedisKV()
+        kv.get((key_rows[0],))  # connection probe
+        sync = OnlineStoreSync(kv, ["c_custkey"])
+        t0 = time.perf_counter()
+        sync.full_sync(cust)
+        sync_sec = time.perf_counter() - t0
+        result["redis_kv"] = {
+            "full_sync_sec": round(sync_sec, 2),
+            **bench_gets(kv.get, probe_keys),
+        }
+    except Exception as exc:
+        result["redis_kv"] = {
+            "skipped": f"{type(exc).__name__}: no redis client/server in sandbox"
+        }
+
+    result["reference_target_ms"] = TARGET_MS
+    with open(os.path.join(REPO, "scripts", "bench_online_lookup.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
