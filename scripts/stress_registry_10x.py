@@ -103,6 +103,33 @@ EXPECTED_REPLAN = {
     ),
 }
 
+# Shingle-route near-dup queries degenerate to an EMPTY pair set at
+# extreme clone counts — correctly: cloning every document C times
+# multiplies every shingle's document frequency by C, so past
+# C > DF_CAP (50) EVERY shingle becomes a stop-shingle and the
+# inverted index is empty. That is the cap doing its job (a shingle
+# present in 100 copies of everything carries zero discriminative
+# signal); on a real corpus only genuinely common shingles cross the
+# cap. Identical copies are the EXACT-dedup route's work
+# (dedup_exact's hash-groupBy collapses the clones at any C); the
+# shingle routes exist for non-identical near-matches. A 0-row result
+# for these queries at high clone counts is therefore EXPLAINED, not
+# a lost-output bug.
+CLONE_DEGENERATE_ZERO = {
+    "dedup_ngram_jaccard": (
+        f"at {CLONES}x clones every shingle's df is ~{CLONES}x its "
+        f"original, exceeding DF_CAP=50, so stop-shingle removal "
+        "empties the inverted index — identical clones are "
+        "dedup_exact's work; near-dup routes key on rare shingles"
+    ),
+    "dedup_near_minhash": (
+        f"minhash signatures come from the DF-capped shingle index; at "
+        f"{CLONES}x clones the index is empty (every shingle df > "
+        "DF_CAP=50), so candidates and verified pairs are empty — the "
+        "10x row (250k pairs) is the scaling evidence"
+    ),
+}
+
 
 def _span(spark, table: str, col: str) -> int:
     return load_table(spark, SRC, table).agg(F.max(col)).first()[0] + 1
@@ -285,6 +312,12 @@ def main() -> int:
                 "cartesian"
             ):
                 row["flag_explained"] = EXPECTED_REPLAN[name]
+        if (
+            name in CLONE_DEGENERATE_ZERO
+            and CLONES > 50
+            and row.get("rows_10x") == 0
+        ):
+            row["zero_rows_explained"] = CLONE_DEGENERATE_ZERO[name]
         summary.append(row)
 
     suffix = "" if CLONES == 10 else f"_{CLONES}x"
