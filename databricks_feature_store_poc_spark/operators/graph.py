@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from databricks_feature_store_poc_spark.registry import query
@@ -232,17 +232,23 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     of exact integers — bit-identical on both engines, ranked with
     (x, y) tie-breaks.
 
-    Plan: one shuffle on custkey for the bipartite self-join, one
-    groupBy on the (x, y) pair, degree table joined back (AQE
-    broadcasts it when small), TakeOrderedAndProject for the top-k. At
+    Plan: ONE linear pipeline with no recomputation — the hub cap and
+    the supplier degrees are WINDOW counts chained onto the projection
+    (count over partitionBy(c) → filter degree <= {JACCARD_HUB_CAP} →
+    count over partitionBy(s) carried on every row), so the capped,
+    degree-annotated projection is a single subtree. The pair
+    self-join's two sides are that identical subtree, and both need
+    the same hash exchange on ``c`` — Spark's ReuseExchange computes
+    it ONCE. Because each row already carries its supplier's degree,
+    the pair groupBy aggregates dx/dy with MAX (degree is functionally
+    dependent on the supplier) and the two post-hoc degree joins
+    disappear entirely; TakeOrderedAndProject serves the top-k. At
     100 TB the self-join's per-customer deg² blowup is the scale
     hazard, so the hub cap is IN THE PLAN: customers with bipartite
     degree > {JACCARD_HUB_CAP} are filtered out of the projection
     before the pair join (see JACCARD_HUB_CAP above — identical filter
     in the oracle, results unchanged at every test SF, worst-case pair
-    fanout bounded). The degree count, the filter join, and the pair
-    self-join all key on ``c``, so one hash exchange on ``c`` serves
-    all three stages. Corpora where even capped exact counting is too
+    fanout bounded). Corpora where even capped exact counting is too
     dense move to the MinHash route in llm/dedup.py; here the
     projection is exact.
     """
@@ -253,26 +259,29 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    nonhub = (
-        bip0.groupBy("c")
-        .agg(F.count(F.lit(1)).alias("cd"))
+    bip = (
+        bip0.withColumn(
+            "cd", F.count(F.lit(1)).over(Window.partitionBy("c"))
+        )
         .filter(F.col("cd") <= JACCARD_HUB_CAP)
-        .select("c")
+        .withColumn(
+            "d", F.count(F.lit(1)).over(Window.partitionBy("s")).cast("long")
+        )
+        .drop("cd")
     )
-    bip = bip0.join(nonhub, "c")
-    deg = bip.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    a = bip.select(F.col("c"), F.col("s").alias("x"))
-    b = bip.select(F.col("c"), F.col("s").alias("y"))
+    a = bip.select("c", F.col("s").alias("x"), F.col("d").alias("dx"))
+    b = bip.select("c", F.col("s").alias("y"), F.col("d").alias("dy"))
     w = (
         a.join(b, (a["c"] == b["c"]) & (a["x"] < b["y"]))
         .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("shared"),
+            F.max("dx").alias("dx"),
+            F.max("dy").alias("dy"),
+        )
     )
-    dx = deg.select(F.col("s").alias("x"), F.col("d").alias("dx"))
-    dy = deg.select(F.col("s").alias("y"), F.col("d").alias("dy"))
     return (
-        w.join(dx, "x").join(dy, "y")
-        .select(
+        w.select(
             "x", "y", "shared",
             (
                 F.col("shared").cast("double")
