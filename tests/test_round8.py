@@ -134,6 +134,22 @@ def test_rfm_auto_switch_pins_plan_shape(spark):
     assert tot["ntile"]["cents"] == tot["hist"]["cents"]
 
 
+def test_jaccard_plan_is_single_pipeline(spark):
+    """The r8 rework's contract, pinned: the capped projection is ONE
+    linear pipeline — each fact table planned at most twice (the
+    self-join's two sides, which AQE exchange-reuse dedupes at
+    runtime), never the 5x re-derivation of the groupBy-filter-join
+    draft — and no cartesian anywhere."""
+    from databricks_feature_store_poc_spark.plans.inspect import simple_plan
+
+    df = QUERIES["graph_jaccard_neighbors"](spark, SF_TEST)
+    plan = simple_plan(df)
+    for t in ("orders", "lineitem"):
+        n = sum(1 for line in plan.splitlines() if "FileScan" in line and t in line)
+        assert n <= 2, f"{t} planned {n}x — projection re-derived\n{plan}"
+    assert "CartesianProduct" not in plan
+
+
 def test_jaccard_gate_unchanged_by_cap(spark):
     """CAP=256 exceeds every real customer degree at the test SFs, so
     the capped query must stay hash-green against the capped oracle AND
