@@ -39,17 +39,33 @@ _DISC_PRICE = f"{_EXT} * {_ONE_MINUS_DISC}"
 _CHARGE = f"{_DISC_PRICE} * {_ONE_PLUS_TAX}"
 
 
+def _dd(expr: str) -> str:
+    """DuckDB DECIMAL -> DOUBLE with CORRECT rounding, via VARCHAR.
+
+    DuckDB's direct decimal->double cast computes
+    double(unscaled)/double(10^scale) — two roundings — so once the
+    unscaled aggregate exceeds 2^53 the result can land 1 ulp away
+    from the correctly-rounded value the JVM's BigDecimal.doubleValue
+    produces (found by the r8 10x-replica oracle run: tpch_q1's
+    sum_charge at ~5.1e16 unscaled differed in the last ulp; below
+    2^53 the two agree bit-for-bit, which is why every driver SF was
+    and stays identical). decimal->VARCHAR is exact and
+    VARCHAR->DOUBLE is a correctly-rounded strtod on both engines, so
+    this pins the oracle to the same bits as Spark at ANY magnitude."""
+    return f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"
+
+
 @query(
     "tpch_q1",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM({_EXT}) AS DOUBLE) AS sum_base_price,
-           CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM({_CHARGE}) AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-           CAST(SUM({_EXT}) AS DOUBLE) / COUNT(*) AS avg_price,
-           CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           {_dd("SUM(CAST(l_quantity AS DECIMAL(18,2)))")} AS sum_qty,
+           {_dd(f"SUM({_EXT})")} AS sum_base_price,
+           {_dd(f"SUM({_DISC_PRICE})")} AS sum_disc_price,
+           {_dd(f"SUM({_CHARGE})")} AS sum_charge,
+           {_dd("SUM(CAST(l_quantity AS DECIMAL(18,2)))")} / COUNT(*) AS avg_qty,
+           {_dd(f"SUM({_EXT})")} / COUNT(*) AS avg_price,
+           {_dd("SUM(CAST(l_discount AS DECIMAL(4,2)))")} / COUNT(*) AS avg_disc,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'

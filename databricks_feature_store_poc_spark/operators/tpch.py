@@ -654,14 +654,16 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q17",
     oracle=f"""
+    WITH flagged AS (
+        SELECT l_partkey, l_quantity, l_extendedprice,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                        OVER (PARTITION BY l_partkey) AS DOUBLE)
+                   / COUNT(*) OVER (PARTITION BY l_partkey) AS avg_qty
+        FROM lineitem
+    )
     SELECT CAST(CAST(SUM({_EXT}) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
-    FROM lineitem
+    FROM flagged
     JOIN part ON p_partkey = l_partkey
-    JOIN (
-        SELECT l_partkey AS pa_partkey,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
-        FROM lineitem GROUP BY l_partkey
-    ) pa ON pa_partkey = p_partkey
     WHERE p_brand = 'Brand#2' AND p_size <= 25
       AND l_quantity < 0.5 * avg_qty
     """,
@@ -670,7 +672,13 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q17 small-quantity revenue. Deviation: p_container doesn't exist,
     so the part filter is brand + size band. The correlated scalar
     subquery (per-part average quantity) is decorrelated into a grouped
-    aggregate joined back — the textbook Q17 plan.
+    aggregate joined back — the textbook Q17 plan. The ORACLE computes
+    the same per-part average as a window over l_partkey instead of a
+    joined-back aggregate: identical values, but planner-robust — on
+    stats-less parquet views (the r8 10x-replica run) DuckDB costed the
+    decorrelated form's inequality as a pre-equi-join NESTED_LOOP
+    (20k x 6M rows, 22 GB of spill); a window can't be re-planned into
+    a cross product on any engine.
 
     Scale: per-part averages are one partkey aggregate of the fact (the
     unavoidable full pass the query semantics demand); the brand-filtered
