@@ -40,91 +40,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver adjudicates ~50 queries per round in dict order, so the dict
-# is emitted in ADJUDICATION-PRIORITY order, not alphabetical. Round-8
-# policy (VERDICT r7 'do this' #1 — finish the stale-verdict rotation;
-# few new queries on purpose so the FULL 40-query r2/r3 stale cohort fits
-# in one 50-slot round):
-#   0. new-in-r8 or changed-in-r8: the two new queries (vacuum/retention,
-#      the forced histogram-branch RFM twin) plus every query whose plan,
-#      oracle, or shared helper changed this round (jaccard hub cap,
-#      compaction contract, AUC nullif, RFM refactor, rolling NULL
-#      semantics, quarantine cache release, run-scoped model path) —
-#      changed queries must carry a FRESH verdict, not coast on r7's;
-#   1. the r2 remainder — the 12 queries whose newest verdict is still
-#      r2 — with the shingle-pipeline dedup family contiguous at the
-#      tail so the persisted index builds once inside the tier;
-#   2. the full r3 cohort (28), core relational shapes first;
-#   3. the oldest r4 verdicts next (any budget beyond 49 starts
-#      refreshing these), then headline shapes, then the rest.
-#   => slots 1-49 retire every pre-r4 verdict; slot 50 begins the r4
-#      rotation for r9.
-_NEW_IN_R8 = (
-    "sink_vacuum_retention",
-    "feature_rfm_segments_hist",
-    "graph_jaccard_neighbors",
-    "sink_compact_smallfiles",
-    "eval_auc_roc",
+# is emitted in ADJUDICATION-PRIORITY order, not alphabetical. Round-9
+# policy (VERDICT r8 'do this' #1 — rotate the 50-slot budget onto the
+# r4+r5 cohorts so no verdict is older than r5):
+#   0. new-in-r9 or changed-in-r9: every query whose plan, oracle, or
+#      shared helper changed this round (the RFM branch-gate pin +
+#      footer-metadata probe, plus anything the zipf-replica gate
+#      surfaced) — changed queries must carry a FRESH verdict;
+#   1. pack_sequences — the single r3-latest key (rows-only by design;
+#      re-adjudicating re-prints no_oracle, but the ledger stops being
+#      the one pre-r4 row) with its audit twin IMMEDIATELY adjacent so
+#      the rows-only primary never carries a staler audit;
+#   2. the full r4 cohort (29);
+#   3. the r5 cohort (40) — audit twins and streaming first, the
+#      remaining slots of the ~50 budget land here; the tail rolls to
+#      r10's rotation.
+_NEW_IN_R9 = (
+    # rfm_segments changed: the registered ntile query now PINS its
+    # branch with an explicit constant (immune to the
+    # SPARK_GRAFT_RFM_NTILE_MAX env override, whose purpose is tuning
+    # the library path), and the branch gate reads the customer row
+    # count from parquet footers (a real metadata-only probe) instead
+    # of a columnless count() scan. Both registered RFM queries share
+    # that body, so both re-earn verdicts.
     "feature_rfm_segments",
-    "feature_rolling_sum",
-    "scan_csv_malformed_quarantine",
-    "score_batch_replay",
-    # late-r8 oracle-robustness fixes found by running the WHOLE oracle
-    # gate on the 10x stress replica (a 4th data distribution): q1's
-    # DuckDB decimal->double cast routed through VARCHAR (correct
-    # rounding above 2^53 unscaled; bit-identical at every driver SF),
-    # q17's oracle re-expressed as a window (planner-robust vs a
-    # nested-loop re-plan on stats-less views). Changed oracles re-earn
-    # their verdicts, so they join tier 0; the r3 cohort's tail may
-    # slide past slot 50 into r9's rotation as a result.
-    "tpch_q1",
-    "tpch_q17",
+    "feature_rfm_segments_hist",
 )
-_R2_STALE = (
-    "fn_map",
-    "fn_null_semantics",
-    "fn_string",
-    "fn_string_extended",
-    "join_anti",
-    "join_broadcast",
-    "dedup_exact",
-    "dedup_distinct",
-    "dedup_ngram_jaccard",
-    "dedup_near_minhash",
-    "dedup_simhash",
-    "dedup_clusters",
-)
-_R3_COHORT = (
-    "join_inner_hash",
-    "join_left_lookup",
-    "join_semi",
-    "join_full_outer",
-    "join_null_safe",
-    "join_theta_range",
-    "join_multiway_star",
-    "join_lateral_topn",
-    "project_exprs",
-    "limit_topk",
-    "scalar_subquery",
-    "scan_csv_infer",
-    "scan_json",
-    "scan_orc",
-    "set_union_all",
-    "set_intersect",
-    "set_except",
-    "missing_value_scan",
-    "mm_embedding_norm",
-    "mm_binary_meta",
-    "mm_frame_sample",
-    "sim_cosine_topk",
-    "sample_stratified_hash",
-    "sample_weighted_bernoulli",
-    "sample_quota_per_lang",
-    "pipeline_clean_corpus",
-    "pipeline_curate_corpus",
+_R3_ROWSONLY = (
     "pack_sequences",
+    "pack_sequences_audit",
 )
-# Newest verdict r4 — the next rotation cohort (r9); any round-8 budget
-# past slot 49 starts here.
+# Newest verdict r4 — this round's main rotation cohort.
 _R4_COHORT = (
     "sink_feature_table",
     "dedup_embedding_cosine",
@@ -156,23 +102,68 @@ _R4_COHORT = (
     "win_running",
     "win_topk_per_group",
 )
+# Newest verdict r5 — remaining budget lands on this cohort's head;
+# ordered: audit twins (rows-only primaries must never carry a staler
+# audit than their family), streaming/stateful (the least
+# SQL-redundant family), then feature/window/join shapes, then the
+# TPC-H re-verifications (the most formulaic, safest to age one more
+# round if the budget runs out).
+_R5_COHORT = (
+    "dedup_minhash_audit",
+    "text_tfidf_audit",
+    "stream_dedup_exactly_once",
+    "stream_interval_join",
+    "stream_session",
+    "stream_tumbling",
+    "feature_resample_1h",
+    "feature_rolling_hourly",
+    "feature_sessionize",
+    "feature_time_decay",
+    "fn_try_arithmetic",
+    "funnel_signup_purchase",
+    "join_bucketed_colocated",
+    "join_interval_overlap",
+    "join_salted_skew",
+    "rollup_incremental",
+    "split_temporal",
+    "text_span_dedup",
+    "training_set_on_demand",
+    "training_set_point_in_time",
+    "udtf_native_split",
+    "win_ntile_deciles",
+    "agg_hll_sketch",
+    "agg_mode_deterministic",
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+)
 _HEADLINE = (
     "training_set_flagship",
-    "training_set_point_in_time",
-    "training_set_on_demand",
 )
 
 
 def _priority_order(names: list[str]) -> list[str]:
     def tier(name: str) -> tuple:
-        if name in _NEW_IN_R8:
-            return (0, _NEW_IN_R8.index(name), "")
-        if name in _R2_STALE:
-            return (1, _R2_STALE.index(name), "")
-        if name in _R3_COHORT:
-            return (2, _R3_COHORT.index(name), "")
+        if name in _NEW_IN_R9:
+            return (0, _NEW_IN_R9.index(name), "")
+        if name in _R3_ROWSONLY:
+            return (1, _R3_ROWSONLY.index(name), "")
         if name in _R4_COHORT:
-            return (3, _R4_COHORT.index(name), "")
+            return (2, _R4_COHORT.index(name), "")
+        if name in _R5_COHORT:
+            return (3, _R5_COHORT.index(name), "")
         if name in _HEADLINE:
             return (4, _HEADLINE.index(name), "")
         return (5, 0, name)

@@ -127,7 +127,11 @@ def main() -> int:
 
     timings: dict[str, float | None] = {}
     total = 0.0
-    for name, walls in passes_raw.items():
+    # sorted so the sidecar's query ordering is stable round-over-round
+    # (registry insertion order is adjudication-priority order, which
+    # churns every round as tiers rotate).
+    for name in sorted(passes_raw):
+        walls = passes_raw[name]
         ok = [w for w in walls if w is not None]
         # a query is a failure only if EVERY pass failed
         timings[name] = statistics.median_low(ok) if ok else None

@@ -38,7 +38,10 @@ from pyspark.sql.window import Window
 
 from databricks_feature_store_poc_spark.featurestore.lookup import TrainingSet
 from databricks_feature_store_poc_spark.registry import QUERIES, query
-from databricks_feature_store_poc_spark.sources.catalog import load_table
+from databricks_feature_store_poc_spark.sources.catalog import (
+    load_table,
+    parquet_row_count,
+)
 
 
 # -- A1 ---------------------------------------------------------------------
@@ -913,13 +916,18 @@ def feature_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines; money stays integer cents end-to-end. Scale shape:
     orders collapse to one row per customer FIRST (partial+final agg),
     so the global ntile windows run over the customer table, not the
-    fact table; above RFM_NTILE_MAX customers the engine AUTOMATICALLY
-    switches to the feature_quantile_bin histogram-cut route (see
-    ``rfm_segments``) so the single-task global-ntile sort can never be
-    silently carried to a huge customer dim. The anchor date is a 1-row
-    broadcast.
+    fact table. This registered query PINS the ntile branch with an
+    explicit ``ntile_max_rows`` (the branches differ on ties by
+    construction, and this oracle is ntile-form) so the
+    SPARK_GRAFT_RFM_NTILE_MAX env override — whose purpose is tuning
+    the ``rfm_segments`` library entry point — can't silently flip the
+    adjudicated query onto the histogram branch and hash-red it. The
+    histogram branch has its own pinned twin
+    (``feature_rfm_segments_hist``); deployments past
+    _RFM_NTILE_ORACLE_PIN customers are the library path's job, not
+    this oracle's. The anchor date is a 1-row broadcast.
     """
-    return rfm_segments(spark, sf_dir)
+    return rfm_segments(spark, sf_dir, ntile_max_rows=_RFM_NTILE_ORACLE_PIN)
 
 
 # Above this many customer-dim rows the global-ntile quintile scoring
@@ -928,6 +936,13 @@ def feature_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # task; the gate exists so the shortcut can't silently reach a 100 TB
 # customer dim. Overridable per deployment via env.
 RFM_NTILE_MAX = int(os.environ.get("SPARK_GRAFT_RFM_NTILE_MAX", "2000000"))
+
+# The registered ntile-oracle query pins its branch with this explicit
+# constant (NOT the env-overridable RFM_NTILE_MAX): the env knob's
+# advertised purpose is tuning library deployments, and exercising it
+# must not flip the adjudicated ntile query onto the tie-divergent
+# histogram branch (ADVICE r8).
+_RFM_NTILE_ORACLE_PIN = 2_000_000
 
 
 def _rfm_customer_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1006,14 +1021,22 @@ def rfm_segments(
     feature_rfm_segments (ntile) and feature_rfm_segments_hist
     (forced cuts via ntile_max_rows=0).
 
-    The branch gate reads the customer dim's parquet row count — a
-    metadata-only count(*) over footers, no data scan.
+    The branch gate reads the customer table's row count from parquet
+    FOOTER metadata (``parquet_row_count`` — no data scan, no Spark
+    job), falling back to a columnless ``count()`` scan only if footers
+    are unreadable. The probe counts the customer DIM while the scored
+    frame is built from distinct orders custkeys, so it is an UPPER
+    BOUND on the frame's cardinality — conservative in the safe
+    direction (can only force the scale branch early, never carry the
+    global sort to a dim bigger than the gate).
     """
     if ntile_max_rows is None:
         ntile_max_rows = RFM_NTILE_MAX
     cust = _rfm_customer_frame(spark, sf_dir)
     if ntile_max_rows > 0:
-        n_dim = load_table(spark, sf_dir, "customer").count()
+        n_dim = parquet_row_count(sf_dir, "customer")
+        if n_dim is None:
+            n_dim = load_table(spark, sf_dir, "customer").count()
     else:
         n_dim = 1  # forced histogram branch: skip the probe entirely
     if 0 < n_dim <= ntile_max_rows:

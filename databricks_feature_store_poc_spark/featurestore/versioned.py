@@ -81,23 +81,40 @@ class VersionedFeatureTable:
     ) -> DataFrame:
         """Latest snapshot by default; a specific `version`; or the newest
         snapshot written at or before `as_of` (epoch seconds)."""
-        versions = self._read_manifest()
-        if not versions:
-            raise VersionedTableError(f"no versions in {self.dir}")
         if version is not None and as_of is not None:
             raise VersionedTableError("pass version OR as_of, not both")
-        if version is not None:
-            matches = [v for v in versions if v["version"] == version]
-            if not matches:
-                raise VersionedTableError(f"version {version} not found")
-            entry = matches[0]
-        elif as_of is not None:
-            eligible = [v for v in versions if v["timestamp"] <= as_of]
-            if not eligible:
-                raise VersionedTableError(f"no version at or before {as_of}")
-            entry = eligible[-1]
-        else:
-            entry = versions[-1]
+
+        def _resolve(versions: list[dict]) -> dict:
+            if not versions:
+                raise VersionedTableError(f"no versions in {self.dir}")
+            if version is not None:
+                matches = [v for v in versions if v["version"] == version]
+                if not matches:
+                    raise VersionedTableError(f"version {version} not found")
+                return matches[0]
+            if as_of is not None:
+                eligible = [v for v in versions if v["timestamp"] <= as_of]
+                if not eligible:
+                    raise VersionedTableError(
+                        f"no version at or before {as_of}"
+                    )
+                return eligible[-1]
+            return versions[-1]
+
+        entry = _resolve(self._read_manifest())
+        if not os.path.isdir(entry["path"]):
+            # Concurrent-prune race: this reader resolved through a
+            # manifest snapshot read BEFORE prune's atomic flip, and the
+            # directory was removed after. Because prune flips the
+            # manifest BEFORE any rmtree, the FRESH manifest no longer
+            # lists any dropped path — one re-resolution either lands on
+            # a surviving snapshot (as_of inside the retention window)
+            # or raises a clean retention error, never a dangling scan.
+            entry = _resolve(self._read_manifest())
+            if not os.path.isdir(entry["path"]):
+                raise VersionedTableError(
+                    f"version {entry['version']} was pruned concurrently"
+                )
         return self.spark.read.parquet(entry["path"])
 
     def history(self) -> list[dict]:

@@ -74,6 +74,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parquet_row_count(sf_dir: str, name: str) -> int | None:
+    """Table row count from parquet FOOTER metadata only — no data scan,
+    no Spark job. Sums ``num_rows`` across footers, handling both the
+    driver's single-file layout and Spark-written directory datasets
+    (the replica harness). Returns None when footers can't be read so
+    callers can fall back to a columnless ``df.count()`` scan.
+
+    Exists because ``spark.sql.parquet.aggregatePushdown`` is off by
+    default, so ``load_table(...).count()`` is a real (if cheap,
+    columnless) scan job — cardinality gates that advertise a
+    metadata-only probe route through here instead.
+    """
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            files = [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+        else:
+            files = [path]
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return None
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view (for spark.sql queries)."""
     for name in TABLES:

@@ -119,3 +119,56 @@ def test_schema_evolution_across_versions(spark, vt):
     assert rows[3] == (30.0, "x", 2)
     # pinned read keeps the exact written schema (no phantom columns)
     assert set(vt.read(version=1).columns) == {"k", "a"}
+
+
+def test_read_asof_interleaved_with_concurrent_prune(spark, vt, monkeypatch):
+    """Pin the no-dangling-path contract under the documented race
+    (VERDICT r8 'do this' #7): a reader that captured the manifest
+    BEFORE prune's atomic flip resolves a version whose directory is
+    removed AFTER. The reader must re-resolve through the fresh
+    manifest and surface a CLEAN retention error (or a surviving
+    snapshot) — never a dangling-path Spark scan."""
+    vt.write(_df(spark, [1.0]), timestamp=100.0)
+    vt.write(_df(spark, [2.0, 3.0]), timestamp=200.0)
+    vt.write(_df(spark, [4.0, 5.0, 6.0]), timestamp=300.0)
+
+    stale = vt._read_manifest()  # the reader's pre-flip snapshot
+    assert vt.prune(keep_last=1) == [1, 2]  # flip, then rmtree v1+v2
+
+    real = VersionedFeatureTable._read_manifest
+    calls = {"n": 0}
+
+    def stale_once(self):
+        calls["n"] += 1
+        return list(stale) if calls["n"] == 1 else real(self)
+
+    monkeypatch.setattr(VersionedFeatureTable, "_read_manifest", stale_once)
+    # stale manifest resolves as_of=150 -> v1 (directory gone); the
+    # re-resolution reads the FRESH manifest, where the whole as_of
+    # range was retired -> clean retention error, not a path error
+    with pytest.raises(VersionedTableError, match="at or before"):
+        vt.read(as_of=150.0)
+    assert calls["n"] == 2  # the re-resolution actually happened
+
+    # stale-latest landing on a SURVIVOR after prune+write churn: the
+    # reader's stale manifest says latest is v3, a concurrent prune
+    # drops it and a concurrent writer adds v4 — the re-resolution
+    # must land on v4, not scan v3's dangling path
+    monkeypatch.setattr(VersionedFeatureTable, "_read_manifest", real)
+    stale2 = vt._read_manifest()
+    vt.write(_df(spark, [7.0]), timestamp=400.0)  # v4
+    assert vt.prune(keep_last=1) == [3]
+    calls["n"] = 0
+
+    def stale2_once(self):
+        calls["n"] += 1
+        return list(stale2) if calls["n"] == 1 else real(self)
+
+    monkeypatch.setattr(VersionedFeatureTable, "_read_manifest", stale2_once)
+    assert vt.read().count() == 1  # v4, resolved via the fresh manifest
+
+    # a PINNED version that was pruned: clean error naming the prune
+    calls["n"] = 0
+    monkeypatch.setattr(VersionedFeatureTable, "_read_manifest", stale2_once)
+    with pytest.raises(VersionedTableError, match="not found"):
+        vt.read(version=3)
