@@ -20,7 +20,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from databricks_feature_store_poc_spark.registry import query
-from databricks_feature_store_poc_spark.sources.catalog import load_table
+from databricks_feature_store_poc_spark.sources.catalog import (
+    load_table,
+    parquet_row_count,
+)
 
 _WORDS = r"filter(split(text, '\\s+'), x -> x != '')"
 _DUCK_WORDS = r"list_filter(string_split_regex(text, '\s+'), x -> x != '')"
@@ -549,10 +552,25 @@ def text_tfidf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a ranking bug (wrong k, foreign term, unsorted scores) flips a
     hashed value even though the scores themselves never cross engines.
 
+    The top-k witness is the THEOREM bound, not an empirical one: an
+    omitted term o scored no higher than the weakest emitted term e
+    (tf_o*idf_o <= tf_e*idf_e), and idf = ln((N+1)/(df+1))+1 lies in
+    [1, ln((N+1)/2)+1], so tf_o <= tf_e * (ln((N+1)/2)+1). The first
+    draft hard-coded 3x, which held on the uniform driver corpora but
+    is NOT implied by the scoring — the zipf-skewed replica's perturbed
+    near-dup copies (rare revision tokens: df=1, maximal idf, tf=1 yet
+    emitted) broke it on 56 documents (round 9's skew-gate find).
+
     Scale: the tfidf pipeline (explode + two hash aggregates + window)
     plus one broadcast-sized join back to the per-doc term sets."""
+    import math
+
     out = text_tfidf_topterms(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents")
+    n_docs = parquet_row_count(sf_dir, "documents")
+    if n_docs is None:
+        n_docs = d.count()
+    idf_ratio_max = math.log((n_docs + 1) / 2.0) + 1.0
     tf = (
         d.select("doc_id", F.explode(F.expr(_WORDS)).alias("term"))
         .groupBy("doc_id", "term")
@@ -574,13 +592,14 @@ def text_tfidf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_terms",
         # every emitted term exists in the doc's term set
         (F.col("n_emitted") == F.col("n_terms")).alias("terms_in_doc"),
-        # top-k witness: no omitted term's raw frequency may exceed 3x
-        # the weakest emitted term's (idf in [1, 1+ln(N+1)] bounds how
-        # far idf can reorder tf; bottom-k selection violates this
-        # immediately on any skewed doc)
+        # top-k witness: no omitted term's raw frequency may exceed the
+        # weakest emitted term's times the maximal idf ratio
+        # ln((N+1)/2)+1 — the exact bound the smoothed-idf scoring
+        # implies; bottom-k selection still violates this immediately
+        # on any skewed doc (tf ratios there are orders of magnitude)
         (
-            F.coalesce("max_omitted_tf", F.lit(0))
-            <= F.col("min_emitted_tf") * 3
+            F.coalesce("max_omitted_tf", F.lit(0)).cast("double")
+            <= F.col("min_emitted_tf") * F.lit(idf_ratio_max)
         ).alias("tf_is_max"),
     )
 
