@@ -72,6 +72,13 @@ _NEW_IN_R9 = (
     # the theorem bound ln((N+1)/2)+1; changed audit re-earns its
     # verdict.
     "text_tfidf_audit",
+    # the zipf PERF sweep's one find: stream_interval_join equi-joined
+    # on user_id alone, so the hot user's pairs were scanned inside ONE
+    # sort-merge key group — quadratic and AQE-irreducible (1.8 s ->
+    # 63 s at 10x-zipf). Now joins on (user_id, hour_bucket) with the
+    # signup side exploded over the two candidate buckets — exact, same
+    # oracle, 63 s -> 6.3 s with output-proportional residual.
+    "stream_interval_join",
 )
 _R3_ROWSONLY = (
     "pack_sequences",

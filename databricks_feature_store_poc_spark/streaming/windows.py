@@ -282,24 +282,45 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch interval join (asserted in tests/test_streaming.py) and the
     batch plan is oracle-checkable here.
 
-    Scale: equi-key on user_id drives the shuffle; the interval bound is
-    a post-join range filter Spark evaluates inside the sort-merge join,
-    never a cross product."""
+    Scale: the join key is (user_id, hour_bucket), not user_id alone.
+    A plain equi-join on user_id evaluates the interval bound INSIDE the
+    sort-merge key group — quadratic in the hottest user's event count,
+    and irreducible by AQE because the skew lives inside ONE key (the
+    r9 zipf sweep measured 1.8 s -> 63 s when user 0 owns 9.3% of
+    events). Bucketizing is exact, not approximate: with integer
+    microseconds, p in (s, s+H] implies p_us div H is s_us div H or
+    s_us div H + 1, so exploding the signup side over those two bucket
+    values loses no pair and each qualifying pair matches exactly one
+    bucket (bucket(p) is a function of p) — no dedup needed. The
+    residual range predicate is unchanged, so semantics are byte-equal;
+    the hot user now scatters over ~one bucket per hour of history, and
+    per-group pair scans are signups-in-2h x purchases-in-1h. Cost on
+    uniform data: a 2x explode of the (smaller, filtered) signup side.
+    This is the same state-keying a streaming interval join uses —
+    watermark horizon = bucket width."""
+    hour_us = 3_600_000_000  # the INTERVAL 1 HOUR bound, in microseconds
     e = load_table(spark, sf_dir, "events")
-    s = e.filter(F.col("event_type") == "signup").select(
-        F.col("user_id").alias("s_user"),
-        F.col("event_id").alias("s_event"),
-        F.col("ts").alias("s_ts"),
+    s_bkt = F.expr(f"unix_micros(ts) div {hour_us}")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("event_id").alias("s_event"),
+            F.col("ts").alias("s_ts"),
+            F.explode(F.array(s_bkt, s_bkt + F.lit(1))).alias("bkt"),
+        )
     )
     p = e.filter(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("p_user"),
         F.col("event_id").alias("p_event"),
         F.col("ts").alias("p_ts"),
+        F.expr(f"unix_micros(ts) div {hour_us}").alias("bkt"),
     )
     return (
         s.join(
             p,
             (F.col("s_user") == F.col("p_user"))
+            & (s["bkt"] == p["bkt"])
             & (F.col("p_ts") > F.col("s_ts"))
             & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
         )

@@ -50,6 +50,45 @@ def test_parquet_row_count_is_footer_exact(spark, tmp_path):
     assert parquet_row_count(str(tmp_path), "missing") is None
 
 
+def test_tfidf_audit_witness_is_theorem_bound_not_3x(spark, tmp_path):
+    """Pins round 9's skew-gate find: the top-k witness must accept any
+    corpus the SCORING itself allows. Here an omitted stopword holds
+    tf=4 while the weakest emitted term has tf=1 — the r8 witness's
+    empirical 3x cap flags this false, but the theorem bound
+    tf_omitted <= tf_emitted * (ln((N+1)/2)+1) (~4.02 at N=40)
+    correctly accepts it: 'the' scores 4*idf(1.0)=4.0, just under the
+    rare terms' 1*4.0204."""
+    from pyspark.sql import functions as F
+
+    from databricks_feature_store_poc_spark.llm import text
+    from databricks_feature_store_poc_spark.registry import QUERIES
+
+    rows = [(0, "r1 r2 r3 the the the the")]
+    rows += [(i, f"the f{i}a f{i}b") for i in range(1, 40)]
+    docs = (
+        spark.createDataFrame(rows, "doc_id bigint, text string")
+        .withColumn("lang", F.lit("en"))
+        .withColumn("source", F.lit("test"))
+        .withColumn("n_chars", F.length("text").cast("bigint"))
+    )
+    docs.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    top0 = {
+        r["term"]
+        for r in text.text_tfidf_topterms(spark, str(tmp_path))
+        .filter("doc_id = 0")
+        .collect()
+    }
+    # 'the' (tf=4 > 3x the weakest emitted tf=1) is omitted by score —
+    # the exact shape the old 3x constant mislabeled as a ranking bug
+    assert top0 == {"r1", "r2", "r3"}
+
+    audit = QUERIES["text_tfidf_audit"](spark, str(tmp_path)).collect()
+    assert len(audit) == 40
+    bad = [r for r in audit if not (r["tf_is_max"] and r["terms_in_doc"])]
+    assert bad == []
+
+
 def test_zipf_sampler_follows_rank_frequency_law(spark):
     """The skewed-replica builder's in-plan sampler: P(k) must decay
     ~1/(k+1) and the head must own a double-digit share."""
