@@ -79,6 +79,13 @@ _NEW_IN_R9 = (
     # signup side exploded over the two candidate buckets — exact, same
     # oracle, 63 s -> 6.3 s with output-proportional residual.
     "stream_interval_join",
+    # the count form of the interval-overlap join no longer enumerates
+    # pairs: rank decomposition over a broadcast daily cumulative table
+    # (overlaps = #{l_start < o_end} - #{l_end <= o_start}) — the 10x
+    # wall drops 148 s -> ~1 s and the 100x quadratic-output timeout
+    # becomes 4.7 s; the enumeration core (interval_overlap_pairs)
+    # stays, pinned against a naive crossJoin in tests/test_round9.py.
+    "join_interval_overlap",
 )
 _R3_ROWSONLY = (
     "pack_sequences",

@@ -1013,24 +1013,35 @@ def scan_csv_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval-overlap join WITHOUT a quadratic plan: order activity
-    windows (30 days from order date) joined to shipment windows (7 days
-    from ship date) on time overlap, counted per priority.
+    """Interval-overlap COUNT without enumerating the pairs: order
+    activity windows (30 days from order date) joined to shipment
+    windows (7 days from ship date) on time overlap, counted per
+    priority.
 
-    A naive theta join on `o_start < l_end AND l_start < o_end` has no
-    equi-key — Spark would pick BroadcastNestedLoop and compare every
-    order against every shipment (the theta family's scale wall;
-    join_theta_range is the small-side-broadcast case). The range-join
-    move implemented here: quantize time into fixed buckets sized to the
-    max interval span, explode each interval to the buckets it covers
-    (sequence() — bounded by span/width + 1), equi-join on the bucket,
-    and keep each pair exactly once at its CANONICAL bucket (the later
-    of the two start buckets — the first bucket both intervals cover).
-    Candidates are then only same-bucket pairs — work scales with
-    sum-of-bucket-occupancy-products, not |O| x |L| — and the exact
-    overlap predicate filters inside the equi-join. The DuckDB oracle
-    runs the literal quadratic join (its IEJoin handles the test scale),
-    value-checking that bucketization changes the plan, not the answer.
+    The first implementation bucketized the intervals and equi-joined
+    on the bucket (``interval_overlap_pairs`` below — still the
+    reusable core for queries that need the pair STREAM). That plan is
+    linear in the number of overlapping pairs, but for a COUNT the
+    pairs are intermediate state, and their count grows quadratically
+    as facts densify inside the fixed time window (the r9 sweeps: 2 s
+    at sf0.1, 148 s at 10x, the 240 s-timeout at 100x — ~1.6e9 true
+    pairs enumerated to print five numbers). Counting needs no
+    enumeration. Rank decomposition over interval endpoints:
+
+        overlaps(o) = #{l_start < o_end} - #{l_end <= o_start}
+
+    (the subtracted set is contained in the first: l_end <= o_start
+    implies l_start < o_end). Both terms are prefix sums over the
+    per-day histogram of shipment endpoints, and every endpoint here
+    is date-valued by the schema (o_orderdate/l_shipdate + whole-day
+    intervals), so day-grain prefix sums are exact, not approximate.
+    The cumulative table lives on a dense daily spine whose size is
+    bounded by the query's own time predicates (~105 days) —
+    independent of data volume — so it broadcasts, the per-order
+    lookups are two broadcast hash joins, and the whole plan is one
+    linear scan of each side at ANY scale. (The global cumsum window
+    runs over the ~105-row spine, never over data.) The DuckDB oracle
+    still runs the literal quadratic join — same five rows.
     """
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-02-01")
@@ -1045,20 +1056,73 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate").alias("l_start"),
         (F.col("l_shipdate") + F.expr("INTERVAL 7 DAY")).alias("l_end"),
     )
+    probe = o.select(
+        "o_orderpriority",
+        F.col("o_start").cast("date").alias("d_s"),
+        # strict l_start < o_end at day grain: count days <= o_end - 1
+        F.date_sub(F.col("o_end").cast("date"), 1).alias("d_e"),
+    )
+    ls = li.groupBy(F.col("l_start").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_s")
+    )
+    le = li.groupBy(F.col("l_end").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_e")
+    )
+    # Dense daily spine spanning every day a lookup can probe — built
+    # from a 1-row min/max aggregate, never a collect. Size is bounded
+    # by the filter predicates' time window, not by the data.
+    days = (
+        probe.select(F.col("d_s").alias("d"))
+        .unionAll(probe.select(F.col("d_e").alias("d")))
+        .unionAll(ls.select("d"))
+        .unionAll(le.select("d"))
+    )
+    spine = days.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    w_cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        spine.join(ls, "d", "left")
+        .join(le, "d", "left")
+        .select(
+            "d",
+            F.sum(F.coalesce("n_s", F.lit(0))).over(w_cum).alias("c_s"),
+            F.sum(F.coalesce("n_e", F.lit(0))).over(w_cum).alias("c_e"),
+        )
+    )
     return (
-        interval_overlap_pairs(o, li)
+        probe.join(
+            F.broadcast(cum.select(F.col("d").alias("d_e"), "c_s")), "d_e"
+        )
+        .join(F.broadcast(cum.select(F.col("d").alias("d_s"), "c_e")), "d_s")
         .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .agg((F.sum(F.col("c_s") - F.col("c_e"))).cast("bigint").alias("n_pairs"))
+        # the oracle's inner-join count emits a priority row only when
+        # at least one pair exists
+        .filter(F.col("n_pairs") > 0)
     )
 
 
 def interval_overlap_pairs(
     o: DataFrame, li: DataFrame, w_days: int = 30
 ) -> DataFrame:
-    """Bucketized interval-overlap pair enumeration (the reusable core of
-    join_interval_overlap). Inputs carry (o_start, o_end) / (l_start,
-    l_end); ``w_days`` must be >= the longest interval span so every
-    overlapping pair shares at least one bucket."""
+    """Bucketized interval-overlap pair ENUMERATION — the operator for
+    consumers that need the pair stream itself (the registered count
+    query no longer does; see join_interval_overlap's rank
+    decomposition). A naive theta join on `o_start < l_end AND l_start
+    < o_end` has no equi-key — Spark would pick BroadcastNestedLoop and
+    compare every pair. Here: quantize time into fixed buckets, explode
+    each interval to the buckets it covers (sequence() — bounded by
+    span/width + 1), equi-join on the bucket, and keep each pair
+    exactly once at its CANONICAL bucket — the later of the two start
+    buckets, which is the first bucket both intervals cover (monotone:
+    bucket(max(starts)) == greatest(b0_o, b0_l)), so the dedup
+    predicate is exact for ANY bucket width and for intra-day (second-
+    or-coarser) timestamps — the end-exclusive edge is handled by the
+    1-second step; ``w_days`` only tunes the fanout/occupancy trade-off.
+    Work scales with sum-of-bucket-occupancy-products — i.e. with the
+    true pair count, which is the floor for an enumeration. Pinned
+    against a literal crossJoin filter in tests/test_round9.py."""
 
     def bucketed(df: DataFrame, start: str, end: str) -> DataFrame:
         b0 = F.floor(F.unix_date(F.col(start).cast("date")) / w_days)

@@ -75,7 +75,6 @@ SKEW_OUTPUT_DIFFERENT = {
     "dedup_clusters",
     "dedup_embedding_cosine",
     "dedup_semantic_cluster",
-    "join_interval_overlap",
     "text_span_dedup",
     "graph_jaccard_neighbors",
 }

@@ -89,6 +89,51 @@ def test_tfidf_audit_witness_is_theorem_bound_not_3x(spark, tmp_path):
     assert bad == []
 
 
+def test_interval_overlap_pairs_matches_naive_crossjoin(spark):
+    """interval_overlap_pairs lost its registry demonstration when
+    join_interval_overlap switched to the rank-decomposition count
+    (r9) — this pins the enumeration core directly: canonical-bucket
+    dedup must reproduce the literal theta join exactly, for intra-day
+    timestamps and for bucket widths both >= and < the interval spans
+    (the canonical bucket is the first bucket both intervals cover,
+    which holds for ANY width)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from databricks_feature_store_poc_spark.operators.relational import (
+        interval_overlap_pairs,
+    )
+
+    base = dt.datetime(2020, 1, 1)
+    o_rows = [
+        (i, base + dt.timedelta(hours=13 * i), base + dt.timedelta(hours=13 * i + (i % 70) * 12 + 5))
+        for i in range(40)
+    ]
+    l_rows = [
+        (j, base + dt.timedelta(hours=7 * j + 3), base + dt.timedelta(hours=7 * j + 3 + (j % 40) * 9 + 2))
+        for j in range(60)
+    ]
+    o = spark.createDataFrame(o_rows, "o_id int, o_start timestamp, o_end timestamp")
+    li = spark.createDataFrame(l_rows, "l_id int, l_start timestamp, l_end timestamp")
+    naive = sorted(
+        (r["o_id"], r["l_id"])
+        for r in o.crossJoin(li)
+        .filter((F.col("o_start") < F.col("l_end")) & (F.col("l_start") < F.col("o_end")))
+        .select("o_id", "l_id")
+        .collect()
+    )
+    assert naive  # non-degenerate fixture
+    for w_days in (30, 2):  # wider and narrower than the longest span
+        got = sorted(
+            (r["o_id"], r["l_id"])
+            for r in interval_overlap_pairs(o, li, w_days=w_days)
+            .select("o_id", "l_id")
+            .collect()
+        )
+        assert got == naive, f"w_days={w_days}"
+
+
 def test_zipf_sampler_follows_rank_frequency_law(spark):
     """The skewed-replica builder's in-plan sampler: P(k) must decay
     ~1/(k+1) and the head must own a double-digit share."""
