@@ -138,10 +138,12 @@ def step_bench() -> dict:
         if line.startswith("{"):
             try:
                 j = json.loads(line)
-                detail = f"{j.get('value')}s / {len(j.get('queries', {}))} queries"
-                break
             except json.JSONDecodeError:
                 continue
+            if "metric" not in j:  # per-pass progress lines also JSON
+                continue
+            detail = f"{j.get('value')}s / {len(j.get('queries', {}))} queries"
+            break
     return {"ok": code == 0, "sec": round(sec, 1), "detail": detail}
 
 
