@@ -1032,71 +1032,78 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (the subtracted set is contained in the first: l_end <= o_start
     implies l_start < o_end). Both terms are prefix sums over the
-    per-day histogram of shipment endpoints, and every endpoint here
-    is date-valued by the schema (o_orderdate/l_shipdate + whole-day
-    intervals), so day-grain prefix sums are exact, not approximate.
-    The cumulative table lives on a dense daily spine whose size is
-    bounded by the query's own time predicates (~105 days) —
-    independent of data volume — so it broadcasts, the per-order
-    lookups are two broadcast hash joins, and the whole plan is one
-    linear scan of each side at ANY scale. (The global cumsum window
-    runs over the ~105-row spine, never over data.) The DuckDB oracle
-    still runs the literal quadratic join — same five rows.
+    per-day histogram of shipment START days alone — the end-day
+    histogram is the start histogram shifted by the query's fixed
+    l_span — and every endpoint here is date-valued by the schema
+    (o_orderdate/l_shipdate + whole-day intervals), so day-grain
+    prefix sums are exact, not approximate. The cumulative column
+    lives on a dense daily spine whose size follows from the query's
+    own filter constants (~110 rows, no data pass), both lookups
+    collapse into ONE lead/lag-derived column on that spine (strict
+    l_start < o_end at day grain = prefix at o_start + o_span - 1),
+    and the probe is a single broadcast hash join — so the whole plan
+    is EXACTLY one scan of each fact table at ANY scale, verified
+    from the executed plan. (The spine windows run over ~110 rows,
+    never over data.) The DuckDB oracle still runs the literal
+    quadratic join — same five rows.
     """
-    o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-02-01")
+    # The window constants appear in BOTH the filters and the spine
+    # bounds below — keep them tied.
+    lo, o_hi, l_hi = "1996-01-01", "1996-02-01", "1996-03-15"
+    o_span, l_span = 30, 7
+    probe = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < o_hi)
     ).select(
         "o_orderpriority",
-        F.col("o_orderdate").alias("o_start"),
-        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("o_end"),
+        F.col("o_orderdate").cast("date").alias("d_s"),
     )
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-03-15")
-    ).select(
-        F.col("l_shipdate").alias("l_start"),
-        (F.col("l_shipdate") + F.expr("INTERVAL 7 DAY")).alias("l_end"),
+    # ONE lineitem scan: the end-day histogram is the start-day
+    # histogram shifted by the query's fixed l_span.
+    ls = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < l_hi))
+        .groupBy(F.col("l_shipdate").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_s"))
     )
-    probe = o.select(
-        "o_orderpriority",
-        F.col("o_start").cast("date").alias("d_s"),
-        # strict l_start < o_end at day grain: count days <= o_end - 1
-        F.date_sub(F.col("o_end").cast("date"), 1).alias("d_e"),
+    # Dense daily spine: bounds follow from the filter constants alone
+    # (lo .. last shipment day + l_span covers every probe day: d_s in
+    # [lo, o_hi), d_e < o_hi + o_span - 1 < l_hi + l_span), so the
+    # spine is a literal sequence — no data pass, ~110 rows at any SF.
+    # Density is load-bearing twice below: on a day-per-row spine,
+    # lag/lead by k rows IS a shift by k calendar days.
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(lo).cast("date"),
+                F.date_add(F.lit(l_hi).cast("date"), l_span - 1),
+            )
+        ).alias("d")
     )
-    ls = li.groupBy(F.col("l_start").cast("date").alias("d")).agg(
-        F.count(F.lit(1)).alias("n_s")
+    # Both prefix sums come from ONE cumulative column (a second
+    # reference to the histogram would plan a second lineitem scan —
+    # the k-references-k-derivations trap): #{l_end <= d} =
+    # #{l_start <= d - l_span} = lag(c_s, l_span), and the order probe
+    # at d_s needs c_s at d_s + (o_span - 1), i.e. lead by o_span - 1
+    # (non-null for every probed day — the spine extends past the last
+    # probe by construction). One lookup column, one broadcast join.
+    w_ord = Window.orderBy("d")
+    cum = spine.join(ls, "d", "left").select(
+        "d",
+        F.sum(F.coalesce("n_s", F.lit(0)))
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("c_s"),
     )
-    le = li.groupBy(F.col("l_end").cast("date").alias("d")).agg(
-        F.count(F.lit(1)).alias("n_e")
-    )
-    # Dense daily spine spanning every day a lookup can probe — built
-    # from a 1-row min/max aggregate, never a collect. Size is bounded
-    # by the filter predicates' time window, not by the data.
-    days = (
-        probe.select(F.col("d_s").alias("d"))
-        .unionAll(probe.select(F.col("d_e").alias("d")))
-        .unionAll(ls.select("d"))
-        .unionAll(le.select("d"))
-    )
-    spine = days.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
-        F.explode(F.sequence("lo", "hi")).alias("d")
-    )
-    w_cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
-    cum = (
-        spine.join(ls, "d", "left")
-        .join(le, "d", "left")
-        .select(
-            "d",
-            F.sum(F.coalesce("n_s", F.lit(0))).over(w_cum).alias("c_s"),
-            F.sum(F.coalesce("n_e", F.lit(0))).over(w_cum).alias("c_e"),
-        )
+    lk = cum.select(
+        F.col("d").alias("d_s"),
+        (
+            F.lead("c_s", o_span - 1).over(w_ord)
+            - F.coalesce(F.lag("c_s", l_span).over(w_ord), F.lit(0))
+        ).alias("n_overlaps"),
     )
     return (
-        probe.join(
-            F.broadcast(cum.select(F.col("d").alias("d_e"), "c_s")), "d_e"
-        )
-        .join(F.broadcast(cum.select(F.col("d").alias("d_s"), "c_e")), "d_s")
+        probe.join(F.broadcast(lk), "d_s")
         .groupBy("o_orderpriority")
-        .agg((F.sum(F.col("c_s") - F.col("c_e"))).cast("bigint").alias("n_pairs"))
+        .agg(F.sum("n_overlaps").cast("bigint").alias("n_pairs"))
         # the oracle's inner-join count emits a priority row only when
         # at least one pair exists
         .filter(F.col("n_pairs") > 0)

@@ -322,3 +322,18 @@ def test_cumulative_distinct_three_bounded_shuffles(spark):
     df = QUERIES["win_cumulative_distinct"](spark, SF_SMOKE)
     assert count_exchanges(df) == 3
     assert has_partial_aggregate(df)
+
+
+def test_interval_overlap_count_single_scan_per_fact(spark):
+    """r9 rank decomposition: the per-priority overlap COUNT must plan
+    exactly one parquet scan of each fact (a second reference to the
+    shipment histogram re-derives the lineitem scan — the
+    k-references-k-derivations trap), one broadcast probe join, and no
+    nested loop; work is linear in the inputs at any scale."""
+    from databricks_feature_store_poc_spark.plans.inspect import simple_plan
+
+    df = QUERIES["join_interval_overlap"](spark, SF_SMOKE)
+    sp = simple_plan(df)
+    assert sp.count("Scan parquet") == 2, sp
+    assert "BroadcastNestedLoop" not in sp and "CartesianProduct" not in sp
+    assert count_broadcast_joins(df) >= 1
