@@ -40,119 +40,51 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver adjudicates ~50 queries per round in dict order, so the dict
-# is emitted in ADJUDICATION-PRIORITY order, not alphabetical. Round-9
-# policy (VERDICT r8 'do this' #1 — rotate the 50-slot budget onto the
-# r4+r5 cohorts so no verdict is older than r5):
-#   0. new-in-r9 or changed-in-r9: every query whose plan, oracle, or
-#      shared helper changed this round (the RFM branch-gate pin +
-#      footer-metadata probe, plus anything the zipf-replica gate
-#      surfaced) — changed queries must carry a FRESH verdict;
-#   1. pack_sequences — the single r3-latest key (rows-only by design;
-#      re-adjudicating re-prints no_oracle, but the ledger stops being
-#      the one pre-r4 row) with its audit twin IMMEDIATELY adjacent so
-#      the rows-only primary never carries a staler audit;
-#   2. the full r4 cohort (29);
-#   3. the r5 cohort (40) — audit twins and streaming first, the
-#      remaining slots of the ~50 budget land here; the tail rolls to
-#      r10's rotation.
-_NEW_IN_R9 = (
-    # rfm_segments changed: the registered ntile query now PINS its
-    # branch with an explicit constant (immune to the
-    # SPARK_GRAFT_RFM_NTILE_MAX env override, whose purpose is tuning
-    # the library path), and the branch gate reads the customer row
-    # count from parquet footers (a real metadata-only probe) instead
-    # of a columnless count() scan. Both registered RFM queries share
-    # that body, so both re-earn verdicts.
+# is emitted in ADJUDICATION-PRIORITY order, not alphabetical. Round-10
+# policy (VERDICT r9 'do this' #2 — rotate the 50-slot budget onto the
+# r5+r6 cohorts so CORRECTNESS_r10 leaves zero verdicts older than r6):
+#   0. new-in-r10 or changed-in-r10: every query whose plan, oracle, or
+#      shared helper changed this round — changed queries must carry a
+#      FRESH verdict;
+#   1. the full r5-latest cohort (22 keys — merged-ledger oldest after
+#      the r9 rotation; mostly TPC-H);
+#   2. the head of the r6-latest cohort (48 keys total) — the remaining
+#      slots of the ~50 budget land here, ordered audit-adjacent /
+#      streaming / complex-plan first; the TPC-H tail rolls to r11.
+_NEW_IN_R10 = (
+    # parquet_row_count (sources/catalog.py) gained the None-on-empty
+    # contract fix (ADVICE r9 medium): a partitioned/nested dataset dir
+    # with no top-level .parquet parts now returns None (-> columnless
+    # count() fallback) instead of a false 0. Both RFM queries and the
+    # tfidf audit route their cardinality gates through it, so all
+    # three re-earn verdicts.
     "feature_rfm_segments",
     "feature_rfm_segments_hist",
-    # the zipf-skew gate's one find: text_tfidf_audit's top-k witness
-    # hard-coded a 3x tf bound that the smoothed-idf scoring does not
-    # imply — the perturbed near-dup copies (rare revision tokens with
-    # df=1 and maximal idf) broke it on 56 docs. The witness now uses
-    # the theorem bound ln((N+1)/2)+1; changed audit re-earns its
-    # verdict.
     "text_tfidf_audit",
-    # the zipf PERF sweep's one find: stream_interval_join equi-joined
-    # on user_id alone, so the hot user's pairs were scanned inside ONE
-    # sort-merge key group — quadratic and AQE-irreducible (1.8 s ->
-    # 63 s at 10x-zipf). Now joins on (user_id, hour_bucket) with the
-    # signup side exploded over the two candidate buckets — exact, same
-    # oracle, 63 s -> 6.3 s with output-proportional residual.
-    "stream_interval_join",
-    # the count form of the interval-overlap join no longer enumerates
-    # pairs: rank decomposition over a broadcast daily cumulative table
-    # (overlaps = #{l_start < o_end} - #{l_end <= o_start}) — the 10x
-    # wall drops 148 s -> ~1 s and the 100x quadratic-output timeout
-    # becomes 4.7 s; the enumeration core (interval_overlap_pairs)
-    # stays, pinned against a naive crossJoin in tests/test_round9.py.
-    "join_interval_overlap",
-)
-_R3_ROWSONLY = (
-    "pack_sequences",
-    "pack_sequences_audit",
-)
-# Newest verdict r4 — this round's main rotation cohort.
-_R4_COHORT = (
-    "sink_feature_table",
-    "dedup_embedding_cosine",
-    "agg_approx_distinct",
-    "agg_approx_percentile",
-    "agg_collect_set",
-    "agg_corr_covar",
-    "agg_cube",
-    "fn_math",
-    "mm_decode_stub",
-    "sort_multi",
-    "subquery_exists",
-    "text_decontaminate",
-    "text_fingerprint",
-    "text_lang_dist",
-    "text_langid",
-    "text_ngrams",
-    "text_pii_scrub",
-    "text_quality_score",
-    "text_stats",
     "text_tfidf_topterms",
-    "text_token_count",
-    "udf_scalar",
-    "udtf_explode_tokens",
-    "unpivot_melt",
-    "win_distribution",
-    "win_lag_lead",
-    "win_rank",
-    "win_running",
-    "win_topk_per_group",
+    # versioned.py read() now closes the last concurrent-prune window
+    # (ADVICE r9 low): the final eager parquet read is wrapped in a
+    # re-resolve-once-then-clean-error retry. sink_vacuum_retention is
+    # the registered query over that path.
+    "sink_vacuum_retention",
+    # NEW in r10: statistic variants of the two remaining 100x
+    # quadratic-OUTPUT queries (VERDICT r9 'do this' #4) — cluster-size
+    # histogram for embedding near-dup (no pair enumeration) and gram
+    # row-norm summary (no cell enumeration).
+    "dedup_embedding_stats",
+    "embed_gram_norms",
 )
-# Newest verdict r5 — remaining budget lands on this cohort's head;
-# ordered: audit twins (rows-only primaries must never carry a staler
-# audit than their family), streaming/stateful (the least
-# SQL-redundant family), then feature/window/join shapes, then the
-# TPC-H re-verifications (the most formulaic, safest to age one more
-# round if the budget runs out).
+# r5-latest cohort — this round's main rotation target (22 keys,
+# enumerated from the merged r1-r9 ledger; zero keys older than r5
+# remain after the r9 rotation).
 _R5_COHORT = (
-    "dedup_minhash_audit",
-    "stream_dedup_exactly_once",
-    "stream_interval_join",
-    "stream_session",
-    "stream_tumbling",
-    "feature_resample_1h",
-    "feature_rolling_hourly",
-    "feature_sessionize",
-    "feature_time_decay",
-    "fn_try_arithmetic",
-    "funnel_signup_purchase",
-    "join_bucketed_colocated",
-    "join_interval_overlap",
-    "join_salted_skew",
-    "rollup_incremental",
-    "split_temporal",
-    "text_span_dedup",
     "training_set_on_demand",
     "training_set_point_in_time",
-    "udtf_native_split",
-    "win_ntile_deciles",
     "agg_hll_sketch",
     "agg_mode_deterministic",
+    "text_span_dedup",
+    "udtf_native_split",
+    "win_ntile_deciles",
     "tpch_q2",
     "tpch_q4",
     "tpch_q7",
@@ -169,6 +101,60 @@ _R5_COHORT = (
     "tpch_q21",
     "tpch_q22",
 )
+# r6-latest cohort (48 keys) — remaining budget lands on the head;
+# ordered: streaming/stateful and sketch/cluster plans first (least
+# SQL-redundant), then joins/sinks/features, then scalar fns, with the
+# TPC-H re-verifications last (most formulaic, safest to age a round).
+_R6_COHORT = (
+    "stream_late_data",
+    "stream_sliding",
+    "dedup_semantic_cluster",
+    "cluster_kmeans",
+    "embed_gram_matrix",
+    "embed_quantize_int8",
+    "graph_pagerank",
+    "agg_bloom_filter",
+    "agg_countmin_sketch",
+    "agg_latency_bands",
+    "sim_ann_lsh",
+    "sim_ivf_topk",
+    "sim_range_search",
+    "sample_hard_negatives",
+    "join_asof",
+    "join_dynamic_partition_pruning",
+    "merge_scd1_upsert",
+    "merge_scd2_history",
+    "sink_partitioned_pruned",
+    "sink_sorted_parquet",
+    "sink_zorder",
+    "split_hash_8020",
+    "split_kfold",
+    "win_streaks",
+    "dq_benford_digits",
+    "dq_expectations",
+    "dq_outlier_zscore",
+    "feature_drift_chi2",
+    "text_bloom_decontaminate",
+    "text_chunk_sliding",
+    "text_repetition_score",
+    "scan_binary_files",
+    "scan_parquet",
+    "scan_python_datasource",
+    "scan_text_lines",
+    "training_set_flagship",
+    "training_set_pit_on_demand",
+    "udaf_grouped",
+    "fn_date",
+    "fn_date_extended",
+    "fn_hash",
+    "fn_regexp",
+    "fn_url",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q18",
+)
 _HEADLINE = (
     "training_set_flagship",
 )
@@ -176,17 +162,15 @@ _HEADLINE = (
 
 def _priority_order(names: list[str]) -> list[str]:
     def tier(name: str) -> tuple:
-        if name in _NEW_IN_R9:
-            return (0, _NEW_IN_R9.index(name), "")
-        if name in _R3_ROWSONLY:
-            return (1, _R3_ROWSONLY.index(name), "")
-        if name in _R4_COHORT:
-            return (2, _R4_COHORT.index(name), "")
+        if name in _NEW_IN_R10:
+            return (0, _NEW_IN_R10.index(name), "")
         if name in _R5_COHORT:
-            return (3, _R5_COHORT.index(name), "")
+            return (1, _R5_COHORT.index(name), "")
+        if name in _R6_COHORT:
+            return (2, _R6_COHORT.index(name), "")
         if name in _HEADLINE:
-            return (4, _HEADLINE.index(name), "")
-        return (5, 0, name)
+            return (3, _HEADLINE.index(name), "")
+        return (4, 0, name)
 
     return sorted(names, key=tier)
 

@@ -115,7 +115,21 @@ class VersionedFeatureTable:
                 raise VersionedTableError(
                     f"version {entry['version']} was pruned concurrently"
                 )
-        return self.spark.read.parquet(entry["path"])
+        try:
+            return self.spark.read.parquet(entry["path"])
+        except Exception:
+            # spark.read.parquet lists files eagerly, so a prune landing
+            # between the isdir check above and the read can still surface
+            # a raw AnalysisException. Re-resolve once more through the
+            # fresh manifest (prune flips the manifest before any rmtree);
+            # if even that path is gone, raise the clean contract error.
+            entry = _resolve(self._read_manifest())
+            try:
+                return self.spark.read.parquet(entry["path"])
+            except Exception as exc:
+                raise VersionedTableError(
+                    f"version {entry['version']} was pruned concurrently"
+                ) from exc
 
     def history(self) -> list[dict]:
         return list(self._read_manifest())

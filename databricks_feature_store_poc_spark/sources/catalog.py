@@ -98,6 +98,12 @@ def parquet_row_count(sf_dir: str, name: str) -> int | None:
             ]
         else:
             files = [path]
+        if not files:
+            # Partitioned/nested layout (no top-level .parquet parts) or a
+            # marker-only dir: the footer probe can't see the data, so honor
+            # the None-on-unreadable contract instead of reporting 0 rows —
+            # callers fall back to a columnless df.count() scan.
+            return None
         return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     except Exception:
         return None
