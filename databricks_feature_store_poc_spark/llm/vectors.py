@@ -158,7 +158,8 @@ def kmeans_update(assigned: DataFrame) -> dict[int, list[int]]:
 
 
 _KMEANS_CTES = f"""
-    v AS (SELECT vec_id, {_DUCK_QV} AS qv FROM embeddings),
+    v AS (SELECT vec_id, {_DUCK_QV} AS qv FROM embeddings
+          WHERE embedding IS NOT NULL),
     ve AS (SELECT vec_id, i, qv[i] AS q FROM v, range(1, {DIMS + 1}) r(i)),
     c0 AS (
         SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid, vec_id
@@ -243,8 +244,12 @@ def kmeans_fit_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
 
-    base = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr(_QV).alias("qv")
+    # NULL embeddings are not clusterable points: excluded here and in
+    # the oracle's v CTE (the adversarial replica carries NULL vectors).
+    base = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.expr(_QV).alias("qv"))
     )
     init_rows = base.orderBy("vec_id").limit(K).collect()
     centroids = {i + 1: [int(x) for x in r["qv"]] for i, r in enumerate(init_rows)}
@@ -403,7 +408,8 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embed_gram_matrix",
     oracle=f"""
-    WITH v0 AS (SELECT vec_id, {_DUCK_QV0} AS q0 FROM embeddings),
+    WITH v0 AS (SELECT vec_id, {_DUCK_QV0} AS q0 FROM embeddings
+                WHERE embedding IS NOT NULL),
     ve0 AS (SELECT vec_id, i, q0[i] AS q FROM v0, range(1, {DIMS + 1}) r(i))
     SELECT a.i AS dim_i, b.i AS dim_j,
            CAST(SUM(a.q * b.q) AS BIGINT) AS s
@@ -429,7 +435,13 @@ def embed_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
-    e = load_table(spark, sf_dir, "embeddings").select(F.expr(_QV0).alias("q0"))
+    # NULL embeddings contribute nothing to X^T X; excluded explicitly on
+    # both engines (np.vstack would crash on None rows otherwise).
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(F.expr(_QV0).alias("q0"))
+    )
 
     def partial_gram(batches):
         import numpy as np
@@ -453,3 +465,110 @@ def embed_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cells = e.mapInPandas(partial_gram, schema="dim_i long, dim_j long, p long")
     return cells.groupBy("dim_i", "dim_j").agg(F.sum("p").alias("s"))
+
+
+# --- statistic variants of the pair/cell enumerations ----------------------
+# VERDICT r9 'do this' #4: the two remaining 100x stress timeouts are
+# quadratic-OUTPUT pair enumerations (dedup_embedding_cosine,
+# dedup_simhash). The r9 join_interval_overlap rewrite proved the right
+# question is "does the consumer need the PAIRS, or a STATISTIC?" — for
+# the dominant dedup consumer (how many vectors would dedup drop, and
+# what do the duplicate clusters look like), the answer is a statistic
+# computable with ONE linear group-by, no enumeration. The enumeration
+# operators stay for consumers that need the stream (the audit twins do).
+
+
+@query(
+    "dedup_embedding_stats",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, {_DUCK_QV0} AS q0
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    s AS (SELECT q0, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM v GROUP BY q0)
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) * cluster_size AS BIGINT) AS n_vectors,
+           CAST(COUNT(*) * (cluster_size * (cluster_size - 1) // 2)
+                AS BIGINT) AS n_dup_pairs
+    FROM s GROUP BY cluster_size
+    """,
+)
+def dedup_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster-size histogram of the embedding corpus —
+    the de-quadraticized answer to dedup_embedding_cosine's dominant
+    consumer question ("how much duplication, in what cluster shapes?").
+
+    Vectors are grouped by their exact 2^20-grid fixed-point code (the
+    same _QV0 grid every checked vector op uses), so bit-identical and
+    grid-identical duplicates — the structure that makes the 100x clone
+    replica's pair output quadratic — collapse to ONE row per cluster,
+    and the histogram costs two hash aggregations on one scan: output
+    rows = distinct cluster sizes, never pairs. n_dup_pairs reports the
+    C(k,2) pair mass the enumeration WOULD emit, so a pipeline can
+    budget (or skip) the exact pair pass before running it.
+
+    Scale: linear; the wide group key (the 64-long code) partial-aggs
+    map-side and the second agg carries one row per distinct vector.
+    NULL embeddings are excluded explicitly on BOTH engines (Spark and
+    DuckDB agree on NULL grouping, but a NULL vector is not a dup).
+    """
+    v = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(F.expr(_QV0).alias("q0"))
+    )
+    sizes = v.groupBy("q0").agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        (F.count("*") * F.col("cluster_size")).alias("n_vectors"),
+        (
+            F.count("*")
+            * F.expr("cluster_size * (cluster_size - 1) div 2")
+        ).alias("n_dup_pairs"),
+    )
+
+
+@query(
+    "embed_gram_norms",
+    oracle=f"""
+    WITH v0 AS (
+        SELECT vec_id, {_DUCK_QV0} AS q0
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    ve AS (SELECT CAST(i AS BIGINT) AS dim, q0[i] AS q
+           FROM v0, range(1, {DIMS + 1}) r(i))
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(q) AS BIGINT) AS sum_q,
+           CAST(SUM(q * q) AS BIGINT) AS sum_q2
+    FROM ve GROUP BY dim
+    """,
+)
+def embed_gram_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension gram DIAGONAL (column sums + sums of squares) on
+    the exact fixed-point grid — the statistic variant of
+    embed_gram_matrix for the consumers that only need scaling factors
+    (feature standardization, whitening diagonals, column-norm pruning):
+    O(N*d) work, d rows out, exact BIGINT end to end (q^2 <= 1.33e12,
+    so int64 holds ~6.9e6 vectors per dimension; the full d x d matrix
+    stays available for PCA consumers).
+
+    Plan: one scan -> posexplode -> hash agg (64 groups, map-side
+    partial combine), one 64-row shuffle. NULL embeddings excluded on
+    both engines: Spark's posexplode DROPS null-array rows while
+    DuckDB's lateral range join would keep them as NULL cells — the
+    explicit filter pins one semantic for both.
+    """
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(F.expr(_QV0).alias("q0"))
+    )
+    v = e.select(F.posexplode("q0").alias("i", "q"))
+    return v.groupBy((F.col("i") + 1).cast("long").alias("dim")).agg(
+        F.count("*").alias("n_vectors"),
+        F.sum("q").alias("sum_q"),
+        F.sum(F.col("q") * F.col("q")).alias("sum_q2"),
+    )

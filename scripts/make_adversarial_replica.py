@@ -1,0 +1,283 @@
+"""Adversarial edge-case replica builder (VERDICT r9 'do this' #1).
+
+All six green distributions (sf0.001/0.01/0.1, uniform-10x, zipf-sf0.1,
+zipf-10x) share the generator's BENIGN value domain: non-NULL join keys,
+ASCII text, positive amounts, mid-range timestamps, well-formed JSON.
+The classic cross-engine divergences live outside that domain:
+
+- NULL join/group keys (join NULL-drop vs NULL-group semantics,
+  window-frame null ordering — Spark NULLS FIRST asc vs DuckDB NULLS
+  LAST default),
+- dangling foreign keys (left-join NULL enrich vs inner-join drop),
+- empty strings vs NULLs as distinct group keys,
+- multi-byte unicode + CRLF (length/substr/regex code-unit vs
+  codepoint semantics),
+- negative/zero amounts (sign-sensitive math, div-by-zero guards),
+- epoch-boundary and far-future timestamps (window bucketing,
+  date_trunc, casts),
+- malformed JSON (get_json_object NULL-on-bad vs json_extract
+  raise-on-bad),
+- zero-norm and NULL embedding vectors (0/0 -> NaN vs NULL).
+
+This script injects ALL of those into deterministic xxhash-gated row
+slices of the sf0.01 driver testdata, so the full oracle gate
+(tests/harness.py) runs Spark and DuckDB on the SAME corrupted files —
+any mismatch is a real cross-engine bug, not a data artifact.
+
+Primary keys stay intact and unique (PK contracts are a feature, not a
+target); region/nation stay verbatim (name-keyed joins like
+tpch_q7's FRANCE/GERMANY need their domain).
+
+Modes (ADV_MODE):
+- content (default): the value-domain replica described above ->
+  /tmp/spark_graft_adversarial
+- empty:  every table written with 0 rows, schema preserved ->
+  /tmp/spark_graft_empty
+- single: every table truncated to its first row (PK order) ->
+  /tmp/spark_graft_single
+
+Determinism: every gated slice derives from xxhash64(PK, literal seed)
+— no RNG; rebuilds are byte-stable.
+
+Usage:
+    python scripts/make_adversarial_replica.py
+    ADV_MODE=empty python scripts/make_adversarial_replica.py
+    ADV_MODE=single python scripts/make_adversarial_replica.py
+Then:
+    python tests/harness.py --sf /tmp/spark_graft_adversarial
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from pyspark.sql import Column, DataFrame  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from databricks_feature_store_poc_spark.session import get_spark  # noqa: E402
+from databricks_feature_store_poc_spark.sources.catalog import (  # noqa: E402
+    TABLES,
+    load_table,
+)
+
+SRC = os.environ.get("ADV_SRC", "/root/testdata/sf0.01")
+MODE = os.environ.get("ADV_MODE", "content")
+DST = os.environ.get(
+    "ADV_DST",
+    {
+        "content": "/tmp/spark_graft_adversarial",
+        "empty": "/tmp/spark_graft_empty",
+        "single": "/tmp/spark_graft_single",
+    }[MODE],
+)
+
+EPOCH = "1970-01-01 00:00:00"
+FAR_FUTURE = "2199-12-31 23:59:59.999999"
+UNI_TEXT = " naïve café 日本語テキスト données ¡señor! 🚀🎉"
+CRLF_PREFIX = "línea uno\r\nlínea dos\r\n"
+
+
+def _hit(pk: Column, seed: int, permille: int) -> Column:
+    """Deterministic boolean gate selecting ~permille/1000 of rows."""
+    return F.pmod(F.xxhash64(pk, F.lit(seed)), F.lit(1000)) < permille
+
+
+def _corrupt(df: DataFrame, pk: Column, col: str, edits) -> DataFrame:
+    """Apply (seed, permille, value_expr) edits to `col`, first hit wins."""
+    expr = F.col(col)
+    # build from the last edit outward so the FIRST listed edit wins
+    for seed, permille, value in reversed(edits):
+        expr = F.when(_hit(pk, seed, permille), value).otherwise(expr)
+    return df.withColumn(col, expr.cast(df.schema[col].dataType))
+
+
+def _write(df: DataFrame, table: str) -> None:
+    out = os.path.join(DST, f"{table}.parquet")
+    df.write.mode("overwrite").parquet(out)
+    print(f"  {table}: written ({MODE})", flush=True)
+
+
+def _pk_col(table: str) -> str:
+    return {
+        "region": "r_regionkey",
+        "nation": "n_nationkey",
+        "customer": "c_custkey",
+        "supplier": "s_suppkey",
+        "part": "p_partkey",
+        "orders": "o_orderkey",
+        "lineitem": "l_orderkey",
+        "events": "event_id",
+        "documents": "doc_id",
+        "embeddings": "vec_id",
+    }[table]
+
+
+def build_degenerate() -> None:
+    """empty / single modes: schema-preserving 0-row / 1-row tables."""
+    spark = get_spark()
+    os.makedirs(DST, exist_ok=True)
+    for t in TABLES:
+        df = load_table(spark, SRC, t)
+        if MODE == "empty":
+            df = df.limit(0)
+        else:
+            df = df.orderBy(_pk_col(t)).limit(1)
+        _write(df.coalesce(1), t)
+
+
+def build_content() -> None:
+    spark = get_spark()
+    os.makedirs(DST, exist_ok=True)
+
+    # region/nation verbatim (name-keyed join domains)
+    for t in ("region", "nation"):
+        _write(load_table(spark, SRC, t), t)
+
+    n_cust = (
+        load_table(spark, SRC, "customer").agg(F.max("c_custkey")).first()[0]
+        + 1
+    )
+
+    cust = load_table(spark, SRC, "customer")
+    pk = F.col("c_custkey")
+    cust = _corrupt(cust, pk, "c_name", [
+        (41, 30, F.concat(F.col("c_name"), F.lit(UNI_TEXT))),
+        (42, 10, F.lit("")),
+    ])
+    cust = _corrupt(cust, pk, "c_acctbal", [(43, 10, F.lit(0.0))])
+    cust = _corrupt(cust, pk, "c_mktsegment", [
+        (44, 20, F.lit(None)),
+        (45, 20, F.lit("")),
+    ])
+    cust = _corrupt(cust, pk, "c_nationkey", [(46, 20, F.lit(None))])
+    _write(cust, "customer")
+
+    supp = load_table(spark, SRC, "supplier")
+    pk = F.col("s_suppkey")
+    supp = _corrupt(supp, pk, "s_name", [
+        (51, 20, F.concat(F.lit(CRLF_PREFIX), F.col("s_name"))),
+    ])
+    supp = _corrupt(supp, pk, "s_nationkey", [(52, 20, F.lit(None))])
+    _write(supp, "supplier")
+
+    part = load_table(spark, SRC, "part")
+    pk = F.col("p_partkey")
+    part = _corrupt(part, pk, "p_name", [
+        (61, 20, F.concat(F.col("p_name"), F.lit(UNI_TEXT))),
+    ])
+    part = _corrupt(part, pk, "p_type", [(62, 10, F.lit(""))])
+    part = _corrupt(part, pk, "p_brand", [
+        (63, 10, F.concat(F.lit("Brand%_#"), pk.cast("string"))),
+    ])
+    part = _corrupt(part, pk, "p_retailprice", [(64, 10, F.lit(0.0))])
+    _write(part, "part")
+
+    orders = load_table(spark, SRC, "orders")
+    pk = F.col("o_orderkey")
+    orders = _corrupt(orders, pk, "o_custkey", [
+        (11, 100, F.lit(None)),                      # 10% NULL FK
+        (12, 30, F.lit(n_cust) + F.pmod(pk, F.lit(1000))),  # 3% dangling
+    ])
+    orders = _corrupt(orders, pk, "o_totalprice", [
+        (13, 20, F.lit(0.0)),
+        (14, 20, -F.col("o_totalprice")),
+    ])
+    orders = _corrupt(orders, pk, "o_orderdate", [
+        (15, 10, F.lit(EPOCH).cast("timestamp")),
+        (16, 10, F.lit(FAR_FUTURE).cast("timestamp")),
+    ])
+    orders = _corrupt(orders, pk, "o_orderpriority", [
+        (17, 20, F.lit("")),
+        (18, 20, F.lit("0-ÜRGENT→🚀")),
+    ])
+    _write(orders, "orders")
+
+    li = load_table(spark, SRC, "lineitem")
+    pk = F.xxhash64(F.col("l_orderkey"), F.col("l_linenumber"))
+    li = _corrupt(li, pk, "l_suppkey", [(21, 70, F.lit(None))])
+    li = _corrupt(li, pk, "l_partkey", [(22, 70, F.lit(None))])
+    li = _corrupt(li, pk, "l_orderkey", [(23, 30, F.lit(None))])
+    li = _corrupt(li, pk, "l_quantity", [(24, 20, F.lit(None))])
+    li = _corrupt(li, pk, "l_extendedprice", [
+        (25, 10, -F.col("l_extendedprice")),
+    ])
+    li = _corrupt(li, pk, "l_shipdate", [
+        (26, 10, F.lit(EPOCH).cast("timestamp")),
+        (27, 10, F.lit(FAR_FUTURE).cast("timestamp")),
+    ])
+    li = _corrupt(li, pk, "l_returnflag", [(28, 10, F.lit(""))])
+    _write(li, "lineitem")
+
+    ev = load_table(spark, SRC, "events")
+    pk = F.col("event_id")
+    ev = _corrupt(ev, pk, "user_id", [(31, 100, F.lit(None))])
+    ev = _corrupt(ev, pk, "value", [(32, 50, F.lit(None))])
+    ev = _corrupt(ev, pk, "ts", [
+        (33, 5, F.lit(EPOCH).cast("timestamp")),
+        (34, 5, F.lit(FAR_FUTURE).cast("timestamp")),
+    ])
+    ev = _corrupt(ev, pk, "event_type", [
+        (35, 20, F.lit("")),
+        (36, 20, F.lit("клик🚀")),
+        (37, 20, F.lit(None)),
+    ])
+    ev = _corrupt(ev, pk, "props", [
+        (38, 20, F.lit("")),
+        (39, 10, F.lit("{broken json")),
+        (40, 10, F.lit(None)),
+    ])
+    _write(ev, "events")
+
+    docs = load_table(spark, SRC, "documents")
+    pk = F.col("doc_id")
+    docs = _corrupt(docs, pk, "text", [
+        (71, 30, F.concat(F.col("text"), F.lit(UNI_TEXT))),
+        (72, 20, F.concat(F.lit(CRLF_PREFIX), F.col("text"))),
+        (73, 10, F.lit("")),
+        (74, 10, F.lit(None)),
+    ])
+    docs = docs.withColumn("n_chars", F.length("text").cast("long"))
+    docs = _corrupt(docs, pk, "lang", [
+        (75, 10, F.lit("")),
+        (76, 10, F.lit("zz")),
+    ])
+    _write(docs, "documents")
+
+    emb = load_table(spark, SRC, "embeddings")
+    pk = F.col("vec_id")
+    dim = F.size(F.col("embedding"))
+    zero_vec = F.transform(
+        F.sequence(F.lit(1), dim), lambda _: F.lit(0.0).cast("float")
+    )
+    emb = _corrupt(emb, pk, "embedding", [
+        (81, 10, F.lit(None)),
+        (82, 10, zero_vec),
+    ])
+    emb = _corrupt(emb, pk, "label", [(83, 10, F.lit(None))])
+    _write(emb, "embeddings")
+
+    # summary — evidence the corruption landed
+    for t, col in (
+        ("orders", "o_custkey"),
+        ("lineitem", "l_suppkey"),
+        ("events", "user_id"),
+        ("documents", "text"),
+        ("embeddings", "embedding"),
+    ):
+        df = spark.read.parquet(os.path.join(DST, f"{t}.parquet"))
+        n = df.count()
+        nulls = df.filter(F.col(col).isNull()).count()
+        print(f"  {t}.{col}: {nulls}/{n} NULL ({nulls / n:.1%})")
+
+
+if __name__ == "__main__":
+    if MODE == "content":
+        build_content()
+    else:
+        build_degenerate()
+    print(f"replica at {DST} (mode={MODE}, src={SRC})")
