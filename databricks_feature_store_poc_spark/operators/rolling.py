@@ -321,51 +321,93 @@ def feature_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gap-filling grid clamp (VERDICT r10 item #2): a generated per-key grid
+# MUST be bounded by configuration, not by the data's timestamp span — a
+# single epoch-or-far-future outlier per key otherwise fans out millions
+# of rows per key (feature_resample_1h hung the r10 adversarial gate at
+# ~2.016M rows/user on an epoch->2199 span). The clamp anchors each grid
+# at the key's MEDIAN bucket (percentile_disc 0.5 — outlier-immune) and
+# extends at most RESAMPLE_HALF_SPAN_HOURS / DENSIFY_HALF_SPAN_DAYS each
+# way; observed buckets OUTSIDE the clamped span are still emitted
+# verbatim (quarantined: no synthetic gap rows are generated around
+# them), so no data is lost and grid rows <= keys x (2*half_span + 1).
+RESAMPLE_HALF_SPAN_HOURS = 2196   # ±91.5 days; benign 30-day data unclamped
+DENSIFY_HALF_SPAN_DAYS = 183      # ±183 days;  benign 30-day data unclamped
+
+
 @query(
     "feature_resample_1h",
-    oracle="""
+    oracle=f"""
     WITH hourly AS (
         SELECT user_id, date_trunc('hour', ts) AS hb,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hour_value,
                CAST(COUNT(*) AS BIGINT) AS n_events
-        FROM events GROUP BY 1, 2
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
     ),
     bounds AS (
-        SELECT user_id, MIN(hb) AS mn, MAX(hb) AS mx FROM hourly GROUP BY 1
+        SELECT user_id, MIN(hb) AS mn, MAX(hb) AS mx,
+               quantile_disc(CAST(epoch(hb) AS BIGINT), 0.5) AS med_s
+        FROM hourly GROUP BY 1
     ),
-    grid AS (
+    cb AS (
         SELECT user_id,
-               UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hb
+               greatest(mn, CAST(to_timestamp(med_s) AS TIMESTAMP)
+                            - INTERVAL {RESAMPLE_HALF_SPAN_HOURS} HOUR) AS lo,
+               least(mx, CAST(to_timestamp(med_s) AS TIMESTAMP)
+                         + INTERVAL {RESAMPLE_HALF_SPAN_HOURS} HOUR) AS hi
         FROM bounds
+    ),
+    spine AS (
+        SELECT user_id,
+               CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR))
+                    AS TIMESTAMP) AS hb
+        FROM cb
+        UNION ALL
+        SELECT h.user_id, h.hb
+        FROM hourly h JOIN cb ON h.user_id = cb.user_id
+        WHERE h.hb < cb.lo OR h.hb > cb.hi
     )
-    SELECT g.user_id, CAST(g.hb AS TIMESTAMP) AS hb,
+    SELECT g.user_id, g.hb,
            CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events,
            last_value(h.hour_value IGNORE NULLS) OVER (
                PARTITION BY g.user_id ORDER BY g.hb
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS filled_value
-    FROM grid g
+    FROM spine g
     LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hb = h.hb
     """,
 )
 def feature_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-fill / resample to an hourly grid per user: every hour between
-    a user's first and last event gets a row — observed hours carry their
-    exact aggregate, silent hours carry n_events = 0 and the LAST observed
+    """Gap-fill / resample to an hourly grid per user: every hour of a
+    user's CLAMPED span gets a row — observed hours carry their exact
+    aggregate, silent hours carry n_events = 0 and the LAST observed
     hourly value forward. This is the regularization step between raw
     event streams and fixed-step feature vectors (models want dense
     grids; event data is sparse).
 
+    Contract (adversarial-input hardening, r11): rows with NULL user_id
+    are excluded (a per-user resample is undefined without a key); the
+    generated grid for each user spans at most RESAMPLE_HALF_SPAN_HOURS
+    each side of the user's MEDIAN observed hour, so one corrupt
+    epoch/far-future timestamp cannot fan the grid into millions of rows
+    (the r10 adversarial replica hung here at ~2M rows/user). Observed
+    hours outside the clamped span are quarantined: emitted verbatim
+    (exact aggregate, forward-fill participates) but no synthetic gap
+    rows are generated around them. On in-bounds data (span <= half_span)
+    the clamp never binds and output is identical to the unclamped grid.
+
     Scale shape: the raw stream collapses to (user, hour) grain FIRST
     (one map-side-combined shuffle — the grid math never touches raw
-    events), per-user bounds ride the same aggregate, and the grid is
-    sequence() + explode over each user's own span — output is bounded by
-    users x retention-hours, not by event count. The carry-forward is the
-    same one-window last(ignorenulls) used by point-in-time lookups.
-    Determinism: hourly sums accumulate in DECIMAL; (user, hour) rows are
-    unique so the window order is total.
+    events), per-user bounds+median ride the same aggregate, and the grid
+    is sequence() + explode over each user's own clamped span — output is
+    bounded by users x (2*half_span+1) + observed outlier hours, enforced
+    not assumed. The carry-forward is the same one-window
+    last(ignorenulls) used by point-in-time lookups. Determinism: hourly
+    sums accumulate in DECIMAL; (user, hour) rows are unique so the
+    window order is total; the median is percentile_disc (an actual
+    element, hour-aligned) on both engines.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     hourly = (
         e.groupBy("user_id", F.date_trunc("hour", "ts").alias("hb"))
         .agg(
@@ -374,20 +416,36 @@ def feature_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
-    bounds = hourly.groupBy("user_id").agg(
-        F.min("hb").alias("mn"), F.max("hb").alias("mx")
-    )
-    grid = bounds.select(
+    half = RESAMPLE_HALF_SPAN_HOURS
+    cb = hourly.groupBy("user_id").agg(
+        F.min("hb").alias("mn"),
+        F.max("hb").alias("mx"),
+        F.expr(
+            "timestamp_seconds(CAST(percentile_disc(0.5) "
+            "WITHIN GROUP (ORDER BY unix_seconds(hb)) AS BIGINT))"
+        ).alias("med"),
+    ).select(
         "user_id",
-        F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("hb"),
+        F.expr(f"greatest(mn, med - INTERVAL {half} HOUR)").alias("lo"),
+        F.expr(f"least(mx, med + INTERVAL {half} HOUR)").alias("hi"),
     )
+    grid = cb.select(
+        "user_id",
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hb"),
+    )
+    quarantined = (
+        hourly.join(cb, "user_id")
+        .filter((F.col("hb") < F.col("lo")) | (F.col("hb") > F.col("hi")))
+        .select("user_id", "hb")
+    )
+    spine = grid.unionByName(quarantined)
     w = (
         Window.partitionBy("user_id")
         .orderBy("hb")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        grid.join(hourly, ["user_id", "hb"], "left")
+        spine.join(hourly, ["user_id", "hb"], "left")
         .select(
             "user_id",
             "hb",
@@ -399,13 +457,23 @@ def feature_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "densify_daily_spine",
-    oracle="""
+    oracle=f"""
     WITH p AS (
         SELECT user_id, CAST(ts AS DATE) AS day,
                CAST(floor(value * 100) AS BIGINT) AS cents
-        FROM events WHERE event_type = 'purchase'
+        FROM events
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL
+              AND value IS NOT NULL
     ),
-    b AS (SELECT min(day) AS d0, max(day) AS d1 FROM p),
+    b AS (
+        SELECT greatest(min(day),
+                        quantile_disc(day, 0.5) - {DENSIFY_HALF_SPAN_DAYS})
+                   AS d0,
+               least(max(day),
+                     quantile_disc(day, 0.5) + {DENSIFY_HALF_SPAN_DAYS})
+                   AS d1
+        FROM p
+    ),
     days AS (
         SELECT CAST(unnest(generate_series(
             CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
@@ -417,38 +485,76 @@ def feature_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, day, CAST(count(*) AS BIGINT) AS n,
                CAST(sum(cents) AS BIGINT) AS cents
         FROM p GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT u.user_id, d.day FROM u CROSS JOIN days d
+        UNION ALL
+        SELECT g.user_id, g.day FROM g CROSS JOIN b
+        WHERE g.day < b.d0 OR g.day > b.d1
     )
-    SELECT u.user_id, d.day,
+    SELECT s.user_id, s.day,
            CAST(coalesce(g.n, 0) AS BIGINT) AS n_purchases,
            CAST(coalesce(g.cents, 0) AS BIGINT) AS sum_value_cents
-    FROM u CROSS JOIN days d
-    LEFT JOIN g ON g.user_id = u.user_id AND g.day = d.day
+    FROM spine s
+    LEFT JOIN g ON g.user_id = s.user_id AND g.day = s.day
     """,
 )
 def densify_daily_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar densification (gap filling): every (user, day) cell over
-    the corpus's purchase date span, zero-filled where the user bought
-    nothing — the dense spine that feeds fixed-length model inputs,
-    forward fills ([win_forward_fill]), and day-over-day deltas, none of
-    which tolerate missing rows.
+    the corpus's CLAMPED purchase date span, zero-filled where the user
+    bought nothing — the dense spine that feeds fixed-length model
+    inputs, forward fills ([win_forward_fill]), and day-over-day deltas,
+    none of which tolerate missing rows.
+
+    Contract (adversarial-input hardening, r11): purchases with NULL
+    user_id or NULL value are excluded (a per-user spine is undefined
+    without a key; a cents sum is undefined without a value); the global
+    date span is clamped to DENSIFY_HALF_SPAN_DAYS each side of the
+    MEDIAN purchase day, so one corrupt epoch/far-future timestamp
+    cannot fan the spine into |users| x 84k-days cells (the r10
+    adversarial replica emitted 12.7M rows from 10k events here).
+    Observed (user, day) cells outside the clamped span are quarantined:
+    emitted verbatim with their exact counts, no synthetic zero-fill
+    around them. On in-bounds data (span <= 2*half_span) the clamp never
+    binds and output is identical to the unclamped spine.
 
     Shape at 100 TB: the spine is GENERATED, not scanned — a 1-row
-    global min/max aggregate broadcast onto the distinct-user dim, then
-    ``explode(sequence(d0, d1))`` fans each user into its days map-side
-    (|users| x |days| rows that never existed in the source and never
-    shuffle as a unit; the only exchanges are the two user-keyed aggs
-    and the left join's, all on the same key). Values carry as
-    floor(value*100) BIGINT cents, so the zero-fill and the sums are
-    engine-exact at any accumulation order.
+    global min/median/max aggregate broadcast onto the distinct-user
+    dim, then ``explode(sequence(d0, d1))`` fans each user into its days
+    map-side (|users| x |days| rows that never existed in the source and
+    never shuffle as a unit; the only exchanges are the two user-keyed
+    aggs and the left join's, all on the same key), with the row budget
+    ENFORCED at users x (2*half_span+1) + observed outlier cells. Values
+    carry as floor(value*100) BIGINT cents, so the zero-fill and the
+    sums are engine-exact at any accumulation order.
     """
     e = load_table(spark, sf_dir, "events")
-    p = e.filter(F.col("event_type") == "purchase").select(
+    p = e.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
         "user_id",
         F.col("ts").cast("date").alias("day"),
         F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
     )
-    bounds = p.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-    spine = (
+    half = DENSIFY_HALF_SPAN_DAYS
+    bounds = p.agg(
+        F.min("day").alias("mn"),
+        F.max("day").alias("mx"),
+        F.expr(
+            "date_add(DATE '1970-01-01', CAST(percentile_disc(0.5) "
+            "WITHIN GROUP (ORDER BY datediff(day, DATE '1970-01-01')) AS INT))"
+        ).alias("med"),
+    ).select(
+        F.expr(f"greatest(mn, date_add(med, -{half}))").alias("d0"),
+        F.expr(f"least(mx, date_add(med, {half}))").alias("d1"),
+    )
+    g = p.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    dense = (
         p.select("user_id").distinct()
         .join(F.broadcast(bounds))  # 1-row bounds: broadcast, not cartesian
         .select(
@@ -456,10 +562,12 @@ def densify_daily_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
         )
     )
-    g = p.groupBy("user_id", "day").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("cents").cast("long").alias("cents"),
+    quarantined = (
+        g.join(F.broadcast(bounds))
+        .filter((F.col("day") < F.col("d0")) | (F.col("day") > F.col("d1")))
+        .select("user_id", "day")
     )
+    spine = dense.unionByName(quarantined)
     return spine.join(g, ["user_id", "day"], "left").select(
         "user_id", "day",
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_purchases"),

@@ -199,9 +199,12 @@ def build_content() -> None:
 
     li = load_table(spark, SRC, "lineitem")
     pk = F.xxhash64(F.col("l_orderkey"), F.col("l_linenumber"))
+    # Only true FKs are nulled; l_orderkey (half of the composite PK)
+    # stays intact per the PK invariant above (ADVICE r10 item #4 — the
+    # original seed-23 edit nulled it and made lineitem-keyed
+    # mismatches ambiguous between data artifact and engine bug).
     li = _corrupt(li, pk, "l_suppkey", [(21, 70, F.lit(None))])
     li = _corrupt(li, pk, "l_partkey", [(22, 70, F.lit(None))])
-    li = _corrupt(li, pk, "l_orderkey", [(23, 30, F.lit(None))])
     li = _corrupt(li, pk, "l_quantity", [(24, 20, F.lit(None))])
     li = _corrupt(li, pk, "l_extendedprice", [
         (25, 10, -F.col("l_extendedprice")),
