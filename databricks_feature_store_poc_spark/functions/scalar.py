@@ -167,15 +167,26 @@ def fn_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_json",
     oracle="""
     SELECT event_id,
-           json_extract_string(props, '$.k') AS k_str,
-           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
-           CAST(json_extract_string(props, '$.missing') AS INT) AS k_missing
+           CASE WHEN json_valid(props)
+                THEN json_extract_string(props, '$.k') END AS k_str,
+           CAST(CASE WHEN json_valid(props)
+                     THEN json_extract_string(props, '$.k') END AS INT)
+               AS k_int,
+           CAST(CASE WHEN json_valid(props)
+                     THEN json_extract_string(props, '$.missing') END AS INT)
+               AS k_missing
     FROM events
     """,
 )
 def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """get_json_object over the events.props JSON column; missing paths
-    yield NULL on both engines."""
+    yield NULL on both engines.
+
+    Contract (pinned r11): malformed / empty / NULL JSON input yields
+    NULL, never an error — Spark's get_json_object does this natively;
+    the oracle mirrors it with a json_valid() guard because DuckDB's
+    json_extract_string RAISES on malformed input (adversarial replica:
+    props in {'', '{broken json', NULL})."""
     e = load_table(spark, sf_dir, "events")
     return e.select(
         "event_id",
@@ -226,7 +237,9 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            event_type AS type_from_map,
-           CAST(json_extract_string(props, '$.k') AS INT) AS k_from_map,
+           CAST(CASE WHEN json_valid(props)
+                     THEN json_extract_string(props, '$.k') END AS INT)
+               AS k_from_map,
            2 AS n_keys
     FROM events
     """,
@@ -234,7 +247,8 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MapType construction + element_at lookup + map_keys. The oracle
     pins the *values* the map ops must produce (DuckDB's MAP type is not
-    hash-comparable cross-engine; the semantics are)."""
+    hash-comparable cross-engine; the semantics are). Malformed/NULL JSON
+    props pin to NULL via the oracle's json_valid guard (see [fn_json])."""
     e = load_table(spark, sf_dir, "events")
     m = F.create_map(
         F.lit("type"), F.col("event_type"),

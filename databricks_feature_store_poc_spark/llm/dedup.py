@@ -461,6 +461,10 @@ MAX_COSINE_BLOCKS = 64
                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                      CAST(embedding AS DOUBLE[]))) AS nrm
         FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = 64
+          AND len(list_filter(embedding, x -> x IS NULL)) = 0
+          AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[])) > 0
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            floor(list_dot_product(a.e, b.e) / (a.nrm * b.nrm) * 1e6 + 0.5)
@@ -492,14 +496,26 @@ def dedup_embedding_cosine(
     on both engines — numpy/BLAS and DuckDB sum in different orders, so a
     pair sitting within float error of 0.4 must be quantized before the
     cut, not after.
+
+    Vector-validity contract (r11, shared with llm/similarity.py):
+    NULL / ragged / zero-norm vectors are excluded on both engines —
+    np.vstack crashes on a None row and a zero norm divides by zero, so
+    degenerate rows must never reach the matmul kernel.
     """
     import math as _math
 
     import numpy as np
     import pyspark.sql.types as T
 
+    from databricks_feature_store_poc_spark.llm.similarity import (
+        _VALID_VEC_SPARK,
+        DIM,
+    )
+
     e = load_table(spark, sf_dir, "embeddings")
-    probe = e.select("vec_id", "embedding")
+    probe = e.filter(F.expr(_VALID_VEC_SPARK.format(dim=DIM))).select(
+        "vec_id", "embedding"
+    )
     n = probe.count()
     n_blocks = max(1, _math.ceil(n / block_rows))
     # Refuse the quadratic sweep past max_blocks (default 64 passes =

@@ -57,19 +57,35 @@ def decode_image_real(payload: bytes) -> dict:
     oracle="""
     WITH v AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    nn AS (
+        -- Guard: DuckDB's (v1.0.0) list_dot_product ERRORS on a NULL
+        -- list where Spark's aggregate() returns NULL — and neither a
+        -- CASE nor coalesce shields it in the vectorized path, so the
+        -- dot is computed on the non-NULL subset and left-joined back.
+        SELECT vec_id, list_dot_product(e, e) AS dot
+        FROM v WHERE e IS NOT NULL
     )
-    SELECT vec_id,
-           CAST(len(e) AS INT) AS dim,
-           round(sqrt(list_dot_product(e, e)), 6) AS l2_norm,
-           round(e[1] / sqrt(list_dot_product(e, e)), 6) AS first_normalized,
-           round(list_aggregate(e, 'sum') / len(e), 6) AS mean_elem
-    FROM v
+    SELECT v.vec_id,
+           CAST(len(v.e) AS INT) AS dim,
+           round(sqrt(nn.dot), 6) AS l2_norm,
+           round(v.e[1] / nullif(sqrt(nn.dot), 0), 6) AS first_normalized,
+           round(list_aggregate(v.e, 'sum') / nullif(len(v.e), 0), 6)
+               AS mean_elem
+    FROM v LEFT JOIN nn USING (vec_id)
     """,
 )
 def mm_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 norm / unit-normalization / mean over the embedding column —
     the vector hygiene ops every similarity pipeline runs first. All
-    higher-order-function folds over the 64 lanes, JVM-side."""
+    higher-order-function folds over the 64 lanes, JVM-side.
+
+    Contract (r11 adversarial hardening): this is the DIAGNOSTIC op — it
+    keeps every row (unlike the sim family, which excludes degenerate
+    vectors) and reports NULL where a metric is undefined: NULL vector ->
+    all metrics NULL; zero-norm vector -> l2_norm 0, first_normalized
+    NULL (0/0 pinned as NULL via nullif on both engines, never an ANSI
+    divide-by-zero error); empty vector -> mean_elem NULL."""
     e = load_table(spark, sf_dir, "embeddings")
     v = e.select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("e")
@@ -78,10 +94,14 @@ def mm_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ssum = "aggregate(e, 0D, (s, x) -> s + x)"
     return v.select(
         "vec_id",
-        F.size("e").alias("dim"),
+        F.when(F.col("e").isNotNull(), F.size("e")).alias("dim"),
         F.round(F.sqrt(F.expr(dot)), 6).alias("l2_norm"),
-        F.round(F.element_at("e", 1) / F.sqrt(F.expr(dot)), 6).alias("first_normalized"),
-        F.round(F.expr(ssum) / F.size("e"), 6).alias("mean_elem"),
+        F.round(
+            F.expr(f"try_element_at(e, 1) / nullif(sqrt({dot}), 0D)"), 6
+        ).alias("first_normalized"),
+        F.round(
+            F.expr(f"{ssum} / nullif(cast(size(e) as double), 0D)"), 6
+        ).alias("mean_elem"),
     )
 
 
@@ -117,49 +137,67 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH chars AS (
         SELECT doc_id, string_split(text, '') AS cs,
-               length(text) AS n, greatest(length(text), 1) AS tot
+               length(text) AS n, greatest(length(text), 1) AS tot,
+               text IS NULL AS is_null
         FROM documents
     )
     SELECT doc_id,
-           CAST(16 + ascii(cs[1]) % 64 AS INT) AS width,
-           CAST(16 + COALESCE(ascii(cs[n]), 0) % 64 AS INT) AS height,
-           concat_ws(',',
-               printf('%.6f', len(list_filter(cs, c -> ascii(c) // 64 = 0)) * 1.0 / tot),
-               printf('%.6f', len(list_filter(cs, c -> ascii(c) // 64 = 1)) * 1.0 / tot),
-               printf('%.6f', len(list_filter(cs, c -> ascii(c) // 64 = 2)) * 1.0 / tot),
-               printf('%.6f', len(list_filter(cs, c -> ascii(c) // 64 = 3)) * 1.0 / tot)
-           ) AS byte_hist
+           CAST(CASE WHEN is_null THEN NULL
+                     WHEN n = 0 THEN 16
+                     ELSE 16 + ascii(cs[1]) % 64 END AS INT) AS width,
+           CAST(CASE WHEN is_null THEN NULL
+                     WHEN n = 0 THEN 16
+                     ELSE 16 + ascii(cs[n]) % 64 END AS INT) AS height,
+           CASE WHEN is_null THEN NULL ELSE concat_ws(',',
+               printf('%.6f', len(list_filter(cs,
+                   c -> c != '' AND (ascii(c) // 64) % 4 = 0)) * 1.0 / tot),
+               printf('%.6f', len(list_filter(cs,
+                   c -> c != '' AND (ascii(c) // 64) % 4 = 1)) * 1.0 / tot),
+               printf('%.6f', len(list_filter(cs,
+                   c -> c != '' AND (ascii(c) // 64) % 4 = 2)) * 1.0 / tot),
+               printf('%.6f', len(list_filter(cs,
+                   c -> c != '' AND (ascii(c) // 64) % 4 = 3)) * 1.0 / tot)
+           ) END AS byte_hist
     FROM chars
     """,
 )
 def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract plumbing over a binary media column.
 
-    Deterministic fake decode: 'image' dimensions derived from payload
-    bytes (first/last byte + length), a 4-bin byte histogram as the
-    'feature vector'. Because the payload is ASCII text bytes, the fake
-    decode is SQL-expressible and the whole mapInPandas pipeline is
-    oracle-checked (UTF-8 byte == codepoint for ASCII; int/int divisions
-    are exact cross-engine). Every piece of Spark machinery is
-    production-real:
-    Arrow-batched mapInPandas, explicit output schema with an
-    array<float> feature column, per-partition parallelism; only the
-    codec call is fake (see decode_image_real for where the real one
-    goes)."""
+    Deterministic fake decode: 'image' dimensions derived from the
+    payload's first/last code point + length, a 4-bin code-point
+    histogram as the 'feature vector'. The fake decode reads CODE POINTS
+    (like mm_frame_sample) rather than raw UTF-8 bytes so DuckDB can
+    replicate it exactly on non-ASCII text — per-byte BLOB arithmetic is
+    not SQL-expressible cross-engine, per-codepoint is (r11: the
+    adversarial replica's unicode/CRLF documents diverged the old
+    byte-based kernel). Histogram bins are (cp // 64) % 4 so any code
+    point maps to a bin. Every piece of Spark machinery is
+    production-real: Arrow-batched mapInPandas, explicit output schema,
+    per-partition parallelism, and the binary payload column CROSSES the
+    Arrow boundary alongside the text (proving binary plumbing) — only
+    the codec call is fake (see decode_image_real for where the real one
+    goes).
+
+    Contract (r11): a NULL payload decodes to NULL width/height/hist —
+    a decoder cannot invent pixels; the row is kept so downstream sees
+    the failure, mirroring mm_embedding_norm's diagnostic shape."""
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
-            n = len(payload)
-            width = 16 + payload[0] % 64 if n else 16
-            height = 16 + payload[-1] % 64 if n else 16
+        def fake_decode(text) -> tuple:
+            if text is None:
+                return None, None, None
+            n = len(text)
+            width = 16 + ord(text[0]) % 64 if n else 16
+            height = 16 + ord(text[-1]) % 64 if n else 16
             hist = [0, 0, 0, 0]
-            for by in payload:
-                hist[by // 64] += 1
+            for ch in text:
+                hist[(ord(ch) // 64) % 4] += 1
             tot = max(n, 1)
-            return width, height, [h / tot for h in hist]
+            return width, height, ",".join(f"{h / tot:.6f}" for h in hist)
 
         for pdf in batches:
-            rows = [fake_decode(p) for p in pdf["payload"]]
+            rows = [fake_decode(t) for t in pdf["text"]]
             # byte_hist is emitted as a canonical comma-joined string
             # (6-decimal %.6f on the identical IEEE double both engines
             # compute) instead of array<double>: the driver's pandas
@@ -167,15 +205,14 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
             # treatment as agg_collect_set. A real deployment would keep
             # the array column; the canonicalization is an oracle
             # contract, not an engine limitation (mm_embedding_norm
-            # keeps real arrays in-plan).
+            # keeps real arrays in-plan). width/height use pandas
+            # nullable Int32 so NULL decodes survive Arrow as NULLs.
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
-                    "width": [r[0] for r in rows],
-                    "height": [r[1] for r in rows],
-                    "byte_hist": [
-                        ",".join(f"{h:.6f}" for h in r[2]) for r in rows
-                    ],
+                    "width": pd.array([r[0] for r in rows], dtype="Int32"),
+                    "height": pd.array([r[1] for r in rows], dtype="Int32"),
+                    "byte_hist": [r[2] for r in rows],
                 }
             )
 
@@ -188,7 +225,9 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     d = load_table(spark, sf_dir, "documents")
-    payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    payloads = d.select(
+        "doc_id", "text", F.encode("text", "UTF-8").alias("payload")
+    )
     return payloads.mapInPandas(decode_batches, schema)
 
 
@@ -198,7 +237,7 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
         SELECT doc_id, text,
                greatest(length(text) // 64, 1) AS n_frames
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     frames AS (
         SELECT doc_id, text,
@@ -235,7 +274,11 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked oracle while keeping the decode plumbing identical.
     (DuckDB's string_split('','') yields [''] — the oracle's comprehension
     filters the empty string so an empty document checksums to 0 on both
-    engines, matching Python's sum over an empty chunk.)"""
+    engines, matching Python's sum over an empty chunk.)
+
+    Contract (r11): NULL-text documents emit no frames — a decoder
+    cannot sample a payload that isn't there; both engines filter them
+    (kernel skips, oracle WHERE text IS NOT NULL)."""
     CHUNK = 64          # characters per fake 'frame'
     STRIDE = 4          # sample every 4th frame
     MAX_FRAMES = 8
@@ -244,6 +287,8 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             doc_ids, frame_idx, offsets, checksums = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["text"]):
+                if payload is None:
+                    continue
                 n_frames = max(len(payload) // CHUNK, 1)
                 taken = 0
                 for i in range(0, n_frames, STRIDE):

@@ -82,9 +82,34 @@ BITS_PER_TABLE = 4
 
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (s, x) -> s + x)"
 
+# Vector-validity contract (r11 adversarial hardening): similarity is
+# defined only over valid vectors — non-NULL, exactly DIM elements, no
+# NULL elements, nonzero norm. Cosine against a zero or NULL vector is
+# 0/0 (NaN on Spark, error-or-NULL on DuckDB); rather than pick a fake
+# value, degenerate rows are EXCLUDED from both query and corpus sides
+# on both engines. A 100 TB corpus always contains such rows; an ANN
+# index that admits them divides by zero at query time.
+_VALID_VEC_SPARK = (
+    "embedding IS NOT NULL AND size(embedding) = {dim} "
+    "AND NOT exists(embedding, x -> x IS NULL) "
+    "AND exists(embedding, x -> x <> 0)"
+)
+_VALID_VEC_DUCK = (
+    "embedding IS NOT NULL AND len(embedding) = {dim} "
+    "AND len(list_filter(embedding, x -> x IS NULL)) = 0 "
+    "AND list_dot_product(CAST(embedding AS DOUBLE[]), "
+    "CAST(embedding AS DOUBLE[])) > 0"
+)
+_VALID_VEC_DUCK_64 = _VALID_VEC_DUCK.format(dim=DIM)
+
 
 def _as_double(col: str) -> F.Column:
     return F.expr(f"transform({col}, x -> cast(x as double))")
+
+
+def _valid(e: DataFrame) -> DataFrame:
+    """Apply the vector-validity contract (see _VALID_VEC_SPARK)."""
+    return e.filter(F.expr(_VALID_VEC_SPARK.format(dim=DIM)))
 
 
 def _with_norm(df: DataFrame, vec: str = "e") -> DataFrame:
@@ -110,7 +135,7 @@ def hyperplane(table: int, bit: int) -> list[float]:
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                      CAST(embedding AS DOUBLE[]))) AS nrm
-        FROM embeddings
+        FROM embeddings WHERE {_VALID_VEC_DUCK_64}
     )
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cosine
@@ -131,7 +156,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the cut is deterministic.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    v = _with_norm(e.select("vec_id", _as_double("embedding").alias("e")))
+    v = _with_norm(_valid(e).select("vec_id", _as_double("embedding").alias("e")))
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("q_e"), F.col("nrm").alias("q_n")
     )
@@ -163,7 +188,7 @@ def sim_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output schema matches sim_cosine_topk so the recall test can diff.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    v = _with_norm(e.select("vec_id", _as_double("embedding").alias("e")))
+    v = _with_norm(_valid(e).select("vec_id", _as_double("embedding").alias("e")))
 
     planes = [
         [hyperplane(t, b) for b in range(BITS_PER_TABLE)] for t in range(N_TABLES)
@@ -282,7 +307,7 @@ def _ivf_fit(spark: SparkSession, sf_dir: str):
         return _ANN_INDEXES[idx_key], _IVF_CENTERS[memo_key]
 
     e = load_table(spark, sf_dir, "embeddings")
-    v = _with_norm(e.select("vec_id", _as_double("embedding").alias("e")))
+    v = _with_norm(_valid(e).select("vec_id", _as_double("embedding").alias("e")))
 
     n_corpus = v.count()
     sample = v
@@ -501,7 +526,7 @@ def _recall_audit(
 _ANN_ORACLE = f"""
     SELECT vec_id AS query_id, CAST({TOP_K} AS BIGINT) AS k,
            TRUE AS recall_ok
-    FROM embeddings WHERE vec_id < {N_QUERIES}
+    FROM embeddings WHERE vec_id < {N_QUERIES} AND {_VALID_VEC_DUCK_64}
 """
 
 
@@ -535,7 +560,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT vec_id AS query_id, CAST({TOP_K} AS BIGINT) AS k,
            TRUE AS recall_ok, TRUE AS delta_ok
-    FROM embeddings WHERE vec_id < {N_QUERIES}
+    FROM embeddings WHERE vec_id < {N_QUERIES} AND {_VALID_VEC_DUCK_64}
     """,
 )
 def sim_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -593,7 +618,7 @@ RANGE_THRESHOLD = 0.3
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                      CAST(embedding AS DOUBLE[]))) AS nrm
-        FROM embeddings
+        FROM embeddings WHERE {_VALID_VEC_DUCK_64}
     )
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cosine
@@ -615,7 +640,7 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold, so thresholding cannot flip rows cross-engine.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    v = _with_norm(e.select("vec_id", _as_double("embedding").alias("e")))
+    v = _with_norm(_valid(e).select("vec_id", _as_double("embedding").alias("e")))
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("q_e"),
@@ -647,7 +672,7 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                      CAST(embedding AS DOUBLE[]))) AS nrm
-        FROM embeddings
+        FROM embeddings WHERE {_VALID_VEC_DUCK_64}
     )
     SELECT q.vec_id AS query_id, c.vec_id AS negative_id,
            c.label AS negative_label,
@@ -674,7 +699,7 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
     v = _with_norm(
-        e.select("vec_id", "label", _as_double("embedding").alias("e"))
+        _valid(e).select("vec_id", "label", _as_double("embedding").alias("e"))
     )
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -722,7 +747,7 @@ MMR_LAMBDA = 0.5   # relevance/diversity trade-off
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                      CAST(embedding AS DOUBLE[]))) AS nrm
-        FROM embeddings
+        FROM embeddings WHERE {_VALID_VEC_DUCK_64}
     ),
     q AS (SELECT e, nrm FROM v WHERE vec_id = {MMR_QUERY_ID}),
     cand AS (
@@ -780,7 +805,7 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     with vec_id tie-breaks, so the selection is engine-exact.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    v = _with_norm(e.select("vec_id", _as_double("embedding").alias("e")))
+    v = _with_norm(_valid(e).select("vec_id", _as_double("embedding").alias("e")))
     q = v.filter(F.col("vec_id") == MMR_QUERY_ID).select(
         F.col("e").alias("q_e"), F.col("nrm").alias("q_n")
     )
