@@ -217,7 +217,10 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
-        F.size(F.expr(_WORDS)).cast("long").alias("n_tokens"),
+        # NULL text packs as a zero-token doc (r11 contract): size(NULL)
+        # is NULL and a NaN n_tokens crashed the FFD kernel; every doc
+        # still appears exactly once in the packing.
+        F.coalesce(F.size(F.expr(_WORDS)), F.lit(0)).cast("long").alias("n_tokens"),
         F.pmod(F.xxhash64("doc_id"), F.lit(PACK_SHARDS)).cast("long").alias("shard"),
     )
 
@@ -574,8 +577,12 @@ def text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     passq AS (SELECT * FROM arriving WHERE n_tokens >= 20),
     novel AS (
+        -- h IS NOT NULL guard: one NULL-text doc in the existing corpus
+        -- would otherwise turn NOT IN into never-true (SQL three-valued
+        -- logic) and report 0 novel docs; Spark's left_anti join has
+        -- no such trap (NULL never equals)
         SELECT * FROM passq
-        WHERE md5(text) NOT IN (SELECT h FROM existing)
+        WHERE md5(text) NOT IN (SELECT h FROM existing WHERE h IS NOT NULL)
     )
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM arriving) AS n_arriving,
            (SELECT CAST(count(*) AS BIGINT) FROM passq) AS n_pass_quality,

@@ -41,15 +41,21 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
            CAST(len({_DUCK_WORDS}) AS BIGINT) AS n_words,
            CAST(len(list_distinct({_DUCK_WORDS})) AS BIGINT) AS n_distinct_words,
            list_aggregate([CAST(length(w) AS BIGINT) FOR w IN {_DUCK_WORDS}], 'sum')
-               * 1.0 / len({_DUCK_WORDS}) AS avg_word_len,
-           len(list_distinct({_DUCK_WORDS})) * 1.0 / len({_DUCK_WORDS}) AS ttr
+               * 1.0 / nullif(len({_DUCK_WORDS}), 0) AS avg_word_len,
+           len(list_distinct({_DUCK_WORDS})) * 1.0
+               / nullif(len({_DUCK_WORDS}), 0) AS ttr
     FROM documents
     """,
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document stats: char/word/distinct-word counts, mean word
     length, type-token ratio. All divisions are int/int -> double (exact
-    cross-engine)."""
+    cross-engine).
+
+    Contract (r11): zero-word documents (empty/whitespace-only text)
+    report NULL avg_word_len and ttr — nullif on both engines; under
+    Spark 4's ANSI mode the unguarded 0/0 was a runtime error, not a
+    NaN. NULL text propagates NULL through every column."""
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -57,9 +63,12 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"cast(size({_WORDS}) as long)").alias("n_words"),
         F.expr(f"cast(size(array_distinct({_WORDS})) as long)").alias("n_distinct_words"),
         F.expr(
-            f"aggregate({_WORDS}, 0L, (acc, w) -> acc + length(w)) / size({_WORDS})"
+            f"aggregate({_WORDS}, 0L, (acc, w) -> acc + length(w)) "
+            f"/ nullif(size({_WORDS}), 0)"
         ).alias("avg_word_len"),
-        F.expr(f"size(array_distinct({_WORDS})) / size({_WORDS})").alias("ttr"),
+        F.expr(
+            f"size(array_distinct({_WORDS})) / nullif(size({_WORDS}), 0)"
+        ).alias("ttr"),
     )
 
 
@@ -126,7 +135,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            least(len(words) / 100.0, 1.0) * 0.4
-           + (len(list_distinct(words)) * 1.0 / len(words)) * 0.4
+           + (len(list_distinct(words)) * 1.0 / nullif(len(words), 0)) * 0.4
            + (len(list_intersect(words, [{_STOP_SQL}])) * 1.0
               / greatest(len(list_distinct(words)), 1)) * 0.2 AS quality
     FROM w
@@ -136,12 +145,16 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score: 0.4·length-saturation + 0.4·lexical
     diversity + 0.2·stopword-ratio (the Gopher/C4-style rule-based filter
     family). Same double expression tree on both engines -> identical
-    bits; a training pipeline would follow with `WHERE quality >= t`."""
+    bits; a training pipeline would follow with `WHERE quality >= t`.
+
+    Contract (r11): zero-word / NULL documents score NULL (the lexical-
+    diversity term is 0/0) — nullif on both engines, so a downstream
+    `WHERE quality >= t` naturally drops them."""
     d = load_table(spark, sf_dir, "documents")
     stop_arr = "array({})".format(", ".join(f"'{w}'" for w in STOPWORDS))
     expr = (
         f"least(size({_WORDS}) / 100.0, 1.0) * 0.4 "
-        f"+ (size(array_distinct({_WORDS})) / size({_WORDS})) * 0.4 "
+        f"+ (size(array_distinct({_WORDS})) / nullif(size({_WORDS}), 0)) * 0.4 "
         f"+ (size(array_intersect(array_distinct({_WORDS}), {stop_arr})) "
         f"   / greatest(size(array_distinct({_WORDS})), 1)) * 0.2"
     )
@@ -178,13 +191,14 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     oracle="""
     WITH chars AS (
-        SELECT doc_id, string_split(text, '') AS cs FROM documents
+        SELECT doc_id, text, string_split(text, '') AS cs FROM documents
     )
     SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL ELSE
            list_reduce(
                list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) FOR c IN cs]),
                (acc, c) -> (acc * 31 + c) % 2147483647
-           ) AS fingerprint
+           ) END AS fingerprint
     FROM chars
     """,
 )
@@ -193,7 +207,12 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     2^31-1 over the characters. Pure integer arithmetic -> identical on
     any engine; equal texts MUST collide (the invariant exact-dedup can
     build on). Spark folds with aggregate(init=0); DuckDB's list_reduce
-    seeds from the first element, so the oracle prepends an explicit 0."""
+    seeds from the first element, so the oracle prepends an explicit 0.
+
+    Contract (r11): NULL text fingerprints to NULL on both engines (the
+    oracle needs an explicit CASE — list_prepend(0, NULL) would
+    otherwise fold the NULL list to 0, colliding every NULL document
+    with the empty document); empty text fingerprints to 0."""
     d = load_table(spark, sf_dir, "documents")
     fp = (
         "aggregate(split(text, ''), 0L, "
@@ -278,7 +297,7 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality AS (
         SELECT doc_id, lang, text,
                least(len(words) / 100.0, 1.0) * 0.4
-               + (len(list_distinct(words)) * 1.0 / len(words)) * 0.4
+               + (len(list_distinct(words)) * 1.0 / nullif(len(words), 0)) * 0.4
                + (len(list_intersect(words, [{_STOP_SQL}])) * 1.0
                   / greatest(len(list_distinct(words)), 1)) * 0.2 AS q,
                CAST(len(words) AS BIGINT) AS n_tokens
@@ -288,7 +307,7 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT * FROM quality WHERE q >= 0.3
     ),
     deduped AS (
-        SELECT MIN(doc_id) AS doc_id, ANY_VALUE(lang) AS lang,
+        SELECT MIN(doc_id) AS doc_id, MIN(lang) AS lang,
                ANY_VALUE(n_tokens) AS n_tokens
         FROM kept GROUP BY text
     )
@@ -313,7 +332,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_arr = "array({})".format(", ".join(f"'{w}'" for w in STOPWORDS))
     q = (
         f"least(size({_WORDS}) / 100.0, 1.0) * 0.4 "
-        f"+ (size(array_distinct({_WORDS})) / size({_WORDS})) * 0.4 "
+        f"+ (size(array_distinct({_WORDS})) / nullif(size({_WORDS}), 0)) * 0.4 "
         f"+ (size(array_intersect(array_distinct({_WORDS}), {stop_arr})) "
         f"   / greatest(size(array_distinct({_WORDS})), 1)) * 0.2"
     )
@@ -322,7 +341,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = kept.groupBy(F.sha2(F.col("text").cast("binary"), 256).alias("h")).agg(
         F.min("doc_id").alias("doc_id"),
-        F.first("lang").alias("lang"),
+        F.min("lang").alias("lang"),
         F.first("n_tokens").alias("n_tokens"),
     )
     return deduped.groupBy("lang").agg(
@@ -540,6 +559,7 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS terms_in_doc,
            TRUE AS tf_is_max
     FROM documents
+    WHERE len(list_distinct({_DUCK_WORDS})) >= 1
     """,
 )
 def text_tfidf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -615,11 +635,13 @@ CHUNK_STRIDE = 12
            CAST(s // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
            CAST(len(list_slice(w, s + 1, s + {CHUNK_SIZE})) AS BIGINT)
                AS n_tokens,
-           array_to_string(list_slice(w, s + 1, s + {CHUNK_SIZE}), ' ')
+           coalesce(array_to_string(list_slice(w, s + 1, s + {CHUNK_SIZE}),
+                                    ' '), '')
                AS chunk_text
     FROM (SELECT doc_id, w,
                  unnest(range(0, greatest(len(w), 1), {CHUNK_STRIDE})) AS s
-          FROM (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents))
+          FROM (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+                WHERE text IS NOT NULL))
     """,
 )
 def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -628,15 +650,19 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     context-window packing prep for LLM pretraining (every token is
     seen; consecutive chunks overlap by size - stride words so no
     boundary context is lost). The final chunk may be short; a document
-    with fewer words than one stride still yields chunk 0.
+    with fewer words than one stride still yields chunk 0; a NULL-text
+    document yields no chunks (r11 contract — there is nothing to chunk,
+    and Spark/DuckDB disagree on ''-vs-NULL chunk_text for NULL arrays).
 
     Pure JVM: split + sequence + explode + slice — the chunk fan-out is
     bounded by ceil(words/stride) per document and the whole operator is
     map-only (no shuffle), so at 100 TB it runs at scan speed and feeds
     straight into pack_sequences.
     """
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(_WORDS).alias("w")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.expr(_WORDS).alias("w"))
     )
     d = d.select(
         "doc_id",
