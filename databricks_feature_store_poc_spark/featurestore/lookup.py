@@ -233,6 +233,13 @@ def _apply_point_in_time_lookup(
     struct but stay out of the tiebreak — maps cannot appear in an ORDER
     BY, and versions identical on every orderable column are
     indistinguishable anyway.
+
+    NULL-key contract (r11): a NULL lookup key matches NOTHING, exactly
+    like the equi-join it replaces (and DuckDB's ASOF JOIN). NULL-key
+    feature versions are dropped before the union and NULL-key spine
+    rows get NULL features after the fill — without both masks the
+    window's NULL partition would happily carry versions forward across
+    keyless rows, a divergence the adversarial replica exposed.
     """
     from pyspark.sql.window import Window
 
@@ -241,7 +248,11 @@ def _apply_point_in_time_lookup(
     tie_feats = [
         f for f in feats if orderable_type(feature_table.schema[f].dataType)
     ]
-    narrowed = feature_table.select(
+    keys_not_null = None
+    for k in keys:
+        c = F.col(k).isNotNull()
+        keys_not_null = c if keys_not_null is None else keys_not_null & c
+    narrowed = feature_table.filter(keys_not_null).select(
         *[F.col(k).alias(sk) for k, sk in zip(keys, skeys)],
         F.col(feat_ts).alias("__pit_ts"),
         F.struct(
@@ -269,11 +280,19 @@ def _apply_point_in_time_lookup(
         "__side",
         F.last("__pit_feat", ignorenulls=True).over(w).alias("__pit_feat"),
     )
+    skeys_not_null = None
+    for sk in skeys:
+        c = F.col(sk).isNotNull()
+        skeys_not_null = c if skeys_not_null is None else skeys_not_null & c
     return (
         filled.filter(F.col("__side") == 1)
         .select(
             *keep,
-            *[F.col("__pit_feat").getField(f).alias(f) for f in out_names],
+            *[
+                F.when(skeys_not_null, F.col("__pit_feat").getField(f))
+                .alias(f)
+                for f in out_names
+            ],
         )
     )
 

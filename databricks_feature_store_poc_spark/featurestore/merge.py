@@ -315,10 +315,15 @@ def merge_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer
     ),
     upd AS (
+        -- NULL-key updates are excluded (r11 contract): SCD2 history
+        -- attaches to a key; a keyless update row has nothing to close
+        -- or chain (and a NULL in the NOT IN subquery below would
+        -- silently erase every unmatched history row)
         SELECT o_custkey AS c_custkey,
                CAST(floor(o_totalprice * 100) AS BIGINT) AS bal_cents,
                o_orderdate AS ts
         FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+          AND o_custkey IS NOT NULL
     ),
     first_upd AS (
         SELECT c_custkey, min(ts) AS new_from FROM upd GROUP BY c_custkey
@@ -372,7 +377,8 @@ def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("timestamp").alias("valid_to"),
     )
     upd = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") >= "2001-01-01"
+        (F.col("o_orderdate") >= "2001-01-01")
+        & F.col("o_custkey").isNotNull()
     ).select(
         F.col("o_custkey").alias("c_custkey"),
         F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("bal_cents"),

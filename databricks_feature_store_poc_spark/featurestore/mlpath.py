@@ -216,6 +216,7 @@ def eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                i.i AS dim,
                CAST(ROUND(CAST(embedding[i.i] AS DOUBLE), 6) AS DECIMAL(18,6)) AS val
         FROM embeddings, range(1, 65) AS i(i)
+        WHERE embedding IS NOT NULL AND len(embedding) = 64
     ),
     per_dim AS (
         SELECT dim,
@@ -243,6 +244,11 @@ def feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exactly-converted) double first makes both engines quantize the same
     number, and the decimal sums after it are exact."""
     e = load_table(spark, sf_dir, "embeddings")
+    # mirror the oracle's validity guard: the lateral range() would emit
+    # 64 NULL-val rows per NULL/ragged vector and count them in the
+    # per-dim denominators, where posexplode emits nothing (ADVICE r10
+    # item #5's latent trap, real on the adversarial replica)
+    e = e.filter("embedding IS NOT NULL AND size(embedding) = 64")
     unpivoted = e.select(
         F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
         F.posexplode("embedding").alias("pos", "val"),
@@ -794,9 +800,13 @@ def feature_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     "eval_auc_roc",
     oracle="""
     WITH scored AS (
+        -- NULL-score rows are unrankable and excluded (r11 contract);
+        -- leaving them in puts the NULL group at opposite ends of the
+        -- rank order on the two engines (NULLS FIRST vs NULLS LAST)
         SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
                CAST(embedding[1] AS DOUBLE) AS s
         FROM embeddings
+        WHERE embedding IS NOT NULL AND embedding[1] IS NOT NULL
     ),
     g AS (
         SELECT s, CAST(count(*) AS BIGINT) AS n,
@@ -844,8 +854,8 @@ def eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     scored = e.select(
         F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
-        F.element_at("embedding", 1).cast("double").alias("s"),
-    )
+        F.expr("try_element_at(embedding, 1)").cast("double").alias("s"),
+    ).filter(F.col("s").isNotNull())
     g = scored.groupBy("s").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("y").cast("long").alias("n_pos"),

@@ -94,7 +94,7 @@ def training_set_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
            o.o_totalprice,
            c.c_acctbal,
            c.c_mktsegment,
-           round(o.o_totalprice / nullif(c.c_acctbal, 0), 6)
+           round(o.o_totalprice / nullif(c.c_acctbal, 0), 6) + 0.0
                AS price_to_balance,
            o.o_totalprice > 200000 AS is_high_value,
            substr(c.c_mktsegment, 1, 2) AS segment_code
@@ -132,7 +132,7 @@ def training_set_on_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
         exclude_columns=["o_custkey"],
         resolve_table={"customer": customer}.__getitem__,
         on_demand_features={
-            "price_to_balance": "round(o_totalprice / nullif(c_acctbal, 0), 6)",
+            "price_to_balance": "round(o_totalprice / nullif(c_acctbal, 0), 6) + 0.0",  # + 0.0 folds IEEE -0.0 (0/negative) to 0.0 on both engines
             "is_high_value": "o_totalprice > 200000",
             "segment_code": "substr(c_mktsegment, 1, 2)",
         },

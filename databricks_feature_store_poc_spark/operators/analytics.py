@@ -346,6 +346,12 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     output equals the plain GROUP BY ... HAVING oracle bit-for-bit —
     sketching costs no correctness here, only the false-positive
     verification work, which is bounded by the summary size.
+
+    NULL-key contract (r11): SQL GROUP BY keeps NULL as a group, so the
+    sketch must too — the MG kernel carries NULL user_id/event_type as a
+    real key (a NULL-heavy corpus makes the NULL group a true heavy
+    hitter) and the verify join is NULL-SAFE (<=>); plain equality would
+    silently drop the NULL-key candidates the oracle counts.
     """
     import pyspark.sql.types as T
 
@@ -358,7 +364,10 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             counts: dict = {}
             for u, t in zip(pdf["user_id"], pdf["event_type"]):
-                k = (int(u), t)
+                k = (
+                    None if pd.isna(u) else int(u),
+                    None if t is None else t,
+                )
                 if k in counts:
                     counts[k] += 1
                 elif len(counts) < CAP:
@@ -373,7 +382,9 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                         del counts[kk]
             yield pd.DataFrame(
                 {
-                    "user_id": [k[0] for k in counts],
+                    "user_id": pd.array(
+                        [k[0] for k in counts], dtype="Int64"
+                    ),
                     "event_type": [k[1] for k in counts],
                 }
             )
@@ -387,8 +398,14 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = e.mapInPandas(mg_batches, schema).distinct()
     total = e.agg(F.count(F.lit(1)).alias("n"))
     return (
-        e.join(F.broadcast(candidates), ["user_id", "event_type"])
-        .groupBy("user_id", "event_type")
+        e.alias("e")
+        .join(
+            F.broadcast(candidates.alias("c")),
+            F.expr(
+                "e.user_id <=> c.user_id AND e.event_type <=> c.event_type"
+            ),
+        )
+        .groupBy(F.col("e.user_id"), F.col("e.event_type"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .crossJoin(F.broadcast(total))
         .filter(F.col("cnt") > F.expr("n div 500"))

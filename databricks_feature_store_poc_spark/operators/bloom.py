@@ -208,7 +208,7 @@ def cms_estimate(keys: DataFrame, key_col: str, cms: DataFrame) -> DataFrame:
            TRUE AS never_underestimates,
            TRUE AS within_band
     FROM freq
-    ORDER BY true_cnt DESC, o_custkey
+    ORDER BY true_cnt DESC, o_custkey NULLS FIRST
     LIMIT 10
     """,
 )
@@ -231,14 +231,25 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("true_cnt"))
     n1 = o.agg(F.count(F.lit(1)).alias("n_total"))
     est = cms_estimate(truth.select("o_custkey"), "o_custkey", cms)
+    # NULL-key contract (r11): GROUP BY keeps NULL as a group on both
+    # engines, so the truth<->estimate join must be NULL-SAFE (<=>) — a
+    # NULL-heavy corpus makes the NULL key a true heavy hitter and plain
+    # equality silently dropped it from the top-k; NULLS FIRST pins the
+    # tie-break ordering with DuckDB.
     top = (
-        truth.join(est, "o_custkey")
+        truth.alias("t")
+        .join(
+            est.select(
+                F.col("o_custkey").alias("e_key"), "est"
+            ).alias("s"),
+            F.expr("t.o_custkey <=> s.e_key"),
+        )
         .crossJoin(F.broadcast(n1))
-        .orderBy(F.desc("true_cnt"), F.asc("o_custkey"))
+        .orderBy(F.desc("true_cnt"), F.asc_nulls_first("t.o_custkey"))
         .limit(10)
     )
     return top.select(
-        "o_custkey",
+        F.col("t.o_custkey").alias("o_custkey"),
         "true_cnt",
         (F.col("est") >= F.col("true_cnt")).alias("never_underestimates"),
         (

@@ -198,8 +198,12 @@ JACCARD_HUB_CAP = 256
     "graph_jaccard_neighbors",
     oracle=f"""
     WITH bip0 AS (
+        -- NULL endpoints carry no graph identity (r11 contract): a NULL
+        -- customer is not one entity shared by its suppliers, and the
+        -- engines disagree on NULL grouping vs NULL equi-joins
         SELECT DISTINCT o.o_custkey AS c, li.l_suppkey AS s
         FROM orders o JOIN lineitem li ON o.o_orderkey = li.l_orderkey
+        WHERE o.o_custkey IS NOT NULL AND li.l_suppkey IS NOT NULL
     ),
     cdeg AS (
         SELECT c FROM bip0 GROUP BY c
@@ -256,6 +260,9 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     bip0 = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .filter(
+            F.col("o_custkey").isNotNull() & F.col("l_suppkey").isNotNull()
+        )
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
