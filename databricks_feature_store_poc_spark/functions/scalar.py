@@ -43,7 +43,9 @@ def _dec(col: str | F.Column, scale: int = 2) -> F.Column:
     SELECT c_custkey,
            upper(c_mktsegment) AS seg_upper,
            substr(c_name, 10, 9) AS id_digits,
-           c_mktsegment || ':' || c_name AS seg_name,
+           concat_ws(':', c_mktsegment, c_name) AS seg_name,
+           -- concat_ws (both engines) skips NULL parts, unlike || which
+           -- NULL-propagates (r11: NULL c_mktsegment diverged)
            CAST(length(c_name) AS INT) AS name_len,
            regexp_extract(c_name, '([0-9]+)', 1) AS digits,
            CAST(len(string_split(c_name, '#')) AS INT) AS n_parts
@@ -275,7 +277,8 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_scalar",
     oracle="""
     SELECT event_id, value,
-           least(greatest(value, 0.0), 50.0) AS clipped
+           CASE WHEN value IS NULL THEN NULL
+                ELSE least(greatest(value, 0.0), 50.0) END AS clipped
     FROM events
     """,
 )
@@ -286,7 +289,11 @@ def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf(T.DoubleType())
     def clip_0_50(v: pd.Series) -> pd.Series:
-        return v.clip(0.0, 50.0)
+        # nullable Float64: NULL clips to NULL (r11 contract) — plain
+        # float64 would round-trip Arrow NULL as NaN, while the oracle's
+        # least/greatest (which IGNORE NULL, unlike SQL comparison)
+        # computed 0.0; the CASE pins NULL->NULL on both engines
+        return v.astype("Float64").clip(0.0, 50.0)
 
     e = load_table(spark, sf_dir, "events")
     return e.select("event_id", "value", clip_0_50("value").alias("clipped"))
@@ -370,6 +377,8 @@ def udtf_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, toks = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue  # no tokens from a NULL document (r11)
                 for tok in text.split():
                     ids.append(doc_id)
                     toks.append(tok)
@@ -631,6 +640,9 @@ def udtf_native_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos int, word string")
     class SplitWords:
         def eval(self, text: str):
+            if text is None:
+                return  # NULL document -> no rows (r11), like the
+                        # oracle's UNNEST over a NULL-length range
             for i, w in enumerate(text.split(" ")):
                 yield i, w
 
@@ -716,7 +728,12 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer
     )
     SELECT c_custkey,
-           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           -- Spark's parse_url returns NULL HOST for a malformed
+           -- authority (leading dot from an empty segment, r11); the
+           -- regex alone would happily extract '.example.com'
+           CASE WHEN regexp_matches(url, '^[a-z]+://\.') THEN NULL
+                ELSE regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)
+           END AS host,
            regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
            regexp_extract(url, '[?&]seg=([^&#]*)', 1) AS seg_param,
            regexp_extract(url, '^([a-z]+)://', 1) AS protocol

@@ -984,13 +984,27 @@ def scan_csv_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: inference itself costs a sampling pass — at 100 TB,
     declare the schema instead (read_csv_inferred in sources/csv.py takes
     the same options); this entry exists for reference parity.
+
+    Losslessness options (r11): NULL is written as an explicit \\N
+    marker and read back with the same nullValue, so empty string and
+    NULL survive as distinct values (the CSV default folds both to
+    NULL); write-side whitespace trimming is disabled so edge spaces
+    survive too. These four options ARE the round-trip contract a
+    production CSV interchange needs.
     """
     from databricks_feature_store_poc_spark.sources.csv import read_csv_inferred
 
     customer = load_table(spark, sf_dir, "customer")
     out = os.path.join(tempfile.gettempdir(), "spark_graft_csv_customer")
-    customer.write.mode("overwrite").option("header", True).csv(out)
-    return read_csv_inferred(spark, out)
+    (
+        customer.write.mode("overwrite")
+        .option("header", True)
+        .option("nullValue", "\\N")
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(out)
+    )
+    return read_csv_inferred(spark, out, null_value="\\N")
 
 
 @query(

@@ -80,7 +80,10 @@ _DUCK_Y = (
            CAST(date_diff('day', DATE '1970-01-01',
                 CAST(o_orderdate AS DATE)) AS BIGINT) AS o_day
     FROM orders
-    ORDER BY zorder, o_orderkey
+    -- NULLS FIRST (r11): a NULL key dimension yields a NULL Morton code
+    -- on both engines; the writer clusters those rows together at the
+    -- front (Spark's asc default), and the oracle pins the same order
+    ORDER BY zorder NULLS FIRST, o_orderkey
     LIMIT 20
     """,
 )
@@ -129,16 +132,35 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-oriented text scan: documents written as TAB-delimited lines
-    (`doc_id\\ttext` — the corpus text is newline/tab-free by generator
-    contract, asserted by the oracle equality), read back with
-    ``spark.read.text`` and re-parsed JVM-side. The raw-text path is how
-    web-scale corpora usually arrive (WET/JSONL-ish dumps) before any
-    columnar conversion; the oracle proves the round-trip is lossless.
+    (`doc_id\\t<payload>`), read back with ``spark.read.text`` and
+    re-parsed JVM-side. The raw-text path is how web-scale corpora
+    usually arrive (WET/JSONL-ish dumps) before any columnar conversion;
+    the oracle proves the round-trip is lossless.
+
+    Payload armor (r11): real corpora contain embedded newlines, tabs,
+    and NULLs — none of which survive a naive line format (the
+    adversarial replica's CRLF documents split into extra lines and a
+    NULL text produced an uncastable one-field line). The payload is
+    therefore base64(UTF-8 bytes) with a one-char flag ('B' = bytes,
+    'N' = NULL), all JVM-side (base64/unbase64/encode/decode) — the
+    same armoring every JSONL/WET pipeline applies to line-unsafe
+    content. Round-trip is exact for ANY string, pinned by the oracle.
     """
     from databricks_feature_store_poc_spark.sources.catalog import load_table as _lt
 
+    # regexp_replace: Spark's base64 is MIME-chunked (76 chars + CRLF),
+    # which would re-split the lines the armor exists to protect;
+    # unbase64's MIME decoder is whitespace-tolerant so stripping is safe
+    payload = F.when(F.col("text").isNull(), F.lit("N")).otherwise(
+        F.concat(
+            F.lit("B"),
+            F.regexp_replace(
+                F.base64(F.encode("text", "UTF-8")), "[\\r\\n]", ""
+            ),
+        )
+    )
     d = _lt(spark, sf_dir, "documents").select(
-        F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text")).alias(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), payload).alias(
             "value"
         )
     )
@@ -148,7 +170,11 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     tab = F.instr(F.col("value"), "\t")
     return lines.select(
         F.substring(F.col("value"), 1, tab - 1).cast("bigint").alias("doc_id"),
-        F.expr("substr(value, instr(value, '\t') + 1)").alias("text"),
+        F.expr(
+            "CASE WHEN substr(value, instr(value, '\t') + 1, 1) = 'N' "
+            "THEN NULL ELSE decode(unbase64("
+            "substr(value, instr(value, '\t') + 2)), 'UTF-8') END"
+        ).alias("text"),
     )
 
 
@@ -156,10 +182,10 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_binary_files",
     oracle="""
     SELECT doc_id,
-           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            md5(text) AS content_md5
     FROM documents
-    WHERE doc_id % 10 = 0
+    WHERE doc_id % 10 = 0 AND text IS NOT NULL AND octet_length(encode(text)) > 0
     """,
 )
 def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,9 +219,19 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on hundreds of files per SF, not hundreds of thousands; at scale,
     # pack small payloads into parquet binary columns or sequence-file
     # style containers instead of one-file-per-record.
+    # NULL-text docs have no file to stage, and EMPTY payloads are
+    # excluded too (r11 contract): Spark's binaryFile source silently
+    # drops zero-byte files, so an empty object cannot round-trip this
+    # path — both engines pin length > 0. n_bytes is the UTF-8 BYTE
+    # length (octet_length in the oracle) — character length diverges
+    # on non-ASCII payloads.
     d = (
         _lt(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 10 == 0)
+        .filter(
+            (F.col("doc_id") % 10 == 0)
+            & F.col("text").isNotNull()
+            & (F.length("text") > 0)
+        )
         .select("doc_id", "text")
     )
     fp = cacheutil.source_fingerprint(
@@ -380,13 +416,20 @@ def scan_csv_malformed_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame
     from databricks_feature_store_poc_spark.sources.catalog import load_table as _lt
 
     d = _lt(spark, sf_dir, "documents")
+    # coalesce each nullable field to an EXPLICIT empty field (r11):
+    # concat_ws silently skips NULL parts, so a NULL n_chars produced a
+    # two-field line that quarantined a row the malformation rule says
+    # is clean; an empty field parses as NULL, which is the intent.
     lines = d.select(
         F.concat_ws(
             ",",
             F.col("doc_id").cast("string"),
-            F.col("lang"),
-            F.when(F.col("doc_id") % 7 == 0, F.lit("#bad#"))
-            .otherwise(F.col("n_chars").cast("string")),
+            F.coalesce(F.col("lang"), F.lit("")),
+            F.coalesce(
+                F.when(F.col("doc_id") % 7 == 0, F.lit("#bad#"))
+                .otherwise(F.col("n_chars").cast("string")),
+                F.lit(""),
+            ),
         ).alias("value")
     )
     out = _run_scoped_path(spark, "csv_quarantine", sf_dir)

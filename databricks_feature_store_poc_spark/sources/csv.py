@@ -43,13 +43,22 @@ def validate_required_files(path: str, required: list[str]) -> None:
 
 
 def read_csv_inferred(
-    spark: SparkSession, path: str, *, reject_empty: bool = True
+    spark: SparkSession,
+    path: str,
+    *,
+    reject_empty: bool = True,
+    null_value: str | None = None,
 ) -> DataFrame:
-    """Reference S1+S3: header + inferSchema CSV scan, fail on empty input."""
-    df = (
-        spark.read.options(header=True, inferSchema=True, sep=",")
-        .csv(path)
-    )
+    """Reference S1+S3: header + inferSchema CSV scan, fail on empty input.
+
+    ``null_value``: explicit NULL marker (e.g. ``\\N``) matching the
+    writer's — required to keep empty string and NULL distinct through a
+    round trip (r11); without it Spark folds both to NULL on read.
+    """
+    reader = spark.read.options(header=True, inferSchema=True, sep=",")
+    if null_value is not None:
+        reader = reader.option("nullValue", null_value)
+    df = reader.csv(path)
     if reject_empty and df.isEmpty():
         raise SourceValidationError(f"empty input: {path}")
     return df

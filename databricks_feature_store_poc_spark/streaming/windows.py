@@ -414,9 +414,12 @@ def stream_true_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_stateful_parity",
     oracle="""
-    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
+    -- distinct SUBQUERY, not count(DISTINCT ...): the streaming and
+    -- batch group-bys both keep NULL user_id as a real key, which
+    -- count(DISTINCT) would silently drop (r11)
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
            CAST(0 AS BIGINT) AS n_diff_rows
-    FROM events
+    FROM (SELECT DISTINCT user_id FROM events)
     """,
 )
 def stream_stateful_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -448,8 +451,12 @@ def stream_stateful_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.expr("CAST(floor(value * 100) AS BIGINT)"))
-            .cast("long").alias("total_cents"),
+            # coalesce: a key whose every value is NULL totals 0 cents,
+            # matching the stateful kernel's integer state
+            F.coalesce(
+                F.sum(F.expr("CAST(floor(value * 100) AS BIGINT)")),
+                F.lit(0),
+            ).cast("long").alias("total_cents"),
         )
     )
     diff = final.exceptAll(batch).unionAll(batch.exceptAll(final))
@@ -537,9 +544,12 @@ def run_stateful_counter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             n += len(pdf)
             # IEEE double *100 then floor — bit-identical to the Spark/
             # DuckDB expression floor(value * 100) on the same doubles.
-            cents += int(
-                np.floor(pdf["value"].to_numpy() * 100.0).astype(np.int64).sum()
-            )
+            # NULL values arrive as NaN and must be skipped exactly like
+            # SQL SUM skips NULL — np.floor(NaN).astype(int64) is
+            # undefined garbage, the r11 adversarial-replica crash.
+            v = pdf["value"].to_numpy()
+            v = v[~np.isnan(v)]
+            cents += int(np.floor(v * 100.0).astype(np.int64).sum())
         state.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
