@@ -40,71 +40,82 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver adjudicates ~50 queries per round in dict order, so the dict
-# is emitted in ADJUDICATION-PRIORITY order, not alphabetical. Round-10
-# policy (VERDICT r9 'do this' #2 — rotate the 50-slot budget onto the
-# r5+r6 cohorts so CORRECTNESS_r10 leaves zero verdicts older than r6):
-#   0. new-in-r10 or changed-in-r10: every query whose plan, oracle, or
-#      shared helper changed this round — changed queries must carry a
-#      FRESH verdict;
-#   1. the full r5-latest cohort (22 keys — merged-ledger oldest after
-#      the r9 rotation; mostly TPC-H);
-#   2. the head of the r6-latest cohort (48 keys total) — the remaining
-#      slots of the ~50 budget land here, ordered audit-adjacent /
-#      streaming / complex-plan first; the TPC-H tail rolls to r11.
-_NEW_IN_R10 = (
-    # parquet_row_count (sources/catalog.py) gained the None-on-empty
-    # contract fix (ADVICE r9 medium): a partitioned/nested dataset dir
-    # with no top-level .parquet parts now returns None (-> columnless
-    # count() fallback) instead of a false 0. Both RFM queries and the
-    # tfidf audit route their cardinality gates through it, so all
-    # three re-earn verdicts.
-    "feature_rfm_segments",
-    "feature_rfm_segments_hist",
+# is emitted in ADJUDICATION-PRIORITY order, not alphabetical. Round-11
+# policy (VERDICT r10 'do this' #1/#8 — every query the adversarial-
+# replica hardening changed must re-earn a fresh verdict; the flagship
+# gets a guaranteed slot per ADVICE r10 #2):
+#   0. the headline training-set assembly (1 key, always adjudicated);
+#   1. changed-in-r11: every query whose plan, oracle, or shared kernel
+#      changed in the 43-red adversarial adjudication (45 keys — this
+#      round's budget is mostly fresh-verdict work by design);
+#   2. the r6-latest cohort head (retire-priority — the merged ledger's
+#      oldest verdicts after the r10 rotation); the tail rolls to r12.
+_HEADLINE = (
+    "training_set_flagship",
+)
+_NEW_IN_R11 = (
+    # gap-filling grid clamps (operators/rolling.py — the r10 hang)
+    "feature_resample_1h",
+    "densify_daily_spine",
+    # oracle json_valid guards (functions/scalar.py)
+    "fn_json",
+    "fn_map",
+    # vector-validity contract (llm/similarity.py, llm/dedup.py)
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+    "sim_ivf_topk",
+    "sim_ivf_quantized",
+    "sim_range_search",
+    "sim_mmr_diversify",
+    "sample_hard_negatives",
+    "dedup_embedding_cosine",
+    # multimodal NULL/zero-norm/unicode hardening (llm/multimodal.py)
+    "mm_embedding_norm",
+    "mm_decode_stub",
+    "mm_frame_sample",
+    # text family NULL/empty hardening (llm/text.py)
+    "text_stats",
+    "text_quality_score",
+    "text_fingerprint",
+    "text_chunk_sliding",
     "text_tfidf_audit",
-    "text_tfidf_topterms",
-    # versioned.py read() now closes the last concurrent-prune window
-    # (ADVICE r9 low): the final eager parquet read is wrapped in a
-    # re-resolve-once-then-clean-error retry. sink_vacuum_retention is
-    # the registered query over that path.
+    # curation NULL hardening (llm/curation.py)
+    "pack_sequences",
+    "pack_sequences_audit",
+    "pipeline_clean_corpus",
+    "pipeline_incremental_curate",
+    # NULL-key semantics (analytics/bloom/merge/lookup/graph/mlpath)
+    "agg_heavy_hitters",
+    "agg_countmin_sketch",
+    "eval_auc_roc",
+    "feature_importance",
+    "graph_jaccard_neighbors",
+    "merge_scd2_history",
+    "training_set_point_in_time",
+    "training_set_pit_on_demand",
+    "training_set_on_demand",
+    # stateful streaming NaN/NULL-key (streaming/windows.py)
+    "stream_stateful_parity",
+    # scan/string/UDF surfaces (operators/zorder.py, relational.py,
+    # functions/scalar.py, sources/csv.py)
+    "scan_csv_infer",
+    "scan_text_lines",
+    "scan_binary_files",
+    "scan_csv_malformed_quarantine",
+    "sink_zorder",
+    "fn_string",
+    "fn_url",
+    "udf_scalar",
+    "udtf_explode_tokens",
+    "udtf_native_split",
+    # versioned read narrow-catch (featurestore/versioned.py)
     "sink_vacuum_retention",
-    # NEW in r10: statistic variants of the two remaining 100x
-    # quadratic-OUTPUT queries (VERDICT r9 'do this' #4) — cluster-size
-    # histogram for embedding near-dup (no pair enumeration) and gram
-    # row-norm summary (no cell enumeration).
-    "dedup_embedding_stats",
+    # ragged-vector guard mirrored into the oracle (ADVICE r10 #5)
     "embed_gram_norms",
 )
-# r5-latest cohort — this round's main rotation target (22 keys,
-# enumerated from the merged r1-r9 ledger; zero keys older than r5
-# remain after the r9 rotation).
-_R5_COHORT = (
-    "training_set_on_demand",
-    "training_set_point_in_time",
-    "agg_hll_sketch",
-    "agg_mode_deterministic",
-    "text_span_dedup",
-    "udtf_native_split",
-    "win_ntile_deciles",
-    "tpch_q2",
-    "tpch_q4",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-)
-# r6-latest cohort (48 keys) — remaining budget lands on the head;
-# ordered: streaming/stateful and sketch/cluster plans first (least
-# SQL-redundant), then joins/sinks/features, then scalar fns, with the
-# TPC-H re-verifications last (most formulaic, safest to age a round).
+# r6-latest cohort remainder (retire-priority head; keys already in
+# _NEW_IN_R11 are claimed by tier 1 first). training_set_flagship moved
+# to _HEADLINE (ADVICE r10 #2).
 _R6_COHORT = (
     "stream_late_data",
     "stream_sliding",
@@ -114,19 +125,12 @@ _R6_COHORT = (
     "embed_quantize_int8",
     "graph_pagerank",
     "agg_bloom_filter",
-    "agg_countmin_sketch",
     "agg_latency_bands",
-    "sim_ann_lsh",
-    "sim_ivf_topk",
-    "sim_range_search",
-    "sample_hard_negatives",
     "join_asof",
     "join_dynamic_partition_pruning",
     "merge_scd1_upsert",
-    "merge_scd2_history",
     "sink_partitioned_pruned",
     "sink_sorted_parquet",
-    "sink_zorder",
     "split_hash_8020",
     "split_kfold",
     "win_streaks",
@@ -135,42 +139,31 @@ _R6_COHORT = (
     "dq_outlier_zscore",
     "feature_drift_chi2",
     "text_bloom_decontaminate",
-    "text_chunk_sliding",
     "text_repetition_score",
-    "scan_binary_files",
     "scan_parquet",
     "scan_python_datasource",
-    "scan_text_lines",
-    "training_set_flagship",
-    "training_set_pit_on_demand",
     "udaf_grouped",
     "fn_date",
     "fn_date_extended",
     "fn_hash",
     "fn_regexp",
-    "fn_url",
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
     "tpch_q10",
     "tpch_q18",
 )
-_HEADLINE = (
-    "training_set_flagship",
-)
 
 
 def _priority_order(names: list[str]) -> list[str]:
     def tier(name: str) -> tuple:
-        if name in _NEW_IN_R10:
-            return (0, _NEW_IN_R10.index(name), "")
-        if name in _R5_COHORT:
-            return (1, _R5_COHORT.index(name), "")
+        if name in _HEADLINE:
+            return (0, _HEADLINE.index(name), "")
+        if name in _NEW_IN_R11:
+            return (1, _NEW_IN_R11.index(name), "")
         if name in _R6_COHORT:
             return (2, _R6_COHORT.index(name), "")
-        if name in _HEADLINE:
-            return (3, _HEADLINE.index(name), "")
-        return (4, 0, name)
+        return (3, 0, name)
 
     return sorted(names, key=tier)
 

@@ -60,7 +60,15 @@ class VersionedFeatureTable:
 
     # -- write -------------------------------------------------------------
     def write(self, df: DataFrame, *, timestamp: float | None = None) -> int:
-        """Write a new immutable snapshot; returns its version number."""
+        """Write a new immutable snapshot; returns its version number.
+
+        Concurrency contract (r11, pinned in tests/test_round11.py): the
+        snapshot directory is the lock. Two writers racing on the same
+        next version both target ``v=<n>``; ``errorifexists`` makes the
+        FIRST parquet write win and the loser raise before it ever
+        touches the manifest — the manifest can list a version at most
+        once and never references a half-written directory (it is only
+        appended after the snapshot write completes)."""
         versions = self._read_manifest()
         version = (versions[-1]["version"] + 1) if versions else 1
         path = os.path.join(self.dir, f"v={version}")
@@ -117,16 +125,26 @@ class VersionedFeatureTable:
                 )
         try:
             return self.spark.read.parquet(entry["path"])
-        except Exception:
+        except Exception as first_exc:
             # spark.read.parquet lists files eagerly, so a prune landing
             # between the isdir check above and the read can still surface
-            # a raw AnalysisException. Re-resolve once more through the
-            # fresh manifest (prune flips the manifest before any rmtree);
-            # if even that path is gone, raise the clean contract error.
+            # a raw AnalysisException. Only the RACE is retried: if the
+            # directory still exists, the failure is a real I/O/data
+            # error (corrupt footer, permissions, schema) and re-labeling
+            # it 'pruned concurrently' would misdiagnose it (ADVICE r10
+            # #1) — re-raise as-is.
+            if os.path.isdir(entry["path"]):
+                raise
+            del first_exc
+            # Re-resolve once more through the fresh manifest (prune
+            # flips the manifest before any rmtree); if even that path is
+            # gone, raise the clean contract error.
             entry = _resolve(self._read_manifest())
             try:
                 return self.spark.read.parquet(entry["path"])
             except Exception as exc:
+                if os.path.isdir(entry["path"]):
+                    raise
                 raise VersionedTableError(
                     f"version {entry['version']} was pruned concurrently"
                 ) from exc
@@ -186,8 +204,8 @@ from databricks_feature_store_poc_spark.registry import query  # noqa: E402
            CAST(1 AS BIGINT) AS n_dropped,
            CAST(count(*) AS BIGINT) AS latest_rows,
            CAST(sum(doc_id) AS BIGINT) AS latest_docid_sum,
-           CAST(sum(CASE WHEN doc_id % 3 <= 1 THEN 1 ELSE 0 END) AS BIGINT)
-               AS v2_rows,
+           CAST(coalesce(sum(CASE WHEN doc_id % 3 <= 1 THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS v2_rows,
            TRUE AS dropped_dirs_removed,
            TRUE AS pruned_version_unreadable,
            TRUE AS survivor_as_of_ok

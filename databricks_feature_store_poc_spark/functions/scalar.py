@@ -719,7 +719,7 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "fn_url",
-    oracle="""
+    oracle=r"""
     WITH u AS (
         SELECT c_custkey,
                'https://' || lower(c_mktsegment) || '.example.com/c/'

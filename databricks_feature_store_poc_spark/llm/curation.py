@@ -402,7 +402,8 @@ def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pack_sequences_audit",
     oracle=f"""
     SELECT CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(SUM(len({_DUCK_WORDS})) AS BIGINT) AS total_tokens,
+           CAST(COALESCE(SUM(len({_DUCK_WORDS})), 0) AS BIGINT)
+               AS total_tokens,
            TRUE AS each_doc_once,
            TRUE AS capacity_ok,
            TRUE AS bins_within_bounds
@@ -435,10 +436,14 @@ def pack_sequences_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_stats = packed.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("doc_id").alias("n_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
+        # coalesce: SUM over zero docs is NULL (r11 degenerate gate) —
+        # an empty corpus packs to 0 tokens in 0 bins, which is a PASS
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("total_tokens"),
         # lower bound must cap oversized docs at the context size: a
         # 10x-context doc fills ONE bin, not ten
-        F.sum(F.least(F.col("n_tokens"), F.lit(PACK_CONTEXT))).alias("capped_tokens"),
+        F.coalesce(
+            F.sum(F.least(F.col("n_tokens"), F.lit(PACK_CONTEXT))), F.lit(0)
+        ).alias("capped_tokens"),
     )
     return (
         doc_stats.crossJoin(F.broadcast(bin_stats))

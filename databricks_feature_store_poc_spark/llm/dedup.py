@@ -580,6 +580,10 @@ def dedup_embedding_cosine(
 
         return probe.mapInPandas(block_pairs, schema)
 
+    if n == 0:
+        # degenerate corpus (r11): no valid vectors — np.array([]) would
+        # reach the matmul as a 1-D array and crash on axis=1
+        return spark.createDataFrame([], schema)
     if n_blocks == 1:
         return one_block(probe.collect())
     # Blocked-both-sides: each vector belongs to exactly one hash block, so
@@ -838,10 +842,14 @@ def dedup_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("in_exact", F.lit(0)).alias("e"),
         F.coalesce("in_mh", F.lit(0)).alias("m"),
     )
+    # coalesce: SUM over zero pairs is NULL, which would NULL all three
+    # outputs on a degenerate corpus (r11) — zero pairs is a PASS
     agg = flags.agg(
-        F.sum("e").alias("n_exact"),
-        F.sum(F.col("e") * F.col("m")).alias("n_both"),
-        F.sum(F.col("m") * (1 - F.col("e"))).alias("n_mh_only"),
+        F.coalesce(F.sum("e"), F.lit(0)).alias("n_exact"),
+        F.coalesce(F.sum(F.col("e") * F.col("m")), F.lit(0)).alias("n_both"),
+        F.coalesce(
+            F.sum(F.col("m") * (1 - F.col("e"))), F.lit(0)
+        ).alias("n_mh_only"),
     )
     return agg.select(
         F.col("n_exact").cast("long").alias("n_exact_pairs"),

@@ -320,6 +320,15 @@ def _ivf_fit(spark: SparkSession, sf_dir: str):
     rows = sorted(
         sample.select("vec_id", "e").collect(), key=lambda r: r["vec_id"]
     )
+    if not rows:
+        # degenerate corpus (r11): nothing to fit — an empty assignment
+        # with zero centers; downstream probe/rerank stages short-circuit
+        assigned = _index_cache(
+            spark, "ivf", sf_dir,
+            v.withColumn("cell", F.lit(0).cast("int")).limit(0),
+        )
+        _IVF_CENTERS[memo_key] = []
+        return assigned, []
     X = np.array([r["e"] for r in rows], dtype=np.float64)
 
     def lloyd(X: np.ndarray, k: int, iters: int = 20, seed: int = 42) -> np.ndarray:
@@ -379,6 +388,13 @@ def _ivf_probed_queries(assigned: DataFrame, centers: list) -> DataFrame:
     and keep the NPROBE nearest (centroids inlined as literals — k x dim
     doubles). Returns (query_id, q_e, q_n, cell)."""
     q = assigned.filter(F.col("vec_id") < N_QUERIES)
+    if not centers:
+        # F.array() of zero columns is untyped (analysis error) — emit a
+        # typed empty probe list instead
+        return q.select(
+            F.col("vec_id").alias("query_id"), F.col("e").alias("q_e"),
+            F.col("nrm").alias("q_n"), F.lit(0).cast("int").alias("cell"),
+        ).limit(0)
     cell_rows = []
     for ci, c in enumerate(centers):
         arr = "array({})".format(", ".join(f"{w!r}D" for w in c))
@@ -523,10 +539,15 @@ def _recall_audit(
     )
 
 
+# The recall contract is vacuous unless a query has at least one valid
+# neighbor — i.e. the valid corpus holds >= 2 vectors (r11 degenerate
+# gates: a 1-row corpus emitted an oracle row the engine rightly
+# didn't).
 _ANN_ORACLE = f"""
     SELECT vec_id AS query_id, CAST({TOP_K} AS BIGINT) AS k,
            TRUE AS recall_ok
     FROM embeddings WHERE vec_id < {N_QUERIES} AND {_VALID_VEC_DUCK_64}
+      AND (SELECT count(*) FROM embeddings WHERE {_VALID_VEC_DUCK_64}) >= 2
 """
 
 
@@ -561,6 +582,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id AS query_id, CAST({TOP_K} AS BIGINT) AS k,
            TRUE AS recall_ok, TRUE AS delta_ok
     FROM embeddings WHERE vec_id < {N_QUERIES} AND {_VALID_VEC_DUCK_64}
+      AND (SELECT count(*) FROM embeddings WHERE {_VALID_VEC_DUCK_64}) >= 2
     """,
 )
 def sim_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -840,8 +862,15 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in pair_rows:
         sims.setdefault(r["i"], {})[r["j"]] = r["sim"]
 
+    if not rel_by_id:
+        # degenerate corpus (r11): no candidates besides the anchor —
+        # nothing to diversify; the oracle's recursive CTE joins an
+        # empty cand and emits nothing too
+        return spark.createDataFrame(
+            [], "rank LONG, vec_id LONG, relevance DOUBLE"
+        )
     picked: list[int] = []
-    while len(picked) < MMR_K:
+    while len(picked) < MMR_K and len(picked) < len(rel_by_id):
         if not picked:
             # seed = pure-relevance argmax, vec_id tie-break (asc)
             nxt = min(rel_by_id, key=lambda c: (-rel_by_id[c], c))

@@ -252,6 +252,14 @@ def kmeans_fit_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.expr(_QV).alias("qv"))
     )
     init_rows = base.orderBy("vec_id").limit(K).collect()
+    if not init_rows:
+        # degenerate corpus (r11): no clusterable points — an empty
+        # assignment with the full schema; kmeans_assign's centroid
+        # literal array would otherwise be untyped (analysis error)
+        empty = base.withColumn("cid", F.lit(0).cast("int")).withColumn(
+            "dist", F.lit(0).cast("bigint")
+        ).limit(0)
+        return session_persist(spark, "kmeans_assignment", sources, empty)
     centroids = {i + 1: [int(x) for x in r["qv"]] for i, r in enumerate(init_rows)}
     assigned = kmeans_assign(base, centroids)
     for _ in range(KM_ITERS - 1):
@@ -535,7 +543,8 @@ def dedup_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH v0 AS (
         SELECT vec_id, {_DUCK_QV0} AS q0
-        FROM embeddings WHERE embedding IS NOT NULL
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = {DIMS}
     ),
     ve AS (SELECT CAST(i AS BIGINT) AS dim, q0[i] AS q
            FROM v0, range(1, {DIMS + 1}) r(i))
@@ -559,11 +568,16 @@ def embed_gram_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial combine), one 64-row shuffle. NULL embeddings excluded on
     both engines: Spark's posexplode DROPS null-array rows while
     DuckDB's lateral range join would keep them as NULL cells — the
-    explicit filter pins one semantic for both.
+    explicit filter pins one semantic for both. The size guard (ADVICE
+    r10 #5) closes the RAGGED case the same way: a short vector would
+    posexplode into fewer cells on Spark but still produce {DIMS}
+    (partly NULL, still COUNTed) rows under the lateral range join.
     """
     e = (
         load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("embedding").isNotNull())
+        .filter(
+            F.col("embedding").isNotNull() & (F.size("embedding") == DIMS)
+        )
         .select(F.expr(_QV0).alias("q0"))
     )
     v = e.select(F.posexplode("q0").alias("i", "q"))

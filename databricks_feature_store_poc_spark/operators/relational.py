@@ -600,11 +600,19 @@ def win_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    HAVING COUNT(*) > 0
     """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP: (status, priority) + (status) + () grand total in one pass —
-    Catalyst expands to a single Expand+Aggregate, not three scans."""
+    Catalyst expands to a single Expand+Aggregate, not three scans.
+
+    Empty-input pin (r11 degenerate gate): SQL's grand-total grouping
+    set emits one zero-count row over an EMPTY input on DuckDB while
+    Spark's rollup emits nothing — both engines now filter empty groups
+    (HAVING COUNT(*) > 0 in the oracle; a no-op on non-empty input,
+    since every real group counts >= 1). Same pin on [agg_cube] and
+    [agg_grouping_sets]."""
     o = load_table(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
@@ -620,6 +628,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
+    HAVING COUNT(*) > 0
     """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -638,6 +647,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    HAVING COUNT(*) > 0
     """,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1004,7 +1014,12 @@ def scan_csv_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("ignoreTrailingWhiteSpace", False)
         .csv(out)
     )
-    return read_csv_inferred(spark, out, null_value="\\N")
+    # reject_empty=False (r11): the S3 empty-input REJECTION contract is
+    # exercised by tests/test_sources.py; the scan entry itself must
+    # round-trip a legitimately empty table as 0 rows, like the oracle
+    return read_csv_inferred(
+        spark, out, null_value="\\N", reject_empty=False
+    )
 
 
 @query(
@@ -1359,8 +1374,10 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           round((sumsq_q - sum_q * sum_q / n) / (n - 1), 6) AS var_qty,
-           round(sqrt((sumsq_q - sum_q * sum_q / n) / (n - 1)), 6) AS stddev_qty
+           round((sumsq_q - sum_q * sum_q / n) / nullif(n - 1, 0), 6)
+               AS var_qty,
+           round(sqrt((sumsq_q - sum_q * sum_q / n) / nullif(n - 1, 0)), 6)
+               AS stddev_qty
     FROM s
     """,
 )
@@ -1378,9 +1395,11 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dq).cast("double").alias("sum_q"),
         F.sum(dq * dq).cast("double").alias("sumsq_q"),
     )
-    var = (F.col("sumsq_q") - F.col("sum_q") * F.col("sum_q") / F.col("n")) / (
-        F.col("n") - 1
-    )
+    # nullif: sample variance is undefined at n=1 (r11 degenerate gate —
+    # the unguarded n-1=0 was an ANSI divide-by-zero on a 1-row table)
+    var = (
+        F.col("sumsq_q") - F.col("sum_q") * F.col("sum_q") / F.col("n")
+    ) / F.nullif(F.col("n") - 1, F.lit(0))
     return grouped.select(
         "l_returnflag", "n",
         F.round(var, 6).alias("var_qty"),
@@ -1616,8 +1635,15 @@ def sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-group skipping. The oracle checks the partition column
     round-trips losslessly through the directory encoding."""
     out = _partitioned_orders_cache(spark, sf_dir)
+    # explicit schema (r11): an EMPTY source writes no partition dirs
+    # and schema inference over bare _SUCCESS fails; the declared schema
+    # keeps the 0-row round trip readable (partition values still come
+    # from the directory names when rows exist)
+    schema = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    ).schema
     return (
-        spark.read.parquet(out)
+        spark.read.schema(schema).parquet(out)
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
     )
@@ -1656,7 +1682,10 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     The oracle replays the same join on the raw table — DPP must change
     the scan, not the answer."""
     out = _partitioned_orders_cache(spark, sf_dir)
-    fact = spark.read.parquet(out)
+    fact_schema = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    ).schema
+    fact = spark.read.schema(fact_schema).parquet(out)
     counts = load_table(spark, sf_dir, "orders").groupBy(
         F.col("o_orderstatus").alias("status")
     ).agg(F.count(F.lit(1)).alias("cnt"))

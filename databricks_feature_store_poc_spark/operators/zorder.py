@@ -260,6 +260,12 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(marker, "w") as f:
             f.write(fp)
 
+    if not any(f.endswith(".txt") for f in os.listdir(out)):
+        # degenerate corpus (r11): no stageable payloads — binaryFile's
+        # glob would raise PATH_NOT_FOUND on zero matches
+        return spark.createDataFrame(
+            [], "doc_id long, n_bytes long, content_md5 string"
+        )
     files = spark.read.format("binaryFile").load(os.path.join(out, "*.txt"))
     return files.select(
         F.regexp_extract(F.col("path"), r"([0-9]+)\.txt$", 1)
@@ -312,20 +318,26 @@ def sink_compact_smallfiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
 
     files_before = _n_parquet_files(frag)
-    spark.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(
-        compacted
-    )
+    frag_df = spark.read.schema(d.schema).parquet(frag)
+    frag_df.coalesce(4).write.mode("overwrite").parquet(compacted)
     files_after = _n_parquet_files(compacted)
+    # Degenerate-input pins (r11): Spark writes part files only for
+    # NON-EMPTY partitions, so a tiny table cannot fragment into 16
+    # files — the fragmentation precondition scales with row count, and
+    # 'reduced' is vacuously true once the input is already at/below the
+    # target file count. Explicit read schemas keep the 0-row round trip
+    # inferable.
+    n_in = frag_df.count()
+    frag_ok = files_before >= min(16, n_in) if n_in > 0 else True
+    reduced_ok = files_after < files_before or files_before <= 4
     return (
-        spark.read.parquet(compacted)
+        spark.read.schema(d.schema).parquet(compacted)
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .select(
             "n_rows",
             F.lit(files_after <= 4).alias("files_after_le_target"),
-            F.lit(files_before >= 16).alias("small_files_written_ok"),
-            F.lit(files_after < files_before).alias(
-                "compaction_reduced_files_ok"
-            ),
+            F.lit(frag_ok).alias("small_files_written_ok"),
+            F.lit(reduced_ok).alias("compaction_reduced_files_ok"),
         )
     )
 
@@ -383,10 +395,10 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "scan_csv_malformed_quarantine",
     oracle="""
-    SELECT CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_clean,
-           CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_quarantined,
+    SELECT CAST(coalesce(sum(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS n_clean,
+           CAST(coalesce(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS n_quarantined,
            CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN doc_id END) AS BIGINT)
                AS clean_docid_sum,
            CAST(sum(CASE WHEN doc_id % 7 = 0 THEN doc_id END) AS BIGINT)

@@ -87,6 +87,15 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(master)
     confs = dict(DEFAULT_CONFS)
     confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    # SPARK_GRAFT_EXTRA_CONFS="k=v;k=v" — env-level conf overrides so the
+    # standing gates can rerun the WHOLE harness under a different
+    # execution regime (spark.speculation=true for the retry-determinism
+    # gate, a non-UTC spark.sql.session.timeZone for the timezone gate)
+    # without touching call sites (r11).
+    env_confs = os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "")
+    for pair in filter(None, env_confs.split(";")):
+        k, _, v = pair.partition("=")
+        confs[k.strip()] = v.strip()
     if extra_confs:
         confs.update(extra_confs)
     for k, v in confs.items():

@@ -133,18 +133,26 @@ def main() -> int:
         rows = list(prior.values())
     with open(out, "w") as f:
         json.dump(rows, f, indent=1)
+    unexplained = [
+        r["query"] for r in flagged if r["query"] not in KNOWN_MULTI_SCAN
+    ]
+    errors = [r["query"] for r in rows if r.get("error")]
     print(
         json.dumps(
             {
                 "n_queries": len(rows),
                 "n_flagged": len(flagged),
                 "flagged": [r["query"] for r in flagged],
-                "n_errors": sum(1 for r in rows if r.get("error")),
+                "unexplained": unexplained,
+                "n_errors": len(errors),
                 "results_file": out,
             }
         )
     )
-    return 0
+    # Standing-gate contract (r11, VERDICT r9 #6): the classified
+    # multi-scan queries are the ONLY ones — any new flag or any query
+    # that fails to plan is a regression, exit nonzero.
+    return 1 if (unexplained or errors) else 0
 
 
 if __name__ == "__main__":

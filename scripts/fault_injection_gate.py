@@ -1,0 +1,168 @@
+"""Retry/speculation determinism gate (VERDICT r9 #3 / r10 #6).
+
+Every oracle gate so far ran under Spark's happy path: no task ever
+failed, no speculative duplicate ever raced a slow attempt. On a
+1000-executor cluster both happen constantly, and an operator is only
+scale-correct if its OUTPUT is invariant under task re-execution —
+which is exactly what non-deterministic kernels (RNG state, wall-clock
+reads, accumulation-order-sensitive floats emitted unrounded) break.
+
+Three checks, one JSON line each, written to
+scripts/fault_injection_result.json:
+
+1. ``fault_injection``: a session on ``local[8, 3]`` (task retries
+   enabled) runs an Arrow-batched mapInPandas kernel that RAISES on
+   the first attempt of every task (TaskContext.attemptNumber() == 0
+   for partition 0) over the events table, then compares the result to
+   the same kernel with no injection — value-identical or fail. This
+   pins the contract that kernels are pure functions of their input
+   partition (all this repo's kernels are — no RNG, no clock).
+2. ``exactly_once_replay``: ``stream_dedup_exactly_once`` executed on
+   the retry-enabled session — the dedup-by-key sink must report zero
+   duplicates even though the session's tasks CAN re-run.
+3. ``speculation_harness``: the FULL 215-query oracle harness re-run in
+   a subprocess with ``spark.speculation=true`` (+ aggressive
+   multiplier/quantile so speculative attempts actually launch on
+   local[32]'s uniform tasks) via SPARK_GRAFT_EXTRA_CONFS — every
+   query must stay oracle-green with duplicate attempts racing.
+
+Usage:
+    python scripts/fault_injection_gate.py              # checks 1-2
+    FAULT_GATE_FULL=1 python scripts/fault_injection_gate.py  # + 3
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+RESULTS = os.path.join(REPO, "scripts", "fault_injection_result.json")
+
+
+def _kernel(inject: bool):
+    """Arrow-batched per-partition aggregate (sum of floor-cents per
+    user), optionally raising on the first attempt of partition 0."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        if inject and ctx.partitionId() == 0 and ctx.attemptNumber() == 0:
+            raise RuntimeError("injected first-attempt failure")
+        for pdf in batches:
+            v = pdf["value"].to_numpy()
+            v = v[~np.isnan(v)]
+            yield pd.DataFrame(
+                {
+                    "part": [ctx.partitionId()],
+                    "n": [len(pdf)],
+                    "cents": [int(np.floor(v * 100.0).astype("int64").sum())],
+                }
+            )
+
+    return run
+
+
+def check_fault_injection(spark) -> dict:
+    from pyspark.sql import functions as F
+
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    t0 = time.perf_counter()
+    e = (
+        load_table(spark, "/root/testdata/sf0.01", "events")
+        .select("user_id", "value")
+        .repartition(8, "user_id")
+    )
+    schema = "part int, n long, cents long"
+
+    def totals(df):
+        rows = df.mapInPandas(_kernel(inject=False), schema).collect()
+        return sorted((r["part"], r["n"], r["cents"]) for r in rows)
+
+    def totals_faulty(df):
+        rows = df.mapInPandas(_kernel(inject=True), schema).collect()
+        return sorted((r["part"], r["n"], r["cents"]) for r in rows)
+
+    clean = totals(e)
+    faulty = totals_faulty(e)
+    ok = clean == faulty and len(clean) > 0
+    return {
+        "check": "fault_injection",
+        "ok": ok,
+        "n_parts": len(clean),
+        "sec": round(time.perf_counter() - t0, 1),
+    }
+
+
+def check_exactly_once(spark) -> dict:
+    t0 = time.perf_counter()
+    from databricks_feature_store_poc_spark.registry import (
+        QUERIES,
+        load_all_queries,
+    )
+
+    load_all_queries()
+    rows = QUERIES["stream_dedup_exactly_once"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    ok = len(rows) > 0
+    detail = [tuple(r) for r in rows[:3]]
+    return {
+        "check": "exactly_once_replay",
+        "ok": ok,
+        "detail": str(detail)[:200],
+        "sec": round(time.perf_counter() - t0, 1),
+    }
+
+
+def check_speculation_harness() -> dict:
+    t0 = time.perf_counter()
+    env = dict(os.environ)
+    env["SPARK_GRAFT_EXTRA_CONFS"] = (
+        "spark.speculation=true;"
+        "spark.speculation.multiplier=1.01;"
+        "spark.speculation.quantile=0.1;"
+        "spark.speculation.interval=50ms"
+    )
+    p = subprocess.run(
+        [sys.executable, "tests/harness.py"],
+        cwd=REPO, env=env, text=True,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+    tail = p.stdout.strip().splitlines()[-1] if p.stdout.strip() else ""
+    return {
+        "check": "speculation_harness",
+        "ok": p.returncode == 0,
+        "detail": tail[:300],
+        "sec": round(time.perf_counter() - t0, 1),
+    }
+
+
+def main() -> int:
+    from databricks_feature_store_poc_spark.session import get_spark
+
+    # local[8, 3]: 8 threads, up to 3 attempts per task — retries REAL
+    spark = get_spark("fault-gate", master="local[8,3]", shuffle_partitions=8)
+    results = [check_fault_injection(spark), check_exactly_once(spark)]
+    if os.environ.get("FAULT_GATE_FULL"):
+        spark.stop()
+        results.append(check_speculation_harness())
+    for r in results:
+        print(json.dumps(r), flush=True)
+    with open(RESULTS, "w") as f:
+        json.dump(results, f, indent=1)
+    return 0 if all(r["ok"] for r in results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

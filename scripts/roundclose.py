@@ -18,8 +18,17 @@ stop later steps — the close block needs the whole picture):
                        (built via stress_registry_10x.py if absent)
   6. harness_zipf    — fifth distribution: zipf(1)-skewed replica
                        (built via make_skewed_replica.py if absent)
-  7. bench           — bench.py median-of-3 at sf0.1 -> bench_result.json
-  8. bench_ab        — full-registry A/B vs the previous round-final
+  7. harness_adversarial — sixth distribution: the content edge-case
+                       replica (NULL keys, unicode/CRLF, malformed JSON,
+                       epoch/far-future timestamps, zero-norm vectors;
+                       VERDICT r10 #4 promoted it to round-close)
+  8. harness_empty   — seventh: every table 0 rows (schema preserved);
+                       rows-only queries legitimately return 0 rows, so
+                       this gate passes --allow-empty-rows-only
+  9. harness_single  — eighth: every table truncated to its first row
+                       (same flag)
+ 10. bench           — bench.py median-of-3 at sf0.1 -> bench_result.json
+ 11. bench_ab        — full-registry A/B vs the previous round-final
                        commit (only when ROUNDCLOSE_REF is set)
 
 Usage:
@@ -47,6 +56,9 @@ REF = os.environ.get("ROUNDCLOSE_REF")
 
 REPLICA_10X = "/tmp/spark_graft_stress10x_full"
 REPLICA_ZIPF = "/tmp/spark_graft_zipf"
+REPLICA_ADV = "/tmp/spark_graft_adversarial"
+REPLICA_EMPTY = "/tmp/spark_graft_empty"
+REPLICA_SINGLE = "/tmp/spark_graft_single"
 
 _HARNESS_TAIL = re.compile(r"(\d+)/(\d+) passed")
 
@@ -85,8 +97,11 @@ def step_pytest() -> dict:
     return {"ok": code == 0, "sec": round(sec, 1), "detail": tail}
 
 
-def step_harness(sf_dir: str) -> dict:
-    code, out, sec = _run([PY, "tests/harness.py", "--sf", sf_dir])
+def step_harness(sf_dir: str, allow_empty: bool = False) -> dict:
+    cmd = [PY, "tests/harness.py", "--sf", sf_dir]
+    if allow_empty:
+        cmd.append("--allow-empty-rows-only")
+    code, out, sec = _run(cmd)
     m = _HARNESS_TAIL.search(out)
     detail = m.group(0) if m else out.strip().splitlines()[-1:]
     failed = []
@@ -115,6 +130,22 @@ def _ensure_10x() -> bool:
     return code == 0
 
 
+def _make_adv(mode: str, dst: str):
+    def ensure() -> bool:
+        if os.path.isdir(os.path.join(dst, "lineitem.parquet")):
+            return True
+        print(f"   building {dst} (make_adversarial_replica.py)...", flush=True)
+        code, out, _ = _run(
+            [PY, "scripts/make_adversarial_replica.py"],
+            env={"ADV_MODE": mode},
+        )
+        if code != 0:
+            print(out[-2000:], flush=True)
+        return code == 0
+
+    return ensure
+
+
 def _ensure_zipf() -> bool:
     if os.path.isdir(os.path.join(REPLICA_ZIPF, "lineitem.parquet")):
         return True
@@ -125,10 +156,10 @@ def _ensure_zipf() -> bool:
     return code == 0
 
 
-def step_harness_replica(ensure, sf_dir: str) -> dict:
+def step_harness_replica(ensure, sf_dir: str, allow_empty: bool = False) -> dict:
     if not ensure():
         return {"ok": False, "sec": 0.0, "detail": f"replica build failed: {sf_dir}"}
-    return step_harness(sf_dir)
+    return step_harness(sf_dir, allow_empty=allow_empty)
 
 
 def step_bench() -> dict:
@@ -165,6 +196,25 @@ def main() -> int:
     _step(
         results, "harness_zipf",
         lambda: step_harness_replica(_ensure_zipf, REPLICA_ZIPF),
+    )
+    _step(
+        results, "harness_adversarial",
+        lambda: step_harness_replica(
+            _make_adv("content", REPLICA_ADV), REPLICA_ADV
+        ),
+    )
+    _step(
+        results, "harness_empty",
+        lambda: step_harness_replica(
+            _make_adv("empty", REPLICA_EMPTY), REPLICA_EMPTY, allow_empty=True
+        ),
+    )
+    _step(
+        results, "harness_single",
+        lambda: step_harness_replica(
+            _make_adv("single", REPLICA_SINGLE), REPLICA_SINGLE,
+            allow_empty=True,
+        ),
     )
     _step(results, "bench", step_bench)
     if REF:

@@ -82,7 +82,13 @@ def value_hash(rows: list[tuple], colnames: list[str]) -> str:
     return h.hexdigest()
 
 
-def compare(name: str, spark, sf_dir: str = DEFAULT_SF, verbose: bool = True) -> dict:
+def compare(
+    name: str,
+    spark,
+    sf_dir: str = DEFAULT_SF,
+    verbose: bool = True,
+    allow_empty_rows_only: bool = False,
+) -> dict:
     load_all_queries()
     fn = QUERIES[name]
     sdf = fn(spark, sf_dir)
@@ -98,8 +104,10 @@ def compare(name: str, spark, sf_dir: str = DEFAULT_SF, verbose: bool = True) ->
     if name not in ORACLES:
         # rows > 0 required: a zero-row rows-only query proves nothing and
         # the driver's weak check would read as green — keep local green
-        # strictly harder than driver green.
-        result["ok"] = len(spark_rows) > 0
+        # strictly harder than driver green. On DEGENERATE replicas
+        # (empty/single tables) zero rows IS the correct output, so the
+        # gate passes --allow-empty-rows-only there.
+        result["ok"] = len(spark_rows) > 0 or allow_empty_rows_only
         result["mode"] = "rows-only"
         if verbose:
             status = "rows-only" if result["ok"] else "FAIL rows-only 0 rows"
@@ -150,6 +158,7 @@ def main() -> int:
     argv = sys.argv[1:]
     args: list[str] = []
     sf_dir = DEFAULT_SF
+    allow_empty = False
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -158,6 +167,8 @@ def main() -> int:
         elif a == "--sf":  # value-taking form: --sf PATH
             i += 1
             sf_dir = argv[i]
+        elif a == "--allow-empty-rows-only":
+            allow_empty = True
         elif not a.startswith("--"):
             args.append(a)
         i += 1
@@ -170,7 +181,9 @@ def main() -> int:
     failed = []
     for name in names:
         try:
-            r = compare(name, spark, sf_dir)
+            r = compare(
+                name, spark, sf_dir, allow_empty_rows_only=allow_empty
+            )
             if not r["ok"]:
                 failed.append(name)
         except Exception as e:

@@ -57,7 +57,10 @@ def test_read_survives_prune_between_isdir_and_eager_listing(
 ):
     """The residual race ADVICE r9 flagged: prune's rmtree lands after
     the isdir check passes but before spark.read.parquet's eager file
-    listing. Simulated by lying isdir=True for the pruned path."""
+    listing. Simulated by lying isdir=True for the pruned path ONLY on
+    the pre-check call — afterwards isdir tells the truth, because the
+    r11 narrow-catch (ADVICE r10 #1) re-raises real I/O errors whenever
+    the directory still exists."""
     vt = VersionedFeatureTable(spark, str(tmp_path), "feat")
     vt.write(_df(spark, [1.0]), timestamp=100.0)
     vt.write(_df(spark, [2.0, 3.0]), timestamp=200.0)
@@ -74,15 +77,19 @@ def test_read_survives_prune_between_isdir_and_eager_listing(
 
     monkeypatch.setattr(VersionedFeatureTable, "_read_manifest", stale_once)
     real_isdir = os.path.isdir
-    monkeypatch.setattr(
-        vmod.os.path,
-        "isdir",
-        lambda p: True if p == v1_path else real_isdir(p),
-    )
-    # stale manifest resolves latest -> ... wait, latest in stale is v2
-    # (survivor). Pin as_of=150 -> v1: isdir lies True, the eager read
-    # throws, the retry re-resolves the FRESH manifest where the as_of
-    # range is retired -> clean retention error
+    lies = {"left": 1}
+
+    def isdir_toctou(p):
+        if p == v1_path and lies["left"] > 0:
+            lies["left"] -= 1
+            return True
+        return real_isdir(p)
+
+    monkeypatch.setattr(vmod.os.path, "isdir", isdir_toctou)
+    # stale manifest + as_of=150 -> v1: the pre-check lie lets the eager
+    # read throw; the except path sees the dir truly gone, re-resolves
+    # the FRESH manifest where the as_of range is retired -> clean
+    # retention error, never a raw AnalysisException
     with pytest.raises(VersionedTableError, match="at or before"):
         vt.read(as_of=150.0)
 
@@ -90,40 +97,74 @@ def test_read_survives_prune_between_isdir_and_eager_listing(
 def test_read_retry_lands_on_survivor_after_eager_listing_race(
     spark, tmp_path, monkeypatch
 ):
-    """Same race, but the fresh manifest's latest survives: the retry
-    must return the survivor's rows, not surface a path error."""
+    """The except-retry SUCCESS path (ADVICE r10 #3): the first eager
+    read throws on a dangling path, the dir is truly gone, and the
+    re-resolve through the fresh manifest returns the survivor's rows."""
     vt = VersionedFeatureTable(spark, str(tmp_path), "feat")
     vt.write(_df(spark, [1.0]), timestamp=100.0)
     vt.write(_df(spark, [2.0, 3.0]), timestamp=200.0)
-    stale = vt._read_manifest()
-    v1_path = stale[0]["path"]
-    assert vt.prune(keep_last=1) == [1]
+
+    # stale manifest whose v2 entry points at a path that no longer
+    # exists (the shape a prune/rewrite race leaves behind)
+    bogus = str(tmp_path / "gone_v2")
+    stale = [dict(e) for e in vt._read_manifest()]
+    stale[1]["path"] = bogus
 
     real_read = VersionedFeatureTable._read_manifest
     calls = {"n": 0}
 
     def stale_then_fresh(self):
         calls["n"] += 1
-        # stale through resolve AND isdir-retry (isdir lies), fresh in
-        # the except-retry
-        return list(stale) if calls["n"] <= 2 else real_read(self)
+        return [dict(e) for e in stale] if calls["n"] == 1 else real_read(self)
 
     monkeypatch.setattr(
         VersionedFeatureTable, "_read_manifest", stale_then_fresh
     )
     real_isdir = os.path.isdir
-    monkeypatch.setattr(
-        vmod.os.path,
-        "isdir",
-        lambda p: True if p == v1_path else real_isdir(p),
-    )
-    # stale as_of=150 -> v1; isdir lies; eager read throws; except-path
-    # re-resolves FRESH -> clean retention error is correct here too
-    # (whole as_of range retired). For a survivor case pin version=2:
-    assert vt.read(version=2).count() == 2  # isdir true, real dir, fine
+    lies = {"left": 1}
 
-    # dangling-on-both-resolves: always-stale manifest + pinned pruned
-    # version -> the clean contract error, never a raw AnalysisException
+    def isdir_toctou(p):
+        if p == bogus and lies["left"] > 0:
+            lies["left"] -= 1
+            return True  # pre-check passes; the eager read then throws
+        return real_isdir(p)
+
+    monkeypatch.setattr(vmod.os.path, "isdir", isdir_toctou)
+    # resolve#1 -> stale v2 (bogus path), pre-check lies True, eager
+    # read raises, except path: dir truly gone -> re-resolve FRESH ->
+    # real v2 path -> the survivor's 2 rows come back
+    assert vt.read(version=2).count() == 2
+
+
+def test_read_reraises_real_io_errors_when_dir_exists(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10 #1: a read failure over a directory that still EXISTS
+    is a real I/O/data error and must surface as-is — not be retried and
+    re-labeled 'pruned concurrently'."""
+    vt = VersionedFeatureTable(spark, str(tmp_path), "feat")
+    vt.write(_df(spark, [1.0]), timestamp=100.0)
+    entry = vt._read_manifest()[0]
+    # corrupt the snapshot: replace the parquet part with garbage bytes
+    for name in os.listdir(entry["path"]):
+        if name.endswith(".parquet"):
+            with open(os.path.join(entry["path"], name), "wb") as f:
+                f.write(b"not a parquet file")
+    with pytest.raises(Exception) as exc_info:
+        vt.read(version=1).count()
+    assert not isinstance(exc_info.value, VersionedTableError)
+
+
+def test_read_dangling_on_both_resolves_raises_contract_error(
+    spark, tmp_path, monkeypatch
+):
+    """Always-stale manifest + pinned pruned version -> the clean
+    contract error, never a raw AnalysisException."""
+    vt = VersionedFeatureTable(spark, str(tmp_path), "feat")
+    vt.write(_df(spark, [1.0]), timestamp=100.0)
+    vt.write(_df(spark, [2.0, 3.0]), timestamp=200.0)
+    stale = vt._read_manifest()
+    assert vt.prune(keep_last=1) == [1]
     monkeypatch.setattr(
         VersionedFeatureTable, "_read_manifest", lambda self: list(stale)
     )
