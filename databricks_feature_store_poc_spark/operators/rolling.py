@@ -433,19 +433,18 @@ def feature_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hb"),
     )
-    quarantined = (
-        hourly.join(cb, "user_id")
-        .filter((F.col("hb") < F.col("lo")) | (F.col("hb") > F.col("hi")))
-        .select("user_id", "hb")
-    )
-    spine = grid.unionByName(quarantined)
     w = (
         Window.partitionBy("user_id")
         .orderBy("hb")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # FULL OUTER join, not union-then-left-join: out-of-range observed
+    # hours (the quarantined outliers) surface from the hourly side of
+    # the SAME join that fills the grid, so the hourly rollup is planned
+    # twice (bounds + fill), not three times — one fewer scan and
+    # shuffle of the raw events at any scale (r11 plan-scan audit).
     return (
-        spine.join(hourly, ["user_id", "hb"], "left")
+        grid.join(hourly, ["user_id", "hb"], "full")
         .select(
             "user_id",
             "hb",

@@ -266,3 +266,28 @@ def test_fault_injection_gate_passes():
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
     )
     assert p.returncode == 0, p.stdout[-2000:]
+
+
+def test_session_timezone_repinned_to_utc_on_driver_sessions(spark):
+    """Timezone contract (r9 carryover #5, investigated r11): the corpus
+    stores TIMESTAMP(MICROS, isAdjustedToUTC=false) — LOCAL wall-clock
+    semantics. Spark reads them as TIMESTAMP_LTZ (unix_micros and range
+    frames need it), so only under a UTC session timezone do instant and
+    wall-clock coincide and both engines compute identical dates,
+    windows, and epochs. A probe run under America/New_York shifts every
+    rendered timestamp by the zone offset (the expected LTZ behavior,
+    not a computational bug), so non-UTC sessions are OUT of the
+    cross-engine-parity contract — and the engine ENFORCES the pin:
+    ensure_session_confs (the driver entry path) repins UTC on any
+    externally-created session."""
+    from databricks_feature_store_poc_spark.session import (
+        ensure_session_confs,
+    )
+
+    original = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ensure_session_confs(spark)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)
