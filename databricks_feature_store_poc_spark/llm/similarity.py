@@ -74,7 +74,8 @@ def _index_cache(spark, kind: str, sf_dir: str, df: "DataFrame") -> "DataFrame":
 N_QUERIES = 10      # vec_id < 10 are the query vectors
 TOP_K = 5
 K_CELLS = 16        # IVF coarse cells
-NPROBE = 4          # IVF cells probed per query
+NPROBE = 6          # IVF cells probed per query (r11: 4 left no margin over the
+                    # 0.5 recall floor — 0.48 on the sf0.1 adversarial corpus)
 SAMPLE_CAP = 65_536  # IVF fit-sample rows collected to the driver (~32 MB at dim 64)
 DIM = 64
 N_TABLES = 4
@@ -501,8 +502,12 @@ def sim_ivf_quantized_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sim_ann_lsh_pairs / sim_ivf_topk_pairs.
 #
 # Floors are set from measured GLOBAL recall at sf0.001/0.01/0.1:
-# LSH 0.94 at all three (floor 0.9); IVF 0.60-0.66 with nprobe=4 of 16
-# cells (floor 0.5, the honest number for a 25%-probe budget).
+# LSH 0.94 at all three (floor 0.9); IVF 0.76-0.80 with nprobe=6 of 16
+# cells (floor 0.5 with real margin — r11 raised nprobe from 4 after
+# the sf0.1 adversarial corpus measured 0.48 under the old 25% budget:
+# a shipped recall contract needs headroom across distributions, and
+# tuning the floor down instead would make it meaningless; adversarial
+# recall at nprobe=6 is 0.62).
 
 RECALL_FLOOR_LSH = 0.9
 RECALL_FLOOR_IVF = 0.5
@@ -566,9 +571,10 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("sim_ivf_topk", oracle=_ANN_ORACLE)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with its recall contract in-plan: nprobe=4 of 16 cells
-    (a 25% probe budget) against the exact brute force, asserting global
-    recall >= 0.5 (measured 0.60-0.66 across the three SFs)."""
+    """IVF ANN with its recall contract in-plan: nprobe=6 of 16 cells
+    (a 37.5% probe budget) against the exact brute force, asserting
+    global recall >= 0.5 (measured 0.76-0.80 across the three SFs,
+    0.62 on the sf0.1 adversarial corpus)."""
     return _recall_audit(
         sim_cosine_topk(spark, sf_dir),
         sim_ivf_topk_pairs(spark, sf_dir),
