@@ -112,6 +112,9 @@ _NEW_IN_R11 = (
     "sink_vacuum_retention",
     # ragged-vector guard mirrored into the oracle (ADVICE r10 #5)
     "embed_gram_norms",
+    # NULL-suppkey NOT-IN pin, caught by the zipf+adversarial combined
+    # gate (skew x NULLs makes all-keyless groups materialize)
+    "tpch_q16",
 )
 # r6-latest cohort remainder (retire-priority head; keys already in
 # _NEW_IN_R11 are claimed by tier 1 first). training_set_flagship moved

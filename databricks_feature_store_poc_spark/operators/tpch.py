@@ -619,6 +619,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM part JOIN lineitem ON p_partkey = l_partkey
     WHERE p_brand <> 'Brand#1'
       AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 50)
+      AND l_suppkey IS NOT NULL
       AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
     GROUP BY p_brand, p_type, p_size
     """,
@@ -632,13 +633,25 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the size/brand-filtered part subset broadcasts; the excluded
     supplier set is a tiny broadcast anti-join; one shuffle for the
-    distinct-count aggregate on (brand, type, size)."""
+    distinct-count aggregate on (brand, type, size).
+
+    NULL-key pin (r11, caught by the zipf+adversarial combined gate):
+    SQL's NOT IN silently DROPS NULL l_suppkey rows (three-valued
+    logic) while a left_anti join KEEPS them — divergent only when a
+    (brand, type, size) group consists exclusively of keyless
+    lineitems, which needs skew x NULLs to materialize. Pinned to the
+    NOT IN semantics (a keyless lineitem is no supplier evidence) with
+    an explicit IS NOT NULL on both engines."""
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
         & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 50)
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey").isNotNull())
+        .select("l_partkey", "l_suppkey")
+    )
     return (
         li.join(F.broadcast(bad), F.col("l_suppkey") == bad["s_suppkey"], "left_anti")
         .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
