@@ -27,8 +27,12 @@ stop later steps — the close block needs the whole picture):
                        this gate passes --allow-empty-rows-only
   9. harness_single  — eighth: every table truncated to its first row
                        (same flag)
- 10. bench           — bench.py median-of-3 at sf0.1 -> bench_result.json
- 11. bench_ab        — full-registry A/B vs the previous round-final
+ 10. harness_adv_zipf — ninth: the content corruption applied ON the
+                       zipf-10x replica — skew x NULLs interact (this
+                       combination caught tpch_q16's NOT-IN NULL
+                       divergence that six single-axis gates missed)
+ 11. bench           — bench.py median-of-3 at sf0.1 -> bench_result.json
+ 12. bench_ab        — full-registry A/B vs the previous round-final
                        commit (only when ROUNDCLOSE_REF is set)
 
 Usage:
@@ -59,6 +63,7 @@ REPLICA_ZIPF = "/tmp/spark_graft_zipf"
 REPLICA_ADV = "/tmp/spark_graft_adversarial"
 REPLICA_EMPTY = "/tmp/spark_graft_empty"
 REPLICA_SINGLE = "/tmp/spark_graft_single"
+REPLICA_ADV_ZIPF = "/tmp/spark_graft_adv_zipf"
 
 _HARNESS_TAIL = re.compile(r"(\d+)/(\d+) passed")
 
@@ -130,15 +135,15 @@ def _ensure_10x() -> bool:
     return code == 0
 
 
-def _make_adv(mode: str, dst: str):
+def _make_adv(mode: str, dst: str, src: str | None = None):
     def ensure() -> bool:
         if os.path.isdir(os.path.join(dst, "lineitem.parquet")):
             return True
+        env = {"ADV_MODE": mode, "ADV_DST": dst}
+        if src is not None:
+            env["ADV_SRC"] = src
         print(f"   building {dst} (make_adversarial_replica.py)...", flush=True)
-        code, out, _ = _run(
-            [PY, "scripts/make_adversarial_replica.py"],
-            env={"ADV_MODE": mode},
-        )
+        code, out, _ = _run([PY, "scripts/make_adversarial_replica.py"], env=env)
         if code != 0:
             print(out[-2000:], flush=True)
         return code == 0
@@ -215,6 +220,18 @@ def main() -> int:
             _make_adv("single", REPLICA_SINGLE), REPLICA_SINGLE,
             allow_empty=True,
         ),
+    )
+
+    def _ensure_adv_zipf() -> bool:
+        # the combined replica corrupts the zipf replica, so build that
+        # first (it normally already exists from the harness_zipf step)
+        return _ensure_zipf() and _make_adv(
+            "content", REPLICA_ADV_ZIPF, src=REPLICA_ZIPF
+        )()
+
+    _step(
+        results, "harness_adv_zipf",
+        lambda: step_harness_replica(_ensure_adv_zipf, REPLICA_ADV_ZIPF),
     )
     _step(results, "bench", step_bench)
     if REF:
