@@ -277,7 +277,7 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_scalar",
     oracle="""
     SELECT event_id, value,
-           CASE WHEN value IS NULL THEN NULL
+           CASE WHEN value IS NULL OR isnan(value) THEN NULL
                 ELSE least(greatest(value, 0.0), 50.0) END AS clipped
     FROM events
     """,
@@ -292,7 +292,11 @@ def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         # nullable Float64: NULL clips to NULL (r11 contract) — plain
         # float64 would round-trip Arrow NULL as NaN, while the oracle's
         # least/greatest (which IGNORE NULL, unlike SQL comparison)
-        # computed 0.0; the CASE pins NULL->NULL on both engines
+        # computed 0.0; the CASE pins NULL->NULL on both engines.
+        # NaN DATA values also land as NULL: Arrow delivers SQL NULL and
+        # NaN identically as float64 NaN, so astype('Float64') folds both
+        # to NA — the oracle's isnan() arm pins the same fold in DuckDB
+        # (which would otherwise clip NaN to 50.0) (ADVICE r11 #3).
         return v.astype("Float64").clip(0.0, 50.0)
 
     e = load_table(spark, sf_dir, "events")

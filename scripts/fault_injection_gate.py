@@ -45,6 +45,15 @@ if REPO not in sys.path:
 
 RESULTS = os.path.join(REPO, "scripts", "fault_injection_result.json")
 
+# Dataset dir: --sf argv wins, then SPARK_GRAFT_SF_DIR, then the driver
+# default — mirrors tests/harness.py so the gate runs on any layout
+# (ADVICE r11 #4).
+def _sf_dir() -> str:
+    argv = sys.argv[1:]
+    if "--sf" in argv:
+        return argv[argv.index("--sf") + 1]
+    return os.environ.get("FAULT_GATE_SF_DIR", "/root/testdata/sf0.01")
+
 
 def _kernel(inject: bool):
     """Arrow-batched per-partition aggregate (sum of floor-cents per
@@ -79,7 +88,7 @@ def check_fault_injection(spark) -> dict:
 
     t0 = time.perf_counter()
     e = (
-        load_table(spark, "/root/testdata/sf0.01", "events")
+        load_table(spark, _sf_dir(), "events")
         .select("user_id", "value")
         .repartition(8, "user_id")
     )
@@ -105,22 +114,34 @@ def check_fault_injection(spark) -> dict:
 
 
 def check_exactly_once(spark) -> dict:
+    """Exactly-once under retries means: deduping the at-least-once
+    (doubled) source restores EXACTLY the one-pass key set. Asserting
+    rows>0 would pass even if dedup regressed (ADVICE r11 #1) — the
+    real invariant is three-way: collected row count == distinct
+    event_ids among the collected rows (no duplicate survived) ==
+    single-pass distinct-key count of the source (nothing was lost)."""
     t0 = time.perf_counter()
     from databricks_feature_store_poc_spark.registry import (
         QUERIES,
         load_all_queries,
     )
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
 
     load_all_queries()
-    rows = QUERIES["stream_dedup_exactly_once"](
-        spark, "/root/testdata/sf0.01"
-    ).collect()
-    ok = len(rows) > 0
-    detail = [tuple(r) for r in rows[:3]]
+    sf = _sf_dir()
+    rows = QUERIES["stream_dedup_exactly_once"](spark, sf).collect()
+    n_rows = len(rows)
+    n_distinct_out = len({r["event_id"] for r in rows})
+    n_source_keys = (
+        load_table(spark, sf, "events").select("event_id").distinct().count()
+    )
+    ok = n_rows > 0 and n_rows == n_distinct_out == n_source_keys
     return {
         "check": "exactly_once_replay",
         "ok": ok,
-        "detail": str(detail)[:200],
+        "n_rows": n_rows,
+        "n_distinct_out": n_distinct_out,
+        "n_source_keys": n_source_keys,
         "sec": round(time.perf_counter() - t0, 1),
     }
 

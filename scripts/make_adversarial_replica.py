@@ -35,14 +35,35 @@ Modes (ADV_MODE):
   /tmp/spark_graft_empty
 - single: every table truncated to its first row (PK order) ->
   /tmp/spark_graft_single
+- dup:    referential/duplicate corruption (VERDICT r11 'do this' #3) ->
+  /tmp/spark_graft_dup. The content mode deliberately KEEPS primary
+  keys unique; this mode attacks exactly that invariant — the next
+  untested input class after NULLs/unicode/degenerate-cardinality:
+    * duplicate PKs in every keyed table (~2% of rows re-emitted with
+      DIFFERENT non-key attributes, ~0.5% a second time -> triplicates),
+      so any operator that assumes "PK unique -> 1:1 fan-out" (the
+      flagship's feature join inherits this from the reference,
+      SURVEY §1.3) or silently picks an arbitrary row per key
+      (dropDuplicates vs DISTINCT-on-all-columns) diverges visibly;
+    * dangling FKs: ~2% of lineitem.l_orderkey remapped past
+      max(o_orderkey) (lineitem rows whose order does not exist) and
+      ~2% of orders.o_custkey remapped past max(c_custkey). Values
+      stay in the benign domain otherwise (no NULLs/unicode here —
+      the axis isolates referential corruption; the content replica
+      already covers value-domain corruption, and zipf x content
+      covers the combination).
 
 Determinism: every gated slice derives from xxhash64(PK, literal seed)
-— no RNG; rebuilds are byte-stable.
+— no RNG; rebuilds are byte-stable. Every build stamps
+``_recipe_fingerprint.json`` (sha256 of this file + mode + src) in the
+replica dir so downstream gates rebuild on recipe change instead of
+silently reusing a stale replica (ADVICE r11 #2).
 
 Usage:
     python scripts/make_adversarial_replica.py
     ADV_MODE=empty python scripts/make_adversarial_replica.py
     ADV_MODE=single python scripts/make_adversarial_replica.py
+    ADV_MODE=dup python scripts/make_adversarial_replica.py
 Then:
     python tests/harness.py --sf /tmp/spark_graft_adversarial
 """
@@ -73,8 +94,31 @@ DST = os.environ.get(
         "content": "/tmp/spark_graft_adversarial",
         "empty": "/tmp/spark_graft_empty",
         "single": "/tmp/spark_graft_single",
+        "dup": "/tmp/spark_graft_dup",
     }[MODE],
 )
+
+
+def recipe_fingerprint(mode: str, src: str) -> str:
+    """sha256 over this script's bytes + mode + src — the rebuild key."""
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(os.path.abspath(__file__), "rb") as f:
+        h.update(f.read())
+    h.update(f"|mode={mode}|src={src}".encode())
+    return h.hexdigest()
+
+
+def _stamp_fingerprint() -> None:
+    import json
+
+    with open(os.path.join(DST, "_recipe_fingerprint.json"), "w") as f:
+        json.dump(
+            {"fingerprint": recipe_fingerprint(MODE, SRC),
+             "mode": MODE, "src": SRC},
+            f,
+        )
 
 EPOCH = "1970-01-01 00:00:00"
 FAR_FUTURE = "2199-12-31 23:59:59.999999"
@@ -128,6 +172,132 @@ def build_degenerate() -> None:
         else:
             df = df.orderBy(_pk_col(t)).limit(1)
         _write(df.coalesce(1), t)
+
+
+def _dup_rows(df: DataFrame, pk: Column, seed: int, edits) -> DataFrame:
+    """Append near-duplicates: ~2% of rows re-emitted with the listed
+    (col, value_expr) attribute edits (PK VERBATIM — that's the attack),
+    and ~0.5% of those re-emitted once more -> triplicates. The edits
+    make the duplicates VISIBLY different, so an operator that picks an
+    arbitrary row per key can no longer hide behind identical copies."""
+    once = df.filter(_hit(pk, seed, 20))
+    for col, value in edits:
+        once = once.withColumn(col, value.cast(df.schema[col].dataType))
+    twice = once.filter(_hit(pk, seed + 1, 250))  # 0.25 of the 2% slice
+    return df.unionAll(once).unionAll(twice)
+
+
+def build_dup() -> None:
+    """dup mode: duplicate PKs + dangling FKs, benign value domain."""
+    spark = get_spark()
+    os.makedirs(DST, exist_ok=True)
+
+    # region/nation verbatim (name-keyed join domains, 5/25 rows)
+    for t in ("region", "nation"):
+        _write(load_table(spark, SRC, t), t)
+
+    n_cust = (
+        load_table(spark, SRC, "customer").agg(F.max("c_custkey")).first()[0]
+        + 1
+    )
+    n_ord = (
+        load_table(spark, SRC, "orders").agg(F.max("o_orderkey")).first()[0]
+        + 1
+    )
+
+    cust = load_table(spark, SRC, "customer")
+    pk = F.col("c_custkey")
+    cust = _dup_rows(cust, pk, 101, [
+        ("c_name", F.concat(F.col("c_name"), F.lit("~dup"))),
+        ("c_acctbal", F.col("c_acctbal") + F.lit(1000.0)),
+        ("c_mktsegment", F.lit("DUPLICATE")),
+    ])
+    _write(cust, "customer")
+
+    supp = load_table(spark, SRC, "supplier")
+    pk = F.col("s_suppkey")
+    supp = _dup_rows(supp, pk, 111, [
+        ("s_name", F.concat(F.col("s_name"), F.lit("~dup"))),
+        ("s_acctbal", -F.col("s_acctbal")),
+    ])
+    _write(supp, "supplier")
+
+    part = load_table(spark, SRC, "part")
+    pk = F.col("p_partkey")
+    part = _dup_rows(part, pk, 121, [
+        ("p_name", F.concat(F.col("p_name"), F.lit("~dup"))),
+        ("p_retailprice", F.col("p_retailprice") * F.lit(2.0)),
+        ("p_size", F.col("p_size") + F.lit(100)),
+    ])
+    _write(part, "part")
+
+    orders = load_table(spark, SRC, "orders")
+    pk = F.col("o_orderkey")
+    # dangling FK first (applies to base AND its duplicates uniformly —
+    # the gate is keyed on the PK, so a duplicated order keeps the same
+    # corrupted o_custkey in every copy)
+    orders = _corrupt(orders, pk, "o_custkey", [
+        (131, 20, F.lit(n_cust) + F.pmod(pk, F.lit(1000))),
+    ])
+    orders = _dup_rows(orders, pk, 132, [
+        ("o_totalprice", F.col("o_totalprice") + F.lit(5000.0)),
+        ("o_orderpriority", F.lit("6-DUPLICATE")),
+    ])
+    _write(orders, "orders")
+
+    li = load_table(spark, SRC, "lineitem")
+    pk = F.xxhash64(F.col("l_orderkey"), F.col("l_linenumber"))
+    # dangling l_orderkey: the order this line belongs to does not exist
+    li = _corrupt(li, pk, "l_orderkey", [
+        (141, 20, F.lit(n_ord) + F.pmod(pk, F.lit(1000))),
+    ])
+    # duplicate composite PKs: same (l_orderkey, l_linenumber), altered
+    # measures
+    li = _dup_rows(li, pk, 142, [
+        ("l_quantity", F.col("l_quantity") + F.lit(1.0)),
+        ("l_extendedprice", F.col("l_extendedprice") * F.lit(2.0)),
+    ])
+    _write(li, "lineitem")
+
+    ev = load_table(spark, SRC, "events")
+    pk = F.col("event_id")
+    ev = _dup_rows(ev, pk, 151, [
+        ("value", F.col("value") + F.lit(10.0)),
+        ("event_type", F.lit("duplicate")),
+    ])
+    _write(ev, "events")
+
+    docs = load_table(spark, SRC, "documents")
+    pk = F.col("doc_id")
+    docs = _dup_rows(docs, pk, 161, [
+        ("text", F.concat(F.col("text"), F.lit(" duplicated tail."))),
+        ("source", F.lit("dup_source")),
+    ])
+    docs = docs.withColumn("n_chars", F.length("text").cast("long"))
+    _write(docs, "documents")
+
+    emb = load_table(spark, SRC, "embeddings")
+    pk = F.col("vec_id")
+    emb = _dup_rows(emb, pk, 171, [
+        ("embedding", F.transform(
+            F.col("embedding"), lambda x: (-x).cast("float"))),
+        ("label", F.lit(99)),
+    ])
+    _write(emb, "embeddings")
+
+    # summary — evidence the corruption landed
+    for t, key in (
+        ("customer", "c_custkey"),
+        ("orders", "o_orderkey"),
+        ("lineitem", "l_orderkey"),
+        ("events", "event_id"),
+        ("documents", "doc_id"),
+        ("embeddings", "vec_id"),
+    ):
+        df = spark.read.parquet(os.path.join(DST, f"{t}.parquet"))
+        n = df.count()
+        nk = df.select(key).distinct().count()
+        print(f"  {t}: {n} rows, {nk} distinct {key} ({n - nk} extra)")
 
 
 def build_content() -> None:
@@ -281,6 +451,9 @@ def build_content() -> None:
 if __name__ == "__main__":
     if MODE == "content":
         build_content()
+    elif MODE == "dup":
+        build_dup()
     else:
         build_degenerate()
+    _stamp_fingerprint()
     print(f"replica at {DST} (mode={MODE}, src={SRC})")

@@ -31,13 +31,32 @@ stop later steps — the close block needs the whole picture):
                        zipf-10x replica — skew x NULLs interact (this
                        combination caught tpch_q16's NOT-IN NULL
                        divergence that six single-axis gates missed)
- 11. bench           — bench.py median-of-3 at sf0.1 -> bench_result.json
- 12. bench_ab        — full-registry A/B vs the previous round-final
+ 11. harness_dup     — tenth: referential/duplicate corruption (dup PKs
+                       in every keyed table + dangling FKs; the r12
+                       axis, VERDICT r11 #3)
+ 12. harness_adv_sf01 — eleventh: the content corruption applied on
+                       sf0.1 (promoted per VERDICT r11 #4 — the
+                       sf0.1-sourced corpus caught the IVF nprobe
+                       recall margin that six sf0.01 gates missed)
+ 13. bench           — bench.py median-of-3 at sf0.1 -> bench_result.json
+ 14. bench_ab        — full-registry A/B vs the previous round-final
                        commit (only when ROUNDCLOSE_REF is set)
 
+Wall-time control (VERDICT r11 #5): the uniform-10x step alone was
+3354 s of a ~100 min close, so by default it now runs a DETERMINISTIC
+QUARTER-SLICE of the registry that rotates by round number (derived
+from the highest CORRECTNESS_r{N}.json present + 1, so each round
+exercises a different quarter and any four consecutive rounds cover
+the registry) — set ROUNDCLOSE_10X_FULL=1 for the full run.
+
+Replica staleness (ADVICE r11 #2): adversarial replicas are stamped
+with a recipe fingerprint (hash of make_adversarial_replica.py +
+mode + src) at build time and are REBUILT when the stamp mismatches,
+instead of silently reusing a stale /tmp replica.
+
 Usage:
-    python scripts/roundclose.py                      # steps 1-7
-    ROUNDCLOSE_REF=<git-ref> python scripts/roundclose.py   # + step 8
+    python scripts/roundclose.py
+    ROUNDCLOSE_REF=<git-ref> python scripts/roundclose.py   # + bench_ab
     ROUNDCLOSE_SKIP=pytest,bench python scripts/roundclose.py
 
 Writes scripts/roundclose_result.json. Exit 0 iff every executed step
@@ -64,8 +83,39 @@ REPLICA_ADV = "/tmp/spark_graft_adversarial"
 REPLICA_EMPTY = "/tmp/spark_graft_empty"
 REPLICA_SINGLE = "/tmp/spark_graft_single"
 REPLICA_ADV_ZIPF = "/tmp/spark_graft_adv_zipf"
+REPLICA_DUP = "/tmp/spark_graft_dup"
+REPLICA_ADV_SF01 = "/tmp/spark_graft_adversarial_sf01"
 
 _HARNESS_TAIL = re.compile(r"(\d+)/(\d+) passed")
+
+
+def _round_number() -> int:
+    """Current round = highest CORRECTNESS_r{N}.json on disk + 1 (the
+    driver writes the current round's file only after the round)."""
+    import glob
+
+    rounds = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"r(\d+)\.json$", f))
+    ]
+    return (max(rounds) + 1) if rounds else 0
+
+
+def _registry_keys() -> list[str]:
+    """Registry key list via a subprocess (keeps this process JVM-free)."""
+    code, out, _ = _run([
+        PY, "-c",
+        "import __spark_entry__ as e; print('\\n'.join(e.queries()))",
+    ])
+    if code != 0:
+        print(out[-2000:], flush=True)
+        return []
+    return [
+        ln.strip()
+        for ln in out.splitlines()
+        if re.fullmatch(r"[a-z0-9_]+", ln.strip())
+    ]
 
 
 def _run(cmd: list[str], env: dict | None = None) -> tuple[int, str, float]:
@@ -102,10 +152,14 @@ def step_pytest() -> dict:
     return {"ok": code == 0, "sec": round(sec, 1), "detail": tail}
 
 
-def step_harness(sf_dir: str, allow_empty: bool = False) -> dict:
+def step_harness(
+    sf_dir: str, allow_empty: bool = False, queries: list[str] | None = None
+) -> dict:
     cmd = [PY, "tests/harness.py", "--sf", sf_dir]
     if allow_empty:
         cmd.append("--allow-empty-rows-only")
+    if queries:
+        cmd.extend(queries)
     code, out, sec = _run(cmd)
     m = _HARNESS_TAIL.search(out)
     detail = m.group(0) if m else out.strip().splitlines()[-1:]
@@ -135,10 +189,36 @@ def _ensure_10x() -> bool:
     return code == 0
 
 
+def _adv_fingerprint(mode: str, src: str) -> str:
+    """Mirror of make_adversarial_replica.recipe_fingerprint, imported
+    from the script itself so the two can never drift (ADVICE r11 #2)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_mar", os.path.join(REPO, "scripts", "make_adversarial_replica.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.recipe_fingerprint(mode, src)
+
+
 def _make_adv(mode: str, dst: str, src: str | None = None):
     def ensure() -> bool:
+        src_eff = src if src is not None else "/root/testdata/sf0.01"
+        marker = os.path.join(dst, "_recipe_fingerprint.json")
         if os.path.isdir(os.path.join(dst, "lineitem.parquet")):
-            return True
+            # a replica without a matching recipe stamp is STALE — the
+            # corruption recipe changed since it was built (r11's recipe
+            # change silently reused an r10 replica; ADVICE r11 #2)
+            try:
+                with open(marker) as f:
+                    stamped = json.load(f).get("fingerprint")
+            except (OSError, json.JSONDecodeError):
+                stamped = None
+            if stamped == _adv_fingerprint(mode, src_eff):
+                return True
+            print(f"   {dst}: recipe fingerprint stale -> rebuilding",
+                  flush=True)
         env = {"ADV_MODE": mode, "ADV_DST": dst}
         if src is not None:
             env["ADV_SRC"] = src
@@ -161,10 +241,37 @@ def _ensure_zipf() -> bool:
     return code == 0
 
 
-def step_harness_replica(ensure, sf_dir: str, allow_empty: bool = False) -> dict:
+def step_harness_replica(
+    ensure, sf_dir: str, allow_empty: bool = False,
+    queries: list[str] | None = None,
+) -> dict:
     if not ensure():
         return {"ok": False, "sec": 0.0, "detail": f"replica build failed: {sf_dir}"}
-    return step_harness(sf_dir, allow_empty=allow_empty)
+    return step_harness(sf_dir, allow_empty=allow_empty, queries=queries)
+
+
+def _10x_slice() -> list[str] | None:
+    """Deterministic rotating quarter of the registry for the 10x gate
+    (VERDICT r11 #5 — uniform-10x was >half the close wall). Returns
+    None (= full registry) when ROUNDCLOSE_10X_FULL=1 or when the
+    registry can't be enumerated (fail loud by running everything)."""
+    if os.environ.get("ROUNDCLOSE_10X_FULL"):
+        return None
+    keys = _registry_keys()
+    if not keys:
+        return None
+    rnd = _round_number()
+    picked = [k for i, k in enumerate(sorted(keys)) if i % 4 == rnd % 4]
+    # the flagship always runs (its tier-0 adjudication slot extends
+    # to every standing gate)
+    if "training_set_flagship" not in picked and "training_set_flagship" in keys:
+        picked.insert(0, "training_set_flagship")
+    print(
+        f"   10x slice: round {rnd} -> quarter {rnd % 4}, "
+        f"{len(picked)}/{len(keys)} queries",
+        flush=True,
+    )
+    return picked
 
 
 def step_bench() -> dict:
@@ -196,7 +303,9 @@ def main() -> int:
         _step(results, f"harness_{sf.rsplit('/', 1)[-1]}", lambda sf=sf: step_harness(sf))
     _step(
         results, "harness_10x",
-        lambda: step_harness_replica(_ensure_10x, REPLICA_10X),
+        lambda: step_harness_replica(
+            _ensure_10x, REPLICA_10X, queries=_10x_slice()
+        ),
     )
     _step(
         results, "harness_zipf",
@@ -232,6 +341,19 @@ def main() -> int:
     _step(
         results, "harness_adv_zipf",
         lambda: step_harness_replica(_ensure_adv_zipf, REPLICA_ADV_ZIPF),
+    )
+    _step(
+        results, "harness_dup",
+        lambda: step_harness_replica(
+            _make_adv("dup", REPLICA_DUP), REPLICA_DUP
+        ),
+    )
+    _step(
+        results, "harness_adv_sf01",
+        lambda: step_harness_replica(
+            _make_adv("content", REPLICA_ADV_SF01, src="/root/testdata/sf0.1"),
+            REPLICA_ADV_SF01,
+        ),
     )
     _step(results, "bench", step_bench)
     if REF:
