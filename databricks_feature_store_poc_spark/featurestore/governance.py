@@ -153,9 +153,14 @@ def pipeline_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     events = load_table(spark, sf_dir, "events")
 
+    # the deletion batch is a SET of keys: distinct() before the marker
+    # join — a duplicated customer row (dup-PK input, r12) would
+    # otherwise fan out every audited table through the LEFT join and
+    # inflate n_before, where the oracle's IN() is pure membership
     del_keys = F.broadcast(
         cust.filter(F.col("c_custkey") % 97 == 0)
-        .select(F.col("c_custkey").alias("__k"), F.lit(1).alias("__del"))
+        .select(F.col("c_custkey").alias("__k")).distinct()
+        .withColumn("__del", F.lit(1))
     )
 
     def audit(df: DataFrame, tbl: str, key_col: str, pk: F.Column,
@@ -176,7 +181,8 @@ def pipeline_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     del_orders = F.broadcast(
         orders.join(del_keys, orders["o_custkey"] == del_keys["__k"], "left_semi")
-        .select(F.col("o_orderkey").alias("__k"), F.lit(1).alias("__del"))
+        .select(F.col("o_orderkey").alias("__k")).distinct()
+        .withColumn("__del", F.lit(1))
     )
 
     return (

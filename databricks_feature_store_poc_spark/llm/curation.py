@@ -641,8 +641,8 @@ def pipeline_incremental_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (
         SELECT doc_id, source,
                CAST(n_chars // 4 AS BIGINT) AS n_tokens,
-               300 * (CAST(substr(source, 4) AS BIGINT) % 4 + 1)
-                   AS budget_tokens,
+               300 * (COALESCE(TRY_CAST(substr(source, 4) AS BIGINT) % 4, 0)
+                      + 1) AS budget_tokens,
                (doc_id * 2654435761) % 4294967296 AS pri
         FROM documents
     ),
@@ -686,8 +686,14 @@ def pipeline_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source",
         F.expr("CAST(n_chars div 4 AS BIGINT)").alias("n_tokens"),
+        # try_cast, not CAST: a single source name that doesn't follow
+        # the 'src<N>' convention must not abort the whole mixture job
+        # (ANSI CAST raises executor-side — the r12 dup replica's
+        # 'dup_source' rows killed the query). Unknown sources get the
+        # base 300-token budget, pinned identically in the oracle.
         F.expr(
-            "300 * (CAST(substring(source, 4, 18) AS BIGINT) % 4 + 1)"
+            "300 * (COALESCE(TRY_CAST(substring(source, 4, 18) AS BIGINT)"
+            " % 4, 0) + 1)"
         ).alias("budget_tokens"),
         F.expr("(doc_id * 2654435761) % 4294967296").alias("pri"),
     )

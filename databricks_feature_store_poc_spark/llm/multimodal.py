@@ -59,20 +59,28 @@ def decode_image_real(payload: bytes) -> dict:
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
     ),
     nn AS (
-        -- Guard: DuckDB's (v1.0.0) list_dot_product ERRORS on a NULL
-        -- list where Spark's aggregate() returns NULL — and neither a
-        -- CASE nor coalesce shields it in the vectorized path, so the
-        -- dot is computed on the non-NULL subset and left-joined back.
-        SELECT vec_id, list_dot_product(e, e) AS dot
-        FROM v WHERE e IS NOT NULL
+        -- list_sum(list_transform(..)) instead of list_dot_product:
+        -- the latter ERRORS on NULL lists in DuckDB's vectorized path
+        -- (uncatchable by CASE/coalesce), while list_transform folds
+        -- NULL -> NULL scalar-safely. The r11 workaround (dot on the
+        -- non-NULL subset LEFT JOINed back by vec_id) fanned out under
+        -- duplicate vec_ids (r12 dup replica) — inline, nothing joins.
+        -- The CASE pins Spark's fold-from-0D on an empty list (0.0)
+        -- vs DuckDB's list_sum([]) = NULL.
+        SELECT vec_id, e,
+               CASE WHEN e IS NULL THEN NULL
+                    ELSE coalesce(list_sum(list_transform(e, x -> x * x)),
+                                  0.0)
+               END AS dot
+        FROM v
     )
-    SELECT v.vec_id,
-           CAST(len(v.e) AS INT) AS dim,
-           round(sqrt(nn.dot), 6) AS l2_norm,
-           round(v.e[1] / nullif(sqrt(nn.dot), 0), 6) AS first_normalized,
-           round(list_aggregate(v.e, 'sum') / nullif(len(v.e), 0), 6)
+    SELECT vec_id,
+           CAST(len(e) AS INT) AS dim,
+           round(sqrt(dot), 6) AS l2_norm,
+           round(e[1] / nullif(sqrt(dot), 0), 6) AS first_normalized,
+           round(list_aggregate(e, 'sum') / nullif(len(e), 0), 6)
                AS mean_elem
-    FROM v LEFT JOIN nn USING (vec_id)
+    FROM nn
     """,
 )
 def mm_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:

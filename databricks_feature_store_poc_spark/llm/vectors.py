@@ -158,8 +158,12 @@ def kmeans_update(assigned: DataFrame) -> dict[int, list[int]]:
 
 
 _KMEANS_CTES = f"""
-    v AS (SELECT vec_id, {_DUCK_QV} AS qv FROM embeddings
-          WHERE embedding IS NOT NULL),
+    v AS (SELECT vec_id, qv FROM (
+              SELECT vec_id, {_DUCK_QV} AS qv,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY {_DUCK_QV}) AS dup_rn
+              FROM embeddings WHERE embedding IS NOT NULL)
+          WHERE dup_rn = 1),
     ve AS (SELECT vec_id, i, qv[i] AS q FROM v, range(1, {DIMS + 1}) r(i)),
     c0 AS (
         SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid, vec_id
@@ -246,10 +250,23 @@ def kmeans_fit_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # NULL embeddings are not clusterable points: excluded here and in
     # the oracle's v CTE (the adversarial replica carries NULL vectors).
+    # vec_id is the POINT IDENTITY: conflicting duplicate ids (r12 dup
+    # replica — same vec_id, different payload) resolve to the
+    # lexicographically-least quantized code on both engines, so "the
+    # point with id X" stays well-defined for init, assignment, and the
+    # n_dup_vectors accounting downstream.
+    from pyspark.sql.window import Window as _W
+
     base = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("embedding").isNotNull())
         .select("vec_id", F.expr(_QV).alias("qv"))
+        .withColumn(
+            "__dup_rn",
+            F.row_number().over(_W.partitionBy("vec_id").orderBy("qv")),
+        )
+        .filter(F.col("__dup_rn") == 1)
+        .drop("__dup_rn")
     )
     init_rows = base.orderBy("vec_id").limit(K).collect()
     if not init_rows:
@@ -290,7 +307,12 @@ _DUCK_QV0 = (
     oracle=f"""
     WITH {_KMEANS_CTES},
     asgn AS (SELECT vec_id, cid FROM a2 WHERE rn = 1),
-    v0 AS (SELECT vec_id, {_DUCK_QV0} AS q0 FROM embeddings),
+    v0 AS (SELECT vec_id, q0 FROM (
+               SELECT vec_id, {_DUCK_QV0} AS q0,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY {_DUCK_QV0}) AS dup_rn
+               FROM embeddings WHERE embedding IS NOT NULL)
+           WHERE dup_rn = 1),
     ve0 AS (SELECT vec_id, i, q0[i] AS q FROM v0, range(1, {DIMS + 1}) r(i)),
     norms AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS n2
               FROM ve0 GROUP BY vec_id),
@@ -354,11 +376,23 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
+    from pyspark.sql.window import Window as _W
+
     assigned = kmeans_fit_assign(spark, sf_dir).select("vec_id", "cid")
     e = load_table(spark, sf_dir, "embeddings")
-    side = assigned.join(
-        e.select("vec_id", F.expr(_QV0).alias("q0")), "vec_id"
-    ).select("cid", "vec_id", "q0")
+    # same per-vec_id representative rule as the fit (least q0) — a raw
+    # join against embeddings would fan duplicated vec_ids back out
+    q0 = (
+        e.filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.expr(_QV0).alias("q0"))
+        .withColumn(
+            "__dup_rn",
+            F.row_number().over(_W.partitionBy("vec_id").orderBy("q0")),
+        )
+        .filter(F.col("__dup_rn") == 1)
+        .drop("__dup_rn")
+    )
+    side = assigned.join(q0, "vec_id").select("cid", "vec_id", "q0")
 
     den2, num2 = COS_DEN * COS_DEN, COS_NUM * COS_NUM
 
@@ -416,12 +450,13 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embed_gram_matrix",
     oracle=f"""
-    WITH v0 AS (SELECT vec_id, {_DUCK_QV0} AS q0 FROM embeddings
+    WITH v0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS rid,
+                       {_DUCK_QV0} AS q0 FROM embeddings
                 WHERE embedding IS NOT NULL),
-    ve0 AS (SELECT vec_id, i, q0[i] AS q FROM v0, range(1, {DIMS + 1}) r(i))
+    ve0 AS (SELECT rid, i, q0[i] AS q FROM v0, range(1, {DIMS + 1}) r(i))
     SELECT a.i AS dim_i, b.i AS dim_j,
            CAST(SUM(a.q * b.q) AS BIGINT) AS s
-    FROM ve0 a JOIN ve0 b ON a.vec_id = b.vec_id AND a.i <= b.i
+    FROM ve0 a JOIN ve0 b ON a.rid = b.rid AND a.i <= b.i
     GROUP BY a.i, b.i
     """,
 )
@@ -431,8 +466,11 @@ def embed_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     probing at scale; the d x d result is then eigen-decomposed on the
     driver in microseconds (tall-skinny PCA, the standard split).
 
-    Upper triangle only (the matrix is symmetric): d(d+1)/2 = 2080
-    cells. Each partition computes its PARTIAL gram with chunked float64
+    Every ROW is one observation — the oracle self-joins the unnested
+    dims on a synthetic per-row id, not on vec_id, so duplicate vec_ids
+    (r12 dup replica) contribute their own v·vT each instead of bogus
+    cross-copy terms. Upper triangle only (the matrix is symmetric):
+    d(d+1)/2 = 2080 cells. Each partition computes its PARTIAL gram with chunked float64
     BLAS matmuls that are exact (chunk 2048: every cell sum <= 2048 *
     1.1e12 = 2.3e15 < 2^53 — no rounding) accumulated into an int64
     matrix, and emits just 2080 (i, j, s) rows — no per-vector d^2

@@ -682,12 +682,16 @@ def win_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                     THEN 1 ELSE 0 END AS new_s
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY epoch_us(ts) NULLS FIRST, event_id NULLS FIRST,
+                              event_type NULLS FIRST)
     ),
     s AS (
         SELECT event_id, user_id, ts, event_type,
                CAST(SUM(new_s) OVER (PARTITION BY user_id
-                                     ORDER BY epoch_us(ts), event_id
+                                     ORDER BY epoch_us(ts) NULLS FIRST,
+                                              event_id NULLS FIRST,
+                                              event_type NULLS FIRST
                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
                    AS session_id
         FROM g
@@ -698,7 +702,8 @@ def win_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                lead(event_type, 2) OVER w2 AS t3
         FROM s
         WINDOW w2 AS (PARTITION BY user_id, session_id
-                      ORDER BY epoch_us(ts), event_id)
+                      ORDER BY epoch_us(ts) NULLS FIRST, event_id NULLS FIRST,
+                               event_type NULLS FIRST)
     )
     SELECT path, CAST(count(*) AS BIGINT) AS n
     FROM tri WHERE t3 IS NOT NULL
@@ -723,7 +728,12 @@ def win_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts"))
-    w = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
+    # event_type extends the (ts, event_id) order so it stays total
+    # under duplicate PKs (dup replica r12) — the trigram output reads
+    # only event_type, so rows still tied are output-identical
+    w = Window.partitionBy("user_id").orderBy(
+        us, F.col("event_id"), F.col("event_type")
+    )
     gap = us - F.lag(us).over(w)
     new_s = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -732,7 +742,7 @@ def win_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(new_s).over(run).cast("long").alias("session_id"),
     )
     w2 = Window.partitionBy("user_id", "session_id").orderBy(
-        F.unix_micros(F.col("ts")), F.col("event_id")
+        F.unix_micros(F.col("ts")), F.col("event_id"), F.col("event_type")
     )
     t2 = F.lead("event_type", 1).over(w2)
     t3 = F.lead("event_type", 2).over(w2)
@@ -759,12 +769,17 @@ def win_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                     THEN 1 ELSE 0 END AS new_s
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY epoch_us(ts) NULLS FIRST, event_id NULLS FIRST,
+                              event_type NULLS FIRST, value NULLS FIRST)
     ),
     s AS (
         SELECT event_id, user_id, ts, event_type, value,
                CAST(SUM(new_s) OVER (PARTITION BY user_id
-                                     ORDER BY epoch_us(ts), event_id
+                                     ORDER BY epoch_us(ts) NULLS FIRST,
+                                              event_id NULLS FIRST,
+                                              event_type NULLS FIRST,
+                                              value NULLS FIRST
                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
                    AS session_id
         FROM g
@@ -773,7 +788,8 @@ def win_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, value,
                first_value(event_type) OVER (
                    PARTITION BY user_id, session_id
-                   ORDER BY epoch_us(ts), event_id
+                   ORDER BY epoch_us(ts) NULLS FIRST, event_id NULLS FIRST,
+                            event_type NULLS FIRST, value NULLS FIRST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS first_touch
         FROM s
@@ -801,7 +817,11 @@ def win_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts"))
-    w = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
+    # payload columns extend the order so it stays total under
+    # duplicate PKs (dup replica r12) — see [win_lag_lead]
+    w = Window.partitionBy("user_id").orderBy(
+        us, F.col("event_id"), F.col("event_type"), F.col("value")
+    )
     gap = us - F.lag(us).over(w)
     new_s = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -811,7 +831,8 @@ def win_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w2 = (
         Window.partitionBy("user_id", "session_id")
-        .orderBy(F.unix_micros(F.col("ts")), F.col("event_id"))
+        .orderBy(F.unix_micros(F.col("ts")), F.col("event_id"),
+                 F.col("event_type"), F.col("value"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     ft = s.select(

@@ -725,13 +725,25 @@ def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
            LAG(value) OVER w AS prev_value,
            LEAD(event_type) OVER w AS next_type
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY ts NULLS FIRST, event_id NULLS FIRST,
+                          event_type NULLS FIRST, value NULLS FIRST)
     """,
 )
 def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag/lead over each user's event timeline (event_id tiebreak)."""
+    """lag/lead over each user's event timeline.
+
+    Order totality (dup-PK replica, r12): event_id alone is only a
+    tiebreak while the PK contract holds — duplicate event_ids with
+    different payloads would make the order engine-dependent, so the
+    payload columns (event_type, value) extend the sort. Rows still
+    tied agree on every column the outputs read, so any residual
+    reorder is hash-invisible. NULLS FIRST is Spark's asc default and
+    pinned in the oracle (DuckDB defaults NULLS LAST)."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        "ts", "event_id", "event_type", "value"
+    )
     return e.select(
         "event_id", "user_id", "value",
         F.lag("value").over(w).alias("prev_value"),
@@ -746,17 +758,21 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_sum,
            CAST(COUNT(*) OVER w AS BIGINT) AS running_n
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY ts NULLS FIRST, event_id NULLS FIRST,
+                          event_type NULLS FIRST, value NULLS FIRST
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
 )
 def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running sum/count per user (ROWS frame). Decimal accumulation keeps
-    the prefix sums exact and engine-independent."""
+    the prefix sums exact and engine-independent. The window order is
+    extended past event_id with the payload columns so it stays total
+    under duplicate PKs (dup replica, r12) — see [win_lag_lead]."""
     e = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", "event_id", "event_type", "value")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return e.select(
@@ -884,14 +900,21 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT (distinct) — plans as an aggregate + left-anti join. The
-    right side is filtered so the difference is non-empty at every sf."""
+    right side is filtered so the difference is non-empty at every sf.
+
+    ``subtract`` (EXCEPT DISTINCT), NOT ``exceptAll().distinct()``:
+    the two differ whenever the left has duplicates of a key that also
+    appears on the right — exceptAll cancels one copy per right
+    occurrence, so a twice-duplicated customer with one urgent order
+    SURVIVED the old form while EXCEPT drops it (caught by the r12
+    dup-PK replica)."""
     c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
     o = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select(F.col("o_custkey").alias("custkey"))
     )
-    return c.exceptAll(o).distinct()
+    return c.subtract(o)
 
 
 @query(
@@ -2100,11 +2123,13 @@ def agg_incremental_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            last_value(purchase_cents IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
+               PARTITION BY user_id
+               ORDER BY ts NULLS FIRST, event_id NULLS FIRST,
+                        event_type NULLS FIRST, value NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS filled_cents
     FROM (
-        SELECT event_id, user_id, ts,
+        SELECT event_id, user_id, ts, event_type, value,
                CASE WHEN event_type = 'purchase'
                     THEN CAST(floor(value * 100) AS BIGINT)
                     ELSE NULL END AS purchase_cents
@@ -2121,17 +2146,20 @@ def win_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNBOUNDED-PRECEDING rows frame is the whole operator; no self-join,
     no sentinel values.
 
-    Determinism: the window order is (ts, event_id) — event_id is the
-    unique tiebreak, so ts collisions cannot reorder the fill between
-    engines or partitionings. Scale: one shuffle on user_id; the
-    running-frame state is a single value per partition stream (Spark
-    evaluates UnboundedPreceding..CurrentRow frames incrementally, not
-    by re-scanning the frame per row).
+    Determinism: the window order is (ts, event_id, event_type, value)
+    — event_id is the tiebreak while the PK contract holds, and the
+    payload columns keep the order total when it doesn't (duplicate
+    event_ids with different payloads, dup replica r12), so ts
+    collisions cannot reorder the fill between engines or
+    partitionings. Scale: one shuffle on user_id; the running-frame
+    state is a single value per partition stream (Spark evaluates
+    UnboundedPreceding..CurrentRow frames incrementally, not by
+    re-scanning the frame per row).
     """
     e = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", "event_id", "event_type", "value")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     purchase_cents = F.when(

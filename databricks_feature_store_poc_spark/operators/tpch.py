@@ -283,7 +283,13 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle. The NULL-else CASE keeps the numerator exact-decimal; the
     final ratio divides two identically-derived doubles and rounds to 6
     on both engines (NULL when a year has no NATION_3 volume — same on
-    both)."""
+    both).
+
+    The customer filter is an INNER join (the spec's structure), not a
+    semi join: they agree only while c_custkey is unique — a duplicated
+    customer row must fan its orders out in the volume sum exactly as
+    the SQL does (r12 dup-PK replica caught the semi shortcut
+    undercounting)."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n2 = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -309,7 +315,8 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
         .join(F.broadcast(sup_nation), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(o.join(c, o["o_custkey"] == c["c_custkey"], "left_semi"),
+        .join(o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+                  "o_orderkey", "o_orderdate"),
               F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
             F.year("o_orderdate").alias("o_year"),

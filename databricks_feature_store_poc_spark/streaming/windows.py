@@ -236,8 +236,16 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_dedup_exactly_once",
     oracle="""
-    SELECT DISTINCT event_id, user_id, event_type, value
-    FROM (SELECT * FROM events UNION ALL SELECT * FROM events) twice
+    SELECT event_id, user_id, event_type, value
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY event_id
+                   ORDER BY user_id NULLS FIRST, event_type NULLS FIRST,
+                            value NULLS FIRST) AS rn
+        FROM (SELECT event_id, user_id, event_type, value FROM events
+              UNION ALL
+              SELECT event_id, user_id, event_type, value FROM events) twice
+    ) WHERE rn = 1
     """,
 )
 def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -245,17 +253,32 @@ def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     at-least-once source), dedup on event_id restores exactly-once. The
     streaming production path is ``dropDuplicatesWithinWatermark`` whose
     state is bounded by the late-data horizon; with a static input the
-    result must equal this batch key-dedup of the doubled input, which
-    is what the oracle checks (run_stream_dedup re-executes the same
-    shape through a real readStream in tests/test_streaming.py).
+    result must equal this batch key-dedup of the doubled input
+    (run_stream_dedup re-executes the same shape through a real
+    readStream in tests/test_streaming.py).
 
-    Scale: one shuffle on the dedup key; map-side partial dedup
-    (the aggregate form of distinct) halves the doubled input before the
-    exchange."""
+    The kept row per key is the payload-MINIMUM, not dropDuplicates'
+    arbitrary first-seen: with genuinely conflicting duplicates (same
+    event_id, different payload — the r12 dup replica), first-seen is
+    partitioning- and retry-dependent, which breaks both the oracle
+    comparison and the fault-injection gate's replay invariance.
+    Streaming keeps first-ARRIVAL (wall-order is real there); the batch
+    twin's deterministic stand-in is first-in-payload-order.
+
+    Scale: one shuffle on the dedup key; the rank-1 filter plans as
+    WindowGroupLimit, so each map task forwards at most one row per key
+    it sees before the exchange — same partial-dedup effect as the
+    aggregate form of distinct."""
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    return e.unionAll(e).dropDuplicates(["event_id"])
+    w = Window.partitionBy("event_id").orderBy("user_id", "event_type", "value")
+    return (
+        e.unionAll(e)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
 
 
 @query(
