@@ -40,121 +40,113 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver adjudicates ~50 queries per round in dict order, so the dict
-# is emitted in ADJUDICATION-PRIORITY order, not alphabetical. Round-11
-# policy (VERDICT r10 'do this' #1/#8 — every query the adversarial-
-# replica hardening changed must re-earn a fresh verdict; the flagship
-# gets a guaranteed slot per ADVICE r10 #2):
+# is emitted in ADJUDICATION-PRIORITY order, not alphabetical. Round-12
+# policy (VERDICT r11 'do this' #1 — verdict rotation: retire the r6
+# tail, then the r7 cohort head):
 #   0. the headline training-set assembly (1 key, always adjudicated);
-#   1. changed-in-r11: every query whose plan, oracle, or shared kernel
-#      changed in the 43-red adversarial adjudication (45 keys — this
-#      round's budget is mostly fresh-verdict work by design);
-#   2. the r6-latest cohort head (retire-priority — the merged ledger's
-#      oldest verdicts after the r10 rotation); the tail rolls to r12.
+#   1. changed-in-r12: every query whose plan, oracle, or shared kernel
+#      changed in the dup-PK/dangling-FK replica adjudication or the
+#      resample short-circuit (20 keys — see ROUND12_NOTES.md);
+#   2. ALL 21 r6-age keys (the merged ledger's oldest verdicts);
+#   3. the r7-age cohort head (the remainder rolls to r13).
 _HEADLINE = (
     "training_set_flagship",
 )
-_NEW_IN_R11 = (
-    # gap-filling grid clamps (operators/rolling.py — the r10 hang)
+_NEW_IN_R12 = (
+    # span-probe short-circuit (operators/rolling.py)
     "feature_resample_1h",
-    "densify_daily_spine",
-    # oracle json_valid guards (functions/scalar.py)
-    "fn_json",
-    "fn_map",
-    # vector-validity contract (llm/similarity.py, llm/dedup.py)
-    "sim_cosine_topk",
-    "sim_ann_lsh",
-    "sim_ivf_topk",
-    "sim_ivf_quantized",
-    "sim_range_search",
-    "sim_mmr_diversify",
-    "sample_hard_negatives",
-    "dedup_embedding_cosine",
-    # multimodal NULL/zero-norm/unicode hardening (llm/multimodal.py)
-    "mm_embedding_norm",
-    "mm_decode_stub",
-    "mm_frame_sample",
-    # text family NULL/empty hardening (llm/text.py)
-    "text_stats",
-    "text_quality_score",
-    "text_fingerprint",
-    "text_chunk_sliding",
-    "text_tfidf_audit",
-    # curation NULL hardening (llm/curation.py)
-    "pack_sequences",
-    "pack_sequences_audit",
-    "pipeline_clean_corpus",
-    "pipeline_incremental_curate",
-    # NULL-key semantics (analytics/bloom/merge/lookup/graph/mlpath)
-    "agg_heavy_hitters",
-    "agg_countmin_sketch",
-    "eval_auc_roc",
-    "feature_importance",
-    "graph_jaccard_neighbors",
-    "merge_scd2_history",
-    "training_set_point_in_time",
-    "training_set_pit_on_demand",
-    "training_set_on_demand",
-    # stateful streaming NaN/NULL-key (streaming/windows.py)
-    "stream_stateful_parity",
-    # scan/string/UDF surfaces (operators/zorder.py, relational.py,
-    # functions/scalar.py, sources/csv.py)
-    "scan_csv_infer",
-    "scan_text_lines",
-    "scan_binary_files",
-    "scan_csv_malformed_quarantine",
-    "sink_zorder",
-    "fn_string",
-    "fn_url",
+    # NaN-input pin (functions/scalar.py, ADVICE r11 #3)
     "udf_scalar",
-    "udtf_explode_tokens",
-    "udtf_native_split",
-    # versioned read narrow-catch (featurestore/versioned.py)
-    "sink_vacuum_retention",
-    # ragged-vector guard mirrored into the oracle (ADVICE r10 #5)
-    "embed_gram_norms",
-    # NULL-suppkey NOT-IN pin, caught by the zipf+adversarial combined
-    # gate (skew x NULLs makes all-keyless groups materialize)
-    "tpch_q16",
-)
-# r6-latest cohort remainder (retire-priority head; keys already in
-# _NEW_IN_R11 are claimed by tier 1 first). training_set_flagship moved
-# to _HEADLINE (ADVICE r10 #2).
-_R6_COHORT = (
-    "stream_late_data",
-    "stream_sliding",
-    "dedup_semantic_cluster",
+    # window-order totality under duplicate PKs
+    "win_running",
+    "win_lag_lead",
+    "win_forward_fill",
+    "win_session_paths",
+    "win_first_touch_attribution",
+    # prefix-sum multiplicity (operators/rolling.py)
+    "feature_rolling_sum",
+    # set/join/membership semantics under duplicate keys
+    "set_except",
+    "tpch_q8",
+    "pipeline_gdpr_delete",
+    # ANSI-cast robustness (llm/curation.py)
+    "pipeline_dataset_mixture",
+    # deterministic key-dedup representatives
+    "stream_dedup_exactly_once",
     "cluster_kmeans",
+    "dedup_semantic_cluster",
     "embed_gram_matrix",
-    "embed_quantize_int8",
-    "graph_pagerank",
-    "agg_bloom_filter",
-    "agg_latency_bands",
-    "join_asof",
-    "join_dynamic_partition_pruning",
-    "merge_scd1_upsert",
-    "sink_partitioned_pruned",
-    "sink_sorted_parquet",
-    "split_hash_8020",
-    "split_kfold",
-    "win_streaks",
-    "dq_benford_digits",
+    "mm_embedding_norm",
+    "scan_binary_files",
+    # doc-identity merge pins (llm/text.py, llm/curation.py)
+    "text_span_dedup",
+    "text_tfidf_audit",
+    "pack_sequences_audit",
+)
+# ALL 21 r6-age keys (VERDICT r11 #1 names them; retire-priority)
+_R6_COHORT = (
     "dq_expectations",
-    "dq_outlier_zscore",
     "feature_drift_chi2",
-    "text_bloom_decontaminate",
-    "text_repetition_score",
-    "scan_parquet",
-    "scan_python_datasource",
-    "udaf_grouped",
+    "dq_outlier_zscore",
+    "dq_benford_digits",
     "fn_date",
     "fn_date_extended",
-    "fn_hash",
     "fn_regexp",
+    "fn_hash",
+    "udaf_grouped",
+    "text_bloom_decontaminate",
+    "text_repetition_score",
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
     "tpch_q10",
     "tpch_q18",
+    "scan_parquet",
+    "scan_python_datasource",
+    "split_hash_8020",
+    "split_kfold",
+    "win_streaks",
+)
+# r7-age cohort in retire-priority order (the ~50-slot budget reaches
+# the head; the tail rolls to r13's rotation)
+_R7_COHORT = (
+    "agg_hash",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_histogram_equiwidth",
+    "agg_incremental_state",
+    "agg_percentile",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_stats",
+    "cdf_snapshot_diff",
+    "class_distribution",
+    "dedup_simhash_audit",
+    "dq_outlier_mad",
+    "dtype_classification",
+    "eval_metrics",
+    "feature_quantile_bin",
+    "feature_target_encoding_oof",
+    "filter_in",
+    "filter_like",
+    "filter_pred",
+    "fn_array",
+    "fn_bitwise",
+    "fn_case",
+    "fn_levenshtein",
+    "join_entity_resolution",
+    "pipeline_dataset_mixture",
+    "pipeline_gdpr_delete",
+    "scan_json_nested",
+    "scan_schema_evolution",
+    "stream_session_parity",
+    "stream_true_parity",
+    "win_cumulative_distinct",
+    "win_first_touch_attribution",
+    "win_forward_fill",
+    "win_retention_cohorts",
+    "win_session_paths",
 )
 
 
@@ -162,11 +154,13 @@ def _priority_order(names: list[str]) -> list[str]:
     def tier(name: str) -> tuple:
         if name in _HEADLINE:
             return (0, _HEADLINE.index(name), "")
-        if name in _NEW_IN_R11:
-            return (1, _NEW_IN_R11.index(name), "")
+        if name in _NEW_IN_R12:
+            return (1, _NEW_IN_R12.index(name), "")
         if name in _R6_COHORT:
             return (2, _R6_COHORT.index(name), "")
-        return (3, 0, name)
+        if name in _R7_COHORT:
+            return (3, _R7_COHORT.index(name), "")
+        return (4, 0, name)
 
     return sorted(names, key=tier)
 

@@ -52,6 +52,36 @@ def run_query(fn, spark, name: str) -> float:
     return time.perf_counter() - t0
 
 
+def run_synthetic(spark) -> float:
+    """PINNED cross-round drift probe (VERDICT r11 'do this' #2).
+
+    A constant workload that depends on NOTHING that changes round to
+    round — not the registry, not the testdata, not any engine module:
+    spark.range -> modulo projection -> hash-agg shuffle -> window ->
+    noop. Its wall moves ONLY with the environment (CPU contention,
+    JVM/JIT, scheduler), so BENCH_r{N}.json's synthetic_sec ratio
+    between two rounds measures environment drift directly, separating
+    it from real per-query regressions (the r10->r11 1.19x-vs-0.97x
+    ambiguity this exists to kill). DO NOT EDIT this workload — its
+    value lies entirely in being identical every round.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    t0 = time.perf_counter()
+    base = spark.range(0, 20_000_000, 1, 32).select(
+        (F.col("id") % 100_000).alias("k"),
+        (F.col("id") % 977).alias("v"),
+    )
+    agg = base.groupBy("k").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy(F.pmod(F.col("k"), F.lit(100))).orderBy("k")
+    out = agg.select("k", "s", "n", F.sum("s").over(w).alias("rs"))
+    out.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 def main() -> int:
     # The contract is ONE parseable JSON line on stdout — but the JVM
     # writes banners/WARNs to fd 1 directly (bypassing sys.stdout), which
@@ -123,6 +153,13 @@ def main() -> int:
                     file=sys.stderr,
                 )
 
+    # pinned drift probe AFTER the suite (same session, fully warm JVM)
+    try:
+        synthetic_sec = round(run_synthetic(spark), 3)
+    except Exception as e:
+        synthetic_sec = None
+        print(f"# synthetic probe FAILED: {e}", file=sys.stderr)
+
     import statistics
 
     timings: dict[str, float | None] = {}
@@ -142,6 +179,7 @@ def main() -> int:
         "value": round(total, 3),
         "unit": "sec",
         "passes": n_passes,
+        "synthetic_sec": synthetic_sec,
         "queries": timings,
         "sf": _sf_of(SF_DIR),
     }

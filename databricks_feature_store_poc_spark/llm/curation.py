@@ -415,16 +415,27 @@ def pack_sequences_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     state is not SQL-expressible, but the packing's invariants are — one
     row with the doc count and exact token total (both predicted by the
     oracle from the raw corpus: packing must neither drop nor duplicate
-    anything) plus three in-plan booleans: every doc assigned exactly
-    once, every multi-doc bin within PACK_CONTEXT (oversized docs sit
-    alone in their bin by design), and the bin count between the token
-    lower bound ceil(total/context) and the doc count. A packer bug —
-    lost doc, overfilled bin, one-doc-per-bin degeneration — flips a
-    hashed value.
+    anything) plus three in-plan booleans: every input ROW assigned
+    exactly once, every multi-doc bin within PACK_CONTEXT (oversized
+    docs sit alone in their bin by design), and the bin count between
+    the token lower bound ceil(total/context) and the doc count. A
+    packer bug — lost doc, overfilled bin, one-doc-per-bin degeneration
+    — flips a hashed value.
+
+    Exactly-once is ROW multiplicity, not doc_id uniqueness: packing
+    preserves whatever multiplicity the (already-deduped-upstream)
+    corpus has — a duplicated doc_id (r12 dup replica) packs twice by
+    design — so the invariant compares packed row count AND distinct
+    doc_id count against the raw corpus, not count vs countDistinct.
 
     Scale: the packing itself (hash-sharded applyInPandas) plus two
-    small aggregates over its (docs)-sized output."""
+    small aggregates over its (docs)-sized output and one over the raw
+    corpus."""
     packed = pack_sequences(spark, sf_dir)
+    src_stats = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("src_rows"),
+        F.countDistinct("doc_id").alias("src_ids"),
+    )
     per_bin = packed.groupBy("shard", "bin_id").agg(
         F.sum("n_tokens").alias("fill"),
         F.count(F.lit(1)).alias("n_in_bin"),
@@ -447,16 +458,20 @@ def pack_sequences_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         doc_stats.crossJoin(F.broadcast(bin_stats))
+        .crossJoin(F.broadcast(src_stats))
         .select(
-            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_rows").cast("long").alias("n_docs"),
             F.col("total_tokens").cast("long").alias("total_tokens"),
-            (F.col("n_rows") == F.col("n_docs")).alias("each_doc_once"),
+            (
+                (F.col("n_rows") == F.col("src_rows"))
+                & (F.col("n_docs") == F.col("src_ids"))
+            ).alias("each_doc_once"),
             (
                 F.coalesce(F.col("max_multi_fill"), F.lit(0)) <= PACK_CONTEXT
             ).alias("capacity_ok"),
             (
                 (F.col("n_bins") >= F.ceil(F.col("capped_tokens") / F.lit(float(PACK_CONTEXT))))
-                & (F.col("n_bins") <= F.col("n_docs"))
+                & (F.col("n_bins") <= F.col("n_rows"))
             ).alias("bins_within_bounds"),
         )
     )

@@ -415,7 +415,12 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM chunks
     )
     SELECT doc_id,
-           string_agg(chunk, ' ' ORDER BY ci) AS dedup_text,
+           -- ORDER BY ci, chunk: Spark reassembles via array_sort over
+           -- (ci, chunk) structs, which breaks ci ties by chunk — ties
+           -- only exist when duplicate doc_ids collide on a span index
+           -- (r12 dup replica), and an unpinned tie order reassembles
+           -- the merged doc differently per engine
+           string_agg(chunk, ' ' ORDER BY ci, chunk) AS dedup_text,
            CAST(count(*) AS BIGINT) AS n_spans_kept
     FROM kept WHERE rn = 1
     GROUP BY doc_id
@@ -553,13 +558,23 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_tfidf_audit",
     oracle=f"""
+    -- per-doc_id distinct-term count via explode+group, NOT per ROW:
+    -- doc_id is the document identity, so duplicated doc_id rows (r12
+    -- dup replica) merge into one document exactly as the tf pipeline's
+    -- GROUP BY (doc_id, term) merges them
+    WITH w AS (
+        SELECT doc_id, unnest({_DUCK_WORDS}) AS term FROM documents
+    ),
+    t AS (
+        SELECT doc_id, count(DISTINCT term) AS n_distinct
+        FROM w GROUP BY doc_id
+    )
     SELECT doc_id,
-           CAST(least(3, len(list_distinct({_DUCK_WORDS}))) AS BIGINT)
-               AS n_terms,
+           CAST(least(3, n_distinct) AS BIGINT) AS n_terms,
            TRUE AS terms_in_doc,
            TRUE AS tf_is_max
-    FROM documents
-    WHERE len(list_distinct({_DUCK_WORDS})) >= 1
+    FROM t
+    WHERE n_distinct >= 1
     """,
 )
 def text_tfidf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

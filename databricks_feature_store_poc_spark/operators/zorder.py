@@ -184,8 +184,13 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            md5(text) AS content_md5
-    FROM documents
-    WHERE doc_id % 10 = 0 AND text IS NOT NULL AND octet_length(encode(text)) > 0
+    FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY doc_id ORDER BY text) AS rn
+        FROM documents
+        WHERE doc_id % 10 = 0 AND text IS NOT NULL
+              AND octet_length(encode(text)) > 0
+    ) WHERE rn = 1
     """,
 )
 def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,6 +230,12 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     # path — both engines pin length > 0. n_bytes is the UTF-8 BYTE
     # length (octet_length in the oracle) — character length diverges
     # on non-ASCII payloads.
+    # The staging dir holds ONE file per doc_id (the filename IS the
+    # key) — duplicated doc_ids (r12 dup replica) would race on
+    # last-writer-wins across tasks, so the representative is pinned to
+    # the lexicographically-least payload on both engines.
+    from pyspark.sql.window import Window as _W
+
     d = (
         _lt(spark, sf_dir, "documents")
         .filter(
@@ -233,10 +244,20 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.length("text") > 0)
         )
         .select("doc_id", "text")
+        .withColumn(
+            "__dup_rn",
+            F.row_number().over(_W.partitionBy("doc_id").orderBy("text")),
+        )
+        .filter(F.col("__dup_rn") == 1)
+        .drop("__dup_rn")
     )
+    # "|stage=v2" versions the STAGING RULE itself (the dup-representative
+    # pin): a dir staged under an older rule is stale even when the
+    # source parquet is unchanged — same lesson as the replica recipe
+    # fingerprints (ADVICE r11 #2).
     fp = cacheutil.source_fingerprint(
         [os.path.join(sf_dir, "documents.parquet")]
-    )
+    ) + "|stage=v2"
     out = os.path.join(
         _staging_root(),
         "spark_graft_binfiles_"

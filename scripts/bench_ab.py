@@ -1,26 +1,35 @@
-"""Same-machine A/B bench: HEAD vs an arbitrary git ref, one command.
+"""Same-machine A/B/N bench: HEAD vs one or more git refs, one command.
 
 Persists the round-7 variance methodology (ROUND7_NOTES
 "Bench-environment variance", VERDICT r7 'do this' #5): raw
 round-over-round bench walls carry environment drift (measured ~1.5x
 between rounds with up to 4x per-query jitter), so the ONLY comparison
-that identifies a real regression is both code versions on the SAME
-machine in the SAME session window. This script:
+that identifies a real regression is all code versions on the SAME
+machine in the SAME session window. r12 (VERDICT r11 'do this' #2)
+generalized the script from one ref to N refs so a full
+"HEAD vs r11-final vs r10-final" three-way runs as one session. This
+script:
 
-1. checks the ref out into a throwaway git worktree
+1. checks each ref out into a throwaway git worktree
    (/tmp/spark_graft_bench_ab_<sha>);
-2. runs `python bench.py` in each tree back-to-back, same env
-   (subset + repeats/budget pass through; default repeats from
-   bench.py = median-of-3);
-3. joins the two sidecars per query and flags regressions:
-   HEAD median > max(1.5x ref median, ref + 1.0s) — the jitter-proof
-   bar (ratio alone flags 0.1s -> 0.2s scheduling noise);
+2. runs `python bench.py` in every tree back-to-back oldest-first, then
+   HEAD, same env (subset + repeats/budget pass through; default
+   repeats from bench.py = median-of-3);
+3. joins the sidecars per query; flags regressions between ADJACENT
+   versions: newer median > max(1.5x older, older + 1.0s) — the
+   jitter-proof bar (ratio alone flags 0.1s -> 0.2s scheduling noise);
+   the VERDICT r11 adjudication bar (>1.25x between adjacent rounds)
+   is reported per row as adj_ratios for manual review;
 4. writes scripts/bench_ab_result.json and prints one JSON summary.
 
+Refs are given oldest-first; HEAD (the working tree) is always the
+final, newest version. Args that `git rev-parse` resolves are refs;
+the rest are query-name filters.
+
 Usage:
-    python scripts/bench_ab.py <ref> [query ...]
-    SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_BENCH_REPEATS=1 \
-        python scripts/bench_ab.py HEAD~5 tpch_q1 graph_pagerank
+    python scripts/bench_ab.py <ref> [moreRefs ...] [query ...]
+    python scripts/bench_ab.py 3b5f4b6 019e576          # three-way
+    SPARK_GRAFT_BENCH_REPEATS=1 python scripts/bench_ab.py HEAD~5 tpch_q1
 """
 
 from __future__ import annotations
@@ -37,6 +46,13 @@ def sh(args: list[str], cwd: str = REPO) -> str:
     return subprocess.run(
         args, cwd=cwd, check=True, capture_output=True, text=True
     ).stdout.strip()
+
+
+def try_rev_parse(ref: str) -> str | None:
+    try:
+        return sh(["git", "rev-parse", "--short", ref])
+    except subprocess.CalledProcessError:
+        return None
 
 
 def run_bench(tree: str, queries: list[str]) -> dict:
@@ -66,44 +82,66 @@ def main() -> int:
     if len(sys.argv) < 2:
         print(__doc__, file=sys.stderr)
         return 2
-    ref, queries = sys.argv[1], sys.argv[2:]
-    sha = sh(["git", "rev-parse", "--short", ref])
-    tree = f"/tmp/spark_graft_bench_ab_{sha}"
-    created = False
-    if not os.path.isdir(tree):
-        sh(["git", "worktree", "add", "--detach", tree, sha])
-        created = True
-    try:
-        print(f"# bench A: {ref} ({sha}) in {tree}", file=sys.stderr)
-        a = run_bench(tree, queries)
-        print("# bench B: HEAD (working tree)", file=sys.stderr)
-        b = run_bench(REPO, queries)
-    finally:
-        if created and os.environ.get("BENCH_AB_KEEP") != "1":
-            sh(["git", "worktree", "remove", "--force", tree])
+    refs: list[tuple[str, str]] = []  # (ref, sha), oldest first
+    queries: list[str] = []
+    for arg in sys.argv[1:]:
+        sha = None if queries else try_rev_parse(arg)
+        if sha is not None:
+            refs.append((arg, sha))
+        else:
+            queries.append(arg)
+    if not refs:
+        print("no resolvable git refs given", file=sys.stderr)
+        return 2
 
+    versions: list[tuple[str, dict]] = []  # (label, sidecar)
+    created: list[str] = []
+    try:
+        for ref, sha in refs:
+            tree = f"/tmp/spark_graft_bench_ab_{sha}"
+            if not os.path.isdir(tree):
+                sh(["git", "worktree", "add", "--detach", tree, sha])
+                created.append(tree)
+            print(f"# bench {ref} ({sha}) in {tree}", file=sys.stderr)
+            versions.append((sha, run_bench(tree, queries)))
+        print("# bench HEAD (working tree)", file=sys.stderr)
+        versions.append(("head", run_bench(REPO, queries)))
+    finally:
+        if os.environ.get("BENCH_AB_KEEP") != "1":
+            for tree in created:
+                sh(["git", "worktree", "remove", "--force", tree])
+
+    labels = [lb for lb, _ in versions]
+    all_queries = sorted(set().union(*(v["queries"] for _, v in versions)))
     rows, regressions = [], []
-    for q in sorted(set(a["queries"]) | set(b["queries"])):
-        ra, rb = a["queries"].get(q), b["queries"].get(q)
-        row = {"query": q, f"sec_{sha}": ra, "sec_head": rb}
-        if ra is not None and rb is not None:
-            row["ratio"] = round(rb / max(ra, 0.05), 2)
-            row["regressed"] = rb > max(1.5 * ra, ra + 1.0)
-            if row["regressed"]:
-                regressions.append(q)
-        elif rb is None and ra is not None:
-            row["regressed"] = True  # worked at ref, fails at HEAD
+    for q in all_queries:
+        row: dict = {"query": q}
+        secs = []
+        for lb, v in versions:
+            s = v["queries"].get(q)
+            row[f"sec_{lb}"] = s
+            secs.append(s)
+        adj = []
+        regressed = False
+        for older, newer in zip(secs, secs[1:]):
+            if older is None or newer is None:
+                adj.append(None)
+                regressed = regressed or (older is not None and newer is None)
+                continue
+            adj.append(round(newer / max(older, 0.05), 2))
+            regressed = regressed or newer > max(1.5 * older, older + 1.0)
+        row["adj_ratios"] = adj
+        row["regressed"] = regressed
+        if regressed:
             regressions.append(q)
         rows.append(row)
 
     out = {
-        "ref": ref,
-        "sha": sha,
-        "sf": b.get("sf"),
-        "passes_ref": a.get("passes"),
-        "passes_head": b.get("passes"),
-        "total_ref": a.get("value"),
-        "total_head": b.get("value"),
+        "versions": labels,
+        "sf": versions[-1][1].get("sf"),
+        "totals": {lb: v.get("value") for lb, v in versions},
+        "synthetic": {lb: v.get("synthetic_sec") for lb, v in versions},
+        "passes": {lb: v.get("passes") for lb, v in versions},
         "n_queries": len(rows),
         "regressions": regressions,
         "rows": rows,
