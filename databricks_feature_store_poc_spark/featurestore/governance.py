@@ -140,62 +140,51 @@ def pipeline_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem. events joins on user_id (the testdata's user_id range is a
     subset of c_custkey, TESTDATA.md).
 
-    Each table is scanned ONCE: the membership test is a broadcast LEFT
-    join against the deletion set with a marker column, and all four
-    audit numbers fall out of one conditional aggregation — the same
-    plan a real purge-rewrite would run, minus the write. The retained
-    view itself (what you'd persist) is ``propagate_deletions``; the
-    checksum pins that the anti-join kept exactly the right rows, since
-    a membership bug that preserved counts would still shift the pk sum.
+    Each table is scanned ONCE: the membership test is an IN-subquery
+    in the projection — Spark plans it as a broadcast ExistenceJoin,
+    which emits exactly one marker boolean per probe row REGARDLESS of
+    duplicate keys in the deletion set (the r12 dup replica duplicated
+    deletion-batch customers; the earlier LEFT-join-with-marker fanned
+    every audited table out and inflated n_before — and deduping the
+    probe first would cost a shuffle the existence join doesn't need).
+    All four audit numbers fall out of one conditional aggregation —
+    the same plan a real purge-rewrite would run, minus the write. The
+    retained view itself (what you'd persist) is
+    ``propagate_deletions``; the checksum pins that the membership test
+    kept exactly the right rows, since a bug that preserved counts
+    would still shift the pk sum. NULL subject keys are never members
+    (SQL IN returns NULL -> retained), the same rule the oracle's IN
+    applies.
     """
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    events = load_table(spark, sf_dir, "events")
+    for t in ("customer", "orders", "lineitem", "events"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"__gdpr_{t}")
 
-    # the deletion batch is a SET of keys: distinct() before the marker
-    # join — a duplicated customer row (dup-PK input, r12) would
-    # otherwise fan out every audited table through the LEFT join and
-    # inflate n_before, where the oracle's IN() is pure membership
-    del_keys = F.broadcast(
-        cust.filter(F.col("c_custkey") % 97 == 0)
-        .select(F.col("c_custkey").alias("__k")).distinct()
-        .withColumn("__del", F.lit(1))
+    del_sub = "SELECT c_custkey FROM __gdpr_customer WHERE c_custkey % 97 = 0"
+    del_orders_sub = (
+        f"SELECT o_orderkey FROM __gdpr_orders WHERE o_custkey IN ({del_sub})"
     )
 
-    def audit(df: DataFrame, tbl: str, key_col: str, pk: F.Column,
-              probe: DataFrame, probe_key: str) -> DataFrame:
-        marked = df.join(
-            probe, df[key_col] == probe[probe_key], "left"
-        )
-        gone = F.col("__del").isNotNull()
-        return marked.agg(
-            F.lit(tbl).alias("tbl"),
-            F.count(F.lit(1)).alias("n_before"),
-            F.sum(F.when(gone, 1).otherwise(0)).cast("long").alias("n_purged"),
-            F.sum(F.when(gone, 0).otherwise(1)).cast("long").alias("n_after"),
-            F.sum(F.when(gone, F.lit(0).cast("long")).otherwise(pk))
-            .cast("long")
-            .alias("retained_pk_sum"),
-        )
-
-    del_orders = F.broadcast(
-        orders.join(del_keys, orders["o_custkey"] == del_keys["__k"], "left_semi")
-        .select(F.col("o_orderkey").alias("__k")).distinct()
-        .withColumn("__del", F.lit(1))
-    )
+    def audit_sql(tbl: str, key: str, pk_expr: str, probe_sub: str) -> str:
+        return f"""
+        SELECT '{tbl}' AS tbl,
+               COUNT(*) AS n_before,
+               CAST(SUM(CASE WHEN gone THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_purged,
+               CAST(SUM(CASE WHEN gone THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_after,
+               CAST(SUM(CASE WHEN gone THEN 0 ELSE {pk_expr} END) AS BIGINT)
+                   AS retained_pk_sum
+        FROM (SELECT *, {key} IN ({probe_sub}) AS gone FROM __gdpr_{tbl})
+        """
 
     return (
-        audit(cust, "customer", "c_custkey", F.col("c_custkey"),
-              del_keys, "__k")
+        spark.sql(audit_sql("customer", "c_custkey", "c_custkey", del_sub))
         .unionByName(
-            audit(orders, "orders", "o_custkey", F.col("o_orderkey"),
-                  del_keys, "__k"))
+            spark.sql(audit_sql("orders", "o_custkey", "o_orderkey", del_sub)))
         .unionByName(
-            audit(lineitem, "lineitem", "l_orderkey",
-                  F.col("l_orderkey") * 8 + F.col("l_linenumber"),
-                  del_orders, "__k"))
+            spark.sql(audit_sql(
+                "lineitem", "l_orderkey",
+                "l_orderkey * 8 + l_linenumber", del_orders_sub)))
         .unionByName(
-            audit(events, "events", "user_id", F.col("event_id"),
-                  del_keys, "__k"))
+            spark.sql(audit_sql("events", "user_id", "event_id", del_sub)))
     )

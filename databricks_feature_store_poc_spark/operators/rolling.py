@@ -95,17 +95,17 @@ def rolling_prefix_sums(
     union of the anchor rows and one probe row per (row, window) placed
     at t_i - d·86400e6 - 1: the RANGE frame's inclusive upper bound at
     the probe's position is exactly "strictly before the cutoff". The
-    regroup to one output row per input row keys on (key, id, rn) —
-    already clustered by the window's hash partitioning, so the whole
+    regroup to one output row per input row keys on (key, id, anchor_t)
+    — already clustered by the window's hash partitioning, so the whole
     operator pays a single shuffle. ``id_col`` is normally unique per
-    row, but the regroup no longer ASSUMES it: a per-key row_number
-    (over the same partitioning — no extra shuffle) disambiguates
-    duplicate (key, id) rows, so a dup-PK input keeps its multiplicity
-    instead of silently collapsing (r12 dup replica; rows tied on
-    (t, id) are output-identical because RANGE prefixes are
-    tie-inclusive, so the arbitrary rn assignment among ties is
-    hash-invisible). Sums accumulate in DECIMAL, so the subtraction is
-    exact.
+    row, but the regroup no longer ASSUMES it: duplicate (key, id) rows
+    at DIFFERENT timestamps split by the anchor-timestamp regroup key,
+    and duplicates at the SAME timestamp — whose outputs are identical
+    anyway, because RANGE prefixes are tie-inclusive — are counted and
+    re-exploded to their input multiplicity (r12 dup replica; a
+    row_number disambiguator would cost an extra pre-union window pass
+    = one planned sort per union branch, which the plan-scan gate
+    rejects). Sums accumulate in DECIMAL, so the subtraction is exact.
 
     NULL semantics match the sliding RANGE frame's SUM exactly: a
     window whose in-frame values are all NULL yields a NULL sum (not
@@ -120,13 +120,13 @@ def rolling_prefix_sums(
         F.unix_micros(F.col(ts_col)).alias("__t"),
         F.col(value_col).cast("decimal(18,2)").alias("__v"),
         F.col(ts_col).alias("__ts"),
-    ).withColumn(
-        "__rn",
-        F.row_number().over(
-            Window.partitionBy("__k").orderBy("__t", "__id")
-        ),
     )
-    u = base.select("*", F.lit("a").alias("__kind"))
+    # __at: the row's ANCHOR timestamp, carried verbatim on probes too —
+    # the regroup key that keeps duplicate (key, id) rows at different
+    # timestamps apart without a pre-union row_number window
+    u = base.select(
+        "*", F.col("__t").alias("__at"), F.lit("a").alias("__kind")
+    )
     for d in days_list:
         u = u.unionByName(
             base.select(
@@ -135,7 +135,7 @@ def rolling_prefix_sums(
                 (F.col("__t") - d * _DAY_US - 1).alias("__t"),
                 F.lit(None).cast("decimal(18,2)").alias("__v"),
                 F.lit(None).cast(ts_type).alias("__ts"),
-                "__rn",
+                F.col("__t").alias("__at"),
                 F.lit(f"p{d}").alias("__kind"),
             )
         )
@@ -148,7 +148,7 @@ def rolling_prefix_sums(
     cum = u.select(
         "__k",
         "__id",
-        "__rn",
+        "__at",
         "__ts",
         "__kind",
         F.sum(F.when(anchor, F.col("__v"))).over(w).alias("__cum_v"),
@@ -175,14 +175,20 @@ def rolling_prefix_sums(
         )
         for d in days_list
     ]
-    res = cum.groupBy("__k", "__id", "__rn").agg(
+    res = cum.groupBy("__k", "__id", "__at").agg(
         F.max(F.when(anchor, F.col("__ts"))).alias("__ats"),
+        # same-(id, t) duplicates share one group (their outputs are
+        # identical — tie-inclusive RANGE frames); __mult re-expands
+        # them to input multiplicity below
+        F.sum(F.when(anchor, 1).otherwise(0)).alias("__mult"),
         F.max(F.when(anchor, F.col("__cum_v"))).alias("__a_v"),
         F.max(F.when(anchor, F.col("__cum_n"))).alias("__a_n"),
         F.max(F.when(anchor, F.col("__cum_nv"))).alias("__a_nv"),
         *probe_v,
         *probe_n,
         *probe_nv,
+    ).withColumn(
+        "__copy", F.explode(F.expr("sequence(1, __mult)"))
     )
     zero = F.lit(0).cast("decimal(18,2)")
     return res.select(

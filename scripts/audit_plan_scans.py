@@ -74,6 +74,7 @@ KNOWN_MULTI_SCAN = {
     "densify_daily_spine": "per-key date-bounds aggregate + the spine join back onto events",
     "funnel_signup_purchase": "one branch per funnel stage over events; stages are a constant of the funnel definition",
     "agg_heavy_hitters": "candidate pass + exact-verification pass (the misra-gries contract)",
+    "pack_sequences_audit": "audit twin: the packing pass plus an INDEPENDENT source re-derivation (row + distinct-id counts) — comparing packed output against the raw corpus is the invariant (r12: multiplicity preservation under dup PKs)",
 }
 
 
