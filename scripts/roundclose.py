@@ -262,10 +262,14 @@ def _10x_slice() -> list[str] | None:
         return None
     rnd = _round_number()
     picked = [k for i, k in enumerate(sorted(keys)) if i % 4 == rnd % 4]
-    # the flagship always runs (its tier-0 adjudication slot extends
-    # to every standing gate)
-    if "training_set_flagship" not in picked and "training_set_flagship" in keys:
-        picked.insert(0, "training_set_flagship")
+    # sentinels run EVERY round regardless of the rotation: the flagship
+    # (tier-0 adjudication slot) and the queries with measured-headroom
+    # contract floors asserted in-plan (the IVF nprobe margin was an
+    # adv_sf01 catch — a rotating slice must never skip the floors)
+    for sentinel in ("training_set_flagship", "sim_ivf_topk",
+                     "sim_ivf_quantized", "sim_ann_lsh"):
+        if sentinel in keys and sentinel not in picked:
+            picked.insert(0, sentinel)
     print(
         f"   10x slice: round {rnd} -> quarter {rnd % 4}, "
         f"{len(picked)}/{len(keys)} queries",
@@ -348,11 +352,15 @@ def main() -> int:
             _make_adv("dup", REPLICA_DUP), REPLICA_DUP
         ),
     )
+    # adv_sf01 runs the same rotating quarter-slice as the 10x gate (a
+    # full sf0.1 oracle pass is ~15-20 min; the slice keeps the close
+    # inside its wall budget while four consecutive rounds still cover
+    # the registry at this scale — ROUNDCLOSE_10X_FULL=1 forces full)
     _step(
         results, "harness_adv_sf01",
         lambda: step_harness_replica(
             _make_adv("content", REPLICA_ADV_SF01, src="/root/testdata/sf0.1"),
-            REPLICA_ADV_SF01,
+            REPLICA_ADV_SF01, queries=_10x_slice(),
         ),
     )
     _step(results, "bench", step_bench)
