@@ -46,13 +46,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #   0. the headline training-set assembly (1 key, always adjudicated);
 #   1. changed-in-r12: every query whose plan, oracle, or shared kernel
 #      changed in the dup-PK/dangling-FK replica adjudication or the
-#      resample short-circuit (20 keys — see ROUND12_NOTES.md);
+#      resample short-circuit, plus the two NEW referential-integrity
+#      audits the axis motivated (23 keys — see ROUND12_NOTES.md);
 #   2. ALL 21 r6-age keys (the merged ledger's oldest verdicts);
 #   3. the r7-age cohort head (the remainder rolls to r13).
 _HEADLINE = (
     "training_set_flagship",
 )
 _NEW_IN_R12 = (
+    # NEW operators this round (featurestore/quality.py): referential-
+    # integrity audits born from the dup-PK/dangling-FK axis
+    "dq_pk_violations",
+    "dq_fk_orphans",
     # span-probe short-circuit (operators/rolling.py)
     "feature_resample_1h",
     # NaN-input pin (functions/scalar.py, ADVICE r11 #3)

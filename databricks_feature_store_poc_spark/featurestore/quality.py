@@ -454,3 +454,187 @@ def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(mz) > 3.5).alias("is_outlier"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audits (r12 — born from the dup-PK/dangling-FK
+# replica axis). The reference trusts its inputs' key integrity (the
+# feature-table PK contract is asserted at create_feature_table time,
+# /root/reference/notebooks/01_feature_engineering.py); a 100 TB ingest
+# needs the AUDIT form first: report violations as a relation instead of
+# refusing to publish, so the repair/quarantine step can be driven by
+# data.
+# ---------------------------------------------------------------------------
+
+_PK_KEYED = (
+    ("customer", "c_custkey"),
+    ("orders", "o_orderkey"),
+    # composite (l_orderkey, l_linenumber) encoded into one BIGINT —
+    # linenumber is 1..7, so *8 is collision-free within the table
+    ("lineitem", "l_orderkey * 8 + l_linenumber"),
+    ("events", "event_id"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+)
+
+
+@query(
+    "dq_pk_violations",
+    oracle="""
+    WITH k AS (
+        SELECT 'customer' AS tbl, c_custkey AS key FROM customer
+        UNION ALL SELECT 'orders', o_orderkey FROM orders
+        UNION ALL SELECT 'lineitem', l_orderkey * 8 + l_linenumber
+        FROM lineitem
+        UNION ALL SELECT 'events', event_id FROM events
+        UNION ALL SELECT 'documents', doc_id FROM documents
+        UNION ALL SELECT 'embeddings', vec_id FROM embeddings
+    ),
+    g AS (SELECT tbl, key, CAST(COUNT(*) AS BIGINT) AS m
+          FROM k GROUP BY tbl, key)
+    SELECT tbl,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_keys,
+           CAST(SUM(CASE WHEN m > 1 THEN m ELSE 0 END) AS BIGINT)
+               AS n_rows_in_violation,
+           CAST(MAX(m) AS BIGINT) AS max_multiplicity
+    FROM g GROUP BY tbl
+    """,
+)
+def dq_pk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit across every keyed table: per table,
+    the distinct-key count, how many keys are duplicated, how many rows
+    sit inside a violating key group, and the worst multiplicity. This
+    is the report the r12 dup replica makes non-trivial — and the
+    operator an ingest pipeline runs BEFORE ``create_table`` enforces
+    the PK contract (tier-1 S5), so violations become a repair worklist
+    instead of a publish failure.
+
+    lineitem's composite (l_orderkey, l_linenumber) PK is folded into
+    one BIGINT (*8 + linenumber — linenumber <= 7); NULL keys form
+    their own group on both engines (GROUP BY keeps NULL), so a
+    NULL-key table shows up as one group with its multiplicity rather
+    than disappearing.
+
+    Scale: one union of key projections (column-pruned scans — only the
+    key columns are read), one map-side-combined shuffle on (tbl, key)
+    whose output is one row per distinct key, then a |tables|-row final
+    aggregate. Linear, no joins; the same shape at any corpus size, and
+    per-table skew is bounded because the first aggregate's key space
+    IS the PK space.
+    """
+    from functools import reduce
+
+    parts = [
+        load_table(spark, sf_dir, tbl).select(
+            F.lit(tbl).alias("tbl"), F.expr(key_expr).alias("key")
+        )
+        for tbl, key_expr in _PK_KEYED
+    ]
+    k = reduce(lambda a, b: a.unionByName(b), parts)
+    g = k.groupBy("tbl", "key").agg(F.count(F.lit(1)).alias("m"))
+    return g.groupBy("tbl").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.when(F.col("m") > 1, 1).otherwise(0)).cast("long")
+        .alias("n_dup_keys"),
+        F.sum(F.when(F.col("m") > 1, F.col("m")).otherwise(0)).cast("long")
+        .alias("n_rows_in_violation"),
+        F.max("m").cast("long").alias("max_multiplicity"),
+    )
+
+
+_FK_EDGES = (
+    # (fk label, fact view, fk column, dim view, dim key)
+    ("orders.o_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+)
+
+
+@query(
+    "dq_fk_orphans",
+    oracle="""
+    SELECT 'orders.o_custkey' AS fk,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_fk,
+           CAST(SUM(CASE WHEN o_custkey IS NOT NULL AND NOT
+                    (o_custkey IN (SELECT c_custkey FROM customer))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+           CAST(COUNT(DISTINCT CASE WHEN o_custkey IS NOT NULL AND NOT
+                    (o_custkey IN (SELECT c_custkey FROM customer))
+                    THEN o_custkey END) AS BIGINT) AS n_orphan_keys
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem.l_orderkey',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(SUM(CASE WHEN l_orderkey IS NOT NULL AND NOT
+                    (l_orderkey IN (SELECT o_orderkey FROM orders))
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT CASE WHEN l_orderkey IS NOT NULL AND NOT
+                    (l_orderkey IN (SELECT o_orderkey FROM orders))
+                    THEN l_orderkey END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.l_suppkey',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(SUM(CASE WHEN l_suppkey IS NOT NULL AND NOT
+                    (l_suppkey IN (SELECT s_suppkey FROM supplier))
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT CASE WHEN l_suppkey IS NOT NULL AND NOT
+                    (l_suppkey IN (SELECT s_suppkey FROM supplier))
+                    THEN l_suppkey END) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit: per FK edge, total rows, NULL FKs
+    (allowed — a NULL FK is "no reference", not an orphan, matching
+    SQL IN semantics), dangling rows whose referenced key does not
+    exist, and the distinct orphan key count (the repair worklist
+    size). The r12 dup replica's dangling l_orderkey/o_custkey rows
+    are exactly what this reports; on clean data every n_orphans is 0.
+
+    Plan shape: the membership test is an IN-subquery in the
+    projection — Spark plans a broadcast ExistenceJoin per edge (one
+    marker boolean per fact row, NO fan-out even when the dim has
+    duplicate keys — same construction as [pipeline_gdpr_delete]) and
+    each audit collapses in one conditional aggregate over one fact
+    scan. At 100 TB: dim key sets broadcast (or AQE falls back to a
+    shuffled existence join past the threshold); the fact side is
+    never shuffled at fact width, never fanned out; COUNT(DISTINCT)
+    costs one exchange whose rows are the partial-deduped FK VALUES
+    (bounded by the dim's key space, not the fact's row count).
+    """
+    for t in ("customer", "supplier", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"__ri_{t}")
+
+    def edge_sql(label, fact, fk, dim, dk) -> str:
+        orphan = (
+            f"{fk} IS NOT NULL AND NOT"
+            f" ({fk} IN (SELECT {dk} FROM __ri_{dim}))"
+        )
+        return f"""
+        SELECT '{label}' AS fk,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN {fk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null_fk,
+               CAST(SUM(CASE WHEN orphan THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_orphans,
+               CAST(COUNT(DISTINCT CASE WHEN orphan THEN {fk} END) AS BIGINT)
+                   AS n_orphan_keys
+        FROM (SELECT {fk}, {orphan} AS orphan FROM __ri_{fact})
+        """
+
+    from functools import reduce
+
+    branches = [
+        spark.sql(edge_sql(label, fact, fk, dim, dk))
+        for label, fact, fk, dim, dk in _FK_EDGES
+    ]
+    return reduce(lambda a, b: a.unionByName(b), branches)

@@ -20,7 +20,7 @@ scripts/fault_injection_result.json:
 2. ``exactly_once_replay``: ``stream_dedup_exactly_once`` executed on
    the retry-enabled session — the dedup-by-key sink must report zero
    duplicates even though the session's tasks CAN re-run.
-3. ``speculation_harness``: the FULL 215-query oracle harness re-run in
+3. ``speculation_harness``: the FULL-registry oracle harness re-run in
    a subprocess with ``spark.speculation=true`` (+ aggressive
    multiplier/quantile so speculative attempts actually launch on
    local[32]'s uniform tasks) via SPARK_GRAFT_EXTRA_CONFS — every

@@ -354,7 +354,7 @@ def test_plan_scan_audit_no_unexplained_multiscans():
     times; the classified multi-scan queries (KNOWN_MULTI_SCAN in
     scripts/audit_plan_scans.py, each a constant-by-design protocol
     shape) must be the ONLY flagged ones, and every query must plan.
-    ~80 s for the full 215-query registry — the price of catching the
+    ~80 s for the full registry — the price of catching the
     k-references-= k-scans regression class before it ships."""
     import subprocess
     import sys

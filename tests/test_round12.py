@@ -160,3 +160,68 @@ def test_adversarial_replica_stamps_recipe_fingerprint(tmp_path):
     fp1 = mod.recipe_fingerprint("dup", "/root/testdata/sf0.01")
     fp2 = mod.recipe_fingerprint("content", "/root/testdata/sf0.01")
     assert fp1 != fp2 and len(fp1) == 64  # mode is part of the key
+
+
+def test_dq_pk_violations_reports_duplicates(spark, tmp_path):
+    import pyspark.sql.functions as F  # noqa: F401
+
+    # customer 7 duplicated; everything else unique
+    spark.createDataFrame(
+        [(7, "a", 1, 0.0, "X"), (7, "b", 1, 0.0, "X"), (8, "c", 1, 0.0, "X")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    spark.createDataFrame(
+        [(1, 9, "O", 1.0, TS(2024, 1, 1), "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    for t, schema, rows in (
+        ("lineitem",
+         "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+         " l_quantity double, l_extendedprice double, l_discount double,"
+         " l_tax double, l_returnflag string, l_linestatus string,"
+         " l_shipdate timestamp",
+         [(1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", TS(2024, 1, 2))]),
+        ("events",
+         "event_id long, ts timestamp, user_id long, event_type string,"
+         " value double, props string",
+         [(1, TS(2024, 1, 1), 7, "view", 1.0, "{}")]),
+        ("documents",
+         "doc_id long, text string, lang string, source string, n_chars long",
+         [(1, "t", "en", "src1", 1)]),
+        ("embeddings", "vec_id long, embedding array<float>, label int",
+         [(1, [0.1] * 4, 0)]),
+    ):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"{t}.parquet"))
+
+    from databricks_feature_store_poc_spark.featurestore.quality import (
+        dq_fk_orphans,
+        dq_pk_violations,
+    )
+
+    pk = {r["tbl"]: r for r in dq_pk_violations(spark, str(tmp_path)).collect()}
+    assert pk["customer"]["n_dup_keys"] == 1
+    assert pk["customer"]["n_rows_in_violation"] == 2
+    assert pk["customer"]["max_multiplicity"] == 2
+    assert pk["orders"]["n_dup_keys"] == 0
+
+    # orders.o_custkey=9 dangles (no customer 9); lineitem's FKs resolve
+    # except l_suppkey=1 (no supplier table rows -> need supplier file)
+    spark.createDataFrame(
+        [(2, "s", 1, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "supplier.parquet")
+    )
+    fk = {r["fk"]: r for r in dq_fk_orphans(spark, str(tmp_path)).collect()}
+    assert fk["orders.o_custkey"]["n_orphans"] == 1
+    assert fk["orders.o_custkey"]["n_orphan_keys"] == 1
+    assert fk["lineitem.l_orderkey"]["n_orphans"] == 0
+    assert fk["lineitem.l_suppkey"]["n_orphans"] == 1
