@@ -555,41 +555,52 @@ _FK_EDGES = (
 @query(
     "dq_fk_orphans",
     oracle="""
+    -- POSITIVE membership in the inner projection, negated OUTSIDE on
+    -- the boolean: 'NOT (fk IN (...))' as one expression forces
+    -- Spark's null-aware existence join, a BroadcastNestedLoopJoin —
+    -- O(fact x dim) comparisons that hung the 10x skew replica. The
+    -- dim subquery filters NULL keys so three-valued IN degenerates to
+    -- two-valued on both engines and the positive form plans as a hash
+    -- ExistenceJoin.
     SELECT 'orders.o_custkey' AS fk,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_null_fk,
-           CAST(SUM(CASE WHEN o_custkey IS NOT NULL AND NOT
-                    (o_custkey IN (SELECT c_custkey FROM customer))
+           CAST(SUM(CASE WHEN o_custkey IS NOT NULL AND NOT member
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
-           CAST(COUNT(DISTINCT CASE WHEN o_custkey IS NOT NULL AND NOT
-                    (o_custkey IN (SELECT c_custkey FROM customer))
-                    THEN o_custkey END) AS BIGINT) AS n_orphan_keys
-    FROM orders
+           CAST(COUNT(DISTINCT CASE WHEN o_custkey IS NOT NULL
+                    AND NOT member THEN o_custkey END) AS BIGINT)
+               AS n_orphan_keys
+    FROM (SELECT o_custkey,
+                 o_custkey IN (SELECT c_custkey FROM customer
+                               WHERE c_custkey IS NOT NULL) AS member
+          FROM orders)
     UNION ALL
     SELECT 'lineitem.l_orderkey',
            CAST(COUNT(*) AS BIGINT),
            CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
                 AS BIGINT),
-           CAST(SUM(CASE WHEN l_orderkey IS NOT NULL AND NOT
-                    (l_orderkey IN (SELECT o_orderkey FROM orders))
+           CAST(SUM(CASE WHEN l_orderkey IS NOT NULL AND NOT member
                     THEN 1 ELSE 0 END) AS BIGINT),
-           CAST(COUNT(DISTINCT CASE WHEN l_orderkey IS NOT NULL AND NOT
-                    (l_orderkey IN (SELECT o_orderkey FROM orders))
-                    THEN l_orderkey END) AS BIGINT)
-    FROM lineitem
+           CAST(COUNT(DISTINCT CASE WHEN l_orderkey IS NOT NULL
+                    AND NOT member THEN l_orderkey END) AS BIGINT)
+    FROM (SELECT l_orderkey,
+                 l_orderkey IN (SELECT o_orderkey FROM orders
+                                WHERE o_orderkey IS NOT NULL) AS member
+          FROM lineitem)
     UNION ALL
     SELECT 'lineitem.l_suppkey',
            CAST(COUNT(*) AS BIGINT),
            CAST(SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END)
                 AS BIGINT),
-           CAST(SUM(CASE WHEN l_suppkey IS NOT NULL AND NOT
-                    (l_suppkey IN (SELECT s_suppkey FROM supplier))
+           CAST(SUM(CASE WHEN l_suppkey IS NOT NULL AND NOT member
                     THEN 1 ELSE 0 END) AS BIGINT),
-           CAST(COUNT(DISTINCT CASE WHEN l_suppkey IS NOT NULL AND NOT
-                    (l_suppkey IN (SELECT s_suppkey FROM supplier))
-                    THEN l_suppkey END) AS BIGINT)
-    FROM lineitem
+           CAST(COUNT(DISTINCT CASE WHEN l_suppkey IS NOT NULL
+                    AND NOT member THEN l_suppkey END) AS BIGINT)
+    FROM (SELECT l_suppkey,
+                 l_suppkey IN (SELECT s_suppkey FROM supplier
+                               WHERE s_suppkey IS NOT NULL) AS member
+          FROM lineitem)
     """,
 )
 def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -600,35 +611,43 @@ def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     size). The r12 dup replica's dangling l_orderkey/o_custkey rows
     are exactly what this reports; on clean data every n_orphans is 0.
 
-    Plan shape: the membership test is an IN-subquery in the
-    projection — Spark plans a broadcast ExistenceJoin per edge (one
-    marker boolean per fact row, NO fan-out even when the dim has
-    duplicate keys — same construction as [pipeline_gdpr_delete]) and
-    each audit collapses in one conditional aggregate over one fact
-    scan. At 100 TB: dim key sets broadcast (or AQE falls back to a
-    shuffled existence join past the threshold); the fact side is
-    never shuffled at fact width, never fanned out; COUNT(DISTINCT)
-    costs one exchange whose rows are the partial-deduped FK VALUES
-    (bounded by the dim's key space, not the fact's row count).
+    Plan shape: the membership test is a POSITIVE IN-subquery in the
+    inner projection, negated on the resulting boolean outside — Spark
+    plans the positive form as a broadcast hash ExistenceJoin per edge
+    (one marker boolean per fact row, NO fan-out even when the dim has
+    duplicate keys — same construction as [pipeline_gdpr_delete]),
+    while `NOT (fk IN ...)` as ONE expression demands null-aware
+    semantics and degenerates to a BroadcastNestedLoopJoin —
+    O(fact x dim) comparisons, which HUNG the 10x dup x zipf replica
+    (the first draft shipped that way; the combined-axis gate caught
+    it). The dim subquery filters NULL keys (a NULL PK is not a
+    referenceable key), which is also what collapses three-valued IN
+    to two-valued so both engines agree exactly. Each audit collapses
+    in one conditional aggregate over one fact scan. At 100 TB: dim
+    key sets broadcast (or AQE falls back to a shuffled existence join
+    past the threshold); the fact side is never shuffled at fact
+    width, never fanned out; COUNT(DISTINCT) costs one exchange whose
+    rows are the partial-deduped FK VALUES (bounded by the dim's key
+    space, not the fact's row count).
     """
     for t in ("customer", "supplier", "orders", "lineitem"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(f"__ri_{t}")
 
     def edge_sql(label, fact, fk, dim, dk) -> str:
-        orphan = (
-            f"{fk} IS NOT NULL AND NOT"
-            f" ({fk} IN (SELECT {dk} FROM __ri_{dim}))"
-        )
+        orphan = f"{fk} IS NOT NULL AND NOT member"
         return f"""
         SELECT '{label}' AS fk,
                COUNT(*) AS n_rows,
                CAST(SUM(CASE WHEN {fk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_null_fk,
-               CAST(SUM(CASE WHEN orphan THEN 1 ELSE 0 END) AS BIGINT)
+               CAST(SUM(CASE WHEN {orphan} THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_orphans,
-               CAST(COUNT(DISTINCT CASE WHEN orphan THEN {fk} END) AS BIGINT)
-                   AS n_orphan_keys
-        FROM (SELECT {fk}, {orphan} AS orphan FROM __ri_{fact})
+               CAST(COUNT(DISTINCT CASE WHEN {orphan} THEN {fk} END)
+                    AS BIGINT) AS n_orphan_keys
+        FROM (SELECT {fk},
+                     {fk} IN (SELECT {dk} FROM __ri_{dim}
+                              WHERE {dk} IS NOT NULL) AS member
+              FROM __ri_{fact})
         """
 
     from functools import reduce
