@@ -450,7 +450,15 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embed_gram_matrix",
     oracle=f"""
-    WITH v0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS rid,
+    -- rid's ORDER BY must be TOTAL (vec_id, then the quantized list):
+    -- the CTE is inlined into BOTH sides of the self-join, so two
+    -- independent row_number evaluations run — under duplicate vec_ids
+    -- a non-total order can hand the same rid to DIFFERENT copies per
+    -- side, pairing copy A's dims with copy B's (caught nondeterministic
+    -- on the dup x zipf replica). Ties after (vec_id, q0) are identical
+    -- rows, for which either pairing yields the same products.
+    WITH v0 AS (SELECT row_number() OVER (ORDER BY vec_id, {_DUCK_QV0})
+                    AS rid,
                        {_DUCK_QV0} AS q0 FROM embeddings
                 WHERE embedding IS NOT NULL),
     ve0 AS (SELECT rid, i, q0[i] AS q FROM v0, range(1, {DIMS + 1}) r(i))

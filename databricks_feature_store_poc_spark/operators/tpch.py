@@ -430,13 +430,19 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     back (no second pass over lineitem). The threshold comparison happens
     in DOUBLE on both engines (exact-decimal sums cast identically) —
     DECIMAL would overflow precision 38 under Spark's product widening.
+
+    The supplier filter is an INNER join (the spec's structure), not a
+    semi join: they agree only while s_suppkey is unique — a duplicated
+    NATION_12 supplier row must fan its lines into the value sum exactly
+    as the SQL does (same adjudication as [tpch_q8]; caught by the
+    dup x zipf combined gate, r12).
     """
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_12")
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
     nat_sup = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select("s_suppkey")
     val = (
-        li.join(F.broadcast(nat_sup), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        li.join(F.broadcast(nat_sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey").alias("ps_partkey"))
         .agg(F.sum(F.expr(_EXT)).alias("value_dec"))
     )

@@ -225,3 +225,21 @@ def test_dq_pk_violations_reports_duplicates(spark, tmp_path):
     assert fk["orders.o_custkey"]["n_orphan_keys"] == 1
     assert fk["lineitem.l_orderkey"]["n_orphans"] == 0
     assert fk["lineitem.l_suppkey"]["n_orphans"] == 1
+
+
+def test_fk_orphans_plans_hash_existence_not_nested_loop(spark):
+    """`NOT (fk IN (subquery))` as one expression plans a null-aware
+    BroadcastNestedLoopJoin — O(fact x dim), which hung the dup x zipf
+    replica. The positive-membership form must plan hash existence
+    joins on every edge and no nested loop anywhere."""
+    from databricks_feature_store_poc_spark.featurestore.quality import (
+        dq_fk_orphans,
+    )
+
+    plan = (
+        dq_fk_orphans(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("ExistenceJoin") == 3
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
