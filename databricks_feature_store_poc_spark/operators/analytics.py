@@ -223,16 +223,22 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     "feature_sessionize",
     oracle="""
     WITH g AS (
-        SELECT event_id, user_id, ts,
+        SELECT event_id, user_id, ts, event_type, value,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                     THEN 1 ELSE 0 END AS new_s
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY epoch_us(ts) NULLS FIRST, event_id NULLS FIRST,
+                              event_type NULLS FIRST, value NULLS FIRST)
     )
     SELECT event_id, user_id, ts,
            CAST(SUM(new_s) OVER (PARTITION BY user_id
-                                 ORDER BY epoch_us(ts), event_id
+                                 ORDER BY epoch_us(ts) NULLS FIRST,
+                                          event_id NULLS FIRST,
+                                          event_type NULLS FIRST,
+                                          value NULLS FIRST,
+                                          new_s DESC
                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
     FROM g
     """,
@@ -245,22 +251,42 @@ def feature_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature pipelines want for per-session aggregation).
 
     One shuffle: the gap flag (lag) and the running sum share the same
-    (user_id, ts, event_id) window ordering, so Catalyst evaluates both
-    in one Window stage over one sort. The microsecond ordering carries
-    event_id as tiebreak so concurrent events sessionize identically on
-    both engines.
+    user_id partitioning, so one Exchange feeds both Window nodes. The
+    ordering carries event_id + the payload columns as tiebreaks so
+    concurrent events sessionize identically on both engines — and the
+    running sum's order ends with the MATERIALIZED flag itself,
+    new_s DESC: the flag+sum are two window passes, and for rows that
+    are FULLY identical (dup-PK triplicates, r12 dup x zipf) the second
+    pass's re-sort may otherwise pair the session-start flag with a
+    different copy per engine, assigning the tied copies sessions
+    {s, s+1} on one engine and {s+1, s+1} on the other. Flag-first is
+    total over (row, new_s), so both tied copies land in the started
+    session deterministically.
     """
     from pyspark.sql.window import Window
 
     e = load_table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts"))
-    w = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
+    w = Window.partitionBy("user_id").orderBy(
+        us, F.col("event_id"), F.col("event_type"), F.col("value")
+    )
     gap = us - F.lag(us).over(w)
     new_s = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return e.select(
+    g = e.select(
+        "event_id", "user_id", "ts", "event_type", "value",
+        new_s.alias("new_s"),
+    )
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.unix_micros(F.col("ts")), F.col("event_id"),
+            F.col("event_type"), F.col("value"), F.desc("new_s"),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return g.select(
         "event_id", "user_id", "ts",
-        F.sum(new_s).over(run).cast("long").alias("session_id"),
+        F.sum("new_s").over(run).cast("long").alias("session_id"),
     )
 
 
@@ -691,7 +717,8 @@ def win_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(new_s) OVER (PARTITION BY user_id
                                      ORDER BY epoch_us(ts) NULLS FIRST,
                                               event_id NULLS FIRST,
-                                              event_type NULLS FIRST
+                                              event_type NULLS FIRST,
+                                              new_s DESC
                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
                    AS session_id
         FROM g
@@ -736,10 +763,22 @@ def win_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gap = us - F.lag(us).over(w)
     new_s = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    s = e.select(
+    # materialize the flag and order the running sum flag-first: for
+    # FULLY identical duplicate rows the two window passes may otherwise
+    # pair the flag with different copies per engine (see
+    # [feature_sessionize], r12 dup x zipf)
+    g = e.select(
+        "event_id", "user_id", "ts", "event_type", new_s.alias("new_s")
+    )
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")), F.col("event_id"),
+                 F.col("event_type"), F.desc("new_s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = g.select(
         "event_id", "user_id", "ts", "event_type",
-        F.sum(new_s).over(run).cast("long").alias("session_id"),
+        F.sum("new_s").over(run).cast("long").alias("session_id"),
     )
     w2 = Window.partitionBy("user_id", "session_id").orderBy(
         F.unix_micros(F.col("ts")), F.col("event_id"), F.col("event_type")
@@ -779,7 +818,8 @@ def win_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      ORDER BY epoch_us(ts) NULLS FIRST,
                                               event_id NULLS FIRST,
                                               event_type NULLS FIRST,
-                                              value NULLS FIRST
+                                              value NULLS FIRST,
+                                              new_s DESC
                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
                    AS session_id
         FROM g
@@ -824,10 +864,20 @@ def win_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gap = us - F.lag(us).over(w)
     new_s = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    s = e.select(
+    # flag-first running sum — see [feature_sessionize] (r12 dup x zipf)
+    g = e.select(
         "event_id", "user_id", "ts", "event_type", "value",
-        F.sum(new_s).over(run).cast("long").alias("session_id"),
+        new_s.alias("new_s"),
+    )
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")), F.col("event_id"),
+                 F.col("event_type"), F.col("value"), F.desc("new_s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = g.select(
+        "event_id", "user_id", "ts", "event_type", "value",
+        F.sum("new_s").over(run).cast("long").alias("session_id"),
     )
     w2 = (
         Window.partitionBy("user_id", "session_id")

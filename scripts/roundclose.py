@@ -34,12 +34,18 @@ stop later steps — the close block needs the whole picture):
  11. harness_dup     — tenth: referential/duplicate corruption (dup PKs
                        in every keyed table + dangling FKs; the r12
                        axis, VERDICT r11 #3)
- 12. harness_adv_sf01 — eleventh: the content corruption applied on
+ 12. harness_dup_zipf — eleventh: duplicate-PK corruption ON the
+                       zipf-10x replica (r12's richest gate: caught a
+                       nested-loop-join hang, a nondeterministic
+                       oracle, and a semi-vs-inner divergence that no
+                       single-axis gate saw); rotating quarter-slice
+ 13. harness_adv_sf01 — twelfth: the content corruption applied on
                        sf0.1 (promoted per VERDICT r11 #4 — the
                        sf0.1-sourced corpus caught the IVF nprobe
-                       recall margin that six sf0.01 gates missed)
- 13. bench           — bench.py median-of-3 at sf0.1 -> bench_result.json
- 14. bench_ab        — full-registry A/B vs the previous round-final
+                       recall margin that six sf0.01 gates missed);
+                       rotating quarter-slice + floor sentinels
+ 14. bench           — bench.py median-of-3 at sf0.1 -> bench_result.json
+ 15. bench_ab        — full-registry A/B vs the previous round-final
                        commit (only when ROUNDCLOSE_REF is set)
 
 Wall-time control (VERDICT r11 #5): the uniform-10x step alone was
@@ -85,6 +91,7 @@ REPLICA_SINGLE = "/tmp/spark_graft_single"
 REPLICA_ADV_ZIPF = "/tmp/spark_graft_adv_zipf"
 REPLICA_DUP = "/tmp/spark_graft_dup"
 REPLICA_ADV_SF01 = "/tmp/spark_graft_adversarial_sf01"
+REPLICA_DUP_ZIPF = "/tmp/spark_graft_dup_zipf"
 
 _HARNESS_TAIL = re.compile(r"(\d+)/(\d+) passed")
 
@@ -350,6 +357,23 @@ def main() -> int:
         results, "harness_dup",
         lambda: step_harness_replica(
             _make_adv("dup", REPLICA_DUP), REPLICA_DUP
+        ),
+    )
+    def _ensure_dup_zipf() -> bool:
+        # duplicate-PK corruption ON the zipf-10x replica — the
+        # combination that caught the dq_fk_orphans nested-loop hang,
+        # the gram-oracle rid nondeterminism, and q11's semi-vs-inner
+        # divergence in r12 (three finds no single-axis gate saw).
+        # Runs the rotating quarter-slice for wall discipline; its
+        # first FULL run is recorded in ROUND12_NOTES.
+        return _ensure_zipf() and _make_adv(
+            "dup", REPLICA_DUP_ZIPF, src=REPLICA_ZIPF
+        )()
+
+    _step(
+        results, "harness_dup_zipf",
+        lambda: step_harness_replica(
+            _ensure_dup_zipf, REPLICA_DUP_ZIPF, queries=_10x_slice()
         ),
     )
     # adv_sf01 runs the same rotating quarter-slice as the 10x gate (a
