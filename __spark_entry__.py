@@ -40,86 +40,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver adjudicates ~50 queries per round in dict order, so the dict
-# is emitted in ADJUDICATION-PRIORITY order, not alphabetical. Round-12
-# policy (VERDICT r11 'do this' #1 — verdict rotation: retire the r6
-# tail, then the r7 cohort head):
+# is emitted in ADJUDICATION-PRIORITY order, not alphabetical. Round-13
+# policy (VERDICT r12 'do this' #1 — finish the verdict rotation: retire
+# the 27 r7-age keys, the merged ledger's oldest):
 #   0. the headline training-set assembly (1 key, always adjudicated);
-#   1. changed-in-r12: every query whose plan, oracle, or shared kernel
-#      changed in the dup-PK/dangling-FK replica adjudication or the
-#      resample short-circuit, plus the two NEW referential-integrity
-#      audits the axis motivated (23 keys — see ROUND12_NOTES.md);
-#   2. ALL 21 r6-age keys (the merged ledger's oldest verdicts);
-#   3. the r7-age cohort head (the remainder rolls to r13).
+#   1. changed-in-r13: every query whose plan, oracle, or shared kernel
+#      changed in the hot-dup (skew-of-duplicates) replica adjudication
+#      or this round's fixes, PLUS the two r12-changed keys the r12 pass
+#      missed (ADVICE r12 #1: feature_sessionize's oracle and tpch_q11's
+#      semi->inner join changed in r12 but were absent from the r12
+#      tier-1 list) — see ROUND13_NOTES.md;
+#   2. ALL 27 r7-age keys (the merged ledger's oldest verdicts; after
+#      this pass nothing in the ledger is older than r8);
+#   3. the r8-age cohort head (35 keys; the remainder rolls to r14).
 _HEADLINE = (
     "training_set_flagship",
 )
-_NEW_IN_R12 = (
-    # NEW operators this round (featurestore/quality.py): referential-
-    # integrity audits born from the dup-PK/dangling-FK axis
-    "dq_pk_violations",
-    "dq_fk_orphans",
-    # span-probe short-circuit (operators/rolling.py)
-    "feature_resample_1h",
-    # NaN-input pin (functions/scalar.py, ADVICE r11 #3)
-    "udf_scalar",
-    # window-order totality under duplicate PKs
-    "win_running",
-    "win_lag_lead",
-    "win_forward_fill",
-    "win_session_paths",
-    "win_first_touch_attribution",
-    # prefix-sum multiplicity (operators/rolling.py)
-    "feature_rolling_sum",
-    # set/join/membership semantics under duplicate keys
-    "set_except",
-    "tpch_q8",
-    "pipeline_gdpr_delete",
-    # ANSI-cast robustness (llm/curation.py)
-    "pipeline_dataset_mixture",
-    # deterministic key-dedup representatives
-    "stream_dedup_exactly_once",
-    "cluster_kmeans",
-    "dedup_semantic_cluster",
-    "embed_gram_matrix",
-    "mm_embedding_norm",
-    "scan_binary_files",
-    # doc-identity merge pins (llm/text.py, llm/curation.py)
-    "text_span_dedup",
-    "text_tfidf_audit",
-    "pack_sequences_audit",
+_NEW_IN_R13 = (
+    # r12-changed keys missed by the r12 rotation (ADVICE r12 #1)
+    "feature_sessionize",
+    "tpch_q11",
 )
-# ALL 21 r6-age keys (VERDICT r11 #1 names them; retire-priority)
-_R6_COHORT = (
-    "dq_expectations",
-    "feature_drift_chi2",
-    "dq_outlier_zscore",
-    "dq_benford_digits",
-    "fn_date",
-    "fn_date_extended",
-    "fn_regexp",
-    "fn_hash",
-    "udaf_grouped",
-    "text_bloom_decontaminate",
-    "text_repetition_score",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q10",
-    "tpch_q18",
-    "scan_parquet",
-    "scan_python_datasource",
-    "split_hash_8020",
-    "split_kfold",
-    "win_streaks",
-)
-# r7-age cohort in retire-priority order (the ~50-slot budget reaches
-# the head; the tail rolls to r13's rotation)
+# ALL 27 r7-age keys (VERDICT r12 #1 names them; retire-priority)
 _R7_COHORT = (
-    "agg_hash",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_histogram_equiwidth",
     "agg_incremental_state",
     "agg_percentile",
     "agg_pivot",
@@ -141,17 +84,51 @@ _R7_COHORT = (
     "fn_case",
     "fn_levenshtein",
     "join_entity_resolution",
-    "pipeline_dataset_mixture",
-    "pipeline_gdpr_delete",
     "scan_json_nested",
     "scan_schema_evolution",
     "stream_session_parity",
     "stream_true_parity",
     "win_cumulative_distinct",
-    "win_first_touch_attribution",
-    "win_forward_fill",
     "win_retention_cohorts",
-    "win_session_paths",
+)
+# r8-age cohort in retire-priority order (the ~50-slot budget reaches
+# the head; the tail rolls to r14's rotation)
+_R8_COHORT = (
+    "tpch_q1",
+    "tpch_q17",
+    "join_inner_hash",
+    "join_broadcast",
+    "join_semi",
+    "join_anti",
+    "join_full_outer",
+    "join_null_safe",
+    "join_theta_range",
+    "join_multiway_star",
+    "join_lateral_topn",
+    "join_left_lookup",
+    "dedup_exact",
+    "dedup_near_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_distinct",
+    "fn_null_semantics",
+    "fn_string_extended",
+    "limit_topk",
+    "missing_value_scan",
+    "mm_binary_meta",
+    "pipeline_curate_corpus",
+    "project_exprs",
+    "sample_quota_per_lang",
+    "sample_stratified_hash",
+    "sample_weighted_bernoulli",
+    "scalar_subquery",
+    "scan_json",
+    "scan_orc",
+    "score_batch_replay",
+    "set_intersect",
+    "set_union_all",
+    "sink_compact_smallfiles",
 )
 
 
@@ -159,12 +136,12 @@ def _priority_order(names: list[str]) -> list[str]:
     def tier(name: str) -> tuple:
         if name in _HEADLINE:
             return (0, _HEADLINE.index(name), "")
-        if name in _NEW_IN_R12:
-            return (1, _NEW_IN_R12.index(name), "")
-        if name in _R6_COHORT:
-            return (2, _R6_COHORT.index(name), "")
+        if name in _NEW_IN_R13:
+            return (1, _NEW_IN_R13.index(name), "")
         if name in _R7_COHORT:
-            return (3, _R7_COHORT.index(name), "")
+            return (2, _R7_COHORT.index(name), "")
+        if name in _R8_COHORT:
+            return (3, _R8_COHORT.index(name), "")
         return (4, 0, name)
 
     return sorted(names, key=tier)

@@ -131,6 +131,14 @@ def main() -> int:
             adj.append(round(newer / max(older, 0.05), 2))
             regressed = regressed or newer > max(1.5 * older, older + 1.0)
         row["adj_ratios"] = adj
+        # Cumulative bar (ADVICE r12 #3): adjacent-only gating lets a
+        # compounding regression (1.4x per step over two steps = 1.96x
+        # oldest-to-HEAD) pass silently in an N-way run — apply the same
+        # 1.5x/+1.0s bar to the oldest-vs-HEAD pair directly.
+        oldest, head = secs[0], secs[-1]
+        if len(secs) > 2 and oldest is not None and head is not None:
+            row["cum_ratio"] = round(head / max(oldest, 0.05), 2)
+            regressed = regressed or head > max(1.5 * oldest, oldest + 1.0)
         row["regressed"] = regressed
         if regressed:
             regressions.append(q)

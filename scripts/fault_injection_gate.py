@@ -45,14 +45,19 @@ if REPO not in sys.path:
 
 RESULTS = os.path.join(REPO, "scripts", "fault_injection_result.json")
 
-# Dataset dir: --sf argv wins, then SPARK_GRAFT_SF_DIR, then the driver
-# default — mirrors tests/harness.py so the gate runs on any layout
-# (ADVICE r11 #4).
+# Dataset dir: --sf argv wins, then FAULT_GATE_SF_DIR, then
+# SPARK_GRAFT_SF_DIR (the variable tests/harness.py documents — ADVICE
+# r12 #2 caught the comment naming it while the code only read the
+# gate-local one), then the driver default.
 def _sf_dir() -> str:
     argv = sys.argv[1:]
     if "--sf" in argv:
         return argv[argv.index("--sf") + 1]
-    return os.environ.get("FAULT_GATE_SF_DIR", "/root/testdata/sf0.01")
+    return (
+        os.environ.get("FAULT_GATE_SF_DIR")
+        or os.environ.get("SPARK_GRAFT_SF_DIR")
+        or "/root/testdata/sf0.01"
+    )
 
 
 def _kernel(inject: bool):
