@@ -521,8 +521,15 @@ def _recall_audit(
     not per-query, so one hard query among tens of thousands doesn't
     flip the corpus-level contract. All inputs are |Q| x k rows, so every
     join/agg here is driver-trivial next to the searches themselves."""
-    hits = exact.select("query_id", "neighbor_id").join(
-        ann.select("query_id", "neighbor_id").withColumn("hit", F.lit(1)),
+    # Recall is a SET metric: under duplicate vec_ids (r13 hotdup — one
+    # query id re-emitted ~1000x) both the exact and the ANN side emit
+    # duplicate (query_id, neighbor_id) rows, and a raw left join fans
+    # them out multiplicatively (k inflated ~copy^2 for the hot query).
+    # Distinct-project both sides first; k below is then "distinct
+    # exact neighbors", which the oracle computes the same way.
+    hits = exact.select("query_id", "neighbor_id").distinct().join(
+        ann.select("query_id", "neighbor_id").distinct()
+        .withColumn("hit", F.lit(1)),
         ["query_id", "neighbor_id"],
         "left",
     )
@@ -544,15 +551,37 @@ def _recall_audit(
     )
 
 
-# The recall contract is vacuous unless a query has at least one valid
-# neighbor — i.e. the valid corpus holds >= 2 vectors (r11 degenerate
-# gates: a 1-row corpus emitted an oracle row the engine rightly
-# didn't).
+# The oracle re-derives the EXACT search (same SQL the sim_cosine_topk
+# oracle runs — green on every distribution) and pins k as the count of
+# DISTINCT exact neighbors per query, because under duplicate vec_ids
+# (r13 hotdup) the top-k rows can repeat one neighbor id, so k is
+# data-dependent, not the TOP_K constant the pre-r13 oracle emitted
+# (that form also emitted one row per PHYSICAL embeddings row — 1009
+# rows for 10 logical queries on the hot replica). Vacuity (r11
+# degenerate gates) falls out naturally: no candidates -> exact is
+# empty -> no rows, exactly what the engine's per_q groupBy emits.
+_ANN_EXACT_CTE = f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings WHERE {_VALID_VEC_DUCK_64}
+    ),
+    exact AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM v q JOIN v c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+        QUALIFY row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm) DESC,
+                     c.vec_id
+        ) <= {TOP_K}
+    )
+"""
 _ANN_ORACLE = f"""
-    SELECT vec_id AS query_id, CAST({TOP_K} AS BIGINT) AS k,
+    {_ANN_EXACT_CTE}
+    SELECT query_id, CAST(COUNT(DISTINCT neighbor_id) AS BIGINT) AS k,
            TRUE AS recall_ok
-    FROM embeddings WHERE vec_id < {N_QUERIES} AND {_VALID_VEC_DUCK_64}
-      AND (SELECT count(*) FROM embeddings WHERE {_VALID_VEC_DUCK_64}) >= 2
+    FROM exact GROUP BY query_id
 """
 
 
@@ -585,10 +614,10 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_ivf_quantized",
     oracle=f"""
-    SELECT vec_id AS query_id, CAST({TOP_K} AS BIGINT) AS k,
+    {_ANN_EXACT_CTE}
+    SELECT query_id, CAST(COUNT(DISTINCT neighbor_id) AS BIGINT) AS k,
            TRUE AS recall_ok, TRUE AS delta_ok
-    FROM embeddings WHERE vec_id < {N_QUERIES} AND {_VALID_VEC_DUCK_64}
-      AND (SELECT count(*) FROM embeddings WHERE {_VALID_VEC_DUCK_64}) >= 2
+    FROM exact GROUP BY query_id
     """,
 )
 def sim_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -603,12 +632,19 @@ def sim_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     margin. Fit, assignment, and probe list are shared with
     sim_ivf_topk via the memoized index — the quantized search adds one
     map-side dequantize, no extra fit or shuffle."""
-    exact = sim_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    # distinct pairs on both sides — same set-metric contract as
+    # _recall_audit (duplicate vec_ids would otherwise fan the join)
+    exact = (
+        sim_cosine_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
 
     def per_query_hits(ann: DataFrame) -> DataFrame:
         return (
             exact.join(
-                ann.select("query_id", "neighbor_id").withColumn("hit", F.lit(1)),
+                ann.select("query_id", "neighbor_id").distinct()
+                .withColumn("hit", F.lit(1)),
                 ["query_id", "neighbor_id"],
                 "left",
             )
@@ -709,7 +745,8 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON q.vec_id < {N_QUERIES} AND c.label <> q.label
     QUALIFY row_number() OVER (
         PARTITION BY q.vec_id
-        ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm) DESC, c.vec_id
+        ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm) DESC, c.vec_id,
+                 c.label
     ) <= {TOP_K}
     """,
 )
@@ -744,8 +781,14 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     cos = F.expr(_DOT.format(a="q_e", b="c_e")) / (F.col("q_n") * F.col("c_n"))
+    # (cos, id, label) — label appended in r13: under duplicate vec_ids
+    # (hotdup replica) two copies of one candidate id can carry
+    # bit-identical cosine but DIFFERENT labels, and label is in the
+    # output, so the pre-r13 (cos, id) order was not total over the
+    # projection (Spark and DuckDB legitimately picked different
+    # labels for the cut row).
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine_raw"), F.asc("negative_id")
+        F.desc("cosine_raw"), F.asc("negative_id"), F.asc("negative_label")
     )
     return (
         F.broadcast(q)
@@ -776,6 +819,9 @@ MMR_LAMBDA = 0.5   # relevance/diversity trade-off
                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                      CAST(embedding AS DOUBLE[]))) AS nrm
         FROM embeddings WHERE {_VALID_VEC_DUCK_64}
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id ORDER BY CAST(embedding AS DOUBLE[])
+        ) = 1
     ),
     q AS (SELECT e, nrm FROM v WHERE vec_id = {MMR_QUERY_ID}),
     cand AS (
@@ -834,6 +880,22 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
     v = _with_norm(_valid(e).select("vec_id", _as_double("embedding").alias("e")))
+    # One representative row per vec_id (lexicographically-least vector
+    # — the r12 keyed-entity rule): under duplicate ids (r13 hotdup,
+    # where the hot key IS the MMR anchor, duplicated ~1000x) the raw
+    # corpus would fill the top-{MMR_CAND} pool with copies of one id
+    # (the greedy stage then picks 1 result) while the oracle's
+    # list_contains dedup walks per-id — both engines now agree on one
+    # row per id before relevance ranking.
+    from pyspark.sql.window import Window as _W
+
+    v = (
+        v.withColumn(
+            "__rn", F.row_number().over(_W.partitionBy("vec_id").orderBy("e"))
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     q = v.filter(F.col("vec_id") == MMR_QUERY_ID).select(
         F.col("e").alias("q_e"), F.col("nrm").alias("q_n")
     )

@@ -35,6 +35,21 @@ Modes (ADV_MODE):
   /tmp/spark_graft_empty
 - single: every table truncated to its first row (PK order) ->
   /tmp/spark_graft_single
+- hotdup: skew OF duplicates (VERDICT r12 'do this' #2) ->
+  /tmp/spark_graft_hotdup. The dup mode spreads ~2% duplicates across
+  MANY keys; this mode concentrates them: ONE key per table re-emitted
+  ~1000x — a tie group larger than a window partition's comfort zone.
+  Half the copies are FULL-ROW IDENTICAL (the r12 sessionize
+  flag-pairing class: a second window pass over identical rows may
+  pair state with a different copy per engine), half carry a
+  copy-index-dependent payload (a 1000-way tie broken only by the
+  payload: stresses window-order totality, WindowGroupLimit dedup,
+  and every lexicographically-least representative rule). The hot
+  lineitem key shares its l_orderkey with the hot orders key, so the
+  orders-lineitem join fans ~1000x1000 — the hot-x-hot blow-up a
+  skewed cluster would actually see. No dangling FKs and the benign
+  value domain otherwise: the axis isolates duplicate SKEW (dup mode
+  owns referential corruption; stack axes via ADV_SRC).
 - dup:    referential/duplicate corruption (VERDICT r11 'do this' #3) ->
   /tmp/spark_graft_dup. The content mode deliberately KEEPS primary
   keys unique; this mode attacks exactly that invariant — the next
@@ -95,6 +110,7 @@ DST = os.environ.get(
         "empty": "/tmp/spark_graft_empty",
         "single": "/tmp/spark_graft_single",
         "dup": "/tmp/spark_graft_dup",
+        "hotdup": "/tmp/spark_graft_hotdup",
     }[MODE],
 )
 
@@ -300,6 +316,124 @@ def build_dup() -> None:
         print(f"  {t}: {n} rows, {nk} distinct {key} ({n - nk} extra)")
 
 
+N_HOT = 1000  # total copies of each table's hot row (1 base + 999)
+
+
+def _hot_dup(spark, df: DataFrame, pk_cols: list[str], edits) -> DataFrame:
+    """Re-emit the row with the smallest PK N_HOT-1 more times: even
+    copy indices VERBATIM (full-row identical duplicates — the pairing
+    class), odd indices with (col, fn(i)) payload edits (a 1000-way PK
+    tie broken only by the payload — the totality/representative
+    class). Deterministic: hot row = min PK, edits are functions of the
+    copy index, no RNG."""
+    base = df.orderBy(*pk_cols).limit(1)
+    i = F.col("__i")
+    copies = base.crossJoin(spark.range(1, N_HOT).withColumnRenamed("id", "__i"))
+    for col, fn in edits:
+        copies = copies.withColumn(
+            col,
+            F.when(F.pmod(i, F.lit(2)) == 1, fn(i))
+            .otherwise(F.col(col))
+            .cast(df.schema[col].dataType),
+        )
+    return df.unionAll(copies.drop("__i"))
+
+
+def _ihex(i: Column) -> Column:
+    """Zero-padded copy-index tag — lexicographic order == numeric."""
+    return F.lpad(i.cast("string"), 4, "0")
+
+
+def build_hotdup() -> None:
+    """hotdup mode: ONE key per table duplicated ~N_HOT x (skew OF
+    duplicates, VERDICT r12 #2). Benign value domain, no dangling FKs —
+    the axis isolates duplicate skew. The hot lineitem row keeps its
+    l_orderkey == the hot orders PK (both are the table minimum), so
+    orders x lineitem fans ~1000x1000 on that key: the hot-x-hot join
+    blow-up plus window tie groups of 1000."""
+    spark = get_spark()
+    os.makedirs(DST, exist_ok=True)
+
+    for t in ("region", "nation"):
+        _write(load_table(spark, SRC, t), t)
+
+    cust = load_table(spark, SRC, "customer")
+    cust = _hot_dup(spark, cust, ["c_custkey"], [
+        ("c_name", lambda i: F.concat(F.col("c_name"), F.lit("~hot"), _ihex(i))),
+        ("c_acctbal", lambda i: F.col("c_acctbal") + i),
+    ])
+    _write(cust, "customer")
+
+    supp = load_table(spark, SRC, "supplier")
+    supp = _hot_dup(spark, supp, ["s_suppkey"], [
+        ("s_name", lambda i: F.concat(F.col("s_name"), F.lit("~hot"), _ihex(i))),
+        ("s_acctbal", lambda i: F.col("s_acctbal") + i),
+    ])
+    _write(supp, "supplier")
+
+    part = load_table(spark, SRC, "part")
+    part = _hot_dup(spark, part, ["p_partkey"], [
+        ("p_name", lambda i: F.concat(F.col("p_name"), F.lit("~hot"), _ihex(i))),
+        ("p_retailprice", lambda i: F.col("p_retailprice") + i),
+    ])
+    _write(part, "part")
+
+    orders = load_table(spark, SRC, "orders")
+    orders = _hot_dup(spark, orders, ["o_orderkey"], [
+        ("o_totalprice", lambda i: F.col("o_totalprice") + i),
+        ("o_orderpriority", lambda i: F.concat(F.lit("7-HOT"), _ihex(i))),
+    ])
+    _write(orders, "orders")
+
+    li = load_table(spark, SRC, "lineitem")
+    li = _hot_dup(spark, li, ["l_orderkey", "l_linenumber"], [
+        ("l_quantity", lambda i: F.col("l_quantity") + F.pmod(i, F.lit(40))),
+        ("l_extendedprice", lambda i: F.col("l_extendedprice") + i),
+    ])
+    _write(li, "lineitem")
+
+    ev = load_table(spark, SRC, "events")
+    ev = _hot_dup(spark, ev, ["event_id"], [
+        ("value", lambda i: F.col("value") + i),
+        ("props", lambda i: F.concat(F.lit('{"hot":'), i.cast("string"),
+                                     F.lit("}"))),
+    ])
+    _write(ev, "events")
+
+    docs = load_table(spark, SRC, "documents")
+    docs = _hot_dup(spark, docs, ["doc_id"], [
+        ("text", lambda i: F.concat(F.col("text"), F.lit(" hot"), _ihex(i))),
+        ("source", lambda i: F.lit("hot_source")),
+    ])
+    docs = docs.withColumn("n_chars", F.length("text").cast("long"))
+    _write(docs, "documents")
+
+    emb = load_table(spark, SRC, "embeddings")
+    emb = _hot_dup(spark, emb, ["vec_id"], [
+        # scale preserves direction: 1000 cosine-identical vectors with
+        # byte-distinct payloads (representative rules can't hide)
+        ("embedding", lambda i: F.transform(
+            F.col("embedding"),
+            lambda x: (x * (F.lit(1.0) + i.cast("double") / F.lit(4000.0)))
+            .cast("float"))),
+        ("label", lambda i: F.pmod(i, F.lit(7))),
+    ])
+    _write(emb, "embeddings")
+
+    for t, key in (
+        ("customer", "c_custkey"),
+        ("orders", "o_orderkey"),
+        ("lineitem", "l_orderkey"),
+        ("events", "event_id"),
+        ("documents", "doc_id"),
+        ("embeddings", "vec_id"),
+    ):
+        df = spark.read.parquet(os.path.join(DST, f"{t}.parquet"))
+        n = df.count()
+        nk = df.select(key).distinct().count()
+        print(f"  {t}: {n} rows, {nk} distinct {key} ({n - nk} extra)")
+
+
 def build_content() -> None:
     spark = get_spark()
     os.makedirs(DST, exist_ok=True)
@@ -453,6 +587,8 @@ if __name__ == "__main__":
         build_content()
     elif MODE == "dup":
         build_dup()
+    elif MODE == "hotdup":
+        build_hotdup()
     else:
         build_degenerate()
     _stamp_fingerprint()
