@@ -60,6 +60,16 @@ _NEW_IN_R13 = (
     # r12-changed keys missed by the r12 rotation (ADVICE r12 #1)
     "feature_sessionize",
     "tpch_q11",
+    # hot-dup (skew-of-duplicates) axis adjudications: set-metric recall
+    # audit + computed-k oracles + MMR representative dedup + the
+    # hard-negatives window-totality engine bug (ROUND13_NOTES.md)
+    "sim_ann_lsh",
+    "sim_ivf_topk",
+    "sim_ivf_quantized",
+    "sim_mmr_diversify",
+    "sample_hard_negatives",
+    # NEW operator: real byte-level PPM encode/decode round-trip
+    "mm_decode_ppm",
 )
 # ALL 27 r7-age keys (VERDICT r12 #1 names them; retire-priority)
 _R7_COHORT = (

@@ -17,7 +17,8 @@ stop later steps — the close block needs the whole picture):
   5. harness_10x     — fourth distribution: uniform 10x clone replica
                        (built via stress_registry_10x.py if absent)
   6. harness_zipf    — fifth distribution: zipf(1)-skewed replica
-                       (built via make_skewed_replica.py if absent)
+                       (built via make_skewed_replica.py if absent);
+                       rotating quarter-slice since r13 (offset 1)
   7. harness_adversarial — sixth distribution: the content edge-case
                        replica (NULL keys, unicode/CRLF, malformed JSON,
                        epoch/far-future timestamps, zero-norm vectors;
@@ -39,14 +40,23 @@ stop later steps — the close block needs the whole picture):
                        nested-loop-join hang, a nondeterministic
                        oracle, and a semi-vs-inner divergence that no
                        single-axis gate saw); rotating quarter-slice
- 13. harness_adv_sf01 — twelfth: the content corruption applied on
+ 13. harness_hotdup  — thirteenth distribution (r13, VERDICT r12 #2):
+                       skew OF duplicates — one key per table
+                       duplicated ~1000x, half the copies full-row
+                       identical, half payload-distinct; full registry
+ 14. harness_adv_sf01 — the content corruption applied on
                        sf0.1 (promoted per VERDICT r11 #4 — the
                        sf0.1-sourced corpus caught the IVF nprobe
                        recall margin that six sf0.01 gates missed);
                        rotating quarter-slice + floor sentinels
- 14. bench           — bench.py median-of-3 at sf0.1 -> bench_result.json
- 15. bench_ab        — full-registry A/B vs the previous round-final
+ 15. bench           — bench.py median-of-3 at sf0.1 -> bench_result.json
+ 16. bench_ab        — full-registry A/B vs the previous round-final
                        commit (only when ROUNDCLOSE_REF is set)
+
+Slice offsets (r13): sliced gates pass distinct offsets to the
+rotating quarter (10x:0, zipf:1, adv_zipf:2, dup_zipf:3, adv_sf01:2),
+so one close covers all four quarters across gates and each gate
+still covers the registry over any four consecutive rounds.
 
 Wall-time control (VERDICT r11 #5): the uniform-10x step alone was
 3354 s of a ~100 min close, so by default it now runs a DETERMINISTIC
@@ -92,6 +102,7 @@ REPLICA_ADV_ZIPF = "/tmp/spark_graft_adv_zipf"
 REPLICA_DUP = "/tmp/spark_graft_dup"
 REPLICA_ADV_SF01 = "/tmp/spark_graft_adversarial_sf01"
 REPLICA_DUP_ZIPF = "/tmp/spark_graft_dup_zipf"
+REPLICA_HOTDUP = "/tmp/spark_graft_hotdup"
 
 _HARNESS_TAIL = re.compile(r"(\d+)/(\d+) passed")
 
@@ -257,18 +268,24 @@ def step_harness_replica(
     return step_harness(sf_dir, allow_empty=allow_empty, queries=queries)
 
 
-def _10x_slice() -> list[str] | None:
-    """Deterministic rotating quarter of the registry for the 10x gate
-    (VERDICT r11 #5 — uniform-10x was >half the close wall). Returns
-    None (= full registry) when ROUNDCLOSE_10X_FULL=1 or when the
-    registry can't be enumerated (fail loud by running everything)."""
+def _10x_slice(offset: int = 0) -> list[str] | None:
+    """Deterministic rotating quarter of the registry for the heavy
+    gates (VERDICT r11 #5 — uniform-10x was >half the close wall; r12
+    #6 extended the slicing to zipf/adv_zipf). Each sliced gate passes
+    a distinct ``offset`` so one round's close covers DIFFERENT
+    quarters across gates while every gate still covers the registry
+    over any four consecutive rounds. Returns None (= full registry)
+    when ROUNDCLOSE_10X_FULL=1 or when the registry can't be
+    enumerated (fail loud by running everything)."""
     if os.environ.get("ROUNDCLOSE_10X_FULL"):
         return None
     keys = _registry_keys()
     if not keys:
         return None
     rnd = _round_number()
-    picked = [k for i, k in enumerate(sorted(keys)) if i % 4 == rnd % 4]
+    picked = [
+        k for i, k in enumerate(sorted(keys)) if i % 4 == (rnd + offset) % 4
+    ]
     # sentinels run EVERY round regardless of the rotation: the flagship
     # (tier-0 adjudication slot) and the queries with measured-headroom
     # contract floors asserted in-plan (the IVF nprobe margin was an
@@ -278,7 +295,8 @@ def _10x_slice() -> list[str] | None:
         if sentinel in keys and sentinel not in picked:
             picked.insert(0, sentinel)
     print(
-        f"   10x slice: round {rnd} -> quarter {rnd % 4}, "
+        f"   slice: round {rnd} offset {offset} -> quarter "
+        f"{(rnd + offset) % 4}, "
         f"{len(picked)}/{len(keys)} queries",
         flush=True,
     )
@@ -318,9 +336,15 @@ def main() -> int:
             _ensure_10x, REPLICA_10X, queries=_10x_slice()
         ),
     )
+    # zipf runs a rotating quarter at offset 1 (VERDICT r12 #6 — the
+    # full zipf pass was 359 s; four consecutive rounds still cover
+    # the registry, and a DIFFERENT quarter than the 10x gate runs in
+    # the same close)
     _step(
         results, "harness_zipf",
-        lambda: step_harness_replica(_ensure_zipf, REPLICA_ZIPF),
+        lambda: step_harness_replica(
+            _ensure_zipf, REPLICA_ZIPF, queries=_10x_slice(1)
+        ),
     )
     _step(
         results, "harness_adversarial",
@@ -349,14 +373,27 @@ def main() -> int:
             "content", REPLICA_ADV_ZIPF, src=REPLICA_ZIPF
         )()
 
+    # adv_zipf: rotating quarter at offset 2 (VERDICT r12 #6)
     _step(
         results, "harness_adv_zipf",
-        lambda: step_harness_replica(_ensure_adv_zipf, REPLICA_ADV_ZIPF),
+        lambda: step_harness_replica(
+            _ensure_adv_zipf, REPLICA_ADV_ZIPF, queries=_10x_slice(2)
+        ),
     )
     _step(
         results, "harness_dup",
         lambda: step_harness_replica(
             _make_adv("dup", REPLICA_DUP), REPLICA_DUP
+        ),
+    )
+    # thirteenth distribution (VERDICT r12 #2): skew OF duplicates —
+    # one key per table duplicated ~1000x (half identical copies, half
+    # payload-distinct). Full registry: the axis is new in r13 and the
+    # sf0.01-sourced replica gates in ~3 min.
+    _step(
+        results, "harness_hotdup",
+        lambda: step_harness_replica(
+            _make_adv("hotdup", REPLICA_HOTDUP), REPLICA_HOTDUP
         ),
     )
     def _ensure_dup_zipf() -> bool:
@@ -373,7 +410,7 @@ def main() -> int:
     _step(
         results, "harness_dup_zipf",
         lambda: step_harness_replica(
-            _ensure_dup_zipf, REPLICA_DUP_ZIPF, queries=_10x_slice()
+            _ensure_dup_zipf, REPLICA_DUP_ZIPF, queries=_10x_slice(3)
         ),
     )
     # adv_sf01 runs the same rotating quarter-slice as the 10x gate (a
@@ -384,7 +421,7 @@ def main() -> int:
         results, "harness_adv_sf01",
         lambda: step_harness_replica(
             _make_adv("content", REPLICA_ADV_SF01, src="/root/testdata/sf0.1"),
-            REPLICA_ADV_SF01, queries=_10x_slice(),
+            REPLICA_ADV_SF01, queries=_10x_slice(2),
         ),
     )
     _step(results, "bench", step_bench)
