@@ -105,3 +105,64 @@ def test_resample_fast_path_equals_clamp_path_rowwise(spark, tmp_path):
     finally:
         rolling.RESAMPLE_HALF_SPAN_HOURS = orig
     assert fast == clamped
+
+
+def _write_embeddings(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    return str(tmp_path)
+
+
+def _vec(seed, dim=64):
+    # deterministic, distinct directions per seed
+    return [float((seed * 31 + d * 7) % 13 - 6) / 6.0 for d in range(dim)]
+
+
+def test_hard_negatives_tie_order_total_under_dup_ids(spark, tmp_path):
+    """Two copies of candidate id 5 carry BYTE-IDENTICAL vectors but
+    different labels: the (cos, id) order ties, so the r13 (cos, id,
+    label) order must pick the smaller label deterministically — the
+    hotdup replica caught Spark and DuckDB picking different copies."""
+    from databricks_feature_store_poc_spark.llm.similarity import (
+        sample_hard_negatives,
+    )
+
+    rows = [(0, _vec(1), 0)]                      # the query (label 0)
+    rows += [(5, _vec(1), 3), (5, _vec(1), 1)]    # identical dup copies
+    rows += [(i, _vec(i), 0) for i in range(20, 24)]  # same-label fillers
+    sf = _write_embeddings(spark, tmp_path, rows)
+    out = sample_hard_negatives(spark, sf).collect()
+    # candidate 5's copies are the only label<>0 vectors: both rank, and
+    # rank order must carry label 1 first (ties ascend on label) — the
+    # pre-r13 (cos, id) order left the choice engine-arbitrary
+    five = [r for r in out if r["query_id"] == 0 and r["negative_id"] == 5]
+    assert [r["negative_label"] for r in five] == [1, 3]
+
+
+def test_recall_audit_is_set_metric_under_dup_ids(spark, tmp_path):
+    """One query id duplicated with near-identical vectors: the audit
+    must emit ONE row per distinct query id with k = distinct exact
+    neighbors (pre-r13 the pair join fanned multiplicatively)."""
+    from databricks_feature_store_poc_spark.llm.similarity import (
+        sim_ann_lsh,
+        sim_mmr_diversify,
+    )
+
+    rows = [(0, _vec(1), 0), (0, [x * 1.01 for x in _vec(1)], 5)]
+    rows += [(1, _vec(2), 0)]
+    rows += [(i, _vec(i), 0) for i in range(20, 40)]
+    sf = _write_embeddings(spark, tmp_path, rows)
+    out = sim_ann_lsh(spark, sf).collect()
+    by_q = {r["query_id"]: r for r in out}
+    assert sorted(by_q) == [0, 1]          # one row per DISTINCT id
+    assert all(r["k"] <= 5 for r in out)   # distinct-neighbor k
+
+    # MMR: the duplicated anchor collapses to one representative row,
+    # so the pool is the 21 non-anchor ids and 8 distinct picks emerge
+    mmr = sim_mmr_diversify(spark, sf).collect()
+    assert len(mmr) == 8
+    assert len({r["vec_id"] for r in mmr}) == 8
