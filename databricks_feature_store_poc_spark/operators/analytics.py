@@ -99,7 +99,7 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3",
     oracle=f"""
     SELECT l_orderkey,
-           CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM({_DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS revenue,
            o_orderdate
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING'
@@ -141,7 +141,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q5",
     oracle=f"""
-    SELECT n_name, CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue
+    SELECT n_name, CAST(CAST(SUM({_DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey
       AND l_orderkey = o_orderkey
@@ -188,7 +188,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q6",
     oracle=f"""
-    SELECT CAST(SUM({_EXT} * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+    SELECT CAST(CAST(SUM({_EXT} * CAST(l_discount AS DECIMAL(4,2))) AS VARCHAR) AS DOUBLE) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -476,7 +476,7 @@ def agg_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10",
     oracle=f"""
     SELECT c_custkey, c_name, n_name,
-           CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM({_DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS revenue,
            c_acctbal
     FROM customer, orders, lineitem, nation
     WHERE c_custkey = o_custkey
@@ -523,7 +523,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q18",
     oracle="""
     SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_qty
     FROM customer, orders, lineitem
     WHERE o_orderkey IN (
         SELECT l_orderkey FROM lineitem

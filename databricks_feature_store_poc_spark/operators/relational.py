@@ -277,7 +277,7 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT b.band,
            CAST(COUNT(*) AS BIGINT) AS n_parts,
-           CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           CAST(CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
     FROM part p JOIN bands b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
     GROUP BY b.band
     """,
@@ -315,8 +315,8 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r.r_name, n.n_name,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -358,9 +358,9 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_hash",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-01'
@@ -597,7 +597,7 @@ def win_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     HAVING COUNT(*) > 0
@@ -625,7 +625,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     HAVING COUNT(*) > 0
@@ -668,7 +668,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_partkey,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY l_partkey
     HAVING COUNT(*) >= 30
@@ -755,7 +755,7 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_running",
     oracle="""
     SELECT event_id, user_id,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_sum,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS VARCHAR) AS DOUBLE) AS running_sum,
            CAST(COUNT(*) OVER w AS BIGINT) AS running_n
     FROM events
     WINDOW w AS (PARTITION BY user_id
@@ -1210,7 +1210,7 @@ def interval_overlap_pairs(
     oracle="""
     SELECT c.c_custkey,
            CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent
+           CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_spent
     FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey
     """,
@@ -1390,9 +1390,9 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
         SELECT l_returnflag,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_q,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sumsq_q
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_q,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sumsq_q
         FROM lineitem
         GROUP BY l_returnflag
     )
@@ -1494,8 +1494,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            o_totalprice / (SELECT MAX(o_totalprice) FROM orders) AS pct_of_max,
            CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_total
     FROM orders
-    WHERE o_totalprice > (SELECT 1.5 * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                                          AS DOUBLE) / COUNT(*) FROM orders)
+    WHERE o_totalprice > (SELECT 1.5 * CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) FROM orders)
     """,
 )
 def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1510,8 +1509,7 @@ def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                o_totalprice / (SELECT MAX(o_totalprice) FROM sq_orders) AS pct_of_max,
                (SELECT COUNT(*) FROM sq_orders) AS n_total
         FROM sq_orders
-        WHERE o_totalprice > (SELECT 1.5 * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                                              AS DOUBLE) / COUNT(*) FROM sq_orders)
+        WHERE o_totalprice > (SELECT 1.5 * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM sq_orders)
         """
     )
 
@@ -1683,7 +1681,7 @@ def sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) f WHERE frac > 0.1
     )
     SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total
     FROM orders JOIN status_dim ON o_orderstatus = status
     GROUP BY o_orderstatus
     """,

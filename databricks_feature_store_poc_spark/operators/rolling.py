@@ -221,8 +221,8 @@ def rolling_prefix_sums(
     "feature_rolling_sum",
     oracle="""
     SELECT event_id, user_id, ts,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w7 AS DOUBLE) AS sum_7d,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w30 AS DOUBLE) AS sum_30d,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w7 AS VARCHAR) AS DOUBLE) AS sum_7d,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w30 AS VARCHAR) AS DOUBLE) AS sum_30d,
            CAST(COUNT(*) OVER w7 AS BIGINT) AS n_7d
     FROM events
     WINDOW
@@ -260,7 +260,7 @@ def feature_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     )
     SELECT user_id, hour_start,
-           CAST(SUM(hour_sum) OVER w AS DOUBLE) AS sum_24h
+           CAST(CAST(SUM(hour_sum) OVER w AS VARCHAR) AS DOUBLE) AS sum_24h
     FROM hourly
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(hour_start)
                  RANGE BETWEEN 82800000000 PRECEDING AND CURRENT ROW)
@@ -294,11 +294,11 @@ def feature_rolling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH anchor AS (SELECT max(epoch_us(ts)) AS a FROM events)
     SELECT user_id,
-           CAST(SUM(
+           CAST(CAST(SUM(
                CAST(value AS DECIMAL(18,2))
                * CAST(power(0.5, least((a - epoch_us(ts)) // 604800000000, 10))
                       AS DECIMAL(12,10))
-           ) AS DOUBLE) AS decayed_sum,
+           ) AS VARCHAR) AS DOUBLE) AS decayed_sum,
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM events, anchor
     GROUP BY user_id
@@ -360,7 +360,7 @@ DENSIFY_HALF_SPAN_DAYS = 183      # ±183 days;  benign 30-day data unclamped
     oracle=f"""
     WITH hourly AS (
         SELECT user_id, date_trunc('hour', ts) AS hb,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hour_value,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS hour_value,
                CAST(COUNT(*) AS BIGINT) AS n_events
         FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
     ),

@@ -85,8 +85,8 @@ from databricks_feature_store_poc_spark.sources.catalog import load_table  # noq
     oracle="""
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS total_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*)
                AS avg_value
     FROM events
     GROUP BY user_id

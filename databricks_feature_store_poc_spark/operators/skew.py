@@ -70,7 +70,7 @@ from databricks_feature_store_poc_spark.sources.catalog import load_table  # noq
     )
     SELECT segment,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
     FROM fact JOIN dim USING (hot_key)
     GROUP BY segment
     """,

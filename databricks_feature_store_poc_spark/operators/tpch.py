@@ -188,7 +188,7 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q7",
     oracle=f"""
     SELECT supp_nation, cust_nation, l_year,
-           CAST(SUM(volume) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(year(l_shipdate) AS INT) AS l_year,
@@ -251,8 +251,8 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q8",
     oracle=f"""
     SELECT o_year,
-           round(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume END) AS DOUBLE)
-                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+           round(CAST(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume END) AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE), 6) AS mkt_share
     FROM (
         SELECT CAST(year(o_orderdate) AS INT) AS o_year,
                {_DISC_PRICE} AS volume,
@@ -347,7 +347,7 @@ _PROFIT = (
 @query(
     "tpch_q9",
     oracle=f"""
-    SELECT nation, o_year, CAST(SUM(profit) AS DOUBLE) AS sum_profit
+    SELECT nation, o_year, CAST(CAST(SUM(profit) AS VARCHAR) AS DOUBLE) AS sum_profit
     FROM (
         SELECT n_name AS nation,
                CAST(year(o_orderdate) AS INT) AS o_year,
@@ -416,7 +416,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT ps_partkey, CAST(value_dec AS DOUBLE) AS part_value
     FROM val
     WHERE CAST(value_dec AS DOUBLE) >
-          (SELECT CAST(SUM(value_dec) AS DOUBLE) * 0.001 FROM val)
+          (SELECT CAST(CAST(SUM(value_dec) AS VARCHAR) AS DOUBLE) * 0.001 FROM val)
     """,
 )
 def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -545,8 +545,8 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q14",
     oracle=f"""
     SELECT round(
-        100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE} END) AS DOUBLE)
-              / CAST(SUM({_DISC_PRICE}) AS DOUBLE), 6) AS promo_revenue
+        100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE} END) AS VARCHAR) AS DOUBLE)
+              / CAST(CAST(SUM({_DISC_PRICE}) AS VARCHAR) AS DOUBLE), 6) AS promo_revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
@@ -682,12 +682,12 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH flagged AS (
         SELECT l_partkey, l_quantity, l_extendedprice,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
-                        OVER (PARTITION BY l_partkey) AS DOUBLE)
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                        OVER (PARTITION BY l_partkey) AS VARCHAR) AS DOUBLE)
                    / COUNT(*) OVER (PARTITION BY l_partkey) AS avg_qty
         FROM lineitem
     )
-    SELECT CAST(CAST(SUM({_EXT}) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+    SELECT CAST(CAST(CAST(SUM({_EXT}) AS VARCHAR) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
     FROM flagged
     JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#2' AND p_size <= 25
@@ -733,7 +733,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q19",
     oracle=f"""
-    SELECT CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue
+    SELECT CAST(CAST(SUM({_DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
            AND l_quantity >= 1 AND l_quantity <= 11)
@@ -903,12 +903,12 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_nationkey IN (3, 5, 7, 9, 11, 13, 15)
     ),
     avgbal AS (
-        SELECT CAST(SUM(bal) AS DOUBLE) / count(*) AS a
+        SELECT CAST(CAST(SUM(bal) AS VARCHAR) AS DOUBLE) / count(*) AS a
         FROM eligible WHERE bal > CAST(0 AS DECIMAL(12,2))
     )
     SELECT c_nationkey AS cntrycode,
            CAST(count(*) AS BIGINT) AS numcust,
-           CAST(SUM(bal) AS DOUBLE) AS totacctbal
+           CAST(CAST(SUM(bal) AS VARCHAR) AS DOUBLE) AS totacctbal
     FROM eligible, avgbal
     WHERE CAST(bal AS DOUBLE) > a
       AND NOT EXISTS (

@@ -79,7 +79,7 @@ def _stream_source_dir(sf_dir: str) -> str:
            CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR AS win_end,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2, 3
     """,
@@ -116,7 +116,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT win_start,
            win_start + INTERVAL 1 HOUR AS win_end,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM assigned
     GROUP BY 1, 2
     """,
@@ -164,7 +164,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(ts) AS session_start,
            MAX(ts) + INTERVAL 30 MINUTES AS session_end,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM numbered
     GROUP BY user_id, session_id
     """,
@@ -203,7 +203,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
            CAST(COUNT(*) AS BIGINT) AS n_kept,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM arrivals
     WHERE watermark IS NULL OR ts >= watermark
     GROUP BY 1

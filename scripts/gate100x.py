@@ -63,6 +63,13 @@ CAP_ROWS = int(os.environ.get("GATE_CAP_ROWS", "2000000"))
 RESULTS = os.path.join(REPO, "scripts", "gate100x_results.jsonl")
 SUMMARY = os.path.join(REPO, "scripts", "gate100x_summary.json")
 
+# mirror of scripts/stress_registry_10x.py CLONE_DEGENERATE_ZERO —
+# rows-only queries whose 0-row output at high clone counts is the
+# DF cap doing its job (every shingle's df is ~CLONES x its original,
+# exceeding DF_CAP=50, so stop-shingle removal empties the inverted
+# index; identical clones are dedup_exact's work)
+CLONE_DEGENERATE_ZERO = {"dedup_ngram_jaccard", "dedup_near_minhash"}
+
 # mirror of scripts/stress_registry_10x.py QUADRATIC_OUTPUT — queries
 # whose OUTPUT is inherently ~C^2 on a cloned corpus
 QUADRATIC_OUTPUT = {
@@ -116,6 +123,13 @@ def run_one(spark, name: str) -> dict:
         if name not in ORACLES:
             rec["mode"] = "rows-only"
             rec["ok"] = n_spark > 0
+            if n_spark == 0 and name in CLONE_DEGENERATE_ZERO:
+                rec["ok"] = True
+                rec["note"] = (
+                    "0 rows is the DF cap working at 100x clones (every "
+                    "shingle df > DF_CAP) — same adjudication as the "
+                    "stress sweep's CLONE_DEGENERATE_ZERO"
+                )
             return rec
         con = duckdb_conn(DST)
         n_duck = con.sql(
