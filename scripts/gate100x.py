@@ -132,6 +132,12 @@ def run_one(spark, name: str) -> dict:
                 )
             return rec
         con = duckdb_conn(DST)
+        # cap the oracle's memory: a quadratic-output oracle at 100x
+        # otherwise grows until the OS kills the whole gate (observed:
+        # 111 GB RSS SIGKILL on dedup_semantic_cluster) — with the cap
+        # DuckDB raises OutOfMemoryException instead, which the
+        # QUADRATIC_OUTPUT branch below adjudicates like a timeout
+        con.sql("SET memory_limit='24GB'")
         n_duck = con.sql(
             f"SELECT COUNT(*) FROM ({ORACLES[name]})"
         ).fetchone()[0]
@@ -170,6 +176,18 @@ def run_one(spark, name: str) -> dict:
         return rec
     except Exception as exc:
         rec["sec"] = round(time.perf_counter() - t0, 2)
+        oom = "utofmemory" in str(exc).lower() or "memory limit" in str(
+            exc
+        ).lower()
+        if oom and name in QUADRATIC_OUTPUT:
+            rec["ok"] = True
+            rec["oom_explained"] = (
+                "oracle memory cap hit: deliberately quadratic OUTPUT at "
+                "100x clones (~4950x the 10x pair volume) — same "
+                "adjudication as a quadratic timeout; the 10x sweep row "
+                "is the plan-shape evidence"
+            )
+            return rec
         if fired.is_set():
             rec["timeout"] = True
             rec["ok"] = name in QUADRATIC_OUTPUT
