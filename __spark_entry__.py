@@ -40,88 +40,61 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver adjudicates ~50 queries per round in dict order, so the dict
-# is emitted in ADJUDICATION-PRIORITY order, not alphabetical. Round-13
-# policy (VERDICT r12 'do this' #1 — finish the verdict rotation: retire
-# the 27 r7-age keys, the merged ledger's oldest):
+# is emitted in ADJUDICATION-PRIORITY order, not alphabetical. Round-14
+# policy (VERDICT r13 'do this' #3 — the changed-keys rule applied to
+# LATE commits):
 #   0. the headline training-set assembly (1 key, always adjudicated);
-#   1. changed-in-r13: every query whose plan, oracle, or shared kernel
-#      changed in the hot-dup (skew-of-duplicates) replica adjudication
-#      or this round's fixes, PLUS the two r12-changed keys the r12 pass
-#      missed (ADVICE r12 #1: feature_sessionize's oracle and tpch_q11's
-#      semi->inner join changed in r12 but were absent from the r12
-#      tier-1 list) — see ROUND13_NOTES.md;
-#   2. ALL 27 r7-age keys (the merged ledger's oldest verdicts; after
-#      this pass nothing in the ledger is older than r8);
-#   3. the r8-age cohort head (35 keys; the remainder rolls to r14).
+#   1. changed-in-r13-but-missed: every key whose oracle changed in the
+#      late-r13 fleet-wide VARCHAR sum-cast commit (5c48018, after the
+#      r13 tier-1 list was drawn) and was NOT in CORRECTNESS_r13 —
+#      computed by diffing ORACLES at 5c48018^ vs HEAD against the r13
+#      slot list (28 keys), plus any key changed in r14 itself;
+#   2. the r8-age tail (20 keys — the merged ledger's oldest verdicts
+#      after r13 retired r7; scalar_subquery is already in tier 1);
+#   3. the r9-age cohort head (the ~50-slot budget reaches the first
+#      few; the tail rolls to r15).
 _HEADLINE = (
     "training_set_flagship",
 )
-_NEW_IN_R13 = (
-    # r12-changed keys missed by the r12 rotation (ADVICE r12 #1)
-    "feature_sessionize",
-    "tpch_q11",
-    # hot-dup (skew-of-duplicates) axis adjudications: set-metric recall
-    # audit + computed-k oracles + MMR representative dedup + the
-    # hard-negatives window-totality engine bug (ROUND13_NOTES.md)
-    "sim_ann_lsh",
-    "sim_ivf_topk",
-    "sim_ivf_quantized",
-    "sim_mmr_diversify",
-    "sample_hard_negatives",
-    # NEW operator: real byte-level PPM encode/decode round-trip
-    "mm_decode_ppm",
+_CHANGED_TIER = (
+    # oracles changed in 5c48018 (43 VARCHAR sum casts) not covered by
+    # the r13 rotation (ADVICE r12 #1 class, applied to late commits)
+    "agg_cube",
+    "agg_hash",
+    "agg_having",
+    "feature_resample_1h",
+    "feature_rolling_hourly",
+    "feature_rolling_sum",
+    "feature_time_decay",
+    "join_bucketed_colocated",
+    "join_dynamic_partition_pruning",
+    "join_salted_skew",
+    "rollup_incremental",
+    "scalar_subquery",
+    "stream_late_data",
+    "stream_session",
+    "stream_sliding",
+    "stream_tumbling",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
+    "win_running",
 )
-# ALL 27 r7-age keys (VERDICT r12 #1 names them; retire-priority)
-_R7_COHORT = (
-    "agg_incremental_state",
-    "agg_percentile",
-    "agg_pivot",
-    "agg_rollup",
-    "agg_stats",
-    "cdf_snapshot_diff",
-    "class_distribution",
-    "dedup_simhash_audit",
-    "dq_outlier_mad",
-    "dtype_classification",
-    "eval_metrics",
-    "feature_quantile_bin",
-    "feature_target_encoding_oof",
-    "filter_in",
-    "filter_like",
-    "filter_pred",
-    "fn_array",
-    "fn_bitwise",
-    "fn_case",
-    "fn_levenshtein",
-    "join_entity_resolution",
-    "scan_json_nested",
-    "scan_schema_evolution",
-    "stream_session_parity",
-    "stream_true_parity",
-    "win_cumulative_distinct",
-    "win_retention_cohorts",
-)
-# r8-age cohort in retire-priority order (the ~50-slot budget reaches
-# the head; the tail rolls to r14's rotation)
+# r8-age tail (the merged ledger's oldest after the r13 pass; 21 keys
+# minus scalar_subquery which tier 1 already covers)
 _R8_COHORT = (
-    "tpch_q1",
-    "tpch_q17",
-    "join_inner_hash",
-    "join_broadcast",
-    "join_semi",
-    "join_anti",
-    "join_full_outer",
-    "join_null_safe",
-    "join_theta_range",
-    "join_multiway_star",
-    "join_lateral_topn",
-    "join_left_lookup",
-    "dedup_exact",
-    "dedup_near_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
     "dedup_clusters",
     "dedup_distinct",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
     "fn_null_semantics",
     "fn_string_extended",
     "limit_topk",
@@ -132,7 +105,6 @@ _R8_COHORT = (
     "sample_quota_per_lang",
     "sample_stratified_hash",
     "sample_weighted_bernoulli",
-    "scalar_subquery",
     "scan_json",
     "scan_orc",
     "score_batch_replay",
@@ -140,18 +112,46 @@ _R8_COHORT = (
     "set_union_all",
     "sink_compact_smallfiles",
 )
+# r9-age cohort head, minus the 8 keys tier 1 already covers (the
+# ~50-slot budget reaches the first; the tail rolls to r15)
+_R9_COHORT = (
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "agg_collect_set",
+    "agg_corr_covar",
+    "dedup_minhash_audit",
+    "fn_math",
+    "fn_try_arithmetic",
+    "funnel_signup_purchase",
+    "join_interval_overlap",
+    "sink_feature_table",
+    "sort_multi",
+    "split_temporal",
+    "stream_interval_join",
+    "subquery_exists",
+    "text_decontaminate",
+    "text_lang_dist",
+    "text_langid",
+    "text_ngrams",
+    "text_pii_scrub",
+    "text_token_count",
+    "unpivot_melt",
+    "win_distribution",
+    "win_rank",
+    "win_topk_per_group",
+)
 
 
 def _priority_order(names: list[str]) -> list[str]:
     def tier(name: str) -> tuple:
         if name in _HEADLINE:
             return (0, _HEADLINE.index(name), "")
-        if name in _NEW_IN_R13:
-            return (1, _NEW_IN_R13.index(name), "")
-        if name in _R7_COHORT:
-            return (2, _R7_COHORT.index(name), "")
+        if name in _CHANGED_TIER:
+            return (1, _CHANGED_TIER.index(name), "")
         if name in _R8_COHORT:
-            return (3, _R8_COHORT.index(name), "")
+            return (2, _R8_COHORT.index(name), "")
+        if name in _R9_COHORT:
+            return (3, _R9_COHORT.index(name), "")
         return (4, 0, name)
 
     return sorted(names, key=tier)

@@ -10,30 +10,66 @@ full-10x.
 Design deltas vs tests/harness.py (which collects BOTH engines' full
 output into Python — fine at sf0.1, not at 60M-row outputs):
 
-- per-query wall cap (GATE_TIMEOUT, default 600 s) enforced by a
-  Spark job-group cancel + DuckDB interrupt, so a planner bomb records
-  a timeout instead of hanging the sweep;
+- per-query wall cap (GATE_TIMEOUT, default 600 s; 3x for the
+  heavy-intermediate verifiers) enforced by a Spark job-group cancel +
+  DuckDB interrupt, so a planner bomb records a timeout instead of
+  hanging the sweep; the phase the timer fired in (spark-count /
+  oracle-count / spark-collect / oracle-fetch / ...) is recorded so a
+  red is adjudicable without a re-run (ADVICE r13);
 - queries whose output exceeds GATE_CAP_ROWS (default 2M) are compared
-  on COUNT only and recorded mode="count-only", with the adjudication
-  note inline: every such query is a per-row map/window over a fact
-  table — its VALUE semantics do not change with corpus size and are
-  hash-gated at sf0.001/0.01/0.1 + five adversarial replicas every
-  round; what scales is the cardinality, and the count compare is
-  exactly the fan-out/planner check that class needs;
+  on COUNT plus an order-insensitive VALUE hash of a deterministic
+  ~0.1% md5-prefix sample of a stable key column (mode="count+sample",
+  VERDICT r13 #6) — both engines filter on the identical
+  substr(md5(CAST(col AS VARCHAR)),1,3) predicate, so at-scale value
+  corruption is caught, not just cardinality; when no engine-stable
+  sample column exists or the sample itself exceeds the collect cap,
+  the row degrades to mode="count-only" with the reason inline;
 - quadratic-OUTPUT queries (the stress sweep's QUADRATIC_OUTPUT set)
-  that hit the cap are recorded timeout_explained, same adjudication
-  as scripts/stress_registry_10x.py: at 100 clones every cross-clone
-  duplicate is a TRUE pair, so their output volume is ~(100 choose 2)x
-  — output volume, not plan shape;
+  that hit the oracle memory cap, fill the spill quota (the r13
+  ENOSPC death on dedup_semantic_cluster: DuckDB spills to disk
+  BEFORE raising OutOfMemory, so capacity deaths arrive as
+  IOException "No space left on device" — ADVICE r13), or time out
+  are recorded oom/timeout_explained, same adjudication as
+  scripts/stress_registry_10x.py: at 100 clones every cross-clone
+  duplicate is a TRUE pair, so their work volume is ~(100 choose 2)x
+  — volume, not plan shape;
+- ORACLE-HEAVY-INTERMEDIATE queries (VERDICT r13 #1b) — linear OUTPUT
+  but the monolithic DuckDB oracle's INTERMEDIATE exceeds any
+  reasonable cap at 100x — get dedicated verifiers instead of the
+  registered one-shot SQL:
+    * graph_pagerank: the identical integer recurrence materialized
+      STEPWISE (one temp table per iteration, so peak memory is one
+      join pass, not three inlined CTE chains) and hash-compared
+      against the engine top-k; plus the mass-conservation invariant
+      (total rank within the integer-division loss bound of SCALE,
+      the tests/test_round6.py property) run engine-side at 100x. If
+      even the stepwise oracle dies on capacity, the invariants +
+      output-shape checks record mode="heavy-intermediate".
+    * dedup_semantic_cluster: the data-dependent half of the output
+      (k-means cluster ids + member counts) is hash-verified against
+      the cheap linear oracle (the registered _KMEANS_CTES, which
+      passed standalone as cluster_kmeans at 100x in 14 s); the pair
+      counts — whose oracle is Sigma |c|^2 x DIMS join rows at 100x,
+      capacity-infeasible for ANY exact engine — are bound-checked
+      (pairs <= C(n,2), victims <= pairs, victims <= n-1, cluster
+      sizes partition the distinct-vector universe) and their VALUES
+      stay hash-gated at sf<=0.1 + the 10x stress artifact.
 - results stream to scripts/gate100x_results.jsonl as they land (the
   sweep is ~hours; partial progress must survive) and a summary goes
-  to scripts/gate100x_summary.json.
+  to scripts/gate100x_summary.json. Resume semantics (ADVICE r13):
+  GATE_RESUME skips only queries whose LATEST record is ok=true —
+  prior FAILs re-run; the summary's failed list and the exit code are
+  derived from the results FILE (latest record per name), not just
+  the current process, so a resumed run cannot mask a standing red.
+  GATE_ONLY without GATE_RESUME writes to a separate
+  gate100x_results_only.jsonl and never truncates the main sweep
+  record.
 
 Usage:
     python scripts/gate100x.py                  # full registry
     GATE_ONLY=tpch_q1,agg_stats python scripts/gate100x.py
-    GATE_RESUME=1 python scripts/gate100x.py    # skip names already in
-                                                # the results file
+    GATE_RESUME=1 python scripts/gate100x.py    # re-run everything not
+                                                # already recorded green
 """
 
 from __future__ import annotations
@@ -61,7 +97,26 @@ DST = os.environ.get("GATE_SF_DIR", "/tmp/spark_graft_stress100x_full")
 TIMEOUT = float(os.environ.get("GATE_TIMEOUT", "600"))
 CAP_ROWS = int(os.environ.get("GATE_CAP_ROWS", "2000000"))
 RESULTS = os.path.join(REPO, "scripts", "gate100x_results.jsonl")
+RESULTS_ONLY = os.path.join(REPO, "scripts", "gate100x_results_only.jsonl")
 SUMMARY = os.path.join(REPO, "scripts", "gate100x_summary.json")
+
+# Oracle capacity rails: without a memory cap a quadratic oracle grows
+# until the OS kills the whole gate (observed r12: 111 GB RSS SIGKILL);
+# with only a memory cap DuckDB spills to an UNBOUNDED temp dir until
+# the disk fills (observed r13: ENOSPC on dedup_semantic_cluster, the
+# root filesystem at 0 bytes free). Cap both, in a dedicated directory.
+ORACLE_MEM = os.environ.get("GATE_ORACLE_MEM", "24GB")
+SPILL_DIR = os.environ.get("GATE_SPILL_DIR", "/tmp/gate100x_spill")
+SPILL_CAP = os.environ.get("GATE_SPILL_CAP", "40GB")
+
+# count+sample (VERDICT r13 #6): deterministic ~0.1% sample via
+# substr(md5(CAST(col AS VARCHAR)),1,3) <= '003' (4/4096 of the md5
+# space). Only dtypes whose VARCHAR rendering is bit-identical across
+# Spark and DuckDB qualify as the sample key (integers and strings;
+# floats/decimals/timestamps format differently).
+SAMPLE_TYPES = {"bigint", "int", "smallint", "tinyint", "string"}
+SAMPLE_PREFIX = "003"
+SAMPLE_CAP = int(os.environ.get("GATE_SAMPLE_CAP", "200000"))
 
 # mirror of scripts/stress_registry_10x.py CLONE_DEGENERATE_ZERO —
 # rows-only queries whose 0-row output at high clone counts is the
@@ -71,7 +126,8 @@ SUMMARY = os.path.join(REPO, "scripts", "gate100x_summary.json")
 CLONE_DEGENERATE_ZERO = {"dedup_ngram_jaccard", "dedup_near_minhash"}
 
 # mirror of scripts/stress_registry_10x.py QUADRATIC_OUTPUT — queries
-# whose OUTPUT is inherently ~C^2 on a cloned corpus
+# whose OUTPUT (or, for dedup_semantic_cluster, whose within-cluster
+# pair WORK) is inherently ~C^2 on a cloned corpus
 QUADRATIC_OUTPUT = {
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -91,15 +147,244 @@ class _Timeout(Exception):
     pass
 
 
+def gate_con(dst: str) -> duckdb.DuckDBPyConnection:
+    """harness duckdb_conn + the gate's capacity rails."""
+    con = duckdb_conn(dst)
+    os.makedirs(SPILL_DIR, exist_ok=True)
+    con.sql(f"SET memory_limit='{ORACLE_MEM}'")
+    con.sql(f"SET temp_directory='{SPILL_DIR}'")
+    con.sql(f"SET max_temp_directory_size='{SPILL_CAP}'")
+    return con
+
+
+def _capacity_error(exc: Exception) -> bool:
+    """Oracle-capacity death: OOM at the memory cap, spill-quota hit,
+    or disk-full while spilling (DuckDB spills to disk BEFORE raising
+    OutOfMemory, so ENOSPC / temp-storage IOException is the same
+    failure arriving through the filesystem — ADVICE r13)."""
+    m = str(exc).lower()
+    return (
+        "utofmemory" in m
+        or "memory limit" in m
+        or "no space left" in m
+        or "temp_directory" in m
+        or "temp directory" in m
+        or "duckdb_temp_storage" in m
+    )
+
+
+# --- oracle-heavy-intermediate verifiers (VERDICT r13 #1b) -----------------
+
+
+def _verify_pagerank(spark, df, rec: dict, state: dict) -> dict:
+    """graph_pagerank at 100x: the registered monolithic oracle inlines
+    three 120M-row edge joins into one plan and OOMs at any cap (judge
+    r13: 22.3 GiB used at 438 s). Same recurrence, materialized
+    stepwise — peak memory is ONE join pass — then hash-compare; plus
+    the engine-side mass-conservation property at full 100x volume."""
+    from pyspark.sql import functions as F
+
+    from databricks_feature_store_poc_spark.operators.graph import (
+        ITERS,
+        SCALE,
+        TOPK,
+        _edges,
+        pagerank,
+    )
+
+    rec["phase"] = "invariant-mass"
+    edges = _edges(spark, DST)
+    n_edges = edges.count()
+    n_nodes = edges.select("src").distinct().count()
+    total = pagerank(edges).agg(F.sum("rank")).collect()[0][0]
+    # per iteration: <=1 unit lost per edge (contrib div), <=1 per node
+    # (base div + /100 truncations, x3 terms); init loses <= n_nodes —
+    # the tests/test_round6.py::test_pagerank_conserves_mass bound.
+    loss_bound = ITERS * (n_edges + 3 * n_nodes) + n_nodes
+    mass_ok = SCALE - loss_bound <= total <= SCALE
+    rec["invariants"] = {
+        "n_edges": n_edges,
+        "n_nodes": n_nodes,
+        "total_rank": total,
+        "loss_bound": loss_bound,
+        "mass_conserved": mass_ok,
+    }
+
+    rec["phase"] = "spark-collect"
+    spark_rows = [tuple(r) for r in df.collect()]
+    ranks = [r[1] for r in spark_rows]
+    shape_ok = (
+        len(spark_rows) == TOPK
+        and ranks == sorted(ranks, reverse=True)
+        and all(0 < r <= SCALE for r in ranks)
+    )
+    rec["invariants"]["topk_shape"] = shape_ok
+
+    steps = [
+        """CREATE TEMP TABLE pr_ce AS
+           SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                           's' || CAST(l_suppkey AS VARCHAR) AS dst
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey""",
+        """CREATE TEMP TABLE pr_edges AS
+           SELECT src, dst FROM pr_ce
+           UNION ALL SELECT dst AS src, src AS dst FROM pr_ce""",
+        """CREATE TEMP TABLE pr_deg AS
+           SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+           FROM pr_edges GROUP BY src""",
+        f"""CREATE TEMP TABLE pr_r0 AS
+            SELECT src AS node,
+                   CAST({SCALE} AS BIGINT)
+                       // (SELECT CAST(count(*) AS BIGINT) FROM pr_deg)
+                       AS rank
+            FROM pr_deg""",
+    ] + [
+        f"""CREATE TEMP TABLE pr_r{k} AS
+            SELECT e.dst AS node,
+                   CAST((15 * (CAST({SCALE} AS BIGINT)
+                        // (SELECT CAST(count(*) AS BIGINT) FROM pr_deg)))
+                        // 100
+                        + (85 * SUM(r.rank // d.outdeg)) // 100
+                        AS BIGINT) AS rank
+            FROM pr_edges e
+            JOIN pr_r{k - 1} r ON r.node = e.src
+            JOIN pr_deg d ON d.src = e.src
+            GROUP BY e.dst"""
+        for k in range(1, ITERS + 1)
+    ]
+    try:
+        rec["phase"] = "oracle-stepwise"
+        con = state["con"] = gate_con(DST)
+        for i, stmt in enumerate(steps):
+            rec["phase"] = f"oracle-stepwise-{i}"
+            con.sql(stmt)
+        rec["phase"] = "oracle-fetch"
+        rel = con.sql(
+            f"SELECT node, rank FROM pr_r{ITERS} "
+            f"ORDER BY rank DESC, node LIMIT {TOPK}"
+        )
+        duck_cols = list(rel.columns)
+        duck_rows = rel.fetchall()
+        match = value_hash(spark_rows, list(df.columns)) == value_hash(
+            duck_rows, duck_cols
+        )
+        rec["mode"] = "oracle-stepwise"
+        rec["ok"] = bool(match and mass_ok and shape_ok)
+        if not match:
+            rec["issue"] = "stepwise oracle value-hash mismatch"
+        elif not (mass_ok and shape_ok):
+            rec["issue"] = f"invariant failed: {rec['invariants']}"
+        else:
+            rec["note"] = (
+                "identical integer recurrence materialized stepwise "
+                "(one temp table per iteration) — full top-k hash "
+                "match at 100x + mass-conservation invariant"
+            )
+        return rec
+    except Exception as exc:
+        if not _capacity_error(exc):
+            raise
+        rec["mode"] = "heavy-intermediate"
+        rec["ok"] = bool(mass_ok and shape_ok)
+        rec["note"] = (
+            "stepwise oracle also hit the capacity rail "
+            f"({type(exc).__name__}); adjudicated on the engine-side "
+            "mass-conservation invariant (exact integer bound) + top-k "
+            "shape at 100x; full hash parity holds at sf<=0.1 on 7 "
+            "distributions"
+        )
+        if not rec["ok"]:
+            rec["issue"] = f"invariant failed: {rec['invariants']}"
+        return rec
+
+
+def _verify_semantic_cluster(spark, df, rec: dict, state: dict) -> dict:
+    """dedup_semantic_cluster at 100x: the registered oracle's pair
+    CTEs are Sigma |c|^2 x DIMS join rows (~1e12 at 100x clones) —
+    capacity-infeasible for ANY exact oracle engine (r13: filled the
+    disk at 588 s). The data-dependent half — which cluster every
+    vector lands in, and how many per cluster — IS linearly oracled
+    here with the same _KMEANS_CTES that passed standalone as
+    cluster_kmeans at 100x (14 s); the pair counts are bound-checked
+    and their values stay hash-gated at sf<=0.1 + the 10x stress row."""
+    from databricks_feature_store_poc_spark.llm.vectors import _KMEANS_CTES
+
+    rec["phase"] = "spark-collect"
+    rows = [tuple(r) for r in df.collect()]  # one row per cluster
+    by = {r[0]: r for r in rows}
+    bounds_ok = all(
+        0 <= p <= n * (n - 1) // 2 and 0 <= v <= p and v <= max(n - 1, 0)
+        for (_, n, p, v) in rows
+    )
+
+    rec["phase"] = "oracle-cluster-sizes"
+    con = state["con"] = gate_con(DST)
+    sizes_sql = (
+        f"WITH {_KMEANS_CTES}, "
+        "asgn AS (SELECT vec_id, cid FROM a2 WHERE rn = 1) "
+        "SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors "
+        "FROM asgn GROUP BY cid"
+    )
+    rel = con.sql(sizes_sql)
+    duck_sizes = rel.fetchall()
+    sizes_match = value_hash(
+        [(r[0], r[1]) for r in rows], ["cid", "n_vectors"]
+    ) == value_hash(duck_sizes, list(rel.columns))
+
+    rec["phase"] = "oracle-universe-count"
+    n_universe = con.sql(
+        "SELECT count(DISTINCT vec_id) FROM embeddings "
+        "WHERE embedding IS NOT NULL"
+    ).fetchone()[0]
+    partition_ok = sum(r[1] for r in rows) == n_universe and len(by) == len(
+        rows
+    )
+
+    rec["mode"] = "heavy-intermediate"
+    rec["ok"] = bool(sizes_match and bounds_ok and partition_ok)
+    rec["invariants"] = {
+        "cluster_sizes_hash_match": sizes_match,
+        "pair_bounds_ok": bounds_ok,
+        "partitions_universe": partition_ok,
+        "n_clusters": len(rows),
+        "n_vectors_total": sum(r[1] for r in rows),
+    }
+    if rec["ok"]:
+        rec["note"] = (
+            "cluster assignment (the data-dependent output half) "
+            "hash-verified against the linear k-means oracle at 100x; "
+            "pair counts bound-checked (pairs <= C(n,2), victims <= "
+            "pairs, victims <= n-1, sizes partition the universe) — "
+            "their exact oracle is Sigma|c|^2 x DIMS intermediate "
+            "rows, infeasible at 100x for any engine; pair values "
+            "hash-gated at sf<=0.1 + 10x stress"
+        )
+    else:
+        rec["issue"] = f"invariant failed: {rec['invariants']}"
+    return rec
+
+
+HEAVY_INTERMEDIATE = {
+    "graph_pagerank": _verify_pagerank,
+    "dedup_semantic_cluster": _verify_semantic_cluster,
+}
+
+
+def _pick_sample_col(dtypes: list[tuple]) -> str | None:
+    for c, t in dtypes:
+        if t in SAMPLE_TYPES:
+            return c
+    return None
+
+
 def run_one(spark, name: str) -> dict:
     fn = QUERIES[name]
-    rec: dict = {"query": name}
+    rec: dict = {"query": name, "phase": "spark-build"}
     t0 = time.perf_counter()
     fired = threading.Event()
     sc = spark.sparkContext
     group = f"gate100x-{name}"
     sc.setJobGroup(group, name, interruptOnCancel=True)
-    con: duckdb.DuckDBPyConnection | None = None
+    state: dict = {"con": None}
 
     def cancel():
         fired.set()
@@ -107,19 +392,25 @@ def run_one(spark, name: str) -> dict:
             sc.cancelJobGroup(group)
         except Exception:
             pass
-        if con is not None:
+        if state["con"] is not None:
             try:
-                con.interrupt()
+                state["con"].interrupt()
             except Exception:
                 pass
 
-    timer = threading.Timer(TIMEOUT, cancel)
+    # heavy-intermediate verifiers run extra full-corpus passes
+    # (mass-conservation pagerank, stepwise iterations) — 3x budget
+    wall = TIMEOUT * (3 if name in HEAVY_INTERMEDIATE else 1)
+    timer = threading.Timer(wall, cancel)
     timer.daemon = True
     timer.start()
     try:
         df = fn(spark, DST)
+        rec["phase"] = "spark-count"
         n_spark = df.count()
         rec["spark_rows"] = n_spark
+        if name in HEAVY_INTERMEDIATE:
+            return HEAVY_INTERMEDIATE[name](spark, df, rec, state)
         if name not in ORACLES:
             rec["mode"] = "rows-only"
             rec["ok"] = n_spark > 0
@@ -131,13 +422,8 @@ def run_one(spark, name: str) -> dict:
                     "stress sweep's CLONE_DEGENERATE_ZERO"
                 )
             return rec
-        con = duckdb_conn(DST)
-        # cap the oracle's memory: a quadratic-output oracle at 100x
-        # otherwise grows until the OS kills the whole gate (observed:
-        # 111 GB RSS SIGKILL on dedup_semantic_cluster) — with the cap
-        # DuckDB raises OutOfMemoryException instead, which the
-        # QUADRATIC_OUTPUT branch below adjudicates like a timeout
-        con.sql("SET memory_limit='24GB'")
+        con = state["con"] = gate_con(DST)
+        rec["phase"] = "oracle-count"
         n_duck = con.sql(
             f"SELECT COUNT(*) FROM ({ORACLES[name]})"
         ).fetchone()[0]
@@ -148,15 +434,10 @@ def run_one(spark, name: str) -> dict:
             rec["issue"] = f"rowcount spark={n_spark} duck={n_duck}"
             return rec
         if n_spark > CAP_ROWS:
-            rec["mode"] = "count-only"
-            rec["ok"] = True
-            rec["note"] = (
-                f"output {n_spark} rows > cap {CAP_ROWS}: per-row map "
-                "semantics hash-gated at sf<=0.1 on 6 distributions; "
-                "count compare is the at-scale fan-out check"
-            )
-            return rec
+            return _count_sample(df, con, name, rec)
+        rec["phase"] = "spark-collect"
         spark_rows = [tuple(r) for r in df.collect()]
+        rec["phase"] = "oracle-fetch"
         rel = con.sql(ORACLES[name])
         duck_cols = list(rel.columns)
         duck_rows = rel.fetchall()
@@ -176,16 +457,15 @@ def run_one(spark, name: str) -> dict:
         return rec
     except Exception as exc:
         rec["sec"] = round(time.perf_counter() - t0, 2)
-        oom = "utofmemory" in str(exc).lower() or "memory limit" in str(
-            exc
-        ).lower()
-        if oom and name in QUADRATIC_OUTPUT:
+        if _capacity_error(exc) and name in QUADRATIC_OUTPUT:
             rec["ok"] = True
             rec["oom_explained"] = (
-                "oracle memory cap hit: deliberately quadratic OUTPUT at "
-                "100x clones (~4950x the 10x pair volume) — same "
-                "adjudication as a quadratic timeout; the 10x sweep row "
-                "is the plan-shape evidence"
+                "oracle capacity rail hit (memory cap or spill quota — "
+                f"{type(exc).__name__} in phase {rec.get('phase')}): "
+                "deliberately quadratic OUTPUT/work at 100x clones "
+                "(~4950x the 10x pair volume) — same adjudication as a "
+                "quadratic timeout; the 10x sweep row is the plan-shape "
+                "evidence"
             )
             return rec
         if fired.is_set():
@@ -199,43 +479,141 @@ def run_one(spark, name: str) -> dict:
                 )
             else:
                 rec["ok"] = False
-                rec["issue"] = f"timeout after {TIMEOUT:.0f}s"
+                rec["issue"] = (
+                    f"timeout after {wall:.0f}s in phase {rec.get('phase')}"
+                )
         else:
             rec["ok"] = False
-            rec["issue"] = f"{type(exc).__name__}: {exc}"[:300]
+            rec["issue"] = (
+                f"{type(exc).__name__} in phase {rec.get('phase')}: {exc}"
+            )[:300]
         return rec
     finally:
         timer.cancel()
         sc.setJobGroup("", "")
-        if con is not None:
+        if state["con"] is not None:
             try:
-                con.close()
+                state["con"].close()
             except Exception:
                 pass
         rec.setdefault("sec", round(time.perf_counter() - t0, 2))
+
+
+def _count_sample(df, con, name: str, rec: dict) -> dict:
+    """count+sample mode (VERDICT r13 #6): counts already matched and
+    exceed CAP_ROWS; additionally hash-compare the deterministic
+    md5-prefix ~0.1% sample on a cross-engine-stable key column so
+    at-scale VALUE corruption is caught, not just cardinality."""
+    from pyspark.sql import functions as F
+
+    col = _pick_sample_col(df.dtypes)
+    n_spark = rec["spark_rows"]
+    base_note = (
+        f"output {n_spark} rows > cap {CAP_ROWS}: per-row map "
+        "semantics hash-gated at sf<=0.1 on 7 distributions"
+    )
+    if col is None:
+        rec["mode"] = "count-only"
+        rec["ok"] = True
+        rec["note"] = base_note + (
+            "; no integer/string column for a cross-engine-stable "
+            "md5 sample — count compare is the at-scale fan-out check"
+        )
+        return rec
+    rec["phase"] = "sample-spark-count"
+    pred = F.substring(F.md5(F.col(col).cast("string")), 1, 3) <= SAMPLE_PREFIX
+    sdf = df.filter(pred)
+    n_s = sdf.count()
+    if n_s > SAMPLE_CAP:
+        rec["mode"] = "count-only"
+        rec["ok"] = True
+        rec["note"] = base_note + (
+            f"; md5 sample on {col} still {n_s} rows > {SAMPLE_CAP} "
+            "collect cap — count compare is the at-scale fan-out check"
+        )
+        return rec
+    rec["phase"] = "sample-oracle-fetch"
+    rel = con.sql(
+        f"SELECT * FROM ({ORACLES[name]}) __gq "
+        f'WHERE substr(md5(CAST("{col}" AS VARCHAR)), 1, 3) '
+        f"<= '{SAMPLE_PREFIX}'"
+    )
+    duck_cols = list(rel.columns)
+    duck_rows = rel.fetchall()
+    rec["phase"] = "sample-spark-collect"
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    rec["mode"] = "count+sample"
+    rec["sample_col"] = col
+    rec["sample_rows"] = n_s
+    issues = []
+    if len(duck_rows) != len(spark_rows):
+        issues.append(
+            f"sample rowcount spark={len(spark_rows)} duck={len(duck_rows)}"
+        )
+    elif sorted(df.columns) != sorted(duck_cols):
+        issues.append(
+            f"cols spark={sorted(df.columns)} duck={sorted(duck_cols)}"
+        )
+    elif value_hash(spark_rows, df.columns) != value_hash(
+        duck_rows, duck_cols
+    ):
+        issues.append(f"sample value-hash mismatch ({n_s} rows on {col})")
+    rec["ok"] = not issues
+    if issues:
+        rec["issue"] = "; ".join(issues)
+    else:
+        rec["note"] = (
+            f"count match at {n_spark} rows + value-hash match on the "
+            f"deterministic md5(0.1%) sample ({n_s} rows keyed on {col})"
+        )
+    return rec
+
+
+def _latest_records(path: str) -> dict[str, dict]:
+    out: dict[str, dict] = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            for ln in f:
+                if ln.strip():
+                    r = json.loads(ln)
+                    out[r["query"]] = r
+    return out
 
 
 def main() -> int:
     from databricks_feature_store_poc_spark.session import get_spark
 
     only = [s for s in os.environ.get("GATE_ONLY", "").split(",") if s]
-    done: set[str] = set()
-    if os.environ.get("GATE_RESUME") and os.path.exists(RESULTS):
-        with open(RESULTS) as f:
-            done = {json.loads(ln)["query"] for ln in f if ln.strip()}
+    resume = bool(os.environ.get("GATE_RESUME"))
+
+    # ADVICE r13: never truncate the multi-hour sweep record for a
+    # targeted re-check — GATE_ONLY without GATE_RESUME goes to a side
+    # file; truncation happens only for a fresh unrestricted sweep.
+    results_path = RESULTS
+    if only and not resume:
+        results_path = RESULTS_ONLY
+        open(results_path, "w").close()
+    elif resume:
+        pass  # append to the standing record
     else:
-        open(RESULTS, "w").close()
+        open(results_path, "w").close()
+
+    # ADVICE r13: resume skips only queries whose LATEST record is
+    # ok=true, so standing reds re-run instead of being masked.
+    done: set[str] = set()
+    if resume:
+        done = {
+            n for n, r in _latest_records(results_path).items() if r.get("ok")
+        }
 
     spark = get_spark("gate-100x")
     load_all_queries()
     names = only or sorted(QUERIES)
-    failed, out = [], []
     for i, name in enumerate(names):
         if name in done:
             continue
         rec = run_one(spark, name)
-        out.append(rec)
-        with open(RESULTS, "a") as f:
+        with open(results_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
         status = "OK" if rec["ok"] else "FAIL"
         print(
@@ -244,21 +622,23 @@ def main() -> int:
             f"{rec.get('issue', '')}",
             flush=True,
         )
-        if not rec["ok"]:
-            failed.append(name)
+
+    # summary + exit code from the results FILE (latest record per
+    # name), so a resumed run surfaces standing reds (ADVICE r13)
+    latest = _latest_records(results_path)
+    failed = sorted(n for n, r in latest.items() if not r.get("ok"))
     summary = {
         "sf_dir": DST,
-        "n": len(names),
+        "n": len(latest),
         "failed": failed,
         "modes": {},
     }
-    with open(RESULTS) as f:
-        for ln in f:
-            r = json.loads(ln)
-            m = r.get("mode", "timeout" if r.get("timeout") else "?")
-            summary["modes"][m] = summary["modes"].get(m, 0) + 1
-    with open(SUMMARY, "w") as f:
-        json.dump(summary, f, indent=1)
+    for r in latest.values():
+        m = r.get("mode", "timeout" if r.get("timeout") else "?")
+        summary["modes"][m] = summary["modes"].get(m, 0) + 1
+    if results_path == RESULTS:
+        with open(SUMMARY, "w") as f:
+            json.dump(summary, f, indent=1)
     print(json.dumps(summary))
     return 1 if failed else 0
 
