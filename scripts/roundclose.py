@@ -40,6 +40,9 @@ stop later steps — the close block needs the whole picture):
                        nested-loop-join hang, a nondeterministic
                        oracle, and a semi-vs-inner divergence that no
                        single-axis gate saw); rotating quarter-slice
+ 12b. harness_hotdup_zipf — fourteenth: hot-dup corruption ON the
+                       zipf-10x replica (built r13, standing since r14
+                       per VERDICT r13 #4); rotating quarter-slice
  13. harness_hotdup  — thirteenth distribution (r13, VERDICT r12 #2):
                        skew OF duplicates — one key per table
                        duplicated ~1000x, half the copies full-row
@@ -103,6 +106,7 @@ REPLICA_DUP = "/tmp/spark_graft_dup"
 REPLICA_ADV_SF01 = "/tmp/spark_graft_adversarial_sf01"
 REPLICA_DUP_ZIPF = "/tmp/spark_graft_dup_zipf"
 REPLICA_HOTDUP = "/tmp/spark_graft_hotdup"
+REPLICA_HOTDUP_ZIPF = "/tmp/spark_graft_hotdup_zipf"
 
 _HARNESS_TAIL = re.compile(r"(\d+)/(\d+) passed")
 
@@ -413,6 +417,22 @@ def main() -> int:
             _ensure_dup_zipf, REPLICA_DUP_ZIPF, queries=_10x_slice(3)
         ),
     )
+
+    def _ensure_hotdup_zipf() -> bool:
+        # hot-dup (skew-of-duplicates) corruption ON the zipf-10x
+        # replica — the combined axis built in r13; standing rotating
+        # quarter-slice per VERDICT r13 #4 (offset 4 == the 10x gate's
+        # quarter, on a different distribution)
+        return _ensure_zipf() and _make_adv(
+            "hotdup", REPLICA_HOTDUP_ZIPF, src=REPLICA_ZIPF
+        )()
+
+    _step(
+        results, "harness_hotdup_zipf",
+        lambda: step_harness_replica(
+            _ensure_hotdup_zipf, REPLICA_HOTDUP_ZIPF, queries=_10x_slice(4)
+        ),
+    )
     # adv_sf01 runs the same rotating quarter-slice as the 10x gate (a
     # full sf0.1 oracle pass is ~15-20 min; the slice keeps the close
     # inside its wall budget while four consecutive rounds still cover
@@ -429,8 +449,16 @@ def main() -> int:
         _step(results, "bench_ab", step_bench_ab)
 
     ok = all(r.get("ok", True) for r in results)
+    # staleness stamps (VERDICT r13 #2, third-time order: the artifact
+    # shipped byte-identical to the prior round twice) — the result now
+    # records the commit and registry size it was produced at, so a
+    # stale artifact is self-evident instead of needing a ledger diff
+    code, head, _ = _run(["git", "rev-parse", "--short", "HEAD"])
     out = {
         "ok": ok,
+        "round": _round_number(),
+        "git_head": head.strip() if code == 0 else None,
+        "n_registry": len(_registry_keys()),
         "steps": results,
         "ref": REF,
     }

@@ -126,21 +126,32 @@ def test_hard_negatives_tie_order_total_under_dup_ids(spark, tmp_path):
     """Two copies of candidate id 5 carry BYTE-IDENTICAL vectors but
     different labels: the (cos, id) order ties, so the r13 (cos, id,
     label) order must pick the smaller label deterministically — the
-    hotdup replica caught Spark and DuckDB picking different copies."""
+    hotdup replica caught Spark and DuckDB picking different copies.
+
+    The fixture puts the tie AT THE TOP_K CUT (four higher-cosine
+    fillers occupy ranks 1-4, the two id-5 copies compete for rank 5),
+    so the assertion is on WHICH copy survives — an output-SET
+    property, immune to collect() row order (ADVICE r13)."""
     from databricks_feature_store_poc_spark.llm.similarity import (
+        TOP_K,
         sample_hard_negatives,
     )
 
+    assert TOP_K == 5, "fixture assumes 4 fillers + 1 contested slot"
     rows = [(0, _vec(1), 0)]                      # the query (label 0)
-    rows += [(5, _vec(1), 3), (5, _vec(1), 1)]    # identical dup copies
-    rows += [(i, _vec(i), 0) for i in range(20, 24)]  # same-label fillers
+    # ranks 1-4: label-2 fillers colinear with the query (cosine 1.0)
+    rows += [(i, _vec(1), 2) for i in range(10, 14)]
+    # the contested rank-5 slot: identical dup copies of candidate 5
+    # (same vector, same cosine < 1.0) differing ONLY in label
+    rows += [(5, _vec(2), 3), (5, _vec(2), 1)]
     sf = _write_embeddings(spark, tmp_path, rows)
     out = sample_hard_negatives(spark, sf).collect()
-    # candidate 5's copies are the only label<>0 vectors: both rank, and
-    # rank order must carry label 1 first (ties ascend on label) — the
-    # pre-r13 (cos, id) order left the choice engine-arbitrary
     five = [r for r in out if r["query_id"] == 0 and r["negative_id"] == 5]
-    assert [r["negative_label"] for r in five] == [1, 3]
+    # exactly ONE copy survives the cut, and ties ascend on label — the
+    # pre-r13 (cos, id) order left the surviving label engine-arbitrary
+    assert len(five) == 1
+    assert five[0]["negative_label"] == 1
+    assert len([r for r in out if r["query_id"] == 0]) == TOP_K
 
 
 def test_recall_audit_is_set_metric_under_dup_ids(spark, tmp_path):
