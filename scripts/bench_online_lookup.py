@@ -10,6 +10,10 @@ the two paths that ARE runnable end-to-end:
   foreachPartition, then point `get()`s against the replayed view
   (cold first-get pays the spool replay; steady-state gets are dict
   probes — the shape a Redis client shows after connection setup).
+- SqliteKV (r14) — the REAL persistent backend: stdlib-SQLite on-disk
+  B-tree, executor-parallel full_sync, point gets served by an indexed
+  single-row read from a fresh serving-process connection — no process
+  ever holds the table in memory.
 - OnlineStore — the capped driver-side dict view (the POC's
   'lookup_mode: online' emulation): `from_table` build + `lookup()`.
 
@@ -108,6 +112,32 @@ def main() -> int:
         }
     finally:
         shutil.rmtree(spool, ignore_errors=True)
+
+    # --- SqliteKV: REAL persistent backend (r14) — on-disk B-tree, ------
+    # executor-parallel sync, indexed point reads with NO in-memory view
+    db_dir = tempfile.mkdtemp(prefix="spark_graft_online_sqlite_")
+    try:
+        from databricks_feature_store_poc_spark.featurestore.online import (
+            SqliteKV,
+        )
+
+        kv = SqliteKV(os.path.join(db_dir, "kv.db"))
+        sync = OnlineStoreSync(kv, ["c_custkey"])
+        t0 = time.perf_counter()
+        sync.full_sync(cust)
+        sync_sec = time.perf_counter() - t0
+        reader = SqliteKV(os.path.join(db_dir, "kv.db"))  # serving proc
+        t0 = time.perf_counter()
+        reader.get((key_rows[0],))
+        cold_ms = (time.perf_counter() - t0) * 1e3
+        result["sqlite_kv"] = {
+            "full_sync_sec": round(sync_sec, 2),
+            "rows_per_sec_sync": round(n_rows / max(sync_sec, 1e-9)),
+            "cold_first_get_ms": round(cold_ms, 2),
+            **bench_gets(reader.get, probe_keys),
+        }
+    finally:
+        shutil.rmtree(db_dir, ignore_errors=True)
 
     # --- OnlineStore: driver-side dict view -----------------------------
     t0 = time.perf_counter()
