@@ -363,17 +363,149 @@ def _verify_semantic_cluster(spark, df, rec: dict, state: dict) -> dict:
     return rec
 
 
+def _verify_jaccard(spark, df, rec: dict, state: dict) -> dict:
+    """graph_jaccard_neighbors at 100x: the oracle's pair self-join
+    emits ~deg^2/2 rows per customer (~675M at 100 clones) before the
+    group-by — the monolithic query blew the 24 GB + spill rails in
+    phase oracle-count (r14 sweep). Output is top-20, so this is the
+    oracle-heavy-intermediate class. Verified in two layers:
+
+    1. VALUE exactness (always): the <=40 suppliers named in the
+       engine's top-20 are re-scored EXACTLY in DuckDB on the
+       hub-capped projection filtered to those suppliers (tiny:
+       candidate rows only) — shared, dx, dy, and the one-division
+       jaccard must match bit-for-bit.
+    2. COMPLETENESS (attempted): the full pair aggregation
+       materialized stepwise with an elevated spill quota; if it fits,
+       the whole top-20 is hash-compared (mode oracle-stepwise). If it
+       dies on capacity/timeout, the record adjudicates on layer 1 +
+       shape invariants, with the attempt's failure inline."""
+    from databricks_feature_store_poc_spark.operators.graph import (
+        JACCARD_HUB_CAP,
+        JACCARD_TOPK,
+    )
+
+    rec["phase"] = "spark-collect"
+    rows = [tuple(r) for r in df.collect()]  # (x, y, shared, jaccard)
+    jac = [r[3] for r in rows]
+    shape_ok = (
+        len(rows) == JACCARD_TOPK
+        and all(0 < j <= 1.0 for j in jac)
+        and all(r[0] < r[1] and r[2] >= 1 for r in rows)
+        # contract order: jaccard DESC, then (x, y) ASC on ties
+        and all(
+            jac[i] > jac[i + 1]
+            or (
+                jac[i] == jac[i + 1]
+                and (rows[i][0], rows[i][1])
+                < (rows[i + 1][0], rows[i + 1][1])
+            )
+            for i in range(len(rows) - 1)
+        )
+    )
+    rec["invariants"] = {"topk_shape": shape_ok}
+
+    con = state["con"] = gate_con(DST)
+    rec["phase"] = "oracle-candidate-values"
+    con.sql(
+        """CREATE TEMP TABLE gj_bip AS
+           SELECT DISTINCT o.o_custkey AS c, li.l_suppkey AS s
+           FROM orders o JOIN lineitem li ON o.o_orderkey = li.l_orderkey
+           WHERE o.o_custkey IS NOT NULL AND li.l_suppkey IS NOT NULL"""
+    )
+    con.sql(
+        f"""CREATE TEMP TABLE gj_bipc AS
+            SELECT b.c, b.s FROM gj_bip b
+            JOIN (SELECT c FROM gj_bip GROUP BY c
+                  HAVING count(*) <= {JACCARD_HUB_CAP}) cd ON b.c = cd.c"""
+    )
+    con.sql(
+        """CREATE TEMP TABLE gj_deg AS
+           SELECT s, CAST(count(*) AS BIGINT) AS d FROM gj_bipc GROUP BY s"""
+    )
+    cand = sorted({r[0] for r in rows} | {r[1] for r in rows})
+    ids = ",".join(str(int(s)) for s in cand)
+    con.sql(
+        f"CREATE TEMP TABLE gj_sub AS "
+        f"SELECT c, s FROM gj_bipc WHERE s IN ({ids})"
+    )
+    pair_rows = con.sql(
+        """SELECT a.s, b.s, CAST(count(*) AS BIGINT)
+           FROM gj_sub a JOIN gj_sub b ON a.c = b.c AND a.s < b.s
+           GROUP BY 1, 2"""
+    ).fetchall()
+    shared = {(x, y): sh for x, y, sh in pair_rows}
+    deg = dict(con.sql("SELECT s, d FROM gj_deg WHERE s IN (%s)" % ids).fetchall())
+    values_ok = all(
+        shared.get((x, y)) == sh
+        and round(float(sh) / float(deg[x] + deg[y] - sh), 9) == round(j, 9)
+        for x, y, sh, j in rows
+    )
+    rec["invariants"]["candidate_values_exact"] = values_ok
+
+    try:
+        rec["phase"] = "oracle-stepwise"
+        con.sql("SET max_temp_directory_size='60GB'")
+        con.sql(
+            """CREATE TEMP TABLE gj_w AS
+               SELECT a.s AS x, b.s AS y, CAST(count(*) AS BIGINT) AS shared
+               FROM gj_bipc a JOIN gj_bipc b ON a.c = b.c AND a.s < b.s
+               GROUP BY 1, 2"""
+        )
+        rec["phase"] = "oracle-fetch"
+        rel = con.sql(
+            f"""SELECT w.x, w.y, w.shared,
+                       CAST(w.shared AS DOUBLE)
+                           / CAST(dx.d + dy.d - w.shared AS DOUBLE) AS jaccard
+                FROM gj_w w JOIN gj_deg dx ON dx.s = w.x
+                JOIN gj_deg dy ON dy.s = w.y
+                ORDER BY jaccard DESC, w.x, w.y LIMIT {JACCARD_TOPK}"""
+        )
+        duck_cols = list(rel.columns)
+        duck_rows = rel.fetchall()
+        match = value_hash(rows, list(df.columns)) == value_hash(
+            duck_rows, duck_cols
+        )
+        rec["mode"] = "oracle-stepwise"
+        rec["ok"] = bool(match and values_ok and shape_ok)
+        if not rec["ok"]:
+            rec["issue"] = (
+                f"stepwise mismatch={not match}; invariants={rec['invariants']}"
+            )
+        else:
+            rec["note"] = (
+                "full pair aggregation materialized stepwise under an "
+                "elevated spill quota — complete top-k hash match at 100x"
+            )
+        return rec
+    except Exception as exc:
+        # capacity OR interrupt: adjudicate on the exact candidate
+        # values + shape; the completeness attempt's fate is recorded
+        rec["mode"] = "heavy-intermediate"
+        rec["ok"] = bool(values_ok and shape_ok)
+        rec["note"] = (
+            "pair-aggregation oracle intermediate (~deg^2/2 per customer, "
+            "~675M rows at 100x) exceeded the capacity rails "
+            f"({type(exc).__name__}: {str(exc)[:120]}); adjudicated on "
+            "EXACT re-scoring of every claimed top-k pair (shared/deg/"
+            "jaccard bit-match on the hub-capped projection) + shape "
+            "invariants; full top-k parity holds at sf<=0.1 on 7 "
+            "distributions + the 10x sweep"
+        )
+        if not rec["ok"]:
+            rec["issue"] = f"invariant failed: {rec['invariants']}"
+        return rec
+
+
 HEAVY_INTERMEDIATE = {
     "graph_pagerank": _verify_pagerank,
     "dedup_semantic_cluster": _verify_semantic_cluster,
+    "graph_jaccard_neighbors": _verify_jaccard,
 }
 
 
-def _pick_sample_col(dtypes: list[tuple]) -> str | None:
-    for c, t in dtypes:
-        if t in SAMPLE_TYPES:
-            return c
-    return None
+def _sample_cols(dtypes: list[tuple]) -> list[str]:
+    return [c for c, t in dtypes if t in SAMPLE_TYPES]
 
 
 def run_one(spark, name: str) -> dict:
@@ -506,30 +638,35 @@ def _count_sample(df, con, name: str, rec: dict) -> dict:
     at-scale VALUE corruption is caught, not just cardinality."""
     from pyspark.sql import functions as F
 
-    col = _pick_sample_col(df.dtypes)
     n_spark = rec["spark_rows"]
     base_note = (
         f"output {n_spark} rows > cap {CAP_ROWS}: per-row map "
         "semantics hash-gated at sf<=0.1 on 7 distributions"
     )
+    # a low-cardinality key (< ~4096 distinct values) can hash every
+    # distinct value outside the md5 prefix window -> 0 sampled rows, a
+    # vacuous check (observed on join_asof) — walk the eligible columns
+    # until one yields a non-empty, under-cap sample
+    col, sdf, n_s, tried = None, None, None, []
+    for c in _sample_cols(df.dtypes):
+        rec["phase"] = f"sample-spark-count-{c}"
+        pred = (
+            F.substring(F.md5(F.col(c).cast("string")), 1, 3)
+            <= SAMPLE_PREFIX
+        )
+        cand = df.filter(pred)
+        n = cand.count()
+        tried.append(f"{c}:{n}")
+        if 0 < n <= SAMPLE_CAP:
+            col, sdf, n_s = c, cand, n
+            break
     if col is None:
         rec["mode"] = "count-only"
         rec["ok"] = True
         rec["note"] = base_note + (
-            "; no integer/string column for a cross-engine-stable "
-            "md5 sample — count compare is the at-scale fan-out check"
-        )
-        return rec
-    rec["phase"] = "sample-spark-count"
-    pred = F.substring(F.md5(F.col(col).cast("string")), 1, 3) <= SAMPLE_PREFIX
-    sdf = df.filter(pred)
-    n_s = sdf.count()
-    if n_s > SAMPLE_CAP:
-        rec["mode"] = "count-only"
-        rec["ok"] = True
-        rec["note"] = base_note + (
-            f"; md5 sample on {col} still {n_s} rows > {SAMPLE_CAP} "
-            "collect cap — count compare is the at-scale fan-out check"
+            "; no cross-engine-stable column yields a usable md5 sample "
+            f"(tried {tried or 'none'}) — count compare is the at-scale "
+            "fan-out check"
         )
         return rec
     rec["phase"] = "sample-oracle-fetch"
@@ -605,6 +742,12 @@ def main() -> int:
         done = {
             n for n, r in _latest_records(results_path).items() if r.get("ok")
         }
+        # GATE_FORCE + GATE_ONLY: re-run the named queries even if their
+        # latest record is green (e.g. to upgrade a vacuous count-only /
+        # empty-sample row after a gate improvement); latest-wins in the
+        # summary
+        if only and os.environ.get("GATE_FORCE"):
+            done -= set(only)
 
     spark = get_spark("gate-100x")
     load_all_queries()
