@@ -58,8 +58,12 @@ _HEADLINE = (
 )
 _CHANGED_TIER = (
     # NEW in r14: second real codec round-trip (BMP — little-endian
-    # struct headers, padded bottom-up rows, weighted checksum)
+    # struct headers, padded bottom-up rows, weighted checksum); the
+    # hashing-trick featurizer; the integer-exact unigram surprisal
+    # quality score
     "mm_decode_bmp",
+    "feature_hash_vectorize",
+    "text_surprisal_proxy",
     # oracles changed in 5c48018 (43 VARCHAR sum casts) not covered by
     # the r13 rotation (ADVICE r12 #1 class, applied to late commits)
     "agg_cube",

@@ -700,3 +700,157 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_text"
         ),
     )
+
+
+# --- feature hashing + surprisal scoring (r14) ------------------------------
+
+HASH_BUCKETS = 1024  # fixed-width feature space, vocabulary-independent
+
+
+@query(
+    "feature_hash_vectorize",
+    oracle=rf"""
+    WITH w AS (
+        SELECT doc_id, unnest({_DUCK_WORDS}) AS word FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT)
+                   % {HASH_BUCKETS} AS bucket,
+               CASE WHEN substr(md5(word), 9, 1) < '8'
+                    THEN 1 ELSE -1 END AS sgn
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(bucket AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS tf,
+           CAST(sum(sgn) AS BIGINT) AS signed_tf
+    FROM h GROUP BY doc_id, bucket
+    """,
+)
+def feature_hash_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009, ICML — 'Feature
+    Hashing for Large Scale Multitask Learning'): each token is mapped
+    to one of {HASH_BUCKETS} buckets by a hash, giving every document a
+    FIXED-width sparse feature vector with no vocabulary dictionary at
+    all — the standard way to featurize an unbounded/streaming vocab at
+    corpus scale (no global vocab shuffle, no OOV problem, memory
+    independent of vocabulary size). Output is the sparse form: one
+    (doc_id, bucket, tf, signed_tf) row per nonzero bucket.
+
+    ``signed_tf`` is the unbiased estimator variant: a second hash bit
+    flips the sign per token, so E[collision contribution] = 0 — the
+    part of the trick naive implementations skip.
+
+    Cross-engine exactness: the hash is the first 8 hex digits of
+    md5(token) (Spark ``conv(.., 16, 10)``, DuckDB ``'0x' || ..`` cast)
+    and the sign bit is the 9th digit — both engines compute the
+    identical bucket and sign for every UTF-8 token, so tf AND the
+    collision-sensitive signed_tf are hash-adjudicable.
+
+    Scale shape: explode -> map-side md5/bucket (JVM built-ins, inside
+    codegen) -> ONE groupBy(doc_id, bucket) shuffle with map-side
+    partial aggregation. No vocabulary state anywhere — the whole point
+    at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.expr(_WORDS)).alias("word")
+    )
+    md5c = F.md5(F.col("word").cast("binary"))
+    h = words.select(
+        "doc_id",
+        (
+            F.conv(F.substring(md5c, 1, 8), 16, 10).cast("long")
+            % HASH_BUCKETS
+        )
+        .cast("int")
+        .alias("bucket"),
+        F.when(F.substring(md5c, 9, 1) < "8", F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sgn"),
+    )
+    return h.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.sum("sgn").cast("long").alias("signed_tf"),
+    )
+
+
+@query(
+    "text_surprisal_proxy",
+    oracle=rf"""
+    WITH w AS (
+        SELECT doc_id, unnest({_DUCK_WORDS}) AS word FROM documents
+    ),
+    vocab AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY word
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w),
+    scored AS (
+        SELECT w.doc_id,
+               CAST(length(bin(tot.n // v.cnt)) - 1 AS BIGINT) AS bits
+        FROM w JOIN vocab v ON w.word = v.word, tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(bits) AS BIGINT) AS surprisal_bits,
+           CAST(sum(bits) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS mean_bits
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_surprisal_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-surprisal quality score — the integer-exact skeleton of
+    the CCNet/KenLM perplexity filter (Wenzek et al. 2020: rank corpus
+    documents by LM perplexity; docs made of rare tokens score high,
+    boilerplate scores low). A real LM is a deployment swap; the
+    unigram proxy already separates gibberish/rare-token docs from
+    repetitive boilerplate and needs nothing but the corpus itself.
+
+    Exactness contract: per-token surprisal is defined AS
+    floor(log2(N // cnt(token))) computed via bit position —
+    ``length(bin(q)) - 1`` on BOTH engines (Spark and DuckDB both have
+    bin()) — so every score is integer-exact and hash-adjudicable; no
+    transcendental log whose last ulp could differ. mean_bits is ONE
+    division of identical integers -> bit-identical doubles.
+
+    Scale shape: vocab counts = one groupBy(word) with map-side
+    combine; the token->count join is a plain hash join on word (AQE
+    handles the zipf-head skew — hot words are exactly the
+    skew-join-splittable case); one final groupBy(doc_id). No driver
+    state, no vocabulary cap."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.expr(_WORDS)).alias("word")
+    )
+    from databricks_feature_store_poc_spark.cacheutil import session_persist
+    import os as _os
+
+    words = session_persist(
+        spark,
+        "surprisal_words",
+        [_os.path.join(sf_dir, "documents.parquet")],
+        words,
+    )
+    vocab = words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = words.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    scored = (
+        words.join(vocab, "word")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            (
+                F.length(F.bin(F.expr("n div cnt"))) - F.lit(1)
+            )
+            .cast("long")
+            .alias("bits"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("bits").cast("long").alias("surprisal_bits"),
+        (
+            F.sum("bits").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("mean_bits"),
+    )

@@ -194,3 +194,65 @@ def test_sqlite_kv_point_get_p99_meets_reference_target(spark, tmp_path):
         lat.append(time.perf_counter() - t0)
     p99 = sorted(lat)[989]
     assert p99 < 0.010, f"p99 {p99 * 1e6:.0f}us exceeds the 10ms target"
+
+
+# --- feature hashing + surprisal (r14) --------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name", ["feature_hash_vectorize", "text_surprisal_proxy"]
+)
+def test_oracle_match_r14_text(name, spark):
+    r = compare(name, spark, SF_TEST, verbose=False)
+    assert r["ok"], f"{name}: {r.get('issues')}"
+
+
+def test_hash_vectorize_estimator_bounds(spark):
+    """Per bucket: |signed_tf| <= tf (each token contributes +-1), and
+    the tf mass over buckets equals the corpus whitespace-token count —
+    the hashing trick loses no tokens, it only folds the vocab."""
+    from pyspark.sql import functions as F
+
+    from databricks_feature_store_poc_spark.llm.text import (
+        HASH_BUCKETS,
+        feature_hash_vectorize,
+    )
+    from databricks_feature_store_poc_spark.registry import QUERIES
+
+    df = feature_hash_vectorize(spark, SF_TEST)
+    bad = df.filter(
+        (F.abs(F.col("signed_tf")) > F.col("tf"))
+        | (F.col("bucket") < 0)
+        | (F.col("bucket") >= HASH_BUCKETS)
+        | (F.col("tf") <= 0)
+    ).count()
+    assert bad == 0
+    total_tf = df.agg(F.sum("tf")).collect()[0][0]
+    ws_total = (
+        QUERIES["text_token_count"](spark, SF_TEST)
+        .agg(F.sum("ws_tokens"))
+        .collect()[0][0]
+    )
+    assert total_tf == ws_total
+
+
+def test_surprisal_separates_rare_from_boilerplate(spark, tmp_path):
+    """The filter's reason to exist: a doc of corpus-common tokens must
+    score LOWER mean_bits than a doc of corpus-unique tokens."""
+    from databricks_feature_store_poc_spark.llm.text import (
+        text_surprisal_proxy,
+    )
+
+    rows = [(1, "the the the the the the the the")]  # boilerplate
+    rows += [(2, "zyzzyva quixotic ephemeral obsidian")]  # all unique
+    rows += [(i, "the common words here") for i in range(10, 30)]
+    sf = _write_documents(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for r in text_surprisal_proxy(spark, sf).collect()}
+    assert out[1]["mean_bits"] < out[2]["mean_bits"]
+    # integer-exactness: doc 2's tokens are corpus-unique (cnt=1), so
+    # each scores floor(log2(N)) bits where N = 8 + 4 + 20*4 = 92
+    n_corpus = 8 + 4 + 20 * 4
+    expect_bits = n_corpus.bit_length() - 1  # floor(log2(92)) = 6
+    assert out[2]["n_tokens"] == 4
+    assert out[2]["surprisal_bits"] == 4 * expect_bits
+    assert out[2]["mean_bits"] == float(expect_bits)
