@@ -62,6 +62,7 @@ _CHANGED_TIER = (
     # hashing-trick featurizer; the integer-exact unigram surprisal
     # quality score
     "mm_decode_bmp",
+    "mm_decode_wav",
     "feature_hash_vectorize",
     "text_surprisal_proxy",
     # oracles changed in 5c48018 (43 VARCHAR sum casts) not covered by

@@ -628,3 +628,201 @@ def mm_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     staged = d.select("doc_id", "text").mapInPandas(encode_batches, enc_schema)
     return staged.mapInPandas(decode_batches, dec_schema)
+
+
+@query(
+    "mm_decode_wav",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, text IS NULL AS is_null,
+               octet_length(encode(coalesce(text, ''))) AS n,
+               hex(encode(coalesce(text, ''))) AS hx
+        FROM documents
+    ),
+    samples AS (
+        SELECT doc_id, is_null, n,
+               [
+                   (16 * (strpos('0123456789ABCDEF',
+                                 substring(hx, 4 * i - 3, 1)) - 1)
+                       + (strpos('0123456789ABCDEF',
+                                 substring(hx, 4 * i - 2, 1)) - 1))
+                   + 256 * (CASE WHEN 2 * i <= n THEN
+                       16 * (strpos('0123456789ABCDEF',
+                                    substring(hx, 4 * i - 1, 1)) - 1)
+                          + (strpos('0123456789ABCDEF',
+                                    substring(hx, 4 * i, 1)) - 1)
+                     ELSE 0 END)
+                   FOR i IN range(1, CAST((n + 1) // 2 AS BIGINT) + 1)
+               ] AS su
+        FROM b
+    ),
+    signed AS (
+        SELECT doc_id, is_null, n,
+               list_transform(su,
+                   u -> u - CASE WHEN u >= 32768 THEN 65536 ELSE 0 END
+               ) AS sv
+        FROM samples
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN is_null THEN NULL
+                ELSE 8000 + (n % 5) * 2000 END AS INT) AS sample_rate,
+           CAST(CASE WHEN is_null THEN NULL
+                ELSE (n + 1) // 2 END AS BIGINT) AS n_samples,
+           CAST(CASE WHEN is_null THEN NULL
+                ELSE 52 + (3 + n % 6) + (3 + n % 6) % 2 + n + n % 2
+           END AS BIGINT) AS n_file_bytes,
+           CASE WHEN is_null THEN NULL ELSE TRUE END AS header_consistent,
+           CAST(CASE WHEN is_null THEN NULL
+                ELSE COALESCE(list_sum(sv), 0) END AS BIGINT) AS sample_sum,
+           CAST(CASE WHEN is_null THEN NULL
+                ELSE list_max(list_transform(sv, x -> abs(x)))
+           END AS INT) AS peak_abs
+    FROM signed
+    """,
+)
+def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third REAL byte-level codec (completing the PPM/BMP family with
+    audio): stage 1 ENCODES each document as an actual RIFF/WAVE PCM
+    file — canonical 16-byte ``fmt `` chunk (PCM, mono, 16-bit), a
+    deliberately-interposed LIST metadata chunk of varying (often ODD)
+    length, then the ``data`` chunk whose payload is the document's
+    UTF-8 bytes packed as little-endian SIGNED 16-bit samples — and
+    stage 2 DECODES it with a real chunk WALK (stdlib struct only).
+
+    This exercises the three defect classes PPM and BMP cannot:
+    (1) chunk walking — the decoder must skip the unknown LIST chunk by
+    its declared size to find ``data`` (a reader that assumes a fixed
+    44-byte layout reads LIST garbage as audio and goes hash-red on
+    sample_sum/peak_abs); (2) the RIFF odd-size pad byte — LIST length
+    is ``3 + n % 6``, odd half the time, so a walker that forgets
+    word-alignment lands mid-chunk; (3) SIGNED sample decode — byte
+    pairs with a high bit in the second byte must come out negative
+    (``sample_sum`` is the exact signed integer sum; an unsigned reader
+    inflates it by 65536 per negative sample).
+
+    The oracle re-derives every output from hex pairs of the raw text
+    bytes: sample u = b(2i-1) + 256*b(2i) (missing odd-tail high byte
+    = 0, exactly the encoder's zero pad), two's-complement fold, exact
+    BIGINT sum and peak; file size from the chunk-layout formula
+    (52 fixed + LIST + its pad + data). ``header_consistent`` is the
+    decoder's own cross-check (RIFF size field vs actual length, PCM
+    tag, mono, 16-bit, block_align, byte_rate = rate*2, even data
+    size). Empty text -> 0 samples, sum 0, peak NULL; NULL text -> all
+    NULL (the mm-family diagnostic-row contract).
+
+    Scale shape: identical to mm_decode_ppm/bmp — two Arrow-batched
+    mapInPandas stages over one documents scan, payloads never cross an
+    exchange, no shuffle anywhere."""
+    import struct
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def to_wav(text) -> bytes | None:
+            if text is None:
+                return None
+            tb = text.encode("utf-8")
+            n = len(tb)
+            rate = 8000 + (n % 5) * 2000
+            data = tb + (b"\x00" if n % 2 else b"")
+            fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+            jl = 3 + n % 6
+            junk = b"\xa5" * jl + (b"\x00" if jl % 2 else b"")
+            riff_size = 4 + 8 + len(fmt) + 8 + len(junk) + 8 + len(data)
+            return (
+                b"RIFF" + struct.pack("<I", riff_size) + b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"LIST" + struct.pack("<I", jl) + junk
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [to_wav(t) for t in pdf["text"]],
+                }
+            )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def parse(payload) -> tuple:
+            if payload is None:
+                return None, None, None, None, None, None
+            if len(payload) < 12 or payload[:4] != b"RIFF" \
+                    or payload[8:12] != b"WAVE":
+                return None, None, len(payload), False, None, None
+            (riff_size,) = struct.unpack_from("<I", payload, 4)
+            fmt_fields, data = None, None
+            off = 12
+            while off + 8 <= len(payload):  # the chunk walk
+                cid = payload[off:off + 4]
+                (size,) = struct.unpack_from("<I", payload, off + 4)
+                body = payload[off + 8:off + 8 + size]
+                if cid == b"fmt " and size >= 16:
+                    fmt_fields = struct.unpack_from("<HHIIHH", body, 0)
+                elif cid == b"data":
+                    data = body
+                off += 8 + size + size % 2  # RIFF word-alignment pad
+            if fmt_fields is None or data is None:
+                return None, None, len(payload), False, None, None
+            tag, ch, rate, byte_rate, block_align, bits = fmt_fields
+            consistent = (
+                riff_size == len(payload) - 8
+                and tag == 1 and ch == 1 and bits == 16
+                and block_align == 2 and byte_rate == rate * 2
+                and len(data) % 2 == 0
+            )
+            sv = struct.unpack("<%dh" % (len(data) // 2), data)
+            return (
+                rate,
+                len(sv),
+                len(payload),
+                consistent,
+                sum(sv),
+                max((abs(x) for x in sv), default=None),
+            )
+
+        for pdf in batches:
+            rows = [parse(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "sample_rate": pd.array(
+                        [r[0] for r in rows], dtype="Int32"
+                    ),
+                    "n_samples": pd.array(
+                        [r[1] for r in rows], dtype="Int64"
+                    ),
+                    "n_file_bytes": pd.array(
+                        [r[2] for r in rows], dtype="Int64"
+                    ),
+                    "header_consistent": pd.array(
+                        [r[3] for r in rows], dtype="boolean"
+                    ),
+                    "sample_sum": pd.array(
+                        [r[4] for r in rows], dtype="Int64"
+                    ),
+                    "peak_abs": pd.array(
+                        [r[5] for r in rows], dtype="Int32"
+                    ),
+                }
+            )
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    dec_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("n_file_bytes", T.LongType()),
+            T.StructField("header_consistent", T.BooleanType()),
+            T.StructField("sample_sum", T.LongType()),
+            T.StructField("peak_abs", T.IntegerType()),
+        ]
+    )
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select("doc_id", "text").mapInPandas(encode_batches, enc_schema)
+    return staged.mapInPandas(decode_batches, dec_schema)

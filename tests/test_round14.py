@@ -256,3 +256,119 @@ def test_surprisal_separates_rare_from_boilerplate(spark, tmp_path):
     assert out[2]["n_tokens"] == 4
     assert out[2]["surprisal_bits"] == 4 * expect_bits
     assert out[2]["mean_bits"] == float(expect_bits)
+
+
+# --- mm_decode_wav: third real codec (RIFF chunk walk, signed PCM) ---------
+
+
+def _wav_expected(text):
+    """Independent recompute of the mm_decode_wav contract (mirrors the
+    DuckDB oracle: samples from byte pairs with zero-padded odd tail,
+    two's-complement fold, file size from the chunk-layout formula)."""
+    if text is None:
+        return (None, None, None, None, None, None)
+    tb = text.encode("utf-8")
+    n = len(tb)
+    ns = (n + 1) // 2
+    sv = []
+    for i in range(ns):
+        lo = tb[2 * i]
+        hi = tb[2 * i + 1] if 2 * i + 1 < n else 0
+        u = lo + 256 * hi
+        sv.append(u - 65536 if u >= 32768 else u)
+    jl = 3 + n % 6
+    return (
+        8000 + (n % 5) * 2000,
+        ns,
+        52 + jl + jl % 2 + n + n % 2,
+        True,
+        sum(sv),
+        max((abs(x) for x in sv), default=None),
+    )
+
+
+WAV_CASES = [
+    (1, ""),            # 0 samples: sum 0, peak NULL
+    (2, "a"),           # odd byte count: zero-padded high byte
+    (3, "héllo wörld"), # multi-byte UTF-8: é = 0xC3 0xA9 -> high bit set
+    (4, "ÿÿ"),  # 0xC3BF C3BF: samples with bit 15 set -> negative
+    (5, None),          # NULL text -> NULL metrics
+    (6, "abc"),         # n%6==3 -> LIST len 6 (even); n odd -> data pad
+    (7, "abcd"),        # n%6==4 -> LIST len 7 (ODD) -> RIFF pad byte
+    (8, "x" * 37),      # longer doc, odd n, odd LIST combos
+]
+
+
+def test_wav_round_trip_matches_independent_contract(spark, tmp_path):
+    from databricks_feature_store_poc_spark.llm.multimodal import (
+        mm_decode_wav,
+    )
+
+    sf = _write_documents(spark, tmp_path, WAV_CASES)
+    out = {r["doc_id"]: r for r in mm_decode_wav(spark, sf).collect()}
+    assert len(out) == len(WAV_CASES)
+    for doc_id, text in WAV_CASES:
+        exp = _wav_expected(text)
+        r = out[doc_id]
+        got = (
+            r["sample_rate"], r["n_samples"], r["n_file_bytes"],
+            r["header_consistent"], r["sample_sum"], r["peak_abs"],
+        )
+        assert got == exp, f"doc {doc_id!r} text {text!r}: {got} != {exp}"
+
+
+def test_wav_signed_decode_goes_negative(spark, tmp_path):
+    """Defect class (3): a sample whose high byte has bit 7 set MUST
+    decode negative — an unsigned reader reports sum inflated by 65536
+    per such sample. '\\xff\\xff' utf-8 encodes to C3 BF C3 BF: both
+    samples are 0xBFC3 -> -16445 each."""
+    from databricks_feature_store_poc_spark.llm.multimodal import (
+        mm_decode_wav,
+    )
+
+    sf = _write_documents(spark, tmp_path, [(1, "ÿÿ")])
+    r = mm_decode_wav(spark, sf).collect()[0]
+    assert r["n_samples"] == 2
+    assert r["sample_sum"] == -16445 * 2 < 0
+    assert r["peak_abs"] == 16445
+
+
+def test_wav_naive_fixed_offset_reader_is_wrong():
+    """Defect classes (1)+(2): the encoder interposes a LIST chunk, so a
+    reader that assumes the canonical fixed 44-byte layout reads LIST
+    bytes as audio; and when LIST length is odd, a walker that skips
+    without the RIFF pad byte lands mid-stream. Prove the file actually
+    embodies both traps (the decoder's own outputs are contract-checked
+    elsewhere)."""
+    import struct
+
+    text = "abcd"  # n=4 -> LIST len 7 (odd) -> pad byte present
+    tb = text.encode()
+    n = len(tb)
+    rate = 8000 + (n % 5) * 2000
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    jl = 3 + n % 6
+    assert jl % 2 == 1  # the odd-LIST trap is armed for this case
+    junk = b"\xa5" * jl + b"\x00"
+    data = tb
+    riff_size = 4 + 8 + len(fmt) + 8 + len(junk) + 8 + len(data)
+    payload = (
+        b"RIFF" + struct.pack("<I", riff_size) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", jl) + junk
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    # naive fixed-offset reader: expects 'data' at byte 36
+    assert payload[36:40] != b"data"
+    # walker WITHOUT the pad byte: lands one byte early, sees garbage id
+    off = 12 + 8 + len(fmt)  # at LIST header
+    no_pad = off + 8 + jl
+    assert payload[no_pad:no_pad + 4] != b"data"
+    with_pad = off + 8 + jl + jl % 2
+    assert payload[with_pad:with_pad + 4] == b"data"
+
+
+@pytest.mark.parametrize("name", ["mm_decode_wav"])
+def test_oracle_match_r14_wav(name, spark):
+    r = compare(name, spark, SF_TEST, verbose=False)
+    assert r["ok"], f"{name}: {r.get('issues')}"
