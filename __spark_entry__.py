@@ -65,6 +65,8 @@ _CHANGED_TIER = (
     "mm_decode_wav",
     "feature_hash_vectorize",
     "text_surprisal_proxy",
+    "text_zipf_fit",
+    "text_bigram_pmi",
     # oracles changed in 5c48018 (43 VARCHAR sum casts) not covered by
     # the r13 rotation (ADVICE r12 #1 class, applied to late commits)
     "agg_cube",

@@ -854,3 +854,265 @@ def text_surprisal_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bits").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("mean_bits"),
     )
+
+
+# Closed-form bit-block rank sums for text_zipf_fit: G(t) = sum_{r=1..t}
+# floor(log2 r) and G2(t) = sum of its squares, via per-bit-block
+# counting (ranks in [2^b, 2^(b+1)) all contribute b). b stops at 61 so
+# shiftleft(1, b+1) never overflows BIGINT; t < 2^62 covers any corpus.
+def _rank_bits_sum(t: str, squared: bool = False) -> str:
+    w = "cast(b as bigint) * cast(b as bigint)" if squared \
+        else "cast(b as bigint)"
+    return (
+        f"aggregate(sequence(0, 61), cast(0 as bigint), (acc, b) -> "
+        f"acc + {w} * greatest(cast(0 as bigint), "
+        f"least({t}, shiftleft(cast(1 as bigint), b + 1) - 1) "
+        f"- shiftleft(cast(1 as bigint), b) + 1))"
+    )
+
+
+def _duck_rank_bits_sum(t: str, squared: bool = False) -> str:
+    w = "b * b" if squared else "b"
+    return (
+        f"CAST(COALESCE(list_sum([{w} * greatest(0, "
+        f"least({t}, (1::BIGINT << (b + 1)) - 1) - (1::BIGINT << b) + 1) "
+        f"FOR b IN range(0, 62)]), 0) AS BIGINT)"
+    )
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH words AS (
+        SELECT unnest({_DUCK_WORDS}) AS word
+        FROM documents WHERE text IS NOT NULL
+    ),
+    vocab AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        FROM words GROUP BY word
+    ),
+    hist AS (
+        SELECT cnt, CAST(count(*) AS BIGINT) AS m
+        FROM vocab GROUP BY cnt
+    ),
+    iv AS (
+        SELECT cnt, m,
+               SUM(m) OVER (ORDER BY cnt DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS hi
+        FROM hist
+    ),
+    terms AS (
+        SELECT m,
+               cnt * m AS ntok,
+               length(bin(cnt)) - 1 AS y,
+               {_duck_rank_bits_sum('hi')}
+                   - {_duck_rank_bits_sum('hi - m')} AS sx,
+               {_duck_rank_bits_sum('hi', True)}
+                   - {_duck_rank_bits_sum('hi - m', True)} AS sx2
+        FROM iv
+    ),
+    tot AS (
+        SELECT CAST(SUM(m) AS BIGINT) AS k,
+               CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+               CAST(SUM(sx) AS BIGINT) AS sum_x,
+               CAST(SUM(m * y) AS BIGINT) AS sum_y,
+               CAST(SUM(y * sx) AS BIGINT) AS sum_xy,
+               CAST(SUM(sx2) AS BIGINT) AS sum_x2
+        FROM terms
+    )
+    SELECT k AS n_types, n_tokens, sum_x, sum_y, sum_xy, sum_x2,
+           CAST(k * sum_xy - sum_x * sum_y AS BIGINT) AS slope_num,
+           CAST(k * sum_x2 - sum_x * sum_x AS BIGINT) AS slope_den,
+           CAST(k * sum_xy - sum_x * sum_y AS DOUBLE)
+               / CAST(nullif(k * sum_x2 - sum_x * sum_x, 0) AS DOUBLE)
+               AS zipf_slope
+    FROM tot
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus rank-frequency curve — the standard
+    one-number health check of a training corpus (natural text fits
+    slope ~ -1 on log-log rank/frequency; scraped boilerplate, dedup
+    failures, and synthetic spam all bend it). Implemented as an OLS
+    slope of y = floor(log2 frequency) on x = floor(log2 rank), with
+    EVERY statistic exact in BIGINT:
+
+    * y is a bit-length (``length(bin(cnt)) - 1``) on both engines;
+    * x never requires ranking the vocabulary at all — floor(log2 r)
+      summed over a rank INTERVAL has a closed form by counting ranks
+      per bit-block (ranks [2^b, 2^(b+1)) each contribute b), so the
+      engine aggregates the count HISTOGRAM (one row per distinct
+      frequency, with its cumulative rank interval [hi-m+1, hi]) and
+      evaluates G(hi) - G(hi-m) per row. Ties in frequency are a
+      non-issue by construction: any rank assignment within an equal-
+      count interval yields the same interval sums, so no total-order
+      tiebreak is ever needed (the r12/r13 dup-replica failure class
+      can't exist here).
+    * the final slope is ONE division of two identically-computed
+      BIGINTs (k*Sxy - Sx*Sy) / (k*Sx2 - Sx^2) -> bit-identical
+      doubles; the exact integer numerator/denominator are also
+      emitted, so the fit itself is hash-adjudicated, not just
+      approximated. Degenerate designs (single rank bucket) yield
+      NULL slope via nullif on both engines.
+
+    Scale shape: one groupBy(word) with map-side combine (the only
+    corpus-sized shuffle), then a groupBy(cnt) onto a histogram whose
+    size is O(distinct frequencies) ~ O(log N) under Zipf — the window
+    and closed-form pass run on that tiny relation; no global sort over
+    the vocabulary, no per-word rank materialization. BIGINT holds the
+    cross products for any k*Sxy < 2^63 (k ~ 1e9 types is still 5e14);
+    a >10^12-type corpus would move the two final products to
+    DECIMAL(38,0)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.expr(_WORDS)).alias("word"))
+    vocab = words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    hist = vocab.groupBy("cnt").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    w = Window.orderBy(F.desc("cnt")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    iv = hist.select("cnt", "m", F.sum("m").over(w).alias("hi"))
+    terms = iv.select(
+        "m",
+        (F.col("cnt") * F.col("m")).alias("ntok"),
+        (F.length(F.bin(F.col("cnt"))) - F.lit(1))
+        .cast("long")
+        .alias("y"),
+        (
+            F.expr(_rank_bits_sum("hi"))
+            - F.expr(_rank_bits_sum("hi - m"))
+        ).alias("sx"),
+        (
+            F.expr(_rank_bits_sum("hi", True))
+            - F.expr(_rank_bits_sum("hi - m", True))
+        ).alias("sx2"),
+    )
+    tot = terms.agg(
+        F.sum("m").cast("long").alias("k"),
+        F.sum("ntok").cast("long").alias("n_tokens"),
+        F.sum("sx").cast("long").alias("sum_x"),
+        F.sum(F.col("m") * F.col("y")).cast("long").alias("sum_y"),
+        F.sum(F.col("y") * F.col("sx")).cast("long").alias("sum_xy"),
+        F.sum("sx2").cast("long").alias("sum_x2"),
+    )
+    num = F.col("k") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y")
+    den = F.col("k") * F.col("sum_x2") - F.col("sum_x") * F.col("sum_x")
+    return tot.select(
+        F.col("k").alias("n_types"),
+        "n_tokens",
+        "sum_x",
+        "sum_y",
+        "sum_xy",
+        "sum_x2",
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        (
+            num.cast("double")
+            / F.nullif(den, F.lit(0)).cast("double")
+        ).alias("zipf_slope"),
+    )
+
+
+@query(
+    "text_bigram_pmi",
+    oracle=f"""
+    WITH docs AS (
+        SELECT {_DUCK_WORDS} AS wl
+        FROM documents WHERE text IS NOT NULL
+    ),
+    pairs AS (
+        SELECT p[1] AS w1, p[2] AS w2
+        FROM (SELECT unnest([[wl[i], wl[i + 1]]
+                             FOR i IN range(1, len(wl))]) AS p
+              FROM docs)
+    ),
+    big AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+        FROM pairs GROUP BY w1, w2
+    ),
+    lefts AS (
+        SELECT w1, CAST(count(*) AS BIGINT) AS c_x FROM pairs GROUP BY w1
+    ),
+    rights AS (
+        SELECT w2, CAST(count(*) AS BIGINT) AS c_y FROM pairs GROUP BY w2
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_bigrams FROM pairs)
+    SELECT b.w1, b.w2, b.c_xy, l.c_x, r.c_y, t.n_bigrams,
+           CAST(b.c_xy * t.n_bigrams AS DOUBLE)
+               / CAST(l.c_x * r.c_y AS DOUBLE) AS pmi_ratio
+    FROM big b
+    JOIN lefts l ON b.w1 = l.w1
+    JOIN rights r ON b.w2 = r.w2
+    CROSS JOIN tot t
+    WHERE b.c_xy >= 5
+    ORDER BY pmi_ratio DESC, b.w1, b.w2
+    LIMIT 50
+    """,
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by pointwise mutual information — the
+    classic corpus-analysis pass (Church & Hanks 1990) a training
+    pipeline runs to find multi-word units, boilerplate n-grams, and
+    tokenizer-merge candidates. PMI = log p(x,y)/(p(x)p(y)); since log
+    is monotone, ranking by the RATIO (c_xy * N) / (c_x * c_y) is the
+    same ordering with no transcendental in sight — the ratio is ONE
+    division of two identically-computed exact BIGINT products, so the
+    score is bit-identical cross-engine and the top-50 is
+    hash-adjudicable. Margins are positional (c_x = occurrences as
+    FIRST element, c_y = as SECOND), the standard contingency-table
+    convention; min-support c_xy >= 5 (Church & Hanks' cutoff) keeps
+    the head stable. Tie order is total: (ratio DESC, w1, w2) — (w1,
+    w2) is unique after the group-by.
+
+    Scale shape: adjacent pairs are built MAP-SIDE inside codegen
+    (transform over the split array — no posexplode self-join, no
+    per-token shuffle); then one groupBy(w1,w2) with map-side combine
+    and two vocabulary-sized margin aggregations joined back by hash
+    join (AQE splits the zipf-head hot keys); the 1-row total is a
+    broadcast. Top-50 is a TakeOrderedAndProject, never a global sort
+    materialization. BIGINT holds c_xy*N to ~2^63 (a 10^12-bigram
+    corpus with a 10^9-count head pair needs DECIMAL(38,0) — noted,
+    not hit at any gated SF)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = (
+        d.where(F.col("text").isNotNull())
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(slice({_WORDS}, 1, size({_WORDS}) - 1), "
+                    f"(x, i) -> struct(x as w1, "
+                    f"element_at({_WORDS}, i + 2) as w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    big = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c_xy")
+    )
+    lefts = pairs.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("long").alias("c_x")
+    )
+    rights = pairs.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c_y")
+    )
+    tot = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"))
+    return (
+        big.where(F.col("c_xy") >= 5)
+        .join(lefts, "w1")
+        .join(rights, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", "c_xy", "c_x", "c_y", "n_bigrams",
+            (
+                (F.col("c_xy") * F.col("n_bigrams")).cast("double")
+                / (F.col("c_x") * F.col("c_y")).cast("double")
+            ).alias("pmi_ratio"),
+        )
+        .orderBy(F.desc("pmi_ratio"), "w1", "w2")
+        .limit(50)
+    )

@@ -372,3 +372,87 @@ def test_wav_naive_fixed_offset_reader_is_wrong():
 def test_oracle_match_r14_wav(name, spark):
     r = compare(name, spark, SF_TEST, verbose=False)
     assert r["ok"], f"{name}: {r.get('issues')}"
+
+
+# --- text_zipf_fit / text_bigram_pmi: corpus-statistics additions ----------
+
+
+def test_zipf_fit_matches_bruteforce_per_rank(spark, tmp_path):
+    """The closed-form bit-block interval sums must equal the naive
+    per-rank computation (rank every word by count desc, x=floor(log2
+    rank), y=floor(log2 cnt), OLS slope) — including tie intervals that
+    straddle a power-of-two boundary (counts chosen so the cnt=1 tie
+    block spans ranks 3..9 across the 4/8 boundaries)."""
+    import math
+
+    from databricks_feature_store_poc_spark.llm.text import text_zipf_fit
+
+    # corpus: 'a' x8, 'b' x3, then 7 singletons -> ranks 1..9
+    text = " ".join(["a"] * 8 + ["b"] * 3 + list("cdefghi"))
+    sf = _write_documents(spark, tmp_path, [(1, text)])
+    r = text_zipf_fit(spark, sf).collect()[0]
+
+    counts = sorted([8, 3, 1, 1, 1, 1, 1, 1, 1], reverse=True)
+    xs = [int(math.log2(rank)) for rank in range(1, len(counts) + 1)]
+    ys = [c.bit_length() - 1 for c in counts]
+    k = len(counts)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sx2 = sum(x * x for x in xs)
+    assert (r["n_types"], r["n_tokens"]) == (9, 18)
+    assert (r["sum_x"], r["sum_y"], r["sum_xy"], r["sum_x2"]) == (
+        sx, sy, sxy, sx2,
+    )
+    assert r["slope_num"] == k * sxy - sx * sy
+    assert r["slope_den"] == k * sx2 - sx * sx
+    assert r["zipf_slope"] == (k * sxy - sx * sy) / (k * sx2 - sx * sx)
+    assert r["zipf_slope"] < 0  # frequency falls with rank
+
+
+def test_zipf_fit_degenerate_single_type_yields_null_slope(spark, tmp_path):
+    from databricks_feature_store_poc_spark.llm.text import text_zipf_fit
+
+    sf = _write_documents(spark, tmp_path, [(1, "same same same")])
+    r = text_zipf_fit(spark, sf).collect()[0]
+    assert r["n_types"] == 1 and r["slope_den"] == 0
+    assert r["zipf_slope"] is None
+
+
+def test_bigram_pmi_bruteforce_and_support_cut(spark, tmp_path):
+    """PMI ratio = c_xy*N/(c_x*c_y) with POSITIONAL margins; pairs below
+    the c_xy>=5 support cut must not appear even with a sky-high
+    ratio."""
+    from databricks_feature_store_poc_spark.llm.text import text_bigram_pmi
+
+    # 'x y' always together (5 times, meets support), 'q z' once (rare,
+    # perfect association, BELOW support), 'a' scattered as noise.
+    docs = [
+        (1, "x y a x y"),
+        (2, "x y a a q z"),
+        (3, "x y a x y a"),
+    ]
+    sf = _write_documents(spark, tmp_path, docs)
+    rows = text_bigram_pmi(spark, sf).collect()
+    got = {(r["w1"], r["w2"]): r for r in rows}
+    assert ("q", "z") not in got  # support cut
+    assert ("x", "y") in got
+    # brute-force margins over ALL adjacent pairs
+    pairs = []
+    for _, t in docs:
+        ws = t.split()
+        pairs += list(zip(ws, ws[1:]))
+    n = len(pairs)
+    c_xy = pairs.count(("x", "y"))
+    c_x = sum(1 for p in pairs if p[0] == "x")
+    c_y = sum(1 for p in pairs if p[1] == "y")
+    r = got[("x", "y")]
+    assert (r["c_xy"], r["c_x"], r["c_y"], r["n_bigrams"]) == (
+        c_xy, c_x, c_y, n,
+    )
+    assert r["pmi_ratio"] == (c_xy * n) / (c_x * c_y)
+
+
+@pytest.mark.parametrize("name", ["text_zipf_fit", "text_bigram_pmi"])
+def test_oracle_match_r14_corpus_stats(name, spark):
+    r = compare(name, spark, SF_TEST, verbose=False)
+    assert r["ok"], f"{name}: {r.get('issues')}"
