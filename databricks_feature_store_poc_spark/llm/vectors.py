@@ -632,3 +632,130 @@ def embed_gram_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("q").alias("sum_q"),
         F.sum(F.col("q") * F.col("q")).alias("sum_q2"),
     )
+
+
+def _duck_floordiv_pow2(val: str, maxabs_cte: str) -> str:
+    """Exact floor division of ``val`` by the power of two held in
+    ``maxabs_cte``'s single row (column p) — the two's-complement-safe
+    form both engines agree on for negatives."""
+    return f"({val} - ((({val}) % p) + p) % p) // p"
+
+
+@query(
+    "embed_pca_power",
+    oracle=f"""
+    WITH v0 AS (SELECT row_number() OVER (ORDER BY vec_id, {_DUCK_QV0})
+                    AS rid,
+                       {_DUCK_QV0} AS q0 FROM embeddings
+                WHERE embedding IS NOT NULL),
+    ve0 AS (SELECT rid, i, q0[i] AS q FROM v0, range(1, {DIMS + 1}) r(i)),
+    g_up AS (SELECT a.i AS di, b.i AS dj,
+                    CAST(SUM(a.q * b.q) AS BIGINT) AS s
+             FROM ve0 a JOIN ve0 b ON a.rid = b.rid AND a.i <= b.i
+             GROUP BY a.i, b.i),
+    g_full AS (SELECT di AS i, dj AS j, s FROM g_up
+               UNION ALL
+               SELECT dj, di, s FROM g_up WHERE di < dj),
+    gp AS (SELECT (1::BIGINT << greatest(0,
+               length(bin(COALESCE(MAX(abs(s)), 0))) - 24)) AS p
+           FROM g_full),
+    g2 AS (SELECT i, j, (s - ((s % p) + p) % p) // p AS g
+           FROM g_full, gp),
+    w1 AS (SELECT i, CAST(SUM(g) AS BIGINT) AS w FROM g2 GROUP BY i),
+    p1 AS (SELECT (1::BIGINT << greatest(0,
+               length(bin(COALESCE(MAX(abs(w)), 0))) - 20)) AS p
+           FROM w1),
+    v1 AS (SELECT i AS j, (w - ((w % p) + p) % p) // p AS v FROM w1, p1),
+    w2 AS (SELECT g2.i, CAST(SUM(g2.g * v1.v) AS BIGINT) AS w
+           FROM g2 JOIN v1 ON g2.j = v1.j GROUP BY g2.i),
+    p2 AS (SELECT (1::BIGINT << greatest(0,
+               length(bin(COALESCE(MAX(abs(w)), 0))) - 20)) AS p
+           FROM w2),
+    v2 AS (SELECT i AS j, (w - ((w % p) + p) % p) // p AS v FROM w2, p2),
+    w3 AS (SELECT g2.i, CAST(SUM(g2.g * v2.v) AS BIGINT) AS w
+           FROM g2 JOIN v2 ON g2.j = v2.j GROUP BY g2.i),
+    p3 AS (SELECT (1::BIGINT << greatest(0,
+               length(bin(COALESCE(MAX(abs(w)), 0))) - 20)) AS p
+           FROM w3),
+    v3 AS (SELECT i AS j, (w - ((w % p) + p) % p) // p AS v FROM w3, p3)
+    SELECT j AS dim, v AS component FROM v3
+    """,
+)
+def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus by POWER
+    ITERATION on the exact-integer gram matrix — the iterative-
+    linear-algebra member of the family (tall-skinny PCA: one O(N*d^2)
+    distributed pass builds X^T X, then the d x d eigenproblem is
+    corpus-size-independent). Three fixed iterations from the all-ones
+    vector, entirely in BIGINT, so the trajectory is bit-identical on
+    both engines and hash-adjudicable — no float eigensolver whose
+    convergence/rounding could differ:
+
+    * the gram is the proven-exact embed_gram_matrix pass (chunked
+      int64-accumulated BLAS partials, one 2080-cell shuffle);
+    * before iterating, G is floor-divided by a power of two keeping
+      its top 24 bits; each iterate is renormalized the same way to 20
+      bits (shift = bitlength(max|w|) - 20). The overflow audit:
+      |G'| < 2^24, |v| < 2^21, so each matvec component is at most
+      64 * 2^24 * 2^21 = 2^51 — no BIGINT wrap at ANY corpus size
+      (scale enters only through G's magnitude, absorbed by its
+      shift);
+    * floor division uses the pmod form on both engines (verified:
+      Spark ``(w - pmod(w, p)) div p`` == DuckDB
+      ``(w - ((w%p)+p)%p) // p`` == -2 for w=-7, p=4), because bare
+      integer division truncates toward zero in both and would round
+      negatives the other way.
+
+    The sign/scale convention is therefore deterministic-by-
+    construction (ones start, fixed shifts), and downstream consumers
+    (whitening, spectral outlier pruning) re-normalize anyway.
+
+    Scale shape: the ONLY corpus-sized work is the gram pass (reused,
+    session-persisted on the embeddings fingerprint); the three
+    iterations are joins over a 4096-row broadcastable relation with
+    1-row broadcast shift factors — constant cost at any N."""
+    import os
+
+    from databricks_feature_store_poc_spark.cacheutil import session_persist
+
+    cells = session_persist(
+        spark,
+        "pca_gram_cells",
+        [os.path.join(sf_dir, "embeddings.parquet")],
+        embed_gram_matrix(spark, sf_dir),
+    )
+    up = cells.select(
+        F.col("dim_i").alias("i"), F.col("dim_j").alias("j"), "s"
+    )
+    full = up.unionAll(
+        cells.where(F.col("dim_i") < F.col("dim_j")).select(
+            F.col("dim_j").alias("i"), F.col("dim_i").alias("j"), "s"
+        )
+    )
+
+    def pow2_keep(df: DataFrame, col: str, keep: int) -> DataFrame:
+        """1-row (p) relation: 2^max(0, bitlen(max|col|) - keep)."""
+        return df.agg(
+            F.expr(
+                f"shiftleft(cast(1 as bigint), greatest(0, "
+                f"length(bin(coalesce(max(abs({col})), 0))) - {keep}))"
+            ).alias("p")
+        )
+
+    g2 = full.crossJoin(F.broadcast(pow2_keep(full, "s", 24))).select(
+        "i", "j", F.expr("(s - pmod(s, p)) div p").alias("g")
+    )
+    w = g2.groupBy("i").agg(F.sum("g").cast("long").alias("w"))
+    for _ in range(3):
+        v = w.crossJoin(F.broadcast(pow2_keep(w, "w", 20))).select(
+            F.col("i").alias("j"),
+            F.expr("(w - pmod(w, p)) div p").alias("v"),
+        )
+        w = (
+            g2.join(v, "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("g") * F.col("v")).cast("long").alias("w"))
+        )
+    # after 3 loop turns v holds the third renormalized iterate (the
+    # final w = G*v3 is never consumed — lazy, so never computed)
+    return v.select(F.col("j").alias("dim"), F.col("v").alias("component"))

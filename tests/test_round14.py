@@ -456,3 +456,97 @@ def test_bigram_pmi_bruteforce_and_support_cut(spark, tmp_path):
 def test_oracle_match_r14_corpus_stats(name, spark):
     r = compare(name, spark, SF_TEST, verbose=False)
     assert r["ok"], f"{name}: {r.get('issues')}"
+
+
+# --- embed_pca_power: integer power iteration on the exact gram ------------
+
+
+def _write_embeddings(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    return str(tmp_path)
+
+
+def _pca_power_bruteforce(vectors):
+    """Independent integer recompute of the embed_pca_power contract:
+    quantize to the 2^20 grid, exact gram, shift G to 24 bits, three
+    renormalize-to-20-bits power iterations from ones."""
+    import numpy as np
+
+    GRID = 1 << 20
+    Q = np.array(
+        [[int(np.floor(float(x) * GRID + 0.5)) for x in v] for v in vectors],
+        dtype=object,  # python ints: no overflow anywhere
+    )
+    d = Q.shape[1]
+    G = [[sum(int(Q[r][i]) * int(Q[r][j]) for r in range(len(Q)))
+          for j in range(d)] for i in range(d)]
+    mg = max(abs(G[i][j]) for i in range(d) for j in range(d))
+    gsh = max(0, mg.bit_length() - 24)
+    # x >> s == floor(x / 2^s) for python ints of either sign
+    Gp = [[G[i][j] >> gsh for j in range(d)] for i in range(d)]
+    v = [1] * d
+    for _ in range(3):
+        w = [sum(Gp[i][j] * v[j] for j in range(d)) for i in range(d)]
+        mw = max(abs(x) for x in w) if any(w) else 0
+        s = max(0, mw.bit_length() - 20)
+        v = [x >> s for x in w]
+    return v
+
+
+def test_pca_power_matches_integer_bruteforce(spark, tmp_path):
+    from databricks_feature_store_poc_spark.llm.vectors import (
+        embed_pca_power,
+    )
+
+    rows = [
+        (i, [((i * 31 + d * 7) % 13 - 6) / 6.0 for d in range(64)], i % 2)
+        for i in range(20)
+    ] + [(99, None, 0)]  # NULL embedding contributes nothing
+    sf = _write_embeddings(spark, tmp_path, rows)
+    got = {
+        r["dim"]: r["component"]
+        for r in embed_pca_power(spark, sf).collect()
+    }
+    exp = _pca_power_bruteforce([v for _, v, _ in rows if v is not None])
+    assert len(got) == 64
+    assert [got[j + 1] for j in range(64)] == exp
+
+
+def test_pca_power_finds_the_dominant_direction(spark, tmp_path):
+    """On a corpus concentrated along one axis plus small noise, the
+    third power iterate must align with numpy's top eigenvector of the
+    float gram (|cos| > 0.99) — i.e. the integer pipeline is a real
+    eigensolver, not just a deterministic hash."""
+    import numpy as np
+
+    from databricks_feature_store_poc_spark.llm.vectors import (
+        embed_pca_power,
+    )
+
+    rng = np.random.RandomState(7)
+    axis = np.zeros(64); axis[5] = 1.0
+    X = np.outer(rng.randn(200) * 2.0, axis) + rng.randn(200, 64) * 0.05
+    rows = [(i, [float(x) for x in X[i]], 0) for i in range(200)]
+    sf = _write_embeddings(spark, tmp_path, rows)
+    got = {
+        r["dim"]: r["component"]
+        for r in embed_pca_power(spark, sf).collect()
+    }
+    v = np.array([got[j + 1] for j in range(64)], dtype=float)
+    G = X.T @ X
+    evals, evecs = np.linalg.eigh(G)
+    top = evecs[:, -1]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.99, cos
+    assert abs(v).argmax() == 5
+
+
+@pytest.mark.parametrize("name", ["embed_pca_power"])
+def test_oracle_match_r14_pca(name, spark):
+    r = compare(name, spark, SF_TEST, verbose=False)
+    assert r["ok"], f"{name}: {r.get('issues')}"
