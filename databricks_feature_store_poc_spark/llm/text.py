@@ -1083,7 +1083,11 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.explode(
                 F.expr(
-                    f"transform(slice({_WORDS}, 1, size({_WORDS}) - 1), "
+                    # greatest(.., 0): a 0-word doc would make the slice
+                    # length -1, which slice() rejects (adversarial
+                    # whitespace-only documents)
+                    f"transform(slice({_WORDS}, 1, "
+                    f"greatest(size({_WORDS}) - 1, 0)), "
                     f"(x, i) -> struct(x as w1, "
                     f"element_at({_WORDS}, i + 2) as w2))"
                 )

@@ -550,3 +550,17 @@ def test_pca_power_finds_the_dominant_direction(spark, tmp_path):
 def test_oracle_match_r14_pca(name, spark):
     r = compare(name, spark, SF_TEST, verbose=False)
     assert r["ok"], f"{name}: {r.get('issues')}"
+
+
+def test_bigram_pmi_survives_zero_word_documents(spark, tmp_path):
+    """Adversarial-replica catch: a whitespace-only document made the
+    adjacent-pair slice length -1, which slice() rejects at runtime.
+    Empty/one-word docs must contribute zero pairs, not crash."""
+    from databricks_feature_store_poc_spark.llm.text import text_bigram_pmi
+
+    docs = [(1, "   "), (2, ""), (3, "lonely"), (4, None)] + [
+        (10 + i, "x y") for i in range(5)
+    ]
+    sf = _write_documents(spark, tmp_path, docs)
+    rows = text_bigram_pmi(spark, sf).collect()
+    assert [(r["w1"], r["w2"], r["c_xy"]) for r in rows] == [("x", "y", 5)]
