@@ -68,6 +68,7 @@ _CHANGED_TIER = (
     "text_zipf_fit",
     "text_bigram_pmi",
     "embed_pca_power",
+    "analyze_table_stats",
     # oracles changed in 5c48018 (43 VARCHAR sum casts) not covered by
     # the r13 rotation (ADVICE r12 #1 class, applied to late commits)
     "agg_cube",

@@ -657,3 +657,67 @@ def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         for label, fact, fk, dim, dk in _FK_EDGES
     ]
     return reduce(lambda a, b: a.unionByName(b), branches)
+
+
+# ANALYZE-style per-column profile of orders: the statistics a
+# cost-based optimizer actually consumes (row count, null count, exact
+# NDV per column). All counts -> all BIGINT -> hash-adjudicable with no
+# value-formatting risk (min/max of mixed types would need lossy
+# VARCHAR casts; the approximate/HLL variant for >>column-count scans
+# already exists as agg_approx_distinct / agg_hll_sketch).
+_ANALYZE_COLS = (
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority",
+)
+
+
+@query(
+    "analyze_table_stats",
+    oracle=f"""
+    {" UNION ALL ".join(
+        "SELECT '" + c + "' AS col, "
+        "CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(count(" + c + ") AS BIGINT) AS n_nonnull, "
+        "CAST(count(DISTINCT " + c + ") AS BIGINT) AS n_distinct "
+        "FROM orders"
+        for c in _ANALYZE_COLS
+    )}
+    """,
+)
+def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS, as a query: one
+    row per column of orders with (n_rows, n_nonnull, exact n_distinct)
+    — the statistics triple a cost-based optimizer feeds on (join
+    reordering, broadcast decisions, NDV-based agg strategies). The
+    reference platform runs this implicitly inside its managed Delta
+    layer; here it is a first-class, oracle-checked operator.
+
+    Exactness: counts only — BIGINT end to end, no min/max VARCHAR
+    casts whose engine-specific float formatting could hash-mismatch.
+
+    Scale shape: ONE SELECT with 8 count(distinct) aggregates — Spark
+    plans multi-distinct via a single Expand (rows x (n_cols+1)) into
+    one partial-aggregated shuffle, i.e. one scan of the table and
+    map-side combine on every path; column pruning keeps the scan to
+    exactly the profiled columns. At extreme widths (hundreds of
+    columns) the HLL twin (agg_approx_distinct) bounds the expand
+    blow-up; the exact pass is the adjudicable contract."""
+    o = load_table(spark, sf_dir, "orders")
+    row = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        *[
+            F.count(c).cast("long").alias(f"nn_{c}")
+            for c in _ANALYZE_COLS
+        ],
+        *[
+            F.countDistinct(c).cast("long").alias(f"nd_{c}")
+            for c in _ANALYZE_COLS
+        ],
+    )
+    stack = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}" for c in _ANALYZE_COLS
+    )
+    return row.selectExpr(
+        f"stack({len(_ANALYZE_COLS)}, {stack}) AS (col, n_nonnull, n_distinct)",
+        "n_rows",
+    ).select("col", "n_rows", "n_nonnull", "n_distinct")

@@ -1034,13 +1034,15 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
         FROM pairs GROUP BY w1, w2
     ),
+    -- margins/total derived from the grouped relation, NOT from a
+    -- second pass over pairs: sum(c_xy) by w1 == count of pairs by w1
     lefts AS (
-        SELECT w1, CAST(count(*) AS BIGINT) AS c_x FROM pairs GROUP BY w1
+        SELECT w1, CAST(SUM(c_xy) AS BIGINT) AS c_x FROM big GROUP BY w1
     ),
     rights AS (
-        SELECT w2, CAST(count(*) AS BIGINT) AS c_y FROM pairs GROUP BY w2
+        SELECT w2, CAST(SUM(c_xy) AS BIGINT) AS c_y FROM big GROUP BY w2
     ),
-    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_bigrams FROM pairs)
+    tot AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n_bigrams FROM big)
     SELECT b.w1, b.w2, b.c_xy, l.c_x, r.c_y, t.n_bigrams,
            CAST(b.c_xy * t.n_bigrams AS DOUBLE)
                / CAST(l.c_x * r.c_y AS DOUBLE) AS pmi_ratio
@@ -1078,18 +1080,22 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus with a 10^9-count head pair needs DECIMAL(38,0) — noted,
     not hit at any gated SF)."""
     d = load_table(spark, sf_dir, "documents")
+    # Materialize the words array ONCE per row before the per-index
+    # lambda touches it (the SCALE.md text-operator rule): referencing
+    # _WORDS inside element_at would re-run split(text) per element —
+    # O(len^2) per document, the 100x-gate timeout on first contact.
     pairs = (
         d.where(F.col("text").isNotNull())
+        .select(F.expr(_WORDS).alias("ws"))
         .select(
             F.explode(
                 F.expr(
                     # greatest(.., 0): a 0-word doc would make the slice
                     # length -1, which slice() rejects (adversarial
                     # whitespace-only documents)
-                    f"transform(slice({_WORDS}, 1, "
-                    f"greatest(size({_WORDS}) - 1, 0)), "
-                    f"(x, i) -> struct(x as w1, "
-                    f"element_at({_WORDS}, i + 2) as w2))"
+                    "transform(slice(ws, 1, greatest(size(ws) - 1, 0)), "
+                    "(x, i) -> struct(x as w1, "
+                    "element_at(ws, i + 2) as w2))"
                 )
             ).alias("p")
         )
@@ -1098,13 +1104,12 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = pairs.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("c_xy")
     )
-    lefts = pairs.groupBy("w1").agg(
-        F.count(F.lit(1)).cast("long").alias("c_x")
-    )
-    rights = pairs.groupBy("w2").agg(
-        F.count(F.lit(1)).cast("long").alias("c_y")
-    )
-    tot = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"))
+    # margins + total derived from the GROUPED relation (vocab^2-bounded),
+    # not by re-scanning pairs three more times: sum(c_xy) by w1 is the
+    # pair count by w1. One corpus-sized pass total.
+    lefts = big.groupBy("w1").agg(F.sum("c_xy").cast("long").alias("c_x"))
+    rights = big.groupBy("w2").agg(F.sum("c_xy").cast("long").alias("c_y"))
+    tot = big.agg(F.sum("c_xy").cast("long").alias("n_bigrams"))
     return (
         big.where(F.col("c_xy") >= 5)
         .join(lefts, "w1")

@@ -644,22 +644,22 @@ def _duck_floordiv_pow2(val: str, maxabs_cte: str) -> str:
 @query(
     "embed_pca_power",
     oracle=f"""
-    WITH v0 AS (SELECT row_number() OVER (ORDER BY vec_id, {_DUCK_QV0})
+    WITH v0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id, {_DUCK_QV0})
                     AS rid,
                        {_DUCK_QV0} AS q0 FROM embeddings
                 WHERE embedding IS NOT NULL),
-    ve0 AS (SELECT rid, i, q0[i] AS q FROM v0, range(1, {DIMS + 1}) r(i)),
-    g_up AS (SELECT a.i AS di, b.i AS dj,
+    ve0 AS MATERIALIZED (SELECT rid, i, q0[i] AS q FROM v0, range(1, {DIMS + 1}) r(i)),
+    g_up AS MATERIALIZED (SELECT a.i AS di, b.i AS dj,
                     CAST(SUM(a.q * b.q) AS BIGINT) AS s
              FROM ve0 a JOIN ve0 b ON a.rid = b.rid AND a.i <= b.i
              GROUP BY a.i, b.i),
-    g_full AS (SELECT di AS i, dj AS j, s FROM g_up
+    g_full AS MATERIALIZED (SELECT di AS i, dj AS j, s FROM g_up
                UNION ALL
                SELECT dj, di, s FROM g_up WHERE di < dj),
     gp AS (SELECT (1::BIGINT << greatest(0,
                length(bin(COALESCE(MAX(abs(s)), 0))) - 24)) AS p
            FROM g_full),
-    g2 AS (SELECT i, j, (s - ((s % p) + p) % p) // p AS g
+    g2 AS MATERIALIZED (SELECT i, j, (s - ((s % p) + p) % p) // p AS g
            FROM g_full, gp),
     w1 AS (SELECT i, CAST(SUM(g) AS BIGINT) AS w FROM g2 GROUP BY i),
     p1 AS (SELECT (1::BIGINT << greatest(0,

@@ -564,3 +564,37 @@ def test_bigram_pmi_survives_zero_word_documents(spark, tmp_path):
     sf = _write_documents(spark, tmp_path, docs)
     rows = text_bigram_pmi(spark, sf).collect()
     assert [(r["w1"], r["w2"], r["c_xy"]) for r in rows] == [("x", "y", 5)]
+
+
+# --- analyze_table_stats: CBO-style column profile (r14) --------------------
+
+
+def test_analyze_table_stats_bruteforce(spark, tmp_path):
+    from databricks_feature_store_poc_spark.featurestore.quality import (
+        analyze_table_stats,
+    )
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+    from tests.conftest import SF_TEST
+
+    rows = {r["col"]: r for r in analyze_table_stats(spark, SF_TEST).collect()}
+    o = load_table(spark, SF_TEST, "orders")
+    n = o.count()
+    assert set(rows) == {
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    }
+    for c, r in rows.items():
+        assert r["n_rows"] == n
+        assert r["n_nonnull"] == o.where(f"{c} IS NOT NULL").count()
+        assert r["n_distinct"] == o.select(c).distinct().where(
+            f"{c} IS NOT NULL"
+        ).count()
+    # a PK must profile as unique
+    pk = rows["o_orderkey"]
+    assert pk["n_distinct"] == pk["n_nonnull"]
+
+
+@pytest.mark.parametrize("name", ["analyze_table_stats"])
+def test_oracle_match_r14_analyze(name, spark):
+    r = compare(name, spark, SF_TEST, verbose=False)
+    assert r["ok"], f"{name}: {r.get('issues')}"
