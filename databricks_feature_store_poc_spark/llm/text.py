@@ -1104,6 +1104,20 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = pairs.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("c_xy")
     )
+    # session-persist the grouped relation (vocab^2-bounded, tiny next
+    # to the corpus): its four consumers below then share ONE corpus
+    # scan by construction — not merely by AQE exchange reuse, which
+    # only dedupes at runtime and leaves the static plan 4-scan.
+    import os as _os
+
+    from databricks_feature_store_poc_spark.cacheutil import session_persist
+
+    big = session_persist(
+        spark,
+        "bigram_counts",
+        [_os.path.join(sf_dir, "documents.parquet")],
+        big,
+    )
     # margins + total derived from the GROUPED relation (vocab^2-bounded),
     # not by re-scanning pairs three more times: sum(c_xy) by w1 is the
     # pair count by w1. One corpus-sized pass total.

@@ -79,6 +79,7 @@ Usage:
     ADV_MODE=empty python scripts/make_adversarial_replica.py
     ADV_MODE=single python scripts/make_adversarial_replica.py
     ADV_MODE=dup python scripts/make_adversarial_replica.py
+    ADV_MODE=allnull python scripts/make_adversarial_replica.py
 Then:
     python tests/harness.py --sf /tmp/spark_graft_adversarial
 """
@@ -111,6 +112,7 @@ DST = os.environ.get(
         "single": "/tmp/spark_graft_single",
         "dup": "/tmp/spark_graft_dup",
         "hotdup": "/tmp/spark_graft_hotdup",
+        "allnull": "/tmp/spark_graft_allnull",
     }[MODE],
 )
 
@@ -434,6 +436,46 @@ def build_hotdup() -> None:
         print(f"  {t}: {n} rows, {nk} distinct {key} ({n - nk} extra)")
 
 
+# join/identity columns preserved by allnull mode: PKs + FKs, so every
+# join still fans out at full cardinality while every PAYLOAD value is
+# NULL. (empty/single cover degenerate CARDINALITY; this covers
+# degenerate VALUES at full row counts — aggregates over nothing but
+# NULL, windows ordered by NULL, text/embedding pipelines where every
+# document/vector is NULL.)
+_ALLNULL_KEEP = {
+    "region": {"r_regionkey"},
+    "nation": {"n_nationkey", "n_regionkey"},
+    "customer": {"c_custkey", "c_nationkey"},
+    "supplier": {"s_suppkey", "s_nationkey"},
+    "part": {"p_partkey"},
+    "orders": {"o_orderkey", "o_custkey"},
+    "lineitem": {"l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"},
+    "events": {"event_id", "user_id"},
+    "documents": {"doc_id"},
+    "embeddings": {"vec_id"},
+}
+
+
+def build_allnull() -> None:
+    """allnull mode: keys intact, every payload column NULL — the
+    degenerate-VALUE axis at full cardinality (fifteenth distribution,
+    r14). Any operator whose oracle contract assumes >= 1 non-NULL
+    payload value (a total computed as sum over an all-NULL column, a
+    window ordered solely by a NULL timestamp, a division by a non-null
+    count) diverges here."""
+    spark = get_spark()
+    os.makedirs(DST, exist_ok=True)
+    for t in TABLES:
+        df = load_table(spark, SRC, t)
+        keep = _ALLNULL_KEEP[t]
+        cols = [
+            F.col(c) if c in keep
+            else F.lit(None).cast(df.schema[c].dataType).alias(c)
+            for c in df.columns
+        ]
+        _write(df.select(*cols), t)
+
+
 def build_content() -> None:
     spark = get_spark()
     os.makedirs(DST, exist_ok=True)
@@ -589,6 +631,8 @@ if __name__ == "__main__":
         build_dup()
     elif MODE == "hotdup":
         build_hotdup()
+    elif MODE == "allnull":
+        build_allnull()
     else:
         build_degenerate()
     _stamp_fingerprint()
