@@ -69,6 +69,19 @@ _CHANGED_TIER = (
     "text_bigram_pmi",
     "embed_pca_power",
     "analyze_table_stats",
+    # oracles/engines changed by the r14 allnull-replica adjudication
+    # (15 fixes: NULL-contract alignments + 3 real engine bugs) — the
+    # changed-keys rule says these MUST re-adjudicate this round
+    "project_exprs",
+    "agg_approx_percentile",
+    "agg_collect_set",
+    "feature_quantile_bin",
+    "udaf_grouped",
+    "eval_metrics",
+    "stream_true_parity",
+    "agg_incremental_state",
+    "feature_rfm_segments_hist",
+    "feature_rfm_segments",
     # oracles changed in 5c48018 (43 VARCHAR sum casts) not covered by
     # the r13 rotation (ADVICE r12 #1 class, applied to late commits)
     "agg_cube",

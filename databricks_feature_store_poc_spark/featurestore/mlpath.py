@@ -169,12 +169,17 @@ def missing_value_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
         FROM scored
     )
+    -- nullif denominators: a degenerate confusion matrix (no predicted
+    -- or no actual positives — the allnull replica) yields NULL
+    -- precision/recall/F1 on both engines instead of a 0/0 error
     SELECT tp, fp, fn, tn,
-           (tp + tn) * 1.0 / (tp + fp + fn + tn) AS accuracy,
-           tp * 1.0 / (tp + fp) AS precision_1,
-           tp * 1.0 / (tp + fn) AS recall_1,
-           2.0 * (tp * 1.0 / (tp + fp)) * (tp * 1.0 / (tp + fn))
-               / ((tp * 1.0 / (tp + fp)) + (tp * 1.0 / (tp + fn))) AS f1_1
+           (tp + tn) * 1.0 / nullif(tp + fp + fn + tn, 0) AS accuracy,
+           tp * 1.0 / nullif(tp + fp, 0) AS precision_1,
+           tp * 1.0 / nullif(tp + fn, 0) AS recall_1,
+           2.0 * (tp * 1.0 / nullif(tp + fp, 0))
+               * (tp * 1.0 / nullif(tp + fn, 0))
+               / nullif((tp * 1.0 / nullif(tp + fp, 0))
+                        + (tp * 1.0 / nullif(tp + fn, 0)), 0.0) AS f1_1
     FROM cm
     """,
 )
@@ -195,14 +200,22 @@ def eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when((F.col("y") == 1) & (F.col("pred") == 0), 1).otherwise(0)).alias("fn"),
         F.sum(F.when((F.col("y") == 0) & (F.col("pred") == 0), 1).otherwise(0)).alias("tn"),
     )
-    p = F.col("tp") / (F.col("tp") + F.col("fp"))
-    r = F.col("tp") / (F.col("tp") + F.col("fn"))
+    # nullif denominators (mirrors the oracle): a degenerate confusion
+    # matrix is NULL metrics, not an ANSI DIVIDE_BY_ZERO (allnull catch)
+    p = F.col("tp") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0))
+    r = F.col("tp") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0))
     return cm.select(
         "tp", "fp", "fn", "tn",
-        ((F.col("tp") + F.col("tn")) / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn"))).alias("accuracy"),
+        (
+            (F.col("tp") + F.col("tn"))
+            / F.nullif(
+                F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn"),
+                F.lit(0),
+            )
+        ).alias("accuracy"),
         p.alias("precision_1"),
         r.alias("recall_1"),
-        (F.lit(2.0) * p * r / (p + r)).alias("f1_1"),
+        (F.lit(2.0) * p * r / F.nullif(p + r, F.lit(0.0))).alias("f1_1"),
     )
 
 
@@ -758,7 +771,14 @@ def feature_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = o.select(
         F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents")
     )
-    hist = cents.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
+    # cut points are order statistics of the NON-NULL values only —
+    # quantile_disc skips NULLs on both engines; leaving NULL rows in
+    # the histogram would shift every rank threshold (allnull catch)
+    hist = (
+        cents.where(F.col("cents").isNotNull())
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     w_cum = Window.orderBy("cents").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -783,9 +803,12 @@ def feature_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     binned = cents.crossJoin(F.broadcast(cuts))
+    # NULL value -> NULL bin (a NULL can't be discretized; the oracle's
+    # integer CASE chain propagates NULL the same way)
     bin_id = F.lit(1)
     for i in range(1, 10):
         bin_id = bin_id + F.when(F.col("cents") > F.col(f"c{i}"), 1).otherwise(0)
+    bin_id = F.when(F.col("cents").isNull(), F.lit(None)).otherwise(bin_id)
     return (
         binned.groupBy(bin_id.cast("long").alias("bin_id"))
         .agg(
@@ -988,7 +1011,14 @@ def _disc_cut_frame(df: DataFrame, col: str, prefix: str, k: int = 5) -> DataFra
     running-count window ranks that domain-bounded table, and each cut
     is one conditional MIN at the BIGINT rank threshold ceil(i*n/k) =
     (i*n + k - 1) DIV k. No percentile state buffering, no float."""
-    hist = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+    # NULLs never seed a cut point: quantile_disc skips them on both
+    # engines, and a NULL row in the histogram would shift every rank
+    # threshold (allnull-replica catch, same rule as feature_quantile_bin)
+    hist = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     w_cum = Window.orderBy(col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -1083,10 +1113,12 @@ def rfm_segments(
         )
 
         def _score(v, prefix: str):
+            # NULL metric -> NULL score (the oracle's integer CASE chain
+            # propagates NULL; 'bin 1' would misfile every NULL customer)
             s = F.lit(1)
             for i in range(1, 5):
                 s = s + F.when(v > F.col(f"{prefix}{i}"), 1).otherwise(0)
-            return s.cast("long")
+            return F.when(v.isNull(), F.lit(None)).otherwise(s).cast("long")
 
         scored = (
             cust.crossJoin(F.broadcast(r_cuts))

@@ -334,12 +334,19 @@ def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulates in DECIMAL and lands on the same cents."""
 
     def user_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        # SQL aggregate NULL semantics by hand: pandas sum() returns 0.0
+        # and max() returns NaN over an all-NaN series, where SUM/MAX
+        # must be NULL (allnull-replica catch) — NaN also hash-diverges
+        # from NULL on the oracle side.
+        vals = pdf["value"].dropna()
         return pd.DataFrame(
             {
                 "user_id": [pdf["user_id"].iloc[0]],
                 "n_events": [len(pdf)],
-                "total_value": [round(float(pdf["value"].sum()), 2)],
-                "max_value": [float(pdf["value"].max())],
+                "total_value": [
+                    round(float(vals.sum()), 2) if len(vals) else None
+                ],
+                "max_value": [float(vals.max()) if len(vals) else None],
             }
         )
 
@@ -489,9 +496,17 @@ def fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_collect_set",
     oracle="""
+    -- FILTER (WHERE .. IS NOT NULL): Spark's collect_set EXCLUDES NULLs
+    -- (an all-NULL group is the empty set: '' / 0), DuckDB's bare
+    -- list(DISTINCT ..) would keep a NULL element (allnull-replica catch)
     SELECT o_orderpriority,
-           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
-           CAST(len(list(DISTINCT o_orderstatus)) AS INT) AS n_statuses
+           coalesce(array_to_string(list_sort(
+               coalesce(list(DISTINCT o_orderstatus)
+                            FILTER (WHERE o_orderstatus IS NOT NULL),
+                        CAST([] AS VARCHAR[]))), ','), '') AS statuses,
+           CAST(len(coalesce(list(DISTINCT o_orderstatus)
+                                 FILTER (WHERE o_orderstatus IS NOT NULL),
+                             CAST([] AS VARCHAR[]))) AS INT) AS n_statuses
     FROM orders
     GROUP BY o_orderpriority
     """,

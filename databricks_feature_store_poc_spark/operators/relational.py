@@ -156,7 +156,10 @@ def filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
                       * (1 + CAST(l_tax AS DECIMAL(18,2))), 2) AS DOUBLE) AS gross,
            l_quantity * 2 AS qty_x2,
-           l_returnflag || '/' || l_linestatus AS flag_status
+           -- concat_ws, not ||: the engine's NULL contract is skip-NULL
+           -- ('' when both sides are NULL, 'R' when one is), identical in
+           -- both engines; || would NULL-propagate (allnull-replica catch)
+           concat_ws('/', l_returnflag, l_linestatus) AS flag_status
     FROM lineitem
     """,
 )
@@ -1574,10 +1577,14 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "exact_median",
         "n",
-        (
+        # a group with no non-NULL values has no sketch error to witness:
+        # vacuously TRUE (allnull replica — abs(NULL-NULL) <= .. is NULL)
+        F.when(F.col("exact_median").isNull(), F.lit(True))
+        .otherwise(
             F.abs(F.col("approx_median") - F.col("exact_median"))
             <= 0.01 * F.abs(F.col("exact_median"))
-        ).alias("within_band"),
+        )
+        .alias("within_band"),
     )
 
 
@@ -2104,7 +2111,16 @@ def agg_incremental_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_value_cents"),
         )
 
-    base_state = partials(e.filter(F.col("ts") < F.lit(cutoff).cast("timestamp")))
+    # NULL-ts rows satisfy NEITHER timestamp predicate — without the
+    # isNull branch they would silently vanish from the maintained state
+    # (a lost-count bug, caught by the allnull replica). They belong to
+    # the (event_type, NULL day) group, same as the oracle's GROUP BY.
+    base_state = partials(
+        e.filter(
+            (F.col("ts") < F.lit(cutoff).cast("timestamp"))
+            | F.col("ts").isNull()
+        )
+    )
     delta_state = partials(e.filter(F.col("ts") >= F.lit(cutoff).cast("timestamp")))
     return (
         base_state.unionByName(delta_state)

@@ -220,10 +220,19 @@ def rolling_prefix_sums(
 @query(
     "feature_rolling_sum",
     oracle="""
+    -- NULL-ts rows keep their diagnostic row but have NO trailing
+    -- window (empty frame: sums NULL, count 0 — the engine's prefix-
+    -- subtraction semantics); DuckDB's RANGE frame would otherwise
+    -- group all NULL order keys as mutual peers (allnull catch)
     SELECT event_id, user_id, ts,
-           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w7 AS VARCHAR) AS DOUBLE) AS sum_7d,
-           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w30 AS VARCHAR) AS DOUBLE) AS sum_30d,
-           CAST(COUNT(*) OVER w7 AS BIGINT) AS n_7d
+           CASE WHEN ts IS NULL THEN NULL ELSE
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w7 AS VARCHAR) AS DOUBLE)
+           END AS sum_7d,
+           CASE WHEN ts IS NULL THEN NULL ELSE
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w30 AS VARCHAR) AS DOUBLE)
+           END AS sum_30d,
+           CASE WHEN ts IS NULL THEN 0 ELSE
+           CAST(COUNT(*) OVER w7 AS BIGINT) END AS n_7d
     FROM events
     WINDOW
       w7 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
@@ -362,7 +371,10 @@ DENSIFY_HALF_SPAN_DAYS = 183      # ±183 days;  benign 30-day data unclamped
         SELECT user_id, date_trunc('hour', ts) AS hb,
                CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS hour_value,
                CAST(COUNT(*) AS BIGINT) AS n_events
-        FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+        -- ts IS NOT NULL: an event with no event-time belongs to no
+        -- hourly bucket and cannot seed a resample grid (allnull)
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1, 2
     ),
     bounds AS (
         SELECT user_id, MIN(hb) AS mn, MAX(hb) AS mx,
@@ -427,7 +439,9 @@ def feature_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     window order is total; the median is percentile_disc (an actual
     element, hour-aligned) on both engines.
     """
-    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     hourly = (
         e.groupBy("user_id", F.date_trunc("hour", "ts").alias("hb"))
         .agg(

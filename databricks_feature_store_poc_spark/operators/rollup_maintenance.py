@@ -88,7 +88,11 @@ from databricks_feature_store_poc_spark.sources.catalog import load_table  # noq
            CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value,
            CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*)
                AS avg_value
+    -- ts IS NOT NULL: the rollup is an HOURLY continuous aggregate —
+    -- an event with no event-time belongs to no bucket (F.window drops
+    -- it on the engine side; allnull-replica contract)
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY user_id
     """,
 )

@@ -75,12 +75,16 @@ def _stream_source_dir(sf_dir: str) -> str:
 @query(
     "stream_tumbling",
     oracle="""
+    -- WHERE ts IS NOT NULL in this family: NULL event-times carry no
+    -- window (Spark's F.window/session_window and real watermarked
+    -- streaming DROP them; allnull-replica contract)
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
            CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR AS win_end,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2, 3
     """,
 )
@@ -112,6 +116,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS win_start,
                value
         FROM events, (VALUES (0), (1)) AS shifts(j)
+        WHERE ts IS NOT NULL
     )
     SELECT win_start,
            win_start + INTERVAL 1 HOUR AS win_end,
@@ -152,6 +157,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                     THEN 1 ELSE 0 END AS is_new
         FROM events
+        WHERE ts IS NOT NULL
     ),
     numbered AS (
         SELECT user_id, ts, value,
@@ -403,7 +409,7 @@ def run_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(0 AS BIGINT) AS n_diff_rows
     FROM (
         SELECT date_trunc('hour', ts) AS h, event_type
-        FROM events GROUP BY 1, 2
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     )
     """,
 )
@@ -678,11 +684,20 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     base = _stream_source_dir(sf_dir)
     staged = base + "_dup"
+    # duplicate EVERY staged part file (the staging writes
+    # events_{i}.parquet — a literal "events.parquet" name only ever
+    # resolved against a stale pre-r14 /tmp layout), staging a fresh
+    # dup dir whenever the base staging is newer than ours
+    parts = sorted(
+        f for f in os.listdir(base)
+        if f.endswith(".parquet")
+    )
+    shutil.rmtree(staged, ignore_errors=True)
     os.makedirs(staged, exist_ok=True)
-    for name in ("events_a.parquet", "events_b.parquet"):
-        dst = os.path.join(staged, name)
-        if not os.path.exists(dst):
-            src = os.path.join(base, "events.parquet")
+    for i, name in enumerate(parts):
+        src = os.path.join(base, name)
+        for copy_tag in ("a", "b"):
+            dst = os.path.join(staged, f"events_{i}_{copy_tag}.parquet")
             try:
                 os.link(src, dst)
             except OSError:

@@ -107,6 +107,7 @@ REPLICA_ADV_SF01 = "/tmp/spark_graft_adversarial_sf01"
 REPLICA_DUP_ZIPF = "/tmp/spark_graft_dup_zipf"
 REPLICA_HOTDUP = "/tmp/spark_graft_hotdup"
 REPLICA_HOTDUP_ZIPF = "/tmp/spark_graft_hotdup_zipf"
+REPLICA_ALLNULL = "/tmp/spark_graft_allnull"
 
 _HARNESS_TAIL = re.compile(r"(\d+)/(\d+) passed")
 
@@ -366,6 +367,18 @@ def main() -> int:
         results, "harness_single",
         lambda: step_harness_replica(
             _make_adv("single", REPLICA_SINGLE), REPLICA_SINGLE,
+            allow_empty=True,
+        ),
+    )
+
+    # fifteenth distribution (r14): allnull — keys intact, every payload
+    # column NULL. Degenerate VALUES at full cardinality; allow_empty
+    # because 0 rows IS the correct output for text/near-dup queries on
+    # an all-NULL corpus (same convention as empty/single).
+    _step(
+        results, "harness_allnull",
+        lambda: step_harness_replica(
+            _make_adv("allnull", REPLICA_ALLNULL), REPLICA_ALLNULL,
             allow_empty=True,
         ),
     )

@@ -421,5 +421,12 @@ def test_gram_matrix_single_aggregate_shuffle(spark):
     sized, independent of corpus size."""
     from databricks_feature_store_poc_spark.plans.inspect import count_exchanges
 
+    # assert on the UNCACHED plan: if embed_pca_power ran earlier in the
+    # session, its session-persisted gram cells plan-match this query and
+    # Spark substitutes an InMemoryTableScan, hiding the aggregate shape
+    from databricks_feature_store_poc_spark import cacheutil
+
+    for k in [k for k in cacheutil._CACHE if k[1] == "pca_gram_cells"]:
+        cacheutil._CACHE.pop(k).unpersist()
     df = QUERIES["embed_gram_matrix"](spark, SF_TEST)
     assert count_exchanges(df) <= 1
