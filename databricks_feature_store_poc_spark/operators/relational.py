@@ -2319,3 +2319,116 @@ def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("cents").cast("long").alias("sum_cents"),
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, ts, event_id,
+               (event_type = 'view') AS is_view
+        FROM events
+        WHERE event_type IN ('view', 'purchase')
+          AND ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    enriched AS (
+        SELECT user_id, ts, event_id, is_view,
+               MAX(CASE WHEN is_view THEN ts END) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, is_view DESC, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS b_ts,
+               MIN(CASE WHEN is_view THEN ts END) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, is_view DESC, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+               ) AS f_ts
+        FROM tagged
+    ),
+    gaps AS (
+        SELECT user_id, event_id, ts,
+               b_ts, f_ts,
+               epoch_us(ts) - epoch_us(b_ts) AS b_gap,
+               epoch_us(f_ts) - epoch_us(ts) AS f_gap
+        FROM enriched WHERE NOT is_view
+    )
+    SELECT user_id, event_id, ts,
+           CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR b_gap <= f_gap)
+                THEN b_ts ELSE f_ts END AS nearest_view_ts,
+           CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR b_gap <= f_gap)
+                THEN 'backward'
+                WHEN f_ts IS NOT NULL THEN 'forward' END AS direction,
+           CAST(CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR b_gap <= f_gap)
+                THEN b_gap ELSE f_gap END AS BIGINT) AS gap_us
+    FROM gaps
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-neighbor as-of join (the pandas ``merge_asof
+    direction='nearest'`` semantics — sensor/trade-quote alignment where
+    the closest observation on EITHER side wins, ties to the earlier
+    one): each purchase picks the view of the same user with the
+    smallest |Δts|, backward winning ties.
+
+    Same scale-correct construction as join_asof — union both sides,
+    ONE shuffle on the key — extended with a second window direction:
+    the running max of view timestamps up to the current row gives the
+    backward candidate (same-ts views sort BEFORE purchases via
+    ``is_view DESC``, so a Δ=0 view is backward-inclusive, matching
+    merge_asof), and the running min over the strictly-following rows
+    gives the forward candidate. Both windows share one partitioning
+    (one exchange; the second window adds a sort, not a shuffle). Gaps
+    compare in exact epoch-micros BIGINT; the tie rule (backward on
+    equal gaps) and the total window order make every choice
+    deterministic. NULL event-times / NULL keys are excluded on both
+    engines (the r14 NULL-event-time contract).
+
+    A purchase with no view on either side keeps its row with NULL
+    (nearest_view_ts, direction, gap_us) — the left-join convention."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    tagged = e.select(
+        "user_id", "ts", "event_id",
+        (F.col("event_type") == "view").alias("is_view"),
+    )
+    order = [F.col("ts"), F.col("is_view").desc(), F.col("event_id")]
+    w_b = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_f = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    view_ts = F.when(F.col("is_view"), F.col("ts"))
+    enriched = tagged.select(
+        "user_id", "event_id", "ts", "is_view",
+        F.max(view_ts).over(w_b).alias("b_ts"),
+        F.min(view_ts).over(w_f).alias("f_ts"),
+    )
+    gaps = enriched.filter(~F.col("is_view")).select(
+        "user_id", "event_id", "ts", "b_ts", "f_ts",
+        (F.unix_micros("ts") - F.unix_micros("b_ts")).alias("b_gap"),
+        (F.unix_micros("f_ts") - F.unix_micros("ts")).alias("f_gap"),
+    )
+    backward_wins = F.col("b_ts").isNotNull() & (
+        F.col("f_ts").isNull() | (F.col("b_gap") <= F.col("f_gap"))
+    )
+    return gaps.select(
+        "user_id", "event_id", "ts",
+        F.when(backward_wins, F.col("b_ts"))
+        .otherwise(F.col("f_ts"))
+        .alias("nearest_view_ts"),
+        F.when(backward_wins, F.lit("backward"))
+        .when(F.col("f_ts").isNotNull(), F.lit("forward"))
+        .alias("direction"),
+        F.when(backward_wins, F.col("b_gap"))
+        .otherwise(F.col("f_gap"))
+        .cast("long")
+        .alias("gap_us"),
+    )

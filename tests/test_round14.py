@@ -598,3 +598,64 @@ def test_analyze_table_stats_bruteforce(spark, tmp_path):
 def test_oracle_match_r14_analyze(name, spark):
     r = compare(name, spark, SF_TEST, verbose=False)
     assert r["ok"], f"{name}: {r.get('issues')}"
+
+
+# --- join_asof_nearest: merge_asof(direction='nearest') semantics -----------
+
+
+def test_asof_nearest_tie_and_direction_rules(spark, tmp_path):
+    from datetime import datetime as DT
+
+    from databricks_feature_store_poc_spark.operators.relational import (
+        join_asof_nearest,
+    )
+
+    T0 = DT(2024, 1, 1, 12, 0, 0)
+
+    def at(sec):
+        return DT(2024, 1, 1, 12, 0, sec)
+
+    rows = [
+        # user 1: backward view 10s before, forward view 10s after ->
+        # exact tie -> backward wins
+        (101, at(0), 1, "view"),
+        (102, at(10), 1, "purchase"),
+        (103, at(20), 1, "view"),
+        # user 2: forward strictly closer (3s after vs 8s before)
+        (201, at(2), 2, "view"),
+        (202, at(10), 2, "purchase"),
+        (203, at(13), 2, "view"),
+        # user 3: a view at the SAME ts -> backward-inclusive, gap 0
+        (301, at(30), 3, "view"),
+        (302, at(30), 3, "purchase"),
+        # user 4: no views at all -> NULLs kept (left-join convention)
+        (401, at(40), 4, "purchase"),
+        # NULL event-time purchase: excluded by the r14 contract
+        (501, None, 5, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = {
+        r["event_id"]: r
+        for r in join_asof_nearest(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {102, 202, 302, 401}  # purchases with non-NULL ts
+    assert (out[102]["direction"], out[102]["gap_us"]) == ("backward", 10_000_000)
+    assert out[102]["nearest_view_ts"] == at(0)
+    assert (out[202]["direction"], out[202]["gap_us"]) == ("forward", 3_000_000)
+    assert out[202]["nearest_view_ts"] == at(13)
+    assert (out[302]["direction"], out[302]["gap_us"]) == ("backward", 0)
+    assert out[302]["nearest_view_ts"] == at(30)
+    assert (
+        out[401]["nearest_view_ts"], out[401]["direction"], out[401]["gap_us"]
+    ) == (None, None, None)
+
+
+@pytest.mark.parametrize("name", ["join_asof_nearest"])
+def test_oracle_match_r14_asof(name, spark):
+    r = compare(name, spark, SF_TEST, verbose=False)
+    assert r["ok"], f"{name}: {r.get('issues')}"
