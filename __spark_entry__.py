@@ -70,6 +70,7 @@ _CHANGED_TIER = (
     "embed_pca_power",
     "analyze_table_stats",
     "join_asof_nearest",
+    "graph_bfs_reach",
     # oracles/engines changed by the r14 allnull-replica adjudication
     # (15 fixes: NULL-contract alignments + 3 real engine bugs) — the
     # changed-keys rule says these MUST re-adjudicate this round

@@ -298,3 +298,119 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), F.asc("x"), F.asc("y"))
         .limit(JACCARD_TOPK)
     )
+
+
+BFS_HOPS = 3
+BFS_SOURCES = 10
+
+
+@query(
+    "graph_bfs_reach",
+    oracle=f"""
+    WITH ce AS (
+        SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
+    ),
+    edges AS MATERIALIZED (
+        SELECT src, dst FROM ce
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM ce
+    ),
+    srcs AS MATERIALIZED (
+        SELECT o_custkey * 2 AS node
+        FROM (SELECT o_custkey, count(*) AS c FROM orders
+              WHERE o_custkey IS NOT NULL
+              GROUP BY 1 ORDER BY c DESC, o_custkey LIMIT {BFS_SOURCES})
+    ),
+    v0 AS MATERIALIZED (SELECT node FROM srcs),
+    f1 AS MATERIALIZED (SELECT DISTINCT e.dst AS node FROM edges e
+           JOIN v0 ON v0.node = e.src
+           WHERE e.dst NOT IN (SELECT node FROM v0)),
+    v1 AS MATERIALIZED (SELECT node FROM v0 UNION SELECT node FROM f1),
+    f2 AS MATERIALIZED (SELECT DISTINCT e.dst AS node FROM edges e
+           JOIN f1 ON f1.node = e.src
+           WHERE e.dst NOT IN (SELECT node FROM v1)),
+    v2 AS MATERIALIZED (SELECT node FROM v1 UNION SELECT node FROM f2),
+    f3 AS MATERIALIZED (SELECT DISTINCT e.dst AS node FROM edges e
+           JOIN f2 ON f2.node = e.src
+           WHERE e.dst NOT IN (SELECT node FROM v2)),
+    v3 AS MATERIALIZED (SELECT node FROM v2 UNION SELECT node FROM f3)
+    SELECT CAST(1 AS INT) AS hop,
+           (SELECT CAST(count(*) AS BIGINT) FROM f1) AS n_frontier,
+           (SELECT CAST(count(*) AS BIGINT) FROM v1) AS n_visited
+    UNION ALL
+    SELECT 2, (SELECT CAST(count(*) AS BIGINT) FROM f2),
+              (SELECT CAST(count(*) AS BIGINT) FROM v2)
+    UNION ALL
+    SELECT 3, (SELECT CAST(count(*) AS BIGINT) FROM f3),
+              (SELECT CAST(count(*) AS BIGINT) FROM v3)
+    """,
+)
+def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the customer-supplier bipartite graph — the
+    neighborhood-expansion workload (influence/blast-radius queries,
+    label propagation seeding, contamination spread) that pagerank's
+    mass iteration and jaccard's pair scoring don't cover: from the
+    top-{BFS_SOURCES} customers by order count (ties broken by key —
+    total order), expand {BFS_HOPS} hops and report each hop's frontier
+    size and cumulative visited count.
+
+    Frontier algebra is exact set arithmetic on integer node ids:
+    frontier(h+1) = distinct neighbors of frontier(h) minus everything
+    visited — expressed as a join + left_anti per hop (the Pregel step
+    in DataFrame form), so results are partition-order-free and the
+    DuckDB oracle unrolls the identical three steps. NULL endpoints
+    carry no graph identity (r11 contract) and are excluded from the
+    edge relation on both engines.
+
+    Scale shape: the (cached) edge list is the only corpus-sized
+    relation; each hop shuffles the frontier/visited NODE sets (bounded
+    by |V|, not |E|) through one join + one anti-join + one distinct.
+    Hop count is fixed -> static lazy plan, no driver loop state, no
+    collect. On a frontier approaching |V| (this dense bipartite graph
+    saturates by hop 2-3), the anti-join's build side is the visited
+    set — broadcastable while |visited| is small, hash-join after;
+    AQE picks per hop."""
+    edges = _edges(spark, sf_dir).filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
+    o = load_table(spark, sf_dir, "orders")
+    sources = (
+        o.filter(F.col("o_custkey").isNotNull())
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("o_custkey"))
+        .limit(BFS_SOURCES)
+        .select((F.col("o_custkey") * 2).alias("node"))
+    )
+    frontier = sources
+    visited = sources
+    hops = []
+    for hop in range(1, BFS_HOPS + 1):
+        frontier = (
+            edges.join(frontier, edges["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+        )
+        visited = visited.unionByName(frontier).distinct()
+        hops.append(
+            frontier.agg(F.count(F.lit(1)).cast("long").alias("n_frontier"))
+            .crossJoin(
+                F.broadcast(
+                    visited.agg(
+                        F.count(F.lit(1)).cast("long").alias("n_visited")
+                    )
+                )
+            )
+            .select(
+                F.lit(hop).cast("int").alias("hop"),
+                "n_frontier",
+                "n_visited",
+            )
+        )
+    out = hops[0]
+    for h in hops[1:]:
+        out = out.unionByName(h)
+    return out

@@ -659,3 +659,57 @@ def test_asof_nearest_tie_and_direction_rules(spark, tmp_path):
 def test_oracle_match_r14_asof(name, spark):
     r = compare(name, spark, SF_TEST, verbose=False)
     assert r["ok"], f"{name}: {r.get('issues')}"
+
+
+# --- graph_bfs_reach: multi-source BFS frontier semantics -------------------
+
+
+def test_bfs_reach_hand_built_graph(spark, tmp_path):
+    """12 customers, 11 suppliers: C1..C10 (2 orders each) are the
+    top-10 sources; C11 (1 order) hangs off S1 and also touches S50;
+    C12 (1 order) touches only S50. Expected expansion:
+    hop1 = {S1..S10} (10), hop2 = {C11} (1), hop3 = {S50} (1);
+    C12 sits at distance 4 and stays UNVISITED — the anti-join must
+    not leak it in."""
+    from databricks_feature_store_poc_spark.operators.graph import (
+        graph_bfs_reach,
+    )
+
+    orders, lineitem = [], []
+    ok = 0
+    for c in range(1, 11):          # C1..C10: two orders -> supplier Sc
+        for _ in range(2):
+            ok += 1
+            orders.append((ok, c))
+            lineitem.append((ok, c))  # supplier id == customer id
+    ok += 1
+    orders.append((ok, 11))          # C11: one order -> S1 and S50
+    lineitem += [(ok, 1), (ok, 50)]
+    ok += 1
+    orders.append((ok, 12))          # C12: one order -> S50 only
+    lineitem.append((ok, 50))
+
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    spark.createDataFrame(
+        lineitem, "l_orderkey long, l_suppkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    rows = {
+        r["hop"]: r for r in graph_bfs_reach(spark, str(tmp_path)).collect()
+    }
+    assert (rows[1]["n_frontier"], rows[1]["n_visited"]) == (10, 20)
+    assert (rows[2]["n_frontier"], rows[2]["n_visited"]) == (1, 21)
+    assert (rows[3]["n_frontier"], rows[3]["n_visited"]) == (1, 22)
+    # 23 nodes total: C12 (distance 4) must remain unreached
+    assert rows[3]["n_visited"] == 22 < 23
+
+
+@pytest.mark.parametrize("name", ["graph_bfs_reach"])
+def test_oracle_match_r14_bfs(name, spark):
+    r = compare(name, spark, SF_TEST, verbose=False)
+    assert r["ok"], f"{name}: {r.get('issues')}"
