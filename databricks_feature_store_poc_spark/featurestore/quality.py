@@ -695,7 +695,8 @@ def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: counts only — BIGINT end to end, no min/max VARCHAR
     casts whose engine-specific float formatting could hash-mismatch.
 
-    Scale shape: ONE SELECT with 8 count(distinct) aggregates — Spark
+    Scale shape: ONE SELECT with len(_ANALYZE_COLS) (= 6)
+    count(distinct) aggregates — Spark
     plans multi-distinct via a single Expand (rows x (n_cols+1)) into
     one partial-aggregated shuffle, i.e. one scan of the table and
     map-side combine on every path; column pruning keeps the scan to

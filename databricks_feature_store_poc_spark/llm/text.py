@@ -921,13 +921,23 @@ def _duck_rank_bits_sum(t: str, squared: bool = False) -> str:
                CAST(SUM(sx2) AS BIGINT) AS sum_x2
         FROM terms
     )
+    ,dec AS (
+        SELECT k, n_tokens, sum_x, sum_y, sum_xy, sum_x2,
+               CAST(CAST(k AS DECIMAL(19,0)) * CAST(sum_xy AS DECIMAL(19,0))
+                    - CAST(sum_x AS DECIMAL(19,0))
+                      * CAST(sum_y AS DECIMAL(19,0)) AS DECIMAL(38,0))
+                   AS slope_num,
+               CAST(CAST(k AS DECIMAL(19,0)) * CAST(sum_x2 AS DECIMAL(19,0))
+                    - CAST(sum_x AS DECIMAL(19,0))
+                      * CAST(sum_x AS DECIMAL(19,0)) AS DECIMAL(38,0))
+                   AS slope_den
+        FROM tot
+    )
     SELECT k AS n_types, n_tokens, sum_x, sum_y, sum_xy, sum_x2,
-           CAST(k * sum_xy - sum_x * sum_y AS BIGINT) AS slope_num,
-           CAST(k * sum_x2 - sum_x * sum_x AS BIGINT) AS slope_den,
-           CAST(k * sum_xy - sum_x * sum_y AS DOUBLE)
-               / CAST(nullif(k * sum_x2 - sum_x * sum_x, 0) AS DOUBLE)
-               AS zipf_slope
-    FROM tot
+           slope_num, slope_den,
+           CAST(slope_num AS DOUBLE)
+               / CAST(nullif(slope_den, 0) AS DOUBLE) AS zipf_slope
+    FROM dec
     """,
 )
 def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -960,10 +970,13 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized shuffle), then a groupBy(cnt) onto a histogram whose
     size is O(distinct frequencies) ~ O(log N) under Zipf — the window
     and closed-form pass run on that tiny relation; no global sort over
-    the vocabulary, no per-word rank materialization. BIGINT holds the
-    cross products for any k*Sxy < 2^63 (k ~ 1e9 types is still 5e14);
-    a >10^12-type corpus would move the two final products to
-    DECIMAL(38,0)."""
+    the vocabulary, no per-word rank materialization. The partial sums
+    (Sx, Sx2, Sxy ~ k*(log2 k)^2) stay inside BIGINT up to k ~ 1e15
+    types, but the CROSS products k*Sx2 and Sx^2 leave int64 around
+    k ~ 1e8-1e9 — with ANSI off Spark would wrap silently while DuckDB
+    raises — so slope_num/slope_den are computed and emitted in
+    DECIMAL(38,0) on BOTH engines (safe to k ~ 1e12 types, far beyond
+    any real vocabulary)."""
     d = load_table(spark, sf_dir, "documents")
     words = d.select(F.explode(F.expr(_WORDS)).alias("word"))
     vocab = words.groupBy("word").agg(
@@ -999,8 +1012,15 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("sx")).cast("long").alias("sum_xy"),
         F.sum("sx2").cast("long").alias("sum_x2"),
     )
-    num = F.col("k") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y")
-    den = F.col("k") * F.col("sum_x2") - F.col("sum_x") * F.col("sum_x")
+    d19 = "decimal(19,0)"
+    num = (
+        F.col("k").cast(d19) * F.col("sum_xy").cast(d19)
+        - F.col("sum_x").cast(d19) * F.col("sum_y").cast(d19)
+    ).cast("decimal(38,0)")
+    den = (
+        F.col("k").cast(d19) * F.col("sum_x2").cast(d19)
+        - F.col("sum_x").cast(d19) * F.col("sum_x").cast(d19)
+    ).cast("decimal(38,0)")
     return tot.select(
         F.col("k").alias("n_types"),
         "n_tokens",
@@ -1008,8 +1028,8 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_y",
         "sum_xy",
         "sum_x2",
-        num.cast("long").alias("slope_num"),
-        den.cast("long").alias("slope_den"),
+        num.alias("slope_num"),
+        den.alias("slope_den"),
         (
             num.cast("double")
             / F.nullif(den, F.lit(0)).cast("double")

@@ -367,11 +367,19 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the (cached) edge list is the only corpus-sized
     relation; each hop shuffles the frontier/visited NODE sets (bounded
     by |V|, not |E|) through one join + one anti-join + one distinct.
-    Hop count is fixed -> static lazy plan, no driver loop state, no
-    collect. On a frontier approaching |V| (this dense bipartite graph
-    saturates by hop 2-3), the anti-join's build side is the visited
-    set — broadcastable while |visited| is small, hash-join after;
-    AQE picks per hop."""
+    Hop count is fixed -> static per-hop plans, no driver loop state,
+    no collect. Each hop's frontier and visited sets are
+    `localCheckpoint()`ed (eager, lineage-truncating) before the count
+    aggregates and the next hop are derived: without it, the hop-3
+    counts plus the hop-2/3 join, anti-join and union all re-execute
+    the full upstream expansion (the DuckDB oracle needs MATERIALIZED
+    CTEs for exactly the same reason) — checkpointing makes each hop's
+    expansion run exactly once. The checkpointed state is node-set
+    sized (bounded by |V|), so the materialization cost is tiny next
+    to the joins it eliminates. On a frontier approaching |V| (this
+    dense bipartite graph saturates by hop 2-3), the anti-join's build
+    side is the visited set — broadcastable while |visited| is small,
+    hash-join after; AQE picks per hop."""
     edges = _edges(spark, sf_dir).filter(
         F.col("src").isNotNull() & F.col("dst").isNotNull()
     )
@@ -384,8 +392,8 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(BFS_SOURCES)
         .select((F.col("o_custkey") * 2).alias("node"))
     )
-    frontier = sources
-    visited = sources
+    frontier = sources.localCheckpoint()
+    visited = frontier
     hops = []
     for hop in range(1, BFS_HOPS + 1):
         frontier = (
@@ -393,8 +401,9 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited, "node", "left_anti")
+            .localCheckpoint()
         )
-        visited = visited.unionByName(frontier).distinct()
+        visited = visited.unionByName(frontier).distinct().localCheckpoint()
         hops.append(
             frontier.agg(F.count(F.lit(1)).cast("long").alias("n_frontier"))
             .crossJoin(

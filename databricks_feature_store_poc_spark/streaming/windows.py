@@ -18,6 +18,7 @@ the watermark horizon, which is exactly what `stream_late_data` models.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import tempfile
@@ -683,25 +684,44 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the duplicated input is asserted in tests/test_streaming.py.
     """
     base = _stream_source_dir(sf_dir)
-    staged = base + "_dup"
-    # duplicate EVERY staged part file (the staging writes
-    # events_{i}.parquet — a literal "events.parquet" name only ever
-    # resolved against a stale pre-r14 /tmp layout), staging a fresh
-    # dup dir whenever the base staging is newer than ours
+    # Duplicate EVERY staged part file (the staging writes
+    # events_{i}.parquet). The dup dir is keyed by a fingerprint of the
+    # base part list (name, size, mtime): the same base staging always
+    # resolves to the same IMMUTABLE dup dir, so concurrent harness
+    # runs over one sf_dir reuse it instead of racing a delete against
+    # another run's readStream listing, and a re-staged base (new
+    # fingerprint) gets a fresh dir without touching the old one.
     parts = sorted(
         f for f in os.listdir(base)
         if f.endswith(".parquet")
     )
-    shutil.rmtree(staged, ignore_errors=True)
-    os.makedirs(staged, exist_ok=True)
-    for i, name in enumerate(parts):
-        src = os.path.join(base, name)
-        for copy_tag in ("a", "b"):
-            dst = os.path.join(staged, f"events_{i}_{copy_tag}.parquet")
-            try:
-                os.link(src, dst)
-            except OSError:
-                shutil.copy(src, dst)
+    fp_src = ";".join(
+        f"{name}:{(st := os.stat(os.path.join(base, name))).st_size}"
+        f":{st.st_mtime_ns}"
+        for name in parts
+    )
+    fp = hashlib.sha256(fp_src.encode()).hexdigest()[:16]
+    staged = f"{base}_dup_{fp}"
+    if not os.path.exists(os.path.join(staged, "_STAGED")):
+        # Build in a process-private tmp dir, then atomically rename
+        # into place; if a concurrent run won the rename, use theirs.
+        tmp = f"{staged}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        for i, name in enumerate(parts):
+            src = os.path.join(base, name)
+            for copy_tag in ("a", "b"):
+                dst = os.path.join(tmp, f"events_{i}_{copy_tag}.parquet")
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy(src, dst)
+        with open(os.path.join(tmp, "_STAGED"), "w") as fh:
+            fh.write(fp_src)
+        try:
+            os.rename(tmp, staged)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # another run won
     # Schema must match the RAW file layout (ts = INT64 nanos under
     # nanosAsLong) — the batch-side TimestampType is a post-read cast.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
