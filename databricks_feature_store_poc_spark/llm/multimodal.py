@@ -826,3 +826,305 @@ def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     staged = d.select("doc_id", "text").mapInPandas(encode_batches, enc_schema)
     return staged.mapInPandas(decode_batches, dec_schema)
+
+
+def _make_png_decoder():
+    """Factory for mm_decode_png's decode stage. Returned as a CLOSURE
+    (not a module-level function) so cloudpickle serializes it BY VALUE
+    — the driver contract runs executors whose PYTHONPATH may not
+    include this repo, so executor-side kernels must never be pickled
+    by module reference (the codec-family convention). Module-level
+    factory so tests can drive the exact kernel with FOREIGN payloads
+    (level-9 zlib, split IDATs, arbitrary filter plans) that the
+    engine's own level-0 single-IDAT encoder never emits."""
+    import struct
+    import zlib
+
+    def _paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    def parse(payload) -> tuple:
+        if payload is None:
+            return None, None, None, None, None, None
+        bad = (None, None, len(payload), None, False, None)
+        if len(payload) < 8 or bytes(payload[:8]) != b"\x89PNG\r\n\x1a\n":
+            return bad
+        payload = bytes(payload)
+        off, chunks, crc_ok = 8, [], True
+        while off + 12 <= len(payload):
+            (ln,) = struct.unpack_from(">I", payload, off)
+            typ = payload[off + 4:off + 8]
+            data = payload[off + 8:off + 8 + ln]
+            (crc,) = struct.unpack_from(">I", payload, off + 8 + ln)
+            if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+                crc_ok = False
+            chunks.append((typ, data))
+            off += 12 + ln
+            if typ == b"IEND":
+                break
+        if not chunks or chunks[0][0] != b"IHDR" \
+                or len(chunks[0][1]) != 13:
+            return bad
+        w, h, depth, ctype, comp, filt, inter = struct.unpack(
+            ">IIBBBBB", chunks[0][1]
+        )
+        idat = b"".join(d for t, d in chunks if t == b"IDAT")
+        try:
+            stream = zlib.decompress(idat)  # inflate + adler32 check
+        except zlib.error:
+            return bad
+        row = w * 3
+        consistent = (
+            crc_ok
+            and off == len(payload)
+            and chunks[-1][0] == b"IEND" and chunks[-1][1] == b""
+            and depth == 8 and ctype == 2
+            and comp == 0 and filt == 0 and inter == 0
+            and len(stream) == h * (1 + row)
+        )
+        if len(stream) != h * (1 + row):
+            return bad
+        prior = bytes(row)
+        wsum, idx = 0, 0
+        seen = set()
+        for r in range(h):
+            ft = stream[r * (1 + row)]
+            seen.add(ft)
+            f = stream[r * (1 + row) + 1:(r + 1) * (1 + row)]
+            recon = bytearray(row)
+            for i in range(row):
+                left = recon[i - 3] if i >= 3 else 0
+                if ft == 0:
+                    x = f[i]
+                elif ft == 1:
+                    x = f[i] + left
+                elif ft == 2:
+                    x = f[i] + prior[i]
+                elif ft == 3:
+                    x = f[i] + ((left + prior[i]) >> 1)
+                elif ft == 4:
+                    x = f[i] + _paeth(
+                        left, prior[i], prior[i - 3] if i >= 3 else 0
+                    )
+                else:
+                    return bad
+                recon[i] = x & 0xFF
+            for byte in recon:
+                idx += 1
+                wsum += idx * byte
+            prior = bytes(recon)
+        return (
+            w, h, len(payload), len(seen),
+            bool(consistent) if consistent is not None else None,
+            wsum % 65536,
+        )
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [parse(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": pd.array([r[0] for r in rows], dtype="Int32"),
+                    "height": pd.array([r[1] for r in rows], dtype="Int32"),
+                    "n_file_bytes": pd.array(
+                        [r[2] for r in rows], dtype="Int64"
+                    ),
+                    "filters_used": pd.array(
+                        [r[3] for r in rows], dtype="Int32"
+                    ),
+                    "header_consistent": pd.array(
+                        [r[4] for r in rows], dtype="boolean"
+                    ),
+                    "pixel_checksum_weighted": pd.array(
+                        [r[5] for r in rows], dtype="Int32"
+                    ),
+                }
+            )
+
+    return decode_batches
+
+
+@query(
+    "mm_decode_png",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, text IS NULL AS is_null,
+               octet_length(encode(coalesce(text, ''))) AS n,
+               hex(encode(coalesce(text, ''))) AS hx
+        FROM documents
+    ),
+    dims AS (
+        SELECT doc_id, is_null, n, hx,
+               4 + n % 8 AS w, 3 + (n // 5) % 7 AS h
+        FROM b
+    ),
+    sums AS (
+        SELECT doc_id, is_null, w, h,
+               h * (1 + 3 * w) AS m,
+               COALESCE(list_sum([
+                   i * (16 * (strpos('0123456789ABCDEF',
+                                     substring(hx, 2 * i - 1, 1)) - 1)
+                          + (strpos('0123456789ABCDEF',
+                                    substring(hx, 2 * i, 1)) - 1))
+                   FOR i IN range(1, CAST(least(n, w * h * 3) AS BIGINT) + 1)
+               ]), 0) AS wsum
+        FROM dims
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN is_null THEN NULL ELSE w END AS INT) AS width,
+           CAST(CASE WHEN is_null THEN NULL ELSE h END AS INT) AS height,
+           CAST(CASE WHEN is_null THEN NULL ELSE 68 + m
+           END AS BIGINT) AS n_file_bytes,
+           CAST(CASE WHEN is_null THEN NULL ELSE least(h, 5)
+           END AS INT) AS filters_used,
+           CASE WHEN is_null THEN NULL ELSE TRUE END AS header_consistent,
+           CAST(CASE WHEN is_null THEN NULL ELSE wsum % 65536
+           END AS INT) AS pixel_checksum_weighted
+    FROM sums
+    """,
+)
+def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth REAL byte-level codec (VERDICT r14 #5 — closing the
+    'no compressed format' gap third-party-free): stage 1 ENCODES each
+    document as an actual PNG (8-bit RGB, color type 2, non-interlaced)
+    — signature, big-endian chunk framing with REAL CRC-32 per chunk,
+    scanlines FORWARD-FILTERED with the full filter suite (row r uses
+    type r % 5: None/Sub/Up/Average/Paeth) and DEFLATE-compressed into
+    IDAT — and stage 2 DECODES it as a general PNG reader: chunk walk
+    with per-chunk CRC verification, multi-IDAT concatenation, stdlib
+    ``zlib.decompress`` (inflate + adler32), and per-row filter
+    RECONSTRUCTION of all five filter types against the previously
+    reconstructed scanline.
+
+    What PNG exercises that PPM/BMP/WAV cannot: (1) an actual
+    entropy-coded payload — the pixel stream only exists after inflate;
+    (2) stateful row reconstruction — Up/Average/Paeth rows depend on
+    the RECONSTRUCTED prior row, so a decoder that mis-reconstructs row
+    r corrupts every later row and goes hash-red on the weighted
+    checksum; (3) CRC-32 framing integrity.
+
+    Oracle strategy: the encoder compresses at zlib level 0 (DEFLATE
+    stored blocks), whose size is exact arithmetic — for filtered
+    stream m = h*(1+3w) < 65531 bytes (dims are bounded at 11x9 by
+    construction), IDAT = 2 (zlib hdr) + 5 (one stored-block hdr) + m
+    + 4 (adler32), so file size = 8 + 25 + (12 + 11 + m) + 12 =
+    68 + m, SQL-computable. The DECODER stays fully general (any
+    compression level, any filter mix, split IDATs). Filter
+    reconstruction inverts forward filtering exactly, so the
+    reconstructed stream equals the logical RGB stream = first
+    min(n, 3wh) text bytes zero-padded — the oracle re-derives the
+    position-weighted checksum (mod 2^16, BMP convention) from hex
+    pairs of the raw text. ``filters_used`` = distinct filter bytes
+    seen = least(h, 5) pins that the decoder actually consumed the
+    per-row filter bytes. NULL text -> all-NULL metrics (mm-family
+    diagnostic-row contract).
+
+    Scale shape: identical to the codec family — two Arrow-batched
+    mapInPandas stages over one documents scan, payloads never cross
+    an exchange, no shuffle anywhere."""
+    import struct
+    import zlib
+
+    def _paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        def to_png(text) -> bytes | None:
+            if text is None:
+                return None
+            tb = text.encode("utf-8")
+            n = len(tb)
+            w, h = 4 + n % 8, 3 + (n // 5) % 7
+            row = w * 3
+            logical = tb[: w * h * 3].ljust(w * h * 3, b"\x00")
+            prior = bytes(row)
+            filtered = bytearray()
+            for r in range(h):
+                raw = logical[r * row:(r + 1) * row]
+                ft = r % 5
+                filtered.append(ft)
+                if ft == 0:
+                    filtered += raw
+                elif ft == 1:  # Sub
+                    filtered += bytes(
+                        (raw[i] - (raw[i - 3] if i >= 3 else 0)) & 0xFF
+                        for i in range(row)
+                    )
+                elif ft == 2:  # Up
+                    filtered += bytes(
+                        (raw[i] - prior[i]) & 0xFF for i in range(row)
+                    )
+                elif ft == 3:  # Average (floor((left+up)/2))
+                    filtered += bytes(
+                        (raw[i] - (
+                            ((raw[i - 3] if i >= 3 else 0) + prior[i]) >> 1
+                        )) & 0xFF
+                        for i in range(row)
+                    )
+                else:  # Paeth
+                    filtered += bytes(
+                        (raw[i] - _paeth(
+                            raw[i - 3] if i >= 3 else 0,
+                            prior[i],
+                            prior[i - 3] if i >= 3 else 0,
+                        )) & 0xFF
+                        for i in range(row)
+                    )
+                prior = raw
+            # level 0 -> stored blocks: exact 11 + m bytes for m < 65531
+            idat = zlib.compress(bytes(filtered), 0)
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", idat)
+                + chunk(b"IEND", b"")
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [to_png(t) for t in pdf["text"]],
+                }
+            )
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    dec_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_file_bytes", T.LongType()),
+            T.StructField("filters_used", T.IntegerType()),
+            T.StructField("header_consistent", T.BooleanType()),
+            T.StructField("pixel_checksum_weighted", T.IntegerType()),
+        ]
+    )
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select("doc_id", "text").mapInPandas(encode_batches, enc_schema)
+    return staged.mapInPandas(_make_png_decoder(), dec_schema)

@@ -1,0 +1,221 @@
+"""Round-15 additions: the PNG codec (fourth real byte-level codec —
+VERDICT r14 #5: a genuinely COMPRESSED format, third-party-free), the
+BFS per-hop checkpoint fix, and the zipf DECIMAL(38,0) slope columns."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_TEST
+from tests.harness import compare
+
+
+# --- mm_decode_png: contract recompute (mirrors the DuckDB oracle) ----------
+
+
+def _expected_png(text):
+    if text is None:
+        return (None, None, None, None, None, None)
+    tb = text.encode("utf-8")
+    n = len(tb)
+    w, h = 4 + n % 8, 3 + (n // 5) % 7
+    m = h * (1 + 3 * w)
+    lim = min(n, w * h * 3)
+    wsum = sum((i + 1) * tb[i] for i in range(lim)) % 65536
+    return (w, h, 68 + m, min(h, 5), True, wsum)
+
+
+def _write_documents(spark, tmp_path, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+PNG_CASES = [
+    (1, ""),             # 0 bytes: w=4 h=3, all-zero image, wsum 0
+    (2, "a"),            # single byte
+    (3, "héllo wörld"),  # multi-byte UTF-8 (per-BYTE weights)
+    (4, "q" * 12),       # w=8, h=5 -> all 5 filter types exercised
+    (5, "z" * 500),      # longer than 3wh: truncation branch
+    (6, None),           # NULL text -> all-NULL metrics
+    (7, "The quick brown fox jumps over the lazy dog." * 3),
+]
+
+
+def test_png_round_trip_matches_contract(spark, tmp_path):
+    from databricks_feature_store_poc_spark.llm.multimodal import (
+        mm_decode_png,
+    )
+
+    sf = _write_documents(spark, tmp_path, PNG_CASES)
+    got = {r["doc_id"]: r for r in mm_decode_png(spark, sf).collect()}
+    assert len(got) == len(PNG_CASES)
+    for doc_id, text in PNG_CASES:
+        w, h, nb, fu, hc, ws = _expected_png(text)
+        r = got[doc_id]
+        assert (
+            r["width"], r["height"], r["n_file_bytes"], r["filters_used"],
+            r["header_consistent"], r["pixel_checksum_weighted"],
+        ) == (w, h, nb, fu, hc, ws), f"doc {doc_id}"
+
+
+def _ref_png(pixels: bytes, w: int, h: int, *, level: int = 9,
+             filters=None, split_idat: int = 1) -> bytes:
+    """Independent PNG writer (test-only): arbitrary zlib level, filter
+    plan, and IDAT splitting — none of which the engine's level-0
+    single-IDAT encoder produces, so a pass pins the DECODER's
+    generality rather than a shared encode/decode bug."""
+    row = w * 3
+    assert len(pixels) == row * h
+    filters = filters or [0] * h
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    prior = bytes(row)
+    out = bytearray()
+    for r in range(h):
+        raw = pixels[r * row:(r + 1) * row]
+        ft = filters[r]
+        out.append(ft)
+        for i in range(row):
+            left = raw[i - 3] if i >= 3 else 0
+            pleft = prior[i - 3] if i >= 3 else 0
+            pred = {0: 0, 1: left, 2: prior[i],
+                    3: (left + prior[i]) >> 1,
+                    4: paeth(left, prior[i], pleft)}[ft]
+            out.append((raw[i] - pred) & 0xFF)
+        prior = raw
+    idat = zlib.compress(bytes(out), level)
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    png = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    )
+    step = max(1, -(-len(idat) // split_idat))
+    for i in range(0, len(idat), step):
+        png += chunk(b"IDAT", idat[i:i + step])
+    return png + chunk(b"IEND", b"")
+
+
+def _decode_foreign(payload: bytes) -> tuple:
+    """Drive the engine's decode stage (the exact mapInPandas kernel)
+    with a foreign payload, driver-side."""
+    from databricks_feature_store_poc_spark.llm.multimodal import (
+        _make_png_decoder,
+    )
+
+    batches = iter([pd.DataFrame({"doc_id": [1], "payload": [payload]})])
+    out = next(_make_png_decoder()(batches))
+    r = out.iloc[0]
+
+    def v(x):
+        return None if pd.isna(x) else (
+            bool(x) if isinstance(x, (bool,)) else int(x)
+        )
+
+    return (
+        v(r["width"]), v(r["height"]), v(r["n_file_bytes"]),
+        v(r["filters_used"]),
+        None if pd.isna(r["header_consistent"])
+        else bool(r["header_consistent"]),
+        v(r["pixel_checksum_weighted"]),
+    )
+
+
+@pytest.mark.parametrize(
+    "level,filters,split",
+    [
+        (9, [4, 4, 4, 4], 1),   # best compression, all-Paeth
+        (6, [3, 3, 3, 3], 3),   # split IDATs, all-Average
+        (1, [0, 1, 2, 4], 2),   # mixed filter plan, 2 IDATs
+    ],
+)
+def test_png_decoder_general(level, filters, split):
+    """The decoder must handle real-world PNGs the engine's fixtures
+    never produce: high zlib levels, split IDATs, arbitrary filter
+    plans. The reconstructed weighted checksum must match the known
+    pixel stream exactly."""
+    w, h = 6, 4
+    pixels = bytes((i * 37 + 11) % 256 for i in range(w * h * 3))
+    payload = _ref_png(pixels, w, h, level=level,
+                       filters=filters, split_idat=split)
+    want_sum = sum((i + 1) * pixels[i] for i in range(len(pixels))) % 65536
+    got = _decode_foreign(payload)
+    assert got == (
+        w, h, len(payload), len(set(filters)), True, want_sum
+    ), (level, filters, split)
+
+
+def test_png_corruption_detected():
+    """A stale CRC (flipped IHDR byte) must drop header_consistent; a
+    corrupted IDAT byte must yield a diagnostic row (inflate/adler32
+    failure), never a crash."""
+    w, h = 5, 3
+    pixels = bytes(range(45))
+    good = _ref_png(pixels, w, h)
+    bad_hdr = bytearray(good)
+    bad_hdr[16] ^= 0x01  # width low byte; chunk CRC now stale
+    got = _decode_foreign(bytes(bad_hdr))
+    assert got[4] in (False, None)
+    bad_idat = bytearray(good)
+    bad_idat[8 + 25 + 8 + 3] ^= 0xFF  # inside zlib stream
+    got2 = _decode_foreign(bytes(bad_idat))
+    assert got2[4] in (False, None)
+    # truncated file: signature only
+    got3 = _decode_foreign(good[:8])
+    assert got3[4] in (False, None)
+
+
+@pytest.mark.parametrize("name", ["mm_decode_png"])
+def test_oracle_match_r15_png(name, spark):
+    r = compare(name, spark, SF_TEST, verbose=False)
+    assert r["ok"], f"{name}: {r.get('issues')}"
+
+
+# --- graph_bfs_reach: checkpointed hops still give exact frontiers ---------
+
+
+def test_bfs_counts_unchanged_after_checkpoint(spark):
+    """The r15 localCheckpoint is lineage-only: hop counts at SF_TEST
+    must still equal the DuckDB oracle's (regression pin for the perf
+    fix)."""
+    r = compare("graph_bfs_reach", spark, SF_TEST, verbose=False)
+    assert r["ok"], r.get("issues")
+
+
+# --- text_zipf_fit: DECIMAL(38,0) slope columns -----------------------------
+
+
+def test_zipf_slope_decimal_schema_and_value(spark):
+    from decimal import Decimal
+
+    from databricks_feature_store_poc_spark.llm.text import text_zipf_fit
+
+    df = text_zipf_fit(spark, SF_TEST)
+    dt = dict(df.dtypes)
+    assert dt["slope_num"] == "decimal(38,0)"
+    assert dt["slope_den"] == "decimal(38,0)"
+    r = df.collect()[0]
+    k, sx, sy, sxy, sx2 = (
+        r["n_types"], r["sum_x"], r["sum_y"], r["sum_xy"], r["sum_x2"]
+    )
+    assert r["slope_num"] == Decimal(k * sxy - sx * sy)
+    assert r["slope_den"] == Decimal(k * sx2 - sx * sx)
+    if r["slope_den"] != 0:
+        assert r["zipf_slope"] == pytest.approx(
+            float(k * sxy - sx * sy) / float(k * sx2 - sx * sx)
+        )
