@@ -10,11 +10,13 @@ Four dedup families over ``documents`` + one over ``embeddings``:
   fan-out is bounded by capping shingle document-frequency (stop-shingle
   removal, applied identically in the oracle).
 - ``dedup_near_minhash`` — MinHash-LSH candidates, then exact-Jaccard
-  verification. Probabilistic recall => rows-only check; but every emitted
-  pair is exact-verified, so output ⊆ dedup_ngram_jaccard output — the
-  containment invariant tests/test_llm.py pins.
+  verification. FULL oracle since r15 (md5-derived lane hashes reproduce
+  the whole pipeline in DuckDB); every emitted pair is exact-verified, so
+  output ⊆ dedup_ngram_jaccard output — the containment invariant
+  tests/test_llm.py pins.
 - ``dedup_simhash``      — 64-bit SimHash fingerprints + banded Hamming
-  pairs (rows-only; fingerprint bits depend on xxhash64).
+  pairs (FULL oracle since r15: md5-derived word hashes make the
+  fingerprints themselves SQL-recomputable).
 - ``dedup_embedding_cosine`` — near-dup by embedding cosine (oracle via
   DuckDB list ops on DOUBLE[]).
 
@@ -262,28 +264,108 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs_from_index(shingle_index(spark, sf_dir))
 
 
-@query("dedup_near_minhash")  # LSH recall is probabilistic: rows-only check
+# Engine-portable 48-bit lane hash for MinHash: the first 12 hex chars
+# of md5("<lane>|<shingle>") as an integer. md5 is the one hash BOTH
+# Spark and DuckDB compute bit-identically, which is what promotes the
+# PRIMARY minhash query from rows-only to a full value-hash oracle
+# (VERDICT r14 #6): signatures, band buckets, candidates and verified
+# pairs all reproduce exactly in SQL. 48 bits keep the hex parse cheap;
+# lane-hash collisions only tie a min (same value both engines), they
+# never break determinism.
+_MINHASH_LANES = 16
+_MINHASH_BANDS = 4
+
+
+def _mh_lane_spark(i: int) -> F.Column:
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))), 1, 12),
+        16, 10,
+    ).cast("long")
+
+
+def _mh_lane_duck(i: int) -> str:
+    return (
+        "CAST(list_sum([(strpos('0123456789abcdef', "
+        f"substring(md5('{i}|' || shingle), c, 1)) - 1) * (16 ** (12 - c)) "
+        "FOR c IN range(1, 13)]) AS BIGINT)"
+    )
+
+
+_MINHASH_ORACLE = _DUCK_SHINGLES + f"""
+    , sigs AS (
+        SELECT doc_id,
+               {", ".join(f"min({_mh_lane_duck(i)}) AS mh{i}"
+                          for i in range(_MINHASH_LANES))}
+        FROM kept GROUP BY doc_id
+    ),
+    bands AS (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, "
+            + ", ".join(f"mh{b * 4 + r} AS k{r}" for r in range(4))
+            + " FROM sigs"
+            for b in range(_MINHASH_BANDS)
+        )}
+    ),
+    cands AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS n_shared_bands
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+         AND a.k2 = b.k2 AND a.k3 = b.k3 AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    shared AS (
+        SELECT c.doc_a, c.doc_b, c.n_shared_bands, COUNT(*) AS shared
+        FROM cands c
+        JOIN kept a ON a.doc_id = c.doc_a
+        JOIN kept b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2, 3
+    )
+    SELECT s.doc_a, s.doc_b,
+           s.shared * 1.0 / (sa.n_shingles + sb.n_shingles - s.shared)
+               AS jaccard,
+           CAST(s.n_shared_bands AS INT) AS n_shared_bands
+    FROM shared s
+    JOIN doc_sizes sa ON s.doc_a = sa.doc_id
+    JOIN doc_sizes sb ON s.doc_b = sb.doc_id
+    WHERE s.shared * 1.0 / (sa.n_shingles + sb.n_shingles - s.shared)
+          >= {JACCARD_THRESHOLD}
+"""
+
+
+@query("dedup_near_minhash", oracle=_MINHASH_ORACLE)
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup: 16 minhashes over the shingle set, banded
     4x4; docs sharing a band bucket become candidates; candidates are
-    verified with EXACT Jaccard before emission.
+    verified with EXACT Jaccard before emission, plus the pair's
+    band-collision count (``n_shared_bands``).
+
+    FULL oracle (promoted from rows-only, VERDICT r14 #6): lane hashes
+    are md5-derived (see ``_mh_lane_spark``/``_mh_lane_duck``), so the
+    DuckDB oracle reproduces the ENTIRE pipeline — signatures, band
+    buckets, candidate pairs, band counts and verified Jaccard — value-
+    for-value; nothing engine-private reaches the output. Band buckets
+    join on the raw minhash 4-tuple (not a re-hash of it), so a bucket
+    collision cannot manufacture a candidate the oracle lacks.
 
     The 100 TB contract: pair generation cost is (bucket size)^2 summed
     over buckets — never all-pairs — and verification touches only
     candidates. Because emitted pairs are exact-verified, the output is a
     subset of dedup_ngram_jaccard's (containment pinned in tests); LSH
     with these parameters catches ~all pairs at jaccard >= 0.5 and most at
-    0.3 (p = 1-(1-j^4)^4).
+    0.3 (p = 1-(1-j^4)^4). md5 costs ~10x xxhash64 per lane but stays
+    JVM-side and map-only; the shuffles (signature groupBy, band join)
+    are unchanged.
     """
     idx = shingle_index(spark, sf_dir)
-    # 16 minhash values per doc: min over shingles of xxhash64(i, shingle).
     sigs = idx.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
-            for i in range(16)
+            F.min(_mh_lane_spark(i)).alias(f"mh{i}")
+            for i in range(_MINHASH_LANES)
         ]
     )
-    # 4 bands of 4 rows; band key = hash of the band's minhash 4-tuple.
+    # 4 bands of 4 rows; the JOIN KEY is the band's minhash 4-tuple
+    # itself (oracle-reproducible), not a hash of it.
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -291,27 +373,39 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(*[F.col(f"mh{b * 4 + r}") for r in range(4)]).alias("key"),
+                        *[
+                            F.col(f"mh{b * 4 + r}").alias(f"k{r}")
+                            for r in range(4)
+                        ],
                     )
-                    for b in range(4)
+                    for b in range(_MINHASH_BANDS)
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("doc_id", "bk.band", "bk.k0", "bk.k1", "bk.k2", "bk.k3")
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.k0") == F.col("b.k0"))
+            & (F.col("a.k1") == F.col("b.k1"))
+            & (F.col("a.k2") == F.col("b.k2"))
+            & (F.col("a.k3") == F.col("b.k3"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("int").alias("n_shared_bands"))
     )
     # Verify ONLY the candidates — computing all exact pairs here would
     # defeat the LSH: verification cost must scale with bucket output.
-    return _jaccard_for_pairs(idx, candidates)
+    verified = _jaccard_for_pairs(idx, candidates.select("doc_a", "doc_b"))
+    return verified.join(candidates, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "jaccard", "n_shared_bands"
+    )
 
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -319,8 +413,9 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bit b of the fingerprint = sign of the sum of ±1 contributions of
     each distinct word's hash bit b).
 
-    The pipeline: explode(distinct words) -> xxhash64 (JVM)
-    -> collect_list per doc (one shuffle) -> an Arrow-batched numpy
+    The pipeline: explode(distinct words) -> md5-derived 64-bit hash
+    (JVM conv/substring; engine-portable so the dedup_simhash oracle can
+    recompute the fingerprints — r15) -> collect_list per doc (one shuffle) -> an Arrow-batched numpy
     kernel that bit-unpacks all hashes of a batch at once and
     segment-sums per document (np.add.reduceat), emitting the packed
     64-bit fingerprint as two longs. Two earlier drafts were slower: a
@@ -345,12 +440,24 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         return cached
 
     d = load_table(spark, sf_dir, "documents")
+    # 64-bit word hash = first 16 hex chars of md5(word), assembled from
+    # two 32-bit conv() halves (conv of 16 chars would overflow the
+    # signed-long parse). md5 replaces xxhash64 (r15, VERDICT r14 #6) so
+    # the fingerprints — and therefore dedup_simhash's FULL output —
+    # reproduce bit-identically in the DuckDB oracle.
     tokens = d.select(
         "doc_id",
         F.explode(
             F.expr("array_distinct(filter(split(text, '\\\\s+'), x -> x != ''))")
         ).alias("word"),
-    ).withColumn("h", F.xxhash64("word"))
+    ).withColumn(
+        "h",
+        F.shiftleft(
+            F.conv(F.substring(F.md5("word"), 9, 8), 16, 10).cast("long"), 32
+        ).bitwiseOR(
+            F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
+        ),
+    )
     hashes = tokens.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
 
     @F.pandas_udf("struct<lo: long, hi: long>")
@@ -383,15 +490,89 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_persist(spark, "simhash_fingerprints", sources, docs)
 
 
-@query("dedup_simhash")  # fingerprint bits depend on xxhash64: rows-only
+def _sim_word_half_duck(pos: int) -> str:
+    """DuckDB: 32-bit integer from 8 hex chars of md5(word) at pos."""
+    return (
+        "CAST(list_sum([(strpos('0123456789abcdef', "
+        f"substring(md5(word), {pos} + c - 1, 1)) - 1) * (16 ** (8 - c)) "
+        "FOR c IN range(1, 9)]) AS BIGINT)"
+    )
+
+
+_SIMHASH_ORACLE = rf"""
+    WITH words AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_filter(
+                   string_split_regex(text, '\s+'), x -> x != ''))) AS word
+        FROM documents
+    ),
+    wh AS (
+        SELECT doc_id,
+               {_sim_word_half_duck(1)} AS lo,
+               {_sim_word_half_duck(9)} AS hi
+        FROM words
+    ),
+    fp AS (
+        SELECT doc_id, COUNT(*) AS nw,
+               {", ".join(f"SUM((lo >> {b}) & 1) AS s{b}" for b in range(32))},
+               {", ".join(f"SUM((hi >> {b}) & 1) AS t{b}" for b in range(32))}
+        FROM wh GROUP BY doc_id
+    ),
+    packed AS (
+        SELECT doc_id,
+               CAST({" + ".join(
+                   f"(CASE WHEN 2 * s{b} > nw THEN {1 << b} ELSE 0 END)"
+                   for b in range(32)
+               )} AS BIGINT) AS h_lo,
+               CAST({" + ".join(
+                   f"(CASE WHEN 2 * t{b} > nw THEN {1 << b} ELSE 0 END)"
+                   for b in range(32)
+               )} AS BIGINT) AS h_hi
+        FROM fp
+    ),
+    bands AS (
+        SELECT doc_id, h_lo, h_hi, 0 AS band, h_lo & 65535 AS key FROM packed
+        UNION ALL
+        SELECT doc_id, h_lo, h_hi, 1, (h_lo >> 16) & 65535 FROM packed
+        UNION ALL
+        SELECT doc_id, h_lo, h_hi, 2, h_hi & 65535 FROM packed
+        UNION ALL
+        SELECT doc_id, h_lo, h_hi, 3, (h_hi >> 16) & 65535 FROM packed
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.h_lo AS a_lo, a.h_hi AS a_hi,
+               b.h_lo AS b_lo, b.h_hi AS b_hi
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(a_lo, b_lo))
+                + bit_count(xor(a_hi, b_hi)) AS INT) AS hamming
+    FROM cands
+    WHERE bit_count(xor(a_lo, b_lo)) + bit_count(xor(a_hi, b_hi)) <= 8
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash near-dup over ``simhash_fingerprints``, banded
     Hamming search: 4 bands of 16 bits; a pair sharing any exact band
     becomes a candidate (guarantees recall for Hamming distance <= 3 by
     pigeonhole, since 4 bands can't all differ); candidates within
     Hamming <= 8 are emitted. Pair search is a bucket join on 16-bit
-    band values, never all-pairs. The audit twin
-    (``dedup_simhash_audit``) oracle-checks the contract.
+    band values, never all-pairs.
+
+    FULL oracle (promoted from rows-only, VERDICT r14 #6): word hashes
+    are md5-derived, so the DuckDB oracle recomputes the fingerprints
+    themselves — per-word 32-bit halves from hex, 64 per-bit majority
+    sums per document, the packed 64-bit fingerprint, the 4x16 band
+    buckets and the Hamming radius — and the emitted pair set matches
+    value-for-value. The oracle mirrors SEMANTICS, not the plan: it
+    takes DISTINCT over all shared-band matches where the engine keeps
+    only the lowest shared band (a map-side bit-ops filter that avoids
+    the distinct shuffle) — same set either way. The audit twin
+    (``dedup_simhash_audit``) still checks the statistical contract.
     """
     docs = simhash_fingerprints(spark, sf_dir)
     band_keys = [
@@ -903,7 +1084,7 @@ def dedup_simhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       property that makes SimHash a near-dup signal at all.
 
     The checked value column is the exact-Jaccard pair count, which the
-    DuckDB oracle recomputes independently; fingerprint bits (xxhash64)
+    DuckDB oracle recomputes independently; fingerprint bits
     never reach the hashed output. Scale: the Hamming re-derivation
     joins fingerprints onto the bucket-bounded exact pair set only —
     cost O(exact pairs), never all-pairs.
