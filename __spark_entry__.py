@@ -40,95 +40,44 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver adjudicates ~50 queries per round in dict order, so the dict
-# is emitted in ADJUDICATION-PRIORITY order, not alphabetical. Round-14
-# policy (VERDICT r13 'do this' #3 — the changed-keys rule applied to
-# LATE commits):
+# is emitted in ADJUDICATION-PRIORITY order, not alphabetical. Round-15
+# policy (VERDICT r14 'do this' #1 — retire the driver-verdict debt;
+# tier arithmetic COUNTED before writing this comment, per the r14
+# blemish): 1 headline + 5 changed + 18 r8-age + 22 r9-age + 4 r10-age
+# head = 50 slots exactly. Done-criterion: after CORRECTNESS_r15 the
+# merged ledger has NO verdict older than r10.
 #   0. the headline training-set assembly (1 key, always adjudicated);
-#   1. changed-in-r13-but-missed: every key whose oracle changed in the
-#      late-r13 fleet-wide VARCHAR sum-cast commit (5c48018, after the
-#      r13 tier-1 list was drawn) and was NOT in CORRECTNESS_r13 —
-#      computed by diffing ORACLES at 5c48018^ vs HEAD against the r13
-#      slot list (28 keys), plus any key changed in r14 itself;
-#   2. the r8-age tail (20 keys — the merged ledger's oldest verdicts
-#      after r13 retired r7; scalar_subquery is already in tier 1);
-#   3. the r9-age cohort head (the ~50-slot budget reaches the first
-#      few; the tail rolls to r15).
+#   1. changed-in-r15: keys whose engine or oracle changed this round —
+#      mm_decode_png (NEW: fourth real codec), dedup_near_minhash and
+#      dedup_simhash (promoted rows-only -> FULL md5-based oracles),
+#      text_zipf_fit (slope columns BIGINT -> DECIMAL(38,0)),
+#      graph_bfs_reach (per-hop localCheckpoint — plan-only, but the
+#      changed-keys rule re-adjudicates engine changes);
+#   2. the COMPLETE r8-age cohort (18 keys — the rotation order that
+#      rolled over from r14);
+#   3. the COMPLETE r9-age cohort (22 keys);
+#   4. the r10-age head (first 4 of 20 alphabetically; the tail is
+#      r16's tier 2).
 _HEADLINE = (
     "training_set_flagship",
 )
 _CHANGED_TIER = (
-    # NEW in r14: second real codec round-trip (BMP — little-endian
-    # struct headers, padded bottom-up rows, weighted checksum); the
-    # hashing-trick featurizer; the integer-exact unigram surprisal
-    # quality score
-    "mm_decode_bmp",
-    "mm_decode_wav",
-    "feature_hash_vectorize",
-    "text_surprisal_proxy",
+    "mm_decode_png",
+    "dedup_near_minhash",
+    "dedup_simhash",
     "text_zipf_fit",
-    "text_bigram_pmi",
-    "embed_pca_power",
-    "analyze_table_stats",
-    "join_asof_nearest",
     "graph_bfs_reach",
-    # oracles/engines changed by the r14 allnull-replica adjudication
-    # (15 fixes: NULL-contract alignments + 3 real engine bugs) — the
-    # changed-keys rule says these MUST re-adjudicate this round
-    "project_exprs",
-    "agg_approx_percentile",
-    "agg_collect_set",
-    "feature_quantile_bin",
-    "udaf_grouped",
-    "eval_metrics",
-    "stream_true_parity",
-    "agg_incremental_state",
-    "feature_rfm_segments_hist",
-    "feature_rfm_segments",
-    # oracles changed in 5c48018 (43 VARCHAR sum casts) not covered by
-    # the r13 rotation (ADVICE r12 #1 class, applied to late commits)
-    "agg_cube",
-    "agg_hash",
-    "agg_having",
-    "feature_resample_1h",
-    "feature_rolling_hourly",
-    "feature_rolling_sum",
-    "feature_time_decay",
-    "join_bucketed_colocated",
-    "join_dynamic_partition_pruning",
-    "join_salted_skew",
-    "rollup_incremental",
-    "scalar_subquery",
-    "stream_late_data",
-    "stream_session",
-    "stream_sliding",
-    "stream_tumbling",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q14",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q22",
-    "win_running",
 )
-# r8-age tail (the merged ledger's oldest after the r13 pass; 21 keys
-# minus scalar_subquery which tier 1 already covers)
+# r8-age cohort, complete (merged-ledger verdicts last adjudicated r8)
 _R8_COHORT = (
-    "dedup_clusters",
     "dedup_distinct",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
     "fn_null_semantics",
     "fn_string_extended",
     "limit_topk",
     "missing_value_scan",
     "mm_binary_meta",
     "pipeline_curate_corpus",
-    "project_exprs",
     "sample_quota_per_lang",
     "sample_stratified_hash",
     "sample_weighted_bernoulli",
@@ -138,13 +87,11 @@ _R8_COHORT = (
     "set_intersect",
     "set_union_all",
     "sink_compact_smallfiles",
+    "dedup_clusters",
 )
-# r9-age cohort head, minus the 8 keys tier 1 already covers (the
-# ~50-slot budget reaches the first; the tail rolls to r15)
+# r9-age cohort, complete
 _R9_COHORT = (
     "agg_approx_distinct",
-    "agg_approx_percentile",
-    "agg_collect_set",
     "agg_corr_covar",
     "dedup_minhash_audit",
     "fn_math",
@@ -167,6 +114,13 @@ _R9_COHORT = (
     "win_rank",
     "win_topk_per_group",
 )
+# r10-age head (4 keys; the remaining 16 r10 keys are r16 tier 2)
+_R10_HEAD = (
+    "agg_bloom_filter",
+    "agg_hll_sketch",
+    "agg_latency_bands",
+    "agg_mode_deterministic",
+)
 
 
 def _priority_order(names: list[str]) -> list[str]:
@@ -179,7 +133,9 @@ def _priority_order(names: list[str]) -> list[str]:
             return (2, _R8_COHORT.index(name), "")
         if name in _R9_COHORT:
             return (3, _R9_COHORT.index(name), "")
-        return (4, 0, name)
+        if name in _R10_HEAD:
+            return (4, _R10_HEAD.index(name), "")
+        return (5, 0, name)
 
     return sorted(names, key=tier)
 
