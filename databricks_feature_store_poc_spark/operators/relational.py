@@ -1588,6 +1588,102 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EXACT_QUANTILES = (0.5, 0.9, 0.99)
+
+
+@query(
+    "agg_exact_quantile_2pass",
+    oracle=f"""
+    WITH nn AS (
+        SELECT l_extendedprice AS val FROM lineitem
+        WHERE l_extendedprice IS NOT NULL
+    ),
+    ranked AS (
+        SELECT val, row_number() OVER (ORDER BY val) AS rn,
+               count(*) OVER () AS n
+        FROM nn
+    ),
+    qs AS (
+        -- CAST: DuckDB types bare 0.5 literals DECIMAL(3,2), not DOUBLE
+        SELECT unnest([{", ".join(
+            f"CAST({q} AS DOUBLE)" for q in _EXACT_QUANTILES
+        )}]) AS q
+    )
+    SELECT qs.q AS q,
+           CAST(greatest(1, ceil(qs.q * r.n)) AS BIGINT) AS k,
+           r.val AS value
+    FROM qs JOIN ranked r ON r.rn = greatest(1, ceil(qs.q * r.n))
+    """,
+)
+def agg_exact_quantile_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quantiles (P50/P90/P99 of l_extendedprice) WITHOUT a global
+    sort — the scale-correct exact path between agg_percentile's
+    sort-based exactness and agg_approx_percentile's sketch: two-pass
+    bucket-histogram selection (the distributed selection-algorithm
+    classic).
+
+    Pass 1 histograms the column into value buckets (floor(val/100) —
+    bucket count is bounded by the value DOMAIN, independent of row
+    count) with one map-side-combined groupBy, then a cumulative sum
+    over the HISTOGRAM finds, for each target rank k = max(1,
+    ceil(q*n)), the single bucket containing it. Pass 2 re-scans with a
+    broadcast semi-join onto the (at most 3) selected buckets and sorts
+    ONLY inside them — a per-bucket window over ~n/n_buckets rows —
+    emitting the (k - preceding_cum)-th value. Nothing ever shuffles
+    the full column for ordering: the histogram shuffle carries one row
+    per bucket, and the stage-2 shuffle carries only the selected
+    buckets' rows. At 100 TB this is the difference between a ~100 GB
+    sort exchange and two scans plus kilobyte-scale shuffles.
+
+    The single-partition window over the histogram is safe by
+    construction: its size is the bucket count (domain/granularity,
+    ~1k here), never O(rows). Ties are value-ties — any row_number
+    tie-break yields the same k-th VALUE, so the output is
+    deterministic. The oracle asserts the definition (k-th smallest,
+    1-indexed) by brute-force ranking; k uses the same IEEE
+    q*n arithmetic on both engines. All-NULL / empty input -> 0 rows on
+    both engines (no rank exists).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.filter(F.col("l_extendedprice").isNotNull()).select(
+        F.col("l_extendedprice").alias("val"),
+        F.floor(F.col("l_extendedprice") / 100)
+        .cast("long")
+        .alias("bucket"),
+    )
+    hist = vals.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    cum_w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "bucket", "cnt", F.sum("cnt").over(cum_w).alias("cum")
+    ).crossJoin(
+        F.broadcast(hist.agg(F.sum("cnt").cast("long").alias("n")))
+    )
+    qs = spark.createDataFrame(
+        [(q,) for q in _EXACT_QUANTILES], "q double"
+    )
+    k = F.greatest(F.lit(1).cast("long"), F.ceil(F.col("q") * F.col("n")))
+    selected = F.broadcast(
+        qs.join(
+            cum,
+            (F.col("cum") >= k) & ((F.col("cum") - F.col("cnt")) < k),
+        ).select(
+            "q",
+            "bucket",
+            k.alias("k"),
+            (k - (F.col("cum") - F.col("cnt"))).alias("offset"),
+        )
+    )
+    in_bucket = vals.join(selected, "bucket")
+    rn_w = Window.partitionBy("q", "bucket").orderBy("val")
+    return (
+        in_bucket.withColumn("rn", F.row_number().over(rn_w))
+        .filter(F.col("rn") == F.col("offset"))
+        .select("q", "k", F.col("val").alias("value"))
+    )
+
+
 @query(
     "sink_sorted_parquet",
     oracle="""

@@ -219,3 +219,68 @@ def test_zipf_slope_decimal_schema_and_value(spark):
         assert r["zipf_slope"] == pytest.approx(
             float(k * sxy - sx * sy) / float(k * sx2 - sx * sx)
         )
+
+
+# --- agg_exact_quantile_2pass: exact selection without a global sort -------
+
+
+def test_exact_quantile_matches_brute_force(spark, tmp_path):
+    """Hand-built lineitem with known ranks incl. heavy value ties and a
+    bucket boundary straddle; result must equal the k-th smallest."""
+    import math
+
+    from databricks_feature_store_poc_spark.operators.relational import (
+        agg_exact_quantile_2pass,
+        _EXACT_QUANTILES,
+    )
+
+    vals = (
+        [100.00] * 7            # ties in one bucket
+        + [199.99, 200.00]      # bucket boundary straddle (floor /100)
+        + [float(v) for v in range(300, 391, 10)]
+        + [None, None]          # excluded
+    )
+    rows = [(i + 1, 1, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_linenumber int, l_extendedprice double"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    got = {
+        r["q"]: (r["k"], r["value"])
+        for r in agg_exact_quantile_2pass(spark, str(tmp_path)).collect()
+    }
+    nn = sorted(v for v in vals if v is not None)
+    for q in _EXACT_QUANTILES:
+        k = max(1, math.ceil(q * len(nn)))
+        assert got[q] == (k, nn[k - 1]), q
+
+
+def test_exact_quantile_plan_has_no_global_sort(spark):
+    """The point of the operator: the full column never crosses a range
+    (sort) exchange — only the bucket histogram and the selected
+    buckets shuffle."""
+    from databricks_feature_store_poc_spark.operators.relational import (
+        agg_exact_quantile_2pass,
+    )
+
+    plan = agg_exact_quantile_2pass(
+        spark, SF_TEST
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower(), plan[:2000]
+
+
+def test_exact_quantile_all_null_empty(spark, tmp_path):
+    from databricks_feature_store_poc_spark.operators.relational import (
+        agg_exact_quantile_2pass,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, None)],
+        "l_orderkey long, l_linenumber int, l_extendedprice double",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    assert agg_exact_quantile_2pass(spark, str(tmp_path)).count() == 0
