@@ -1655,10 +1655,17 @@ def agg_exact_quantile_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum_w = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    # n as an unbounded window over the SAME histogram partition (not a
+    # separate agg branch, which would re-derive the scan: the audited
+    # k-references-= k-scans trap) — both windows share one exchange.
+    tot_w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     cum = hist.select(
-        "bucket", "cnt", F.sum("cnt").over(cum_w).alias("cum")
-    ).crossJoin(
-        F.broadcast(hist.agg(F.sum("cnt").cast("long").alias("n")))
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(cum_w).alias("cum"),
+        F.sum("cnt").over(tot_w).cast("long").alias("n"),
     )
     qs = spark.createDataFrame(
         [(q,) for q in _EXACT_QUANTILES], "q double"
