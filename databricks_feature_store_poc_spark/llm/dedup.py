@@ -1127,3 +1127,72 @@ def dedup_simhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce("max_emitted_hamming", F.lit(0)) <= 8).alias("radius_ok"),
         (F.coalesce("avg_hamming", F.lit(0.0)) <= 16.0).alias("signal_ok"),
     )
+
+
+_SAMPLE_BANDS_ORACLE = _DUCK_SHINGLES + f"""
+    , sigs AS (
+        SELECT doc_id,
+               {", ".join(f"min({_mh_lane_duck(i)}) AS mh{i}"
+                          for i in range(4))}
+        FROM kept GROUP BY doc_id
+    ),
+    buckets AS (
+        SELECT min(doc_id) AS doc_id,
+               CAST(count(*) AS BIGINT) AS bucket_size
+        FROM sigs GROUP BY mh0, mh1, mh2, mh3
+    )
+    SELECT doc_id, bucket_size, TRUE AS has_signature FROM buckets
+    UNION ALL
+    SELECT doc_id, CAST(1 AS BIGINT), FALSE
+    FROM (SELECT DISTINCT doc_id FROM documents d
+          WHERE NOT EXISTS (SELECT 1 FROM sigs s
+                            WHERE s.doc_id = d.doc_id))
+"""
+
+
+@query("sample_minhash_diverse", oracle=_SAMPLE_BANDS_ORACLE)
+def sample_minhash_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-stratified diversity subsample (VERDICT r14 #8's named
+    stretch): keep ONE representative document (min doc_id) per LSH
+    bucket — the 4-lane minhash signature — so downsampling
+    preferentially drops near-duplicates instead of sampling them
+    proportionally (the standard corpus-thinning step before expensive
+    training passes: a cluster of 1000 boilerplate variants contributes
+    one doc, a unique doc always survives). Emits each kept doc with its
+    bucket size (the dedup mass it represents).
+
+    Documents with no signature — fewer than SHINGLE_WORDS words, empty
+    or NULL text — cannot be near-dup-bucketed and are kept
+    unconditionally as singleton buckets (has_signature = FALSE), so
+    the sample always COVERS the corpus: every distinct doc_id is
+    represented by exactly one output row's bucket (total coverage
+    pinned in tests).
+
+    FULLY deterministic and oracle-checked end-to-end: the md5-derived
+    minhash lanes (same `_mh_lane_*` pair as dedup_near_minhash)
+    reproduce bit-identically in DuckDB, so bucket membership, the
+    min-doc_id representative, and bucket sizes all hash-match.
+
+    Scale shape: shingle index (one shuffle) -> 4-lane signature groupBy
+    (one) -> bucket groupBy (one, histogram-sized output) -> anti-join
+    for the no-signature remainder. Never all-pairs, no driver state;
+    the output is O(distinct buckets + unshingleable docs)."""
+    idx = shingle_index(spark, sf_dir)
+    sigs = idx.groupBy("doc_id").agg(
+        *[F.min(_mh_lane_spark(i)).alias(f"mh{i}") for i in range(4)]
+    )
+    buckets = (
+        sigs.groupBy("mh0", "mh1", "mh2", "mh3")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).cast("long").alias("bucket_size"),
+        )
+        .select("doc_id", "bucket_size", F.lit(True).alias("has_signature"))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").distinct()
+    nosig = docs.join(sigs.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id",
+        F.lit(1).cast("long").alias("bucket_size"),
+        F.lit(False).alias("has_signature"),
+    )
+    return buckets.unionByName(nosig)

@@ -284,3 +284,58 @@ def test_exact_quantile_all_null_empty(spark, tmp_path):
         str(tmp_path / "lineitem.parquet")
     )
     assert agg_exact_quantile_2pass(spark, str(tmp_path)).count() == 0
+
+
+# --- sample_minhash_diverse: LSH-stratified corpus subsample ----------------
+
+
+def test_minhash_diverse_covers_corpus(spark):
+    """Every distinct doc_id is represented by exactly one bucket:
+    sum(bucket_size) == n distinct docs, kept doc_ids are distinct, and
+    near-dup clusters collapse (kept <= distinct docs, with strict
+    inequality on data known to contain near-dups)."""
+    from databricks_feature_store_poc_spark.registry import (
+        QUERIES,
+        load_all_queries,
+    )
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    load_all_queries()
+    out = QUERIES["sample_minhash_diverse"](spark, SF_TEST)
+    rows = out.collect()
+    n_docs = load_table(spark, SF_TEST, "documents").select(
+        "doc_id"
+    ).distinct().count()
+    kept = [r["doc_id"] for r in rows]
+    assert len(kept) == len(set(kept))
+    assert sum(r["bucket_size"] for r in rows) == n_docs
+    assert len(kept) < n_docs  # sf0.01 documents contain near-dups
+    # every no-signature doc is a singleton
+    assert all(
+        r["bucket_size"] == 1 for r in rows if not r["has_signature"]
+    )
+
+
+def test_minhash_diverse_drops_near_dup_clones(spark, tmp_path):
+    """Hand-built corpus: 3 verbatim clones of one long doc collapse to
+    one representative (min doc_id) with bucket_size 3; a distinct doc
+    survives; a 2-word doc has no signature and is kept as a
+    singleton."""
+    from databricks_feature_store_poc_spark.llm.dedup import (
+        sample_minhash_diverse,
+    )
+
+    long_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    long_b = "one two three four five six seven eight nine ten eleven"
+    sf = _write_documents(spark, tmp_path, [
+        (10, long_a), (11, long_a), (12, long_a),
+        (20, long_b),
+        (30, "too short"),
+        (31, None),
+    ])
+    got = {r["doc_id"]: r for r in sample_minhash_diverse(spark, sf).collect()}
+    assert set(got) == {10, 20, 30, 31}
+    assert got[10]["bucket_size"] == 3 and got[10]["has_signature"]
+    assert got[20]["bucket_size"] == 1 and got[20]["has_signature"]
+    assert got[30]["bucket_size"] == 1 and not got[30]["has_signature"]
+    assert got[31]["bucket_size"] == 1 and not got[31]["has_signature"]
