@@ -43,13 +43,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # is emitted in ADJUDICATION-PRIORITY order, not alphabetical. Round-15
 # policy (VERDICT r14 'do this' #1 — retire the driver-verdict debt;
 # tier arithmetic COUNTED before writing this comment, per the r14
-# blemish): 1 headline + 7 changed + 18 r8-age + 22 r9-age + 2 r10-age
+# blemish): 1 headline + 8 changed + 18 r8-age + 22 r9-age + 1 r10-age
 # head = 50 slots exactly. Done-criterion: after CORRECTNESS_r15 the
 # merged ledger has NO verdict older than r10.
 #   0. the headline training-set assembly (1 key, always adjudicated);
 #   1. changed-in-r15: keys whose engine or oracle changed this round —
 #      mm_decode_png (NEW: fourth real codec), agg_exact_quantile_2pass
-#      (NEW: exact quantiles via 2-pass bucket selection, no global
+#      and agg_exact_quantile_grouped (NEW: exact global and per-group
+#      quantiles via 2-pass bucket selection, no global
 #      sort), sample_minhash_diverse (NEW: LSH-stratified diversity
 #      subsample), dedup_near_minhash and dedup_simhash (promoted rows-only
 #      -> FULL md5-based oracles), text_zipf_fit (slope columns BIGINT
@@ -59,7 +60,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   2. the COMPLETE r8-age cohort (18 keys — the rotation order that
 #      rolled over from r14);
 #   3. the COMPLETE r9-age cohort (22 keys);
-#   4. the r10-age head (first 2 of 20 alphabetically; the tail is
+#   4. the r10-age head (first 1 of 20 alphabetically; the tail is
 #      r16's tier 2).
 _HEADLINE = (
     "training_set_flagship",
@@ -67,6 +68,7 @@ _HEADLINE = (
 _CHANGED_TIER = (
     "mm_decode_png",
     "agg_exact_quantile_2pass",
+    "agg_exact_quantile_grouped",
     "sample_minhash_diverse",
     "dedup_near_minhash",
     "dedup_simhash",
@@ -119,10 +121,9 @@ _R9_COHORT = (
     "win_rank",
     "win_topk_per_group",
 )
-# r10-age head (2 keys; the remaining 18 r10 keys are r16 tier 2)
+# r10-age head (1 key; the remaining 19 r10 keys are r16 tier 2)
 _R10_HEAD = (
     "agg_bloom_filter",
-    "agg_hll_sketch",
 )
 
 

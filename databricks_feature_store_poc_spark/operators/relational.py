@@ -1692,6 +1692,99 @@ def agg_exact_quantile_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_exact_quantile_grouped",
+    oracle=f"""
+    WITH nn AS (
+        SELECT l_returnflag AS grp, l_extendedprice AS val FROM lineitem
+        WHERE l_extendedprice IS NOT NULL
+    ),
+    ranked AS (
+        SELECT grp, val,
+               row_number() OVER (PARTITION BY grp ORDER BY val) AS rn,
+               count(*) OVER (PARTITION BY grp) AS n
+        FROM nn
+    ),
+    qs AS (
+        SELECT unnest([{", ".join(
+            f"CAST({q} AS DOUBLE)" for q in _EXACT_QUANTILES
+        )}]) AS q
+    )
+    SELECT r.grp, qs.q AS q,
+           CAST(greatest(1, ceil(qs.q * r.n)) AS BIGINT) AS k,
+           r.val AS value
+    FROM qs JOIN ranked r ON r.rn = greatest(1, ceil(qs.q * r.n))
+    """,
+)
+def agg_exact_quantile_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP exact quantiles (P50/P90/P99 of l_extendedprice per
+    l_returnflag) by the same two-pass bucket-histogram selection as
+    agg_exact_quantile_2pass — the shape a per-key percentile job
+    (latency per service, price per category) needs at 100 TB, where
+    the naive per-group sort is a full range exchange of every row.
+
+    Pass 1's histogram is keyed (group, bucket) — still domain-bounded
+    per group — and BOTH window passes partition by group, so there is
+    no single-partition bottleneck at any group count: the cumulative
+    and total windows each run over one group's histogram slice. Pass 2
+    broadcast-joins the (group x quantile) selected buckets back and
+    sorts only inside them. The full column still never crosses a range
+    exchange (pinned in tests alongside the global variant).
+
+    All-NULL groups vanish on both engines (no rank exists); ties are
+    value-ties as in the global variant.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.filter(F.col("l_extendedprice").isNotNull()).select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").alias("val"),
+        F.floor(F.col("l_extendedprice") / 100)
+        .cast("long")
+        .alias("bucket"),
+    )
+    hist = vals.groupBy("grp", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cum_w = (
+        Window.partitionBy("grp")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy("grp").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "grp",
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(cum_w).alias("cum"),
+        F.sum("cnt").over(tot_w).cast("long").alias("n"),
+    )
+    qs = spark.createDataFrame(
+        [(q,) for q in _EXACT_QUANTILES], "q double"
+    )
+    k = F.greatest(F.lit(1).cast("long"), F.ceil(F.col("q") * F.col("n")))
+    selected = F.broadcast(
+        qs.join(
+            cum,
+            (F.col("cum") >= k) & ((F.col("cum") - F.col("cnt")) < k),
+        ).select(
+            "grp",
+            "q",
+            "bucket",
+            k.alias("k"),
+            (k - (F.col("cum") - F.col("cnt"))).alias("offset"),
+        )
+    )
+    in_bucket = vals.join(selected, ["grp", "bucket"])
+    rn_w = Window.partitionBy("grp", "q", "bucket").orderBy("val")
+    return (
+        in_bucket.withColumn("rn", F.row_number().over(rn_w))
+        .filter(F.col("rn") == F.col("offset"))
+        .select("grp", "q", "k", F.col("val").alias("value"))
+    )
+
+
+@query(
     "sink_sorted_parquet",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice

@@ -339,3 +339,50 @@ def test_minhash_diverse_drops_near_dup_clones(spark, tmp_path):
     assert got[20]["bucket_size"] == 1 and got[20]["has_signature"]
     assert got[30]["bucket_size"] == 1 and not got[30]["has_signature"]
     assert got[31]["bucket_size"] == 1 and not got[31]["has_signature"]
+
+
+def test_grouped_quantile_matches_brute_force(spark, tmp_path):
+    import math
+
+    from databricks_feature_store_poc_spark.operators.relational import (
+        agg_exact_quantile_grouped,
+        _EXACT_QUANTILES,
+    )
+
+    data = {
+        "A": [5.0] * 4 + [float(v) for v in range(100, 131, 10)],
+        "B": [250.0, 250.0, 99.99, 100.00, 300.5],
+    }
+    rows, i = [], 0
+    for g, vs in data.items():
+        for v in vs:
+            i += 1
+            rows.append((i, 1, g, v))
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_returnflag string, "
+        "l_extendedprice double",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    got = {
+        (r["grp"], r["q"]): (r["k"], r["value"])
+        for r in agg_exact_quantile_grouped(spark, str(tmp_path)).collect()
+    }
+    for g, vs in data.items():
+        nn = sorted(vs)
+        for q in _EXACT_QUANTILES:
+            k = max(1, math.ceil(q * len(nn)))
+            assert got[(g, q)] == (k, nn[k - 1]), (g, q)
+
+
+def test_grouped_quantile_plan_has_no_global_sort(spark):
+    from databricks_feature_store_poc_spark.operators.relational import (
+        agg_exact_quantile_grouped,
+    )
+
+    plan = agg_exact_quantile_grouped(
+        spark, SF_TEST
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower(), plan[:2000]
