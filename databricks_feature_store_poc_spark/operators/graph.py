@@ -90,7 +90,14 @@ def pagerank(edges: DataFrame, iters: int = ITERS) -> DataFrame:
     list against that small table — AQE broadcasts it — plus one
     groupBy(dst) shuffle of the contributions.
     """
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # localCheckpoint (r15, same move as graph_bfs_reach): deg is
+    # referenced by rank0, by every iteration's share join, and by the
+    # n1 broadcast — lazily each reference re-runs the |E| groupBy over
+    # the cached edge list (~8 executions at 3 iterations). The
+    # checkpointed table is |V|-row.
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("outdeg")
+    ).localCheckpoint()
     n1 = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     # rank0 = SCALE div N; teleport base = (15 * (SCALE div N)) div 100.
     ranks = deg.crossJoin(F.broadcast(n1)).select(
