@@ -43,8 +43,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # is emitted in ADJUDICATION-PRIORITY order, not alphabetical. Round-15
 # policy (VERDICT r14 'do this' #1 — retire the driver-verdict debt;
 # tier arithmetic COUNTED before writing this comment, per the r14
-# blemish): 1 headline + 8 changed + 18 r8-age + 22 r9-age + 1 r10-age
-# head = 50 slots exactly. Done-criterion: after CORRECTNESS_r15 the
+# blemish): 1 headline + 9 changed + 18 r8-age + 22 r9-age = 50 slots
+# exactly (the r10 head was displaced by late-round changed keys; all
+# 20 r10-age keys are r16 tier 2). Done-criterion: after CORRECTNESS_r15 the
 # merged ledger has NO verdict older than r10.
 #   0. the headline training-set assembly (1 key, always adjudicated);
 #   1. changed-in-r15: keys whose engine or oracle changed this round —
@@ -56,12 +57,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #      -> FULL md5-based oracles), text_zipf_fit (slope columns BIGINT
 #      -> DECIMAL(38,0)), graph_bfs_reach (per-hop localCheckpoint —
 #      plan-only, but the changed-keys rule re-adjudicates engine
-#      changes);
+#      changes), graph_pagerank (degree-table localCheckpoint);
 #   2. the COMPLETE r8-age cohort (18 keys — the rotation order that
 #      rolled over from r14);
 #   3. the COMPLETE r9-age cohort (22 keys);
-#   4. the r10-age head (first 1 of 20 alphabetically; the tail is
-#      r16's tier 2).
+
 _HEADLINE = (
     "training_set_flagship",
 )
@@ -74,6 +74,7 @@ _CHANGED_TIER = (
     "dedup_simhash",
     "text_zipf_fit",
     "graph_bfs_reach",
+    "graph_pagerank",
 )
 # r8-age cohort, complete (merged-ledger verdicts last adjudicated r8)
 _R8_COHORT = (
@@ -121,10 +122,9 @@ _R9_COHORT = (
     "win_rank",
     "win_topk_per_group",
 )
-# r10-age head (1 key; the remaining 19 r10 keys are r16 tier 2)
-_R10_HEAD = (
-    "agg_bloom_filter",
-)
+# r10-age cohort: fully deferred to r16 tier 2 (changed keys took the
+# remaining budget)
+_R10_HEAD = ()
 
 
 def _priority_order(names: list[str]) -> list[str]:
