@@ -43,9 +43,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # is emitted in ADJUDICATION-PRIORITY order, not alphabetical. Round-15
 # policy (VERDICT r14 'do this' #1 — retire the driver-verdict debt;
 # tier arithmetic COUNTED before writing this comment, per the r14
-# blemish): 1 headline + 9 changed + 18 r8-age + 22 r9-age = 50 slots
-# exactly (the r10 head was displaced by late-round changed keys; all
-# 20 r10-age keys are r16 tier 2). Done-criterion: after CORRECTNESS_r15 the
+# blemish): 1 headline + 10 changed + 18 r8-age + 21 r9-age = 50 slots
+# exactly; the 22nd r9-age key (win_topk_per_group) rides at position
+# 51 in case the driver's budget stretches past 50, else it is r16
+# tier-2 head. The r10 cohort (20 keys) is r16 tier 2. A NEVER-
+# adjudicated new key outranks a stale-green r9 re-check, hence the
+# displacement. Done-criterion: after CORRECTNESS_r15 the
 # merged ledger has NO verdict older than r10.
 #   0. the headline training-set assembly (1 key, always adjudicated);
 #   1. changed-in-r15: keys whose engine or oracle changed this round —
@@ -57,7 +60,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #      -> FULL md5-based oracles), text_zipf_fit (slope columns BIGINT
 #      -> DECIMAL(38,0)), graph_bfs_reach (per-hop localCheckpoint —
 #      plan-only, but the changed-keys rule re-adjudicates engine
-#      changes), graph_pagerank (degree-table localCheckpoint);
+#      changes), graph_pagerank (degree-table localCheckpoint),
+#      text_url_canonicalize (NEW: real URL canonicalizer over
+#      synthesized surface variants, map-only);
 #   2. the COMPLETE r8-age cohort (18 keys — the rotation order that
 #      rolled over from r14);
 #   3. the COMPLETE r9-age cohort (22 keys);
@@ -75,6 +80,7 @@ _CHANGED_TIER = (
     "text_zipf_fit",
     "graph_bfs_reach",
     "graph_pagerank",
+    "text_url_canonicalize",
 )
 # r8-age cohort, complete (merged-ledger verdicts last adjudicated r8)
 _R8_COHORT = (

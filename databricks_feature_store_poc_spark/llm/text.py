@@ -1159,3 +1159,184 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_ratio"), "w1", "w2")
         .limit(50)
     )
+
+
+@query(
+    "text_url_canonicalize",
+    oracle="""
+    WITH v AS (
+        SELECT doc_id, source,
+               doc_id % 2 AS c2, doc_id % 3 AS c3, doc_id % 4 AS c4,
+               doc_id % 5 AS c5, doc_id % 6 AS c6, doc_id % 7 AS c7
+        FROM documents
+    ),
+    parts AS (
+        SELECT doc_id, source, c2, c3, c4, c5, c6, c7,
+               -- hostname sanitized to DNS-valid chars (a crawler's URLs
+               -- have valid hosts by construction; the dup replicas edit
+               -- source to values like 'hot_source' whose underscore
+               -- makes java.net.URI reject the authority)
+               'www.' || lower(regexp_replace(source, '[^a-zA-Z0-9-]',
+                                              '-', 'g'))
+                      || '.example.com' AS host,
+               'a=' || CAST(doc_id % 10 AS VARCHAR) AS pa,
+               'b=' || CAST(c7 AS VARCHAR) AS pb
+        FROM v
+    ),
+    built AS (
+        SELECT doc_id,
+               CASE WHEN doc_id IS NULL OR source IS NULL THEN NULL ELSE
+                   (CASE WHEN c2 = 0 THEN 'https' ELSE 'HTTPS' END)
+                   || '://'
+                   || (CASE WHEN c3 = 0 THEN upper(host) ELSE host END)
+                   || (CASE WHEN c5 = 0 THEN ':443'
+                            WHEN c5 = 1 THEN ':8443' ELSE '' END)
+                   || '/docs' || (CASE WHEN c4 = 0 THEN '//' ELSE '/' END)
+                   || CAST(doc_id AS VARCHAR)
+                   || (CASE WHEN c7 = 0 THEN '/' ELSE '' END)
+                   || '?'
+                   || (CASE WHEN c3 = 1 THEN 'utm_source=feed&' ELSE '' END)
+                   || (CASE WHEN c2 = 0 THEN pa || '&' || pb
+                            ELSE pb || '&' || pa END)
+                   || (CASE WHEN c6 = 0
+                            THEN '#sec' || CAST(c4 AS VARCHAR) ELSE '' END)
+               END AS url_raw,
+               CASE WHEN doc_id IS NULL OR source IS NULL THEN NULL ELSE
+                   'https://' || host
+                   || (CASE WHEN c5 = 1 THEN ':8443' ELSE '' END)
+                   || '/docs/' || CAST(doc_id AS VARCHAR)
+                   || '?' || pa || '&' || pb
+               END AS url_canonical,
+               CASE WHEN doc_id IS NULL OR source IS NULL THEN NULL
+                    ELSE CAST(CASE WHEN c3 = 1 THEN 1 ELSE 0 END AS INT)
+               END AS n_dropped_params,
+               CASE WHEN doc_id IS NULL OR source IS NULL THEN NULL
+                    ELSE c6 = 0
+               END AS had_fragment
+        FROM parts
+    )
+    SELECT doc_id, url_raw, url_canonical, n_dropped_params, had_fragment
+    FROM built
+    """,
+)
+def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the first dedup step of every web-scrape
+    pipeline (the same page arrives as `HTTPS://WWW.Host.COM:443//p?b=2&
+    utm_source=feed&a=1#frag` and `https://www.host.com/p?a=1&b=2`;
+    URL-level dedup before content-level dedup cuts fetch and shingle
+    volume by the duplicate factor). Stage 1 SYNTHESIZES a messy-but-
+    valid URL per document — deterministic surface variation keyed on
+    doc_id: scheme/host case, a default (:443, must drop) vs non-default
+    (:8443, must KEEP) port, duplicate and trailing slashes, shuffled
+    query-parameter order, utm_* tracking junk, fragments — exactly the
+    codec-family move of building the realistic input in-plan. Stage 2
+    canonicalizes with the REAL algorithm, entirely in JVM built-ins
+    (parse_url for PROTOCOL/AUTHORITY/PATH/QUERY/REF + higher-order
+    array ops; no Python in the plan):
+
+      lowercase scheme + host; strip the scheme-default port but keep
+      non-default ports (AUTHORITY-regex extraction, since parse_url
+      HOST silently drops ports); collapse duplicate slashes and strip
+      the trailing slash; split the query, DROP utm_*/fbclid params,
+      SORT the remainder; drop the fragment.
+
+    The oracle never parses a URL: it recomputes the canonical form
+    from first principles off the same (doc_id, source) variant bits,
+    so the check asserts SEMANTIC INVARIANCE — every surface variant
+    must collapse to the identical canonical string, and any
+    canonicalization defect (case, port, param order, junk params,
+    slashes, fragment) is a hash mismatch. NULL doc_id/source -> NULL
+    row (diagnostic contract).
+
+    Scale shape: map-only — one projection chain over the documents
+    scan, no shuffle, no UDF; at 100 TB this runs at scan speed."""
+    d = load_table(spark, sf_dir, "documents")
+    v = d.select(
+        "doc_id",
+        "source",
+        *[
+            F.pmod(F.col("doc_id"), F.lit(m)).alias(f"c{m}")
+            for m in (2, 3, 4, 5, 6, 7)
+        ],
+        F.concat(
+            F.lit("www."),
+            F.lower(F.regexp_replace("source", "[^a-zA-Z0-9-]", "-")),
+            F.lit(".example.com"),
+        ).alias("host"),
+    ).withColumn(
+        "pa", F.concat(F.lit("a="), F.pmod(F.col("doc_id"), F.lit(10)))
+    ).withColumn("pb", F.concat(F.lit("b="), F.col("c7")))
+    raw = F.when(
+        F.col("doc_id").isNotNull() & F.col("source").isNotNull(),
+        F.concat(
+            F.when(F.col("c2") == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
+            F.lit("://"),
+            F.when(F.col("c3") == 0, F.upper("host")).otherwise(F.col("host")),
+            F.when(F.col("c5") == 0, F.lit(":443"))
+            .when(F.col("c5") == 1, F.lit(":8443"))
+            .otherwise(F.lit("")),
+            F.lit("/docs"),
+            F.when(F.col("c4") == 0, F.lit("//")).otherwise(F.lit("/")),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("c7") == 0, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?"),
+            F.when(F.col("c3") == 1, F.lit("utm_source=feed&")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("c2") == 0,
+                F.concat("pa", F.lit("&"), "pb"),
+            ).otherwise(F.concat("pb", F.lit("&"), "pa")),
+            F.when(
+                F.col("c6") == 0,
+                F.concat(F.lit("#sec"), F.col("c4").cast("string")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    u = v.withColumn("url_raw", raw)
+    # --- the REAL canonicalizer: operates only on url_raw ----------------
+    proto = F.lower(F.expr("parse_url(url_raw, 'PROTOCOL')"))
+    authority = F.expr("parse_url(url_raw, 'AUTHORITY')")
+    host_c = F.lower(F.expr("parse_url(url_raw, 'HOST')"))
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    default_port = F.when(proto == "https", F.lit("443")).when(
+        proto == "http", F.lit("80")
+    ).otherwise(F.lit(""))
+    port_c = F.when(
+        (port == "") | (port == default_port), F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    path0 = F.regexp_replace(F.expr("parse_url(url_raw, 'PATH')"), "/{2,}", "/")
+    path_c = F.when(path0 == "/", path0).otherwise(
+        F.regexp_replace(path0, "/$", "")
+    )
+    params = F.expr(
+        "filter(split(coalesce(parse_url(url_raw, 'QUERY'), ''), '&'), "
+        "p -> p != '' AND NOT p LIKE 'utm_%' AND NOT p LIKE 'fbclid=%')"
+    )
+    all_params = F.expr(
+        "filter(split(coalesce(parse_url(url_raw, 'QUERY'), ''), '&'), "
+        "p -> p != '')"
+    )
+    query_c = F.array_join(F.array_sort(params), "&")
+    canonical = F.concat(
+        proto,
+        F.lit("://"),
+        host_c,
+        port_c,
+        path_c,
+        F.when(query_c == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), query_c)
+        ),
+    )
+    has_url = F.col("url_raw").isNotNull()
+    return u.select(
+        "doc_id",
+        "url_raw",
+        F.when(has_url, canonical).alias("url_canonical"),
+        F.when(has_url, F.size(all_params) - F.size(params))
+        .cast("int")
+        .alias("n_dropped_params"),
+        F.when(
+            has_url, F.expr("parse_url(url_raw, 'REF')").isNotNull()
+        ).alias("had_fragment"),
+    )

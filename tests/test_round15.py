@@ -386,3 +386,57 @@ def test_grouped_quantile_plan_has_no_global_sort(spark):
         spark, SF_TEST
     )._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" not in plan.lower(), plan[:2000]
+
+
+# --- text_url_canonicalize: surface variants collapse -----------------------
+
+
+def test_url_canonicalize_collapses_variants(spark, tmp_path):
+    """Docs picked so every mess axis fires (case, default vs kept port,
+    double/trailing slash, param order, utm junk, fragment) must all
+    canonicalize to the predictable form; the kept :8443 port and
+    dropped-param count are asserted explicitly."""
+    rows = [(i, "Body text", "en", "src1", 9) for i in range(1, 61)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from databricks_feature_store_poc_spark.llm.text import (
+        text_url_canonicalize,
+    )
+
+    got = {r["doc_id"]: r for r in
+           text_url_canonicalize(spark, str(tmp_path)).collect()}
+    for i in range(1, 61):
+        r = got[i]
+        port = ":8443" if i % 5 == 1 else ""
+        want = (f"https://www.src1.example.com{port}/docs/{i}"
+                f"?a={i % 10}&b={i % 7}")
+        assert r["url_canonical"] == want, (i, r["url_raw"])
+        assert r["n_dropped_params"] == (1 if i % 3 == 1 else 0), i
+        assert r["had_fragment"] == (i % 6 == 0), i
+        # raw differs from canonical whenever any mess axis fired
+        if i % 2 or i % 3 == 0 or i % 3 == 1 or i % 4 == 0 \
+                or i % 5 == 0 or i % 6 == 0 or i % 7 == 0:
+            assert r["url_raw"] != r["url_canonical"], i
+
+
+def test_url_canonicalize_null_rows(spark, tmp_path):
+    rows = [(1, None, None, None, None), (None, "t", "en", "src1", 1)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from databricks_feature_store_poc_spark.llm.text import (
+        text_url_canonicalize,
+    )
+
+    for r in text_url_canonicalize(spark, str(tmp_path)).collect():
+        assert r["url_raw"] is None and r["url_canonical"] is None
+        assert r["n_dropped_params"] is None and r["had_fragment"] is None
