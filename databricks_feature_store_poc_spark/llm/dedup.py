@@ -264,41 +264,77 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs_from_index(shingle_index(spark, sf_dir))
 
 
-# Engine-portable 48-bit lane hash for MinHash: the first 12 hex chars
-# of md5("<lane>|<shingle>") as an integer. md5 is the one hash BOTH
-# Spark and DuckDB compute bit-identically, which is what promotes the
-# PRIMARY minhash query from rows-only to a full value-hash oracle
-# (VERDICT r14 #6): signatures, band buckets, candidates and verified
-# pairs all reproduce exactly in SQL. 48 bits keep the hex parse cheap;
-# lane-hash collisions only tie a min (same value both engines), they
-# never break determinism.
+# Engine-portable 48-bit lane hashes for MinHash via Kirsch-
+# Mitzenmacher double hashing (the published standard for deriving k
+# hash functions from two — "Less hashing, same performance", ESA
+# 2006): ONE md5 per shingle supplies h1 (hex chars 1-12) and h2
+# (chars 13-24), and lane_i = (h1 + i*h2) & (2^48-1) is pure integer
+# arithmetic — 16x fewer digests than a per-lane md5. md5 is the one
+# hash BOTH Spark and DuckDB compute bit-identically, which is what
+# promotes the PRIMARY minhash query from rows-only to a full
+# value-hash oracle (VERDICT r14 #6): signatures, band buckets,
+# candidates and verified pairs all reproduce exactly in SQL.
+# h1 + 15*h2 < 2^52, far inside int64. Lane-hash collisions only tie a
+# min (same value both engines) — determinism is unaffected.
 _MINHASH_LANES = 16
 _MINHASH_BANDS = 4
+_MH_MASK = (1 << 48) - 1
 
 
-def _mh_lane_spark(i: int) -> F.Column:
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))), 1, 12),
-        16, 10,
-    ).cast("long")
-
-
-def _mh_lane_duck(i: int) -> str:
+def _mh_h12_spark() -> tuple[F.Column, F.Column]:
+    """(h1, h2) 48-bit halves of one md5(shingle)."""
+    d = F.md5(F.col("shingle"))
     return (
-        "CAST(list_sum([(strpos('0123456789abcdef', "
-        f"substring(md5('{i}|' || shingle), c, 1)) - 1) * (16 ** (12 - c)) "
-        "FOR c IN range(1, 13)]) AS BIGINT)"
+        F.conv(F.substring(d, 1, 12), 16, 10).cast("long"),
+        F.conv(F.substring(d, 13, 12), 16, 10).cast("long"),
     )
 
 
-_MINHASH_ORACLE = _DUCK_SHINGLES + f"""
-    , sigs AS (
-        SELECT doc_id,
-               {", ".join(f"min({_mh_lane_duck(i)}) AS mh{i}"
-                          for i in range(_MINHASH_LANES))}
-        FROM kept GROUP BY doc_id
+def _mh_lane_spark(i: int) -> F.Column:
+    """Lane i over pre-projected h1/h2 columns (K-M composition)."""
+    return (F.col("mh_h1") + F.lit(i) * F.col("mh_h2")).bitwiseAND(
+        F.lit(_MH_MASK)
+    )
+
+
+def _mh_sigs_spark(idx: DataFrame, n_lanes: int) -> DataFrame:
+    """Per-doc minhash signature columns mh0..mh{n-1} from a
+    (doc_id, shingle) index — one md5 per shingle, lanes by integer
+    arithmetic, one groupBy."""
+    h1, h2 = _mh_h12_spark()
+    hashed = idx.select("doc_id", h1.alias("mh_h1"), h2.alias("mh_h2"))
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(_mh_lane_spark(i)).alias(f"mh{i}") for i in range(n_lanes)]
+    )
+
+
+def _mh_half_duck(pos: int) -> str:
+    """DuckDB: 48-bit integer from 12 hex chars of md5(shingle) at pos."""
+    return (
+        "CAST(list_sum([(strpos('0123456789abcdef', "
+        f"substring(md5(shingle), {pos} + c - 1, 1)) - 1) "
+        "* (16 ** (12 - c)) FOR c IN range(1, 13)]) AS BIGINT)"
+    )
+
+
+def _mh_sigs_duck(n_lanes: int) -> str:
+    """DuckDB CTE pair mirroring _mh_sigs_spark (append after kept)."""
+    lanes = ", ".join(
+        f"min((h1 + {i} * h2) & {_MH_MASK}) AS mh{i}" for i in range(n_lanes)
+    )
+    return f"""
+    , wh AS (
+        SELECT doc_id, {_mh_half_duck(1)} AS h1, {_mh_half_duck(13)} AS h2
+        FROM kept
     ),
-    bands AS (
+    sigs AS (
+        SELECT doc_id, {lanes}
+        FROM wh GROUP BY doc_id
+    )"""
+
+
+_MINHASH_ORACLE = _DUCK_SHINGLES + _mh_sigs_duck(_MINHASH_LANES) + f"""
+    , bands AS (
         {" UNION ALL ".join(
             f"SELECT doc_id, {b} AS band, "
             + ", ".join(f"mh{b * 4 + r} AS k{r}" for r in range(4))
@@ -358,12 +394,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     are unchanged.
     """
     idx = shingle_index(spark, sf_dir)
-    sigs = idx.groupBy("doc_id").agg(
-        *[
-            F.min(_mh_lane_spark(i)).alias(f"mh{i}")
-            for i in range(_MINHASH_LANES)
-        ]
-    )
+    sigs = _mh_sigs_spark(idx, _MINHASH_LANES)
     # 4 bands of 4 rows; the JOIN KEY is the band's minhash 4-tuple
     # itself (oracle-reproducible), not a hash of it.
     bands = sigs.select(
@@ -1129,14 +1160,8 @@ def dedup_simhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SAMPLE_BANDS_ORACLE = _DUCK_SHINGLES + f"""
-    , sigs AS (
-        SELECT doc_id,
-               {", ".join(f"min({_mh_lane_duck(i)}) AS mh{i}"
-                          for i in range(4))}
-        FROM kept GROUP BY doc_id
-    ),
-    buckets AS (
+_SAMPLE_BANDS_ORACLE = _DUCK_SHINGLES + _mh_sigs_duck(4) + """
+    , buckets AS (
         SELECT min(doc_id) AS doc_id,
                CAST(count(*) AS BIGINT) AS bucket_size
         FROM sigs GROUP BY mh0, mh1, mh2, mh3
@@ -1178,9 +1203,7 @@ def sample_minhash_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the no-signature remainder. Never all-pairs, no driver state;
     the output is O(distinct buckets + unshingleable docs)."""
     idx = shingle_index(spark, sf_dir)
-    sigs = idx.groupBy("doc_id").agg(
-        *[F.min(_mh_lane_spark(i)).alias(f"mh{i}") for i in range(4)]
-    )
+    sigs = _mh_sigs_spark(idx, 4)
     buckets = (
         sigs.groupBy("mh0", "mh1", "mh2", "mh3")
         .agg(
