@@ -27,6 +27,8 @@ surface in the repo (VERDICT r5 #4; 9.9s -> ~1s for the sf-independent
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
 import pyarrow as pa
 
@@ -37,6 +39,17 @@ from pyspark.sql.datasource import (
     SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+# The DataSource classes below are shipped to Python workers by
+# cloudpickle when the source is registered. By default classes in an
+# importable module are pickled BY REFERENCE (module path + name), which
+# breaks on executors whose PYTHONPATH lacks this repo — the driver
+# contract makes no cwd/PYTHONPATH promise (the codec kernels avoid this
+# with closures; a DataSource must be a class, so opt the whole module
+# into by-value pickling instead).
+from pyspark import cloudpickle as _cp
+
+_cp.register_pickle_by_value(sys.modules[__name__])
 
 _LCG_A = 1103515245
 _LCG_C = 12345
