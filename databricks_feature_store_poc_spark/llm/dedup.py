@@ -377,7 +377,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-collision count (``n_shared_bands``).
 
     FULL oracle (promoted from rows-only, VERDICT r14 #6): lane hashes
-    are md5-derived (see ``_mh_lane_spark``/``_mh_lane_duck``), so the
+    are md5-derived (see ``_mh_sigs_spark``/``_mh_sigs_duck``), so the
     DuckDB oracle reproduces the ENTIRE pipeline — signatures, band
     buckets, candidate pairs, band counts and verified Jaccard — value-
     for-value; nothing engine-private reaches the output. Band buckets
