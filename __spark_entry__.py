@@ -43,12 +43,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # is emitted in ADJUDICATION-PRIORITY order, not alphabetical. Round-15
 # policy (VERDICT r14 'do this' #1 — retire the driver-verdict debt;
 # tier arithmetic COUNTED before writing this comment, per the r14
-# blemish): 1 headline + 10 changed + 18 r8-age + 21 r9-age = 50 slots
-# exactly; the 22nd r9-age key (win_topk_per_group) rides at position
-# 51 in case the driver's budget stretches past 50, else it is r16
-# tier-2 head. The r10 cohort (20 keys) is r16 tier 2. A NEVER-
-# adjudicated new key outranks a stale-green r9 re-check, hence the
-# displacement. Done-criterion: after CORRECTNESS_r15 the
+# blemish): 1 headline + 11 changed + 18 r8-age + 20 r9-age = 50 slots
+# exactly; the last two r9-age keys (win_rank, win_topk_per_group) ride
+# at positions 51-52 in case the driver's budget stretches past 50,
+# else they are the r16 tier-2 head. The r10 cohort (20 keys) is r16
+# tier 2. A NEVER-adjudicated new key outranks a stale-green r9
+# re-check, hence the displacement. Done-criterion: after CORRECTNESS_r15 the
 # merged ledger has NO verdict older than r10.
 #   0. the headline training-set assembly (1 key, always adjudicated);
 #   1. changed-in-r15: keys whose engine or oracle changed this round —
@@ -62,7 +62,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #      plan-only, but the changed-keys rule re-adjudicates engine
 #      changes), graph_pagerank (degree-table localCheckpoint),
 #      text_url_canonicalize (NEW: real URL canonicalizer over
-#      synthesized surface variants, map-only);
+#      synthesized surface variants, map-only), mm_decode_gif (NEW:
+#      fifth codec — hand-written general LZW entropy decoder);
 #   2. the COMPLETE r8-age cohort (18 keys — the rotation order that
 #      rolled over from r14);
 #   3. the COMPLETE r9-age cohort (22 keys);
@@ -81,6 +82,7 @@ _CHANGED_TIER = (
     "graph_bfs_reach",
     "graph_pagerank",
     "text_url_canonicalize",
+    "mm_decode_gif",
 )
 # r8-age cohort, complete (merged-ledger verdicts last adjudicated r8)
 _R8_COHORT = (

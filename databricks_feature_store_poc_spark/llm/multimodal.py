@@ -1128,3 +1128,282 @@ def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     staged = d.select("doc_id", "text").mapInPandas(encode_batches, enc_schema)
     return staged.mapInPandas(_make_png_decoder(), dec_schema)
+
+
+def _make_gif_decoder():
+    """Factory for mm_decode_gif's decode stage (closure => cloudpickle
+    by-value, the codec-family convention). The LZW decoder is GENERAL:
+    variable code width with growth at next_code == 2^width (cap 12),
+    clear-code table resets, the prev+prev[0] self-reference case, and
+    extension-block skipping — it decodes real compressed GIFs, not
+    just the engine's clear-code-per-chunk encoding (foreign-payload
+    tests drive it with a genuinely compressed stream)."""
+    import struct
+
+    def lzw_decode(data: bytes, min_size: int) -> bytes | None:
+        clear = 1 << min_size
+        end = clear + 1
+        width = min_size + 1
+        next_code = end + 1
+        table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+        out = bytearray()
+        prev: bytes | None = None
+        bitpos = 0
+        total_bits = len(data) * 8
+        while True:
+            if bitpos + width > total_bits:
+                return None  # ran off the stream without END
+            v = 0
+            for b in range(width):  # GIF packs codes LSB-first
+                v |= (
+                    (data[(bitpos + b) >> 3] >> ((bitpos + b) & 7)) & 1
+                ) << b
+            bitpos += width
+            if v == clear:
+                table = {i: bytes([i]) for i in range(clear)}
+                next_code = end + 1
+                width = min_size + 1
+                prev = None
+                continue
+            if v == end:
+                return bytes(out)
+            if v in table:
+                entry = table[v]
+            elif v == next_code and prev is not None:
+                entry = prev + prev[:1]  # the KwKwK self-reference case
+            else:
+                return None  # corrupt code
+            out += entry
+            if prev is not None:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+
+    def parse(payload) -> tuple:
+        if payload is None:
+            return None, None, None, None, None
+        payload = bytes(payload)
+        bad = (None, None, len(payload), False, None)
+        if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+            return bad
+        w, h, flags, _, _ = struct.unpack_from("<HHBBB", payload, 6)
+        off = 13
+        if flags & 0x80:  # global color table present
+            off += 3 * (2 << (flags & 0x07))
+        img = None
+        while off < len(payload):
+            b0 = payload[off]
+            if b0 == 0x2C:  # image descriptor
+                il, it, iw, ih, iflags = struct.unpack_from(
+                    "<HHHHB", payload, off + 1
+                )
+                off += 10
+                if iflags & 0x80:  # local color table
+                    off += 3 * (2 << (iflags & 0x07))
+                min_size = payload[off]
+                off += 1
+                stream = bytearray()
+                while off < len(payload) and payload[off] != 0:
+                    ln = payload[off]
+                    stream += payload[off + 1:off + 1 + ln]
+                    off += 1 + ln
+                off += 1  # block terminator
+                img = (iw, ih, min_size, bytes(stream))
+            elif b0 == 0x21:  # extension: skip its sub-blocks
+                off += 2
+                while off < len(payload) and payload[off] != 0:
+                    off += 1 + payload[off]
+                off += 1
+            elif b0 == 0x3B:  # trailer
+                off += 1
+                break
+            else:
+                return bad
+        if img is None:
+            return bad
+        iw, ih, min_size, stream = img
+        pixels = lzw_decode(stream, min_size)
+        if pixels is None:
+            return bad
+        consistent = (
+            off == len(payload)
+            and payload[-1] == 0x3B
+            and (iw, ih) == (w, h)
+            and len(pixels) == iw * ih
+        )
+        wsum = 0
+        for i, px in enumerate(pixels):
+            wsum += (i + 1) * px
+        return iw, ih, len(payload), bool(consistent), wsum % 65536
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [parse(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": pd.array([r[0] for r in rows], dtype="Int32"),
+                    "height": pd.array([r[1] for r in rows], dtype="Int32"),
+                    "n_file_bytes": pd.array(
+                        [r[2] for r in rows], dtype="Int64"
+                    ),
+                    "header_consistent": pd.array(
+                        [r[3] for r in rows], dtype="boolean"
+                    ),
+                    "pixel_checksum_weighted": pd.array(
+                        [r[4] for r in rows], dtype="Int32"
+                    ),
+                }
+            )
+
+    return decode_batches
+
+
+@query(
+    "mm_decode_gif",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, text IS NULL AS is_null,
+               octet_length(encode(coalesce(text, ''))) AS n,
+               hex(encode(coalesce(text, ''))) AS hx
+        FROM documents
+    ),
+    dims AS (
+        SELECT doc_id, is_null, n, hx,
+               3 + n % 9 AS w, 2 + (n // 3) % 8 AS h
+        FROM b
+    ),
+    sz AS (
+        SELECT doc_id, is_null, w, h, hx, n,
+               w * h AS m,
+               -- LZW stream: initial CLEAR + m literals with a CLEAR
+               -- before each 254-literal chunk after the first + END,
+               -- all 9-bit codes (the encoder clears before any width
+               -- growth); then GIF sub-block framing
+               (9 * (1 + m + greatest((m + 253) // 254 - 1, 0) + 1) + 7)
+                   // 8 AS lzw
+        FROM dims
+    ),
+    sums AS (
+        SELECT doc_id, is_null, w, h, m,
+               794 + lzw + (lzw + 254) // 255 AS file_bytes,
+               COALESCE(list_sum([
+                   i * (16 * (strpos('0123456789ABCDEF',
+                                     substring(hx, 2 * i - 1, 1)) - 1)
+                          + (strpos('0123456789ABCDEF',
+                                    substring(hx, 2 * i, 1)) - 1))
+                   FOR i IN range(1, CAST(least(n, m) AS BIGINT) + 1)
+               ]), 0) AS wsum
+        FROM sz
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN is_null THEN NULL ELSE w END AS INT) AS width,
+           CAST(CASE WHEN is_null THEN NULL ELSE h END AS INT) AS height,
+           CAST(CASE WHEN is_null THEN NULL ELSE file_bytes
+           END AS BIGINT) AS n_file_bytes,
+           CASE WHEN is_null THEN NULL ELSE TRUE END AS header_consistent,
+           CAST(CASE WHEN is_null THEN NULL ELSE wsum % 65536
+           END AS INT) AS pixel_checksum_weighted
+    FROM sums
+    """,
+)
+def mm_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth real codec — and the first HAND-WRITTEN entropy decoder in
+    the family (PNG delegates inflate to zlib; this implements LZW
+    itself). Stage 1 ENCODES each document as an actual GIF87a: logical
+    screen descriptor, 256-entry grayscale global color table, image
+    descriptor, and an LZW-coded 8-bit pixel stream in real sub-block
+    framing. The encoder uses the standard 'uncompressed GIF' coding —
+    a CLEAR code before every <=254-literal chunk keeps every code 9
+    bits wide — which is valid LZW any decoder accepts AND makes the
+    byte count a closed form the oracle computes exactly:
+    lzw = ceil(9*(1 + m + max(ceil(m/254)-1, 0) + 1) / 8),
+    file = 794 + lzw + ceil(lzw/255).
+
+    Stage 2 DECODES as a general GIF reader: header/LSD parse, color-
+    table and extension-block skipping, sub-block reassembly, and a
+    FULL LZW decoder — LSB-first variable-width codes, width growth at
+    next_code == 2^width (cap 12), clear-table resets, and the KwKwK
+    self-reference case — so it also decodes genuinely COMPRESSED GIFs
+    the engine never emits (pinned with a foreign real-LZW-compressed
+    payload in tests). Checksum is the family's position-weighted sum
+    over the decoded pixel stream = first min(n, w*h) text bytes
+    zero-padded, re-derived from hex pairs by the oracle.
+
+    Scale shape: identical to the codec family — two Arrow-batched
+    mapInPandas stages over one documents scan, no shuffle."""
+    import struct
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def to_gif(text) -> bytes | None:
+            if text is None:
+                return None
+            tb = text.encode("utf-8")
+            n = len(tb)
+            w, h = 3 + n % 9, 2 + (n // 3) % 8
+            m = w * h
+            pixels = tb[:m].ljust(m, b"\x00")
+            codes = [256]  # initial CLEAR
+            for i in range(0, m, 254):
+                if i:
+                    codes.append(256)
+                codes.extend(pixels[i:i + 254])
+            codes.append(257)  # END
+            acc = bitlen = 0
+            out = bytearray()
+            for c in codes:  # 9-bit LSB-first packing
+                acc |= c << bitlen
+                bitlen += 9
+                while bitlen >= 8:
+                    out.append(acc & 0xFF)
+                    acc >>= 8
+                    bitlen -= 8
+            if bitlen:
+                out.append(acc & 0xFF)
+            gct = bytes(v for i in range(256) for v in (i, i, i))
+            parts = [
+                b"GIF87a",
+                struct.pack("<HHBBB", w, h, 0xF7, 0, 0),
+                gct,
+                struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0),
+                bytes([8]),  # LZW min code size
+            ]
+            for i in range(0, len(out), 255):
+                blk = out[i:i + 255]
+                parts.append(bytes([len(blk)]) + bytes(blk))
+            parts.append(b"\x00\x3b")
+            return b"".join(parts)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [to_gif(t) for t in pdf["text"]],
+                }
+            )
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    dec_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_file_bytes", T.LongType()),
+            T.StructField("header_consistent", T.BooleanType()),
+            T.StructField("pixel_checksum_weighted", T.IntegerType()),
+        ]
+    )
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select("doc_id", "text").mapInPandas(encode_batches, enc_schema)
+    return staged.mapInPandas(_make_gif_decoder(), dec_schema)

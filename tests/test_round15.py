@@ -440,3 +440,162 @@ def test_url_canonicalize_null_rows(spark, tmp_path):
     for r in text_url_canonicalize(spark, str(tmp_path)).collect():
         assert r["url_raw"] is None and r["url_canonical"] is None
         assert r["n_dropped_params"] is None and r["had_fragment"] is None
+
+
+# --- mm_decode_gif: general LZW decode -------------------------------------
+
+
+def _gif_expected(text):
+    if text is None:
+        return (None, None, None, None, None)
+    tb = text.encode("utf-8")
+    n = len(tb)
+    w, h = 3 + n % 9, 2 + (n // 3) % 8
+    m = w * h
+    lzw = (9 * (1 + m + max(-(-m // 254) - 1, 0) + 1) + 7) // 8
+    wsum = sum((i + 1) * tb[i] for i in range(min(n, m))) % 65536
+    return (w, h, 794 + lzw + -(-lzw // 255), True, wsum)
+
+
+def test_gif_round_trip_matches_contract(spark, tmp_path):
+    from databricks_feature_store_poc_spark.llm.multimodal import (
+        mm_decode_gif,
+    )
+
+    cases = [
+        (1, ""), (2, "a"), (3, "héllo wörld"), (4, None),
+        (5, "The quick brown fox jumps over the lazy dog. " * 6),
+    ]
+    sf = _write_documents(spark, tmp_path, cases)
+    got = {r["doc_id"]: r for r in mm_decode_gif(spark, sf).collect()}
+    for doc_id, text in cases:
+        w, h, nb, hc, ws = _gif_expected(text)
+        r = got[doc_id]
+        assert (
+            r["width"], r["height"], r["n_file_bytes"],
+            r["header_consistent"], r["pixel_checksum_weighted"],
+        ) == (w, h, nb, hc, ws), f"doc {doc_id}"
+
+
+def _lzw_compress(pixels: bytes, min_size: int = 8) -> bytes:
+    """REAL LZW compressor (test-only): string-table growth, variable
+    width increasing at next_code == 2^width, cap 12 with a CLEAR —
+    produces streams the engine's clear-per-chunk encoder never emits,
+    so decoding them pins the decoder's generality."""
+    clear, end = 1 << min_size, (1 << min_size) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code, width = end + 1, min_size + 1
+    out_codes = [clear]
+    wseq = [width]
+    cur = b""
+    for byte in pixels:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        out_codes.append(table[cur])
+        wseq.append(width)
+        table[nxt] = next_code
+        next_code += 1
+        # The DECODER builds its table one code behind the encoder (it
+        # adds the entry for code j while processing code j+1), so the
+        # encoder must widen one code later than its own counter
+        # suggests: when next_code == 2^width + 1, the decoder has just
+        # reached 2^width and reads the NEXT code at the wider width.
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        assert next_code < (1 << 12), "test stream too long for cap"
+        cur = bytes([byte])
+    if cur:
+        out_codes.append(table[cur])
+        wseq.append(width)
+    out_codes.append(end)
+    wseq.append(width)
+    acc = bitlen = 0
+    out = bytearray()
+    for c, cw in zip(out_codes, wseq):
+        acc |= c << bitlen
+        bitlen += cw
+        while bitlen >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bitlen -= 8
+    if bitlen:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _ref_gif(pixels: bytes, w: int, h: int) -> bytes:
+    import struct
+
+    stream = _lzw_compress(pixels)
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    parts = [
+        b"GIF89a",
+        struct.pack("<HHBBB", w, h, 0xF7, 0, 0),
+        gct,
+        # a graphic-control EXTENSION block the decoder must skip
+        b"\x21\xf9\x04\x00\x00\x00\x00\x00",
+        struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0),
+        bytes([8]),
+    ]
+    for i in range(0, len(stream), 255):
+        blk = stream[i:i + 255]
+        parts.append(bytes([len(blk)]) + blk)
+    parts.append(b"\x00\x3b")
+    return b"".join(parts)
+
+
+def _decode_gif_foreign(payload: bytes) -> tuple:
+    from databricks_feature_store_poc_spark.llm.multimodal import (
+        _make_gif_decoder,
+    )
+
+    out = next(_make_gif_decoder()(
+        iter([pd.DataFrame({"doc_id": [1], "payload": [payload]})])
+    ))
+    r = out.iloc[0]
+
+    def v(x):
+        return None if pd.isna(x) else int(x)
+
+    return (
+        v(r["width"]), v(r["height"]), v(r["n_file_bytes"]),
+        None if pd.isna(r["header_consistent"])
+        else bool(r["header_consistent"]),
+        v(r["pixel_checksum_weighted"]),
+    )
+
+
+def test_gif_decoder_general_compressed():
+    """A genuinely LZW-COMPRESSED GIF89a (repetitive pixels force the
+    string table past 512 entries -> width 9->10 growth; plus an
+    extension block to skip) must decode to the exact pixel stream —
+    the engine's own encoder never produces any of this."""
+    w, h = 50, 40  # 2000 px, heavy repetition
+    pixels = bytes((i // 7) % 5 for i in range(w * h))
+    payload = _ref_gif(pixels, w, h)
+    want_sum = sum((i + 1) * pixels[i] for i in range(len(pixels))) % 65536
+    got = _decode_gif_foreign(payload)
+    assert got == (w, h, len(payload), True, want_sum)
+    # the compressed stream must actually be SMALLER than 9-bit literal
+    # coding, i.e. the table-reference path really ran
+    assert len(payload) < 794 + (9 * (w * h + 2) + 7) // 8
+
+
+def test_gif_corruption_detected():
+    w, h = 5, 4
+    pixels = bytes(range(20))
+    good = _ref_gif(pixels, w, h)
+    # truncate: END code never reached -> diagnostic row, no crash
+    got = _decode_gif_foreign(good[:len(good) - 10])
+    assert got[3] in (False, None)
+    # bad signature
+    got2 = _decode_gif_foreign(b"NOTAGIF" + good[7:])
+    assert got2[3] in (False, None)
+
+
+@pytest.mark.parametrize("name", ["mm_decode_gif"])
+def test_oracle_match_r15_gif(name, spark):
+    r = compare(name, spark, SF_TEST, verbose=False)
+    assert r["ok"], f"{name}: {r.get('issues')}"
