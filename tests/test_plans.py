@@ -298,6 +298,43 @@ def test_no_query_plans_a_cartesian_product(spark):
     assert not offenders, offenders
 
 
+def test_no_query_emits_decimal_output(spark):
+    """Fleet-wide schema lint (VERDICT r15 order #2): NO registered query
+    may emit DECIMAL in its driver-visible schema. The driver's value
+    normalizer fetches DECIMAL through a pandas/Arrow path that diverges
+    between engines (Decimal('-130') vs -130.0) even when values are
+    bit-identical — text_zipf_fit was CORRECTNESS_r15's only red for
+    exactly this. DECIMAL arithmetic INSIDE a plan is fine (and needed,
+    e.g. for the zipf cross products); the lint is on output columns
+    only. Checks nested array/map/struct element types too."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DataType,
+        DecimalType,
+        MapType,
+        StructType,
+    )
+
+    def has_decimal(dt: DataType) -> bool:
+        if isinstance(dt, DecimalType):
+            return True
+        if isinstance(dt, ArrayType):
+            return has_decimal(dt.elementType)
+        if isinstance(dt, MapType):
+            return has_decimal(dt.keyType) or has_decimal(dt.valueType)
+        if isinstance(dt, StructType):
+            return any(has_decimal(f.dataType) for f in dt.fields)
+        return False
+
+    offenders = []
+    for name in sorted(QUERIES):
+        schema = QUERIES[name](spark, SF_SMOKE).schema
+        bad = [f.name for f in schema.fields if has_decimal(f.dataType)]
+        if bad:
+            offenders.append((name, bad))
+    assert not offenders, offenders
+
+
 def test_gdpr_delete_no_fact_shuffle_all_broadcast(spark):
     """Deletion propagation must never shuffle a fact table: every
     membership test is a BroadcastHashJoin (4 audit branches + the
