@@ -857,6 +857,11 @@ def _make_png_decoder():
         off, chunks, crc_ok = 8, [], True
         while off + 12 <= len(payload):
             (ln,) = struct.unpack_from(">I", payload, off)
+            if off + 12 + ln > len(payload):
+                # truncated/forged length field: the CRC word would sit
+                # past the buffer (ADVICE r15 #2) — diagnostic row, no
+                # struct.error crash
+                return bad
             typ = payload[off + 4:off + 8]
             data = payload[off + 8:off + 8 + ln]
             (crc,) = struct.unpack_from(">I", payload, off + 8 + ln)
@@ -1196,12 +1201,18 @@ def _make_gif_decoder():
         while off < len(payload):
             b0 = payload[off]
             if b0 == 0x2C:  # image descriptor
+                if off + 10 > len(payload):
+                    # truncated descriptor: unpack_from would read past
+                    # the buffer (ADVICE r15 #2) — diagnostic, no crash
+                    return bad
                 il, it, iw, ih, iflags = struct.unpack_from(
                     "<HHHHB", payload, off + 1
                 )
                 off += 10
                 if iflags & 0x80:  # local color table
                     off += 3 * (2 << (iflags & 0x07))
+                if off >= len(payload):
+                    return bad  # color table / min-size byte truncated
                 min_size = payload[off]
                 off += 1
                 stream = bytearray()

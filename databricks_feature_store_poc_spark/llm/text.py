@@ -1170,9 +1170,13 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_url_canonicalize",
     oracle="""
     WITH v AS (
+        -- ((x % m) + m) % m == Spark's pmod: DuckDB's % keeps the sign
+        -- of the dividend, so a negative doc_id would diverge
+        -- (ADVICE r15 #3)
         SELECT doc_id, source,
-               doc_id % 2 AS c2, doc_id % 3 AS c3, doc_id % 4 AS c4,
-               doc_id % 5 AS c5, doc_id % 6 AS c6, doc_id % 7 AS c7
+               ((doc_id % 2) + 2) % 2 AS c2, ((doc_id % 3) + 3) % 3 AS c3,
+               ((doc_id % 4) + 4) % 4 AS c4, ((doc_id % 5) + 5) % 5 AS c5,
+               ((doc_id % 6) + 6) % 6 AS c6, ((doc_id % 7) + 7) % 7 AS c7
         FROM documents
     ),
     parts AS (
@@ -1180,11 +1184,14 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
                -- hostname sanitized to DNS-valid chars (a crawler's URLs
                -- have valid hosts by construction; the dup replicas edit
                -- source to values like 'hot_source' whose underscore
-               -- makes java.net.URI reject the authority)
-               'www.' || lower(regexp_replace(source, '[^a-zA-Z0-9-]',
-                                              '-', 'g'))
+               -- makes java.net.URI reject the authority). An EMPTY
+               -- sanitized source would build 'www..example.com', which
+               -- java.net.URI rejects -> engine NULL vs oracle string
+               -- (ADVICE r15 #3): fall back to the literal 'src'.
+               'www.' || coalesce(nullif(lower(regexp_replace(source,
+                                  '[^a-zA-Z0-9-]', '-', 'g')), ''), 'src')
                       || '.example.com' AS host,
-               'a=' || CAST(doc_id % 10 AS VARCHAR) AS pa,
+               'a=' || CAST(((doc_id % 10) + 10) % 10 AS VARCHAR) AS pa,
                'b=' || CAST(c7 AS VARCHAR) AS pb
         FROM v
     ),
@@ -1265,7 +1272,15 @@ def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.concat(
             F.lit("www."),
-            F.lower(F.regexp_replace("source", "[^a-zA-Z0-9-]", "-")),
+            F.coalesce(
+                F.nullif(
+                    F.lower(
+                        F.regexp_replace("source", "[^a-zA-Z0-9-]", "-")
+                    ),
+                    F.lit(""),
+                ),
+                F.lit("src"),
+            ),
             F.lit(".example.com"),
         ).alias("host"),
     ).withColumn(

@@ -1731,7 +1731,11 @@ def agg_exact_quantile_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange (pinned in tests alongside the global variant).
 
     All-NULL groups vanish on both engines (no rank exists); ties are
-    value-ties as in the global variant.
+    value-ties as in the global variant. A NULL group KEY with non-NULL
+    values is a real group on both engines (window PARTITION BY keeps
+    it), so pass 2's probe join must be null-safe on grp (eqNullSafe —
+    a plain equi-join silently drops the NULL group's quantiles while
+    the oracle emits them; ADVICE r15 #1).
     """
     li = load_table(spark, sf_dir, "lineitem")
     vals = li.filter(F.col("l_extendedprice").isNotNull()).select(
@@ -1768,14 +1772,18 @@ def agg_exact_quantile_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             cum,
             (F.col("cum") >= k) & ((F.col("cum") - F.col("cnt")) < k),
         ).select(
-            "grp",
+            F.col("grp").alias("s_grp"),
             "q",
-            "bucket",
+            F.col("bucket").alias("s_bucket"),
             k.alias("k"),
             (k - (F.col("cum") - F.col("cnt"))).alias("offset"),
         )
     )
-    in_bucket = vals.join(selected, ["grp", "bucket"])
+    in_bucket = vals.join(
+        selected,
+        F.col("grp").eqNullSafe(F.col("s_grp"))
+        & (F.col("bucket") == F.col("s_bucket")),
+    )
     rn_w = Window.partitionBy("grp", "q", "bucket").orderBy("val")
     return (
         in_bucket.withColumn("rn", F.row_number().over(rn_w))

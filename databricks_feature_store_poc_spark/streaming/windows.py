@@ -720,8 +720,30 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             fh.write(fp_src)
         try:
             os.rename(tmp, staged)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # another run won
+        except OSError as exc:
+            shutil.rmtree(tmp, ignore_errors=True)
+            # "another run won" is only true if the staged dir actually
+            # exists; any other rename failure (EXDEV across
+            # filesystems, permissions) would otherwise surface later
+            # as an opaque readStream listing error (ADVICE r15 #4)
+            if not os.path.exists(os.path.join(staged, "_STAGED")):
+                raise OSError(
+                    f"staging rename {tmp} -> {staged} failed and no "
+                    f"concurrent run staged it: {exc}"
+                ) from exc
+        # Opportunistic GC: fingerprinted dup dirs from re-staged bases
+        # accumulate forever otherwise. Siblings whose fingerprint no
+        # longer matches the current base part list are stale; removal
+        # races with a concurrent reader are possible only for runs
+        # older than the current base mtime, which have already listed.
+        parent, prefix = os.path.dirname(base), os.path.basename(base)
+        for d in os.listdir(parent or "."):
+            if (
+                d.startswith(prefix + "_dup_")
+                and d != os.path.basename(staged)
+                and not d.endswith(f".tmp.{os.getpid()}")
+            ):
+                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
     # Schema must match the RAW file layout (ts = INT64 nanos under
     # nanosAsLong) — the batch-side TimestampType is a post-read cast.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,139 @@
+"""Round-16 additions: NULL-group exact quantiles, codec robustness on
+truncated containers, URL-canonicalize negative-id/empty-source edges,
+dedup_simhash_clusters, JPEG decode, pack_sequences/tfidf promotions.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tests.conftest import SF_TEST
+
+
+# --- agg_exact_quantile_grouped: NULL group key (ADVICE r15 #1) -------------
+
+
+def test_grouped_quantile_null_group_key_kept(spark, tmp_path):
+    """A NULL l_returnflag group with non-NULL prices is a real group on
+    both engines (window PARTITION BY keeps it); pass 2's probe join
+    must be null-safe or the engine silently drops its quantiles while
+    the oracle emits them."""
+    from databricks_feature_store_poc_spark.operators.relational import (
+        _EXACT_QUANTILES,
+        agg_exact_quantile_grouped,
+    )
+
+    rows = []
+    # NULL group: 20 distinct prices
+    null_vals = [float(v) for v in range(100, 2001, 100)]
+    rows += [(i + 1, 1, None, v) for i, v in enumerate(null_vals)]
+    # 'A' group: 5 prices
+    a_vals = [50.0, 150.0, 250.0, 350.0, 450.0]
+    rows += [(100 + i, 1, "A", v) for i, v in enumerate(a_vals)]
+    # all-NULL-value group vanishes entirely
+    rows += [(200, 1, "Z", None)]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_returnflag string,"
+        " l_extendedprice double",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    got = {
+        (r["grp"], r["q"]): (r["k"], r["value"])
+        for r in agg_exact_quantile_grouped(spark, str(tmp_path)).collect()
+    }
+    for grp, vals in ((None, sorted(null_vals)), ("A", sorted(a_vals))):
+        for q in _EXACT_QUANTILES:
+            k = max(1, math.ceil(q * len(vals)))
+            assert got[(grp, q)] == (k, vals[k - 1]), (grp, q)
+    assert not any(g == "Z" for g, _ in got)
+
+
+# --- PNG/GIF: truncated/forged length fields (ADVICE r15 #2) ----------------
+
+
+def test_png_forged_chunk_length_no_crash():
+    """A forged 4-byte chunk length that points past the buffer must
+    yield the diagnostic row, not a struct.error from the CRC read."""
+    import struct
+
+    from tests.test_round15 import _decode_foreign, _ref_png
+
+    good = _ref_png(bytes(range(45)), 5, 3)
+    forged = bytearray(good)
+    # IHDR length word lives at offset 8; forge it huge
+    struct.pack_into(">I", forged, 8, 0x7FFFFFF0)
+    got = _decode_foreign(bytes(forged))
+    assert got[4] in (False, None)
+    # truncation mid-chunk: cut inside the first IDAT payload such that
+    # off+12+ln overruns (previously struct.error on the CRC unpack)
+    cut = good[: 8 + 12 + 13 + 8 + 4]  # sig + IHDR + IDAT hdr + 4 bytes
+    got2 = _decode_foreign(cut)
+    assert got2[4] in (False, None)
+
+
+def test_url_canonicalize_negative_id_and_empty_source(spark, tmp_path):
+    """ADVICE r15 #3: negative doc_id (pmod vs %) and empty-string
+    source ('www..example.com' rejected by java.net.URI) must both
+    produce identical rows cross-engine."""
+    import duckdb
+
+    from databricks_feature_store_poc_spark.llm.text import (
+        text_url_canonicalize,
+    )
+    from tests.harness import value_hash
+
+    rows = [
+        (-7, "t", "en", "web", 1),
+        (-1, "t", "en", "", 1),        # empty source
+        (3, "t", "en", "hot_source", 1),
+        (None, "t", "en", "web", 1),   # NULL doc_id -> NULL row
+        (5, "t", "en", None, 1),       # NULL source -> NULL row
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    sdf = text_url_canonicalize(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    # every non-NULL input must canonicalize (the empty-source guard)
+    assert all(
+        r[2] is not None for r in srows if r[0] is not None and r[0] != 5
+    ), srows
+    from databricks_feature_store_poc_spark.registry import ORACLES
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    rel = con.sql(ORACLES["text_url_canonicalize"])
+    drows, dcols = rel.fetchall(), list(rel.columns)
+    con.close()
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert value_hash(srows, sdf.columns) == value_hash(drows, dcols)
+
+
+def test_gif_truncated_descriptor_no_crash():
+    """Truncation inside the image descriptor (unpack_from overrun) and
+    right before the LZW min-size byte must both yield the diagnostic
+    row, not struct.error/IndexError."""
+    from tests.test_round15 import _decode_gif_foreign, _ref_gif
+
+    good = _ref_gif(bytes(range(20)), 5, 4)
+    dsc = good.index(b"\x2c")  # first image descriptor
+    # cut 4 bytes into the 10-byte descriptor
+    got = _decode_gif_foreign(good[: dsc + 4])
+    assert got[3] in (False, None)
+    # cut exactly at the min-size byte (descriptor complete, no byte
+    # left to read)
+    got2 = _decode_gif_foreign(good[: dsc + 10])
+    assert got2[3] in (False, None)
