@@ -197,7 +197,66 @@ PACK_CONTEXT = 256
 PACK_SHARDS = 32
 
 
-@query("pack_sequences")  # greedy bin state is not SQL-expressible: rows-only
+# 32-bit integer from the first 8 hex chars of md5(doc_id) — the
+# engine-portable shard hash (same md5 move that promoted the LSH
+# families to full oracles in r15).
+_DUCK_DOC_MD5_32 = (
+    "CAST(list_sum([(strpos('0123456789abcdef', "
+    "substring(md5(CAST(doc_id AS VARCHAR)), c, 1)) - 1) * (16 ** (8 - c)) "
+    "FOR c IN range(1, 9)]) AS BIGINT)"
+)
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               CAST(coalesce(len({_DUCK_WORDS}), 0) AS BIGINT) AS n_tokens,
+               CASE WHEN doc_id IS NULL THEN CAST(-1 AS BIGINT)
+                    ELSE {_DUCK_DOC_MD5_32} % {PACK_SHARDS} END AS shard
+        FROM documents
+    ),
+    seq AS (
+        SELECT doc_id, n_tokens, shard,
+               row_number() OVER (
+                   PARTITION BY shard
+                   ORDER BY n_tokens DESC, doc_id ASC NULLS LAST) AS rk
+        FROM toks
+    ),
+    -- sequential FFD per shard, one document per recursion level: the
+    -- working row carries each shard's open-bin capacities as a list;
+    -- list_position finds the first bin with room (first-fit), a miss
+    -- appends a new bin (capacity may go negative for an oversized doc,
+    -- closing the bin exactly as the engine kernel does)
+    step(shard, i, caps, doc_id, n_tokens, bin_id) AS (
+        SELECT DISTINCT shard, 0, CAST([] AS BIGINT[]),
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT)
+        FROM seq
+        UNION ALL
+        -- nullif(..., 0): DuckDB list_position returns 0, not NULL, on
+        -- a miss (and on an empty caps list)
+        SELECT s.shard, s.i + 1,
+               CASE WHEN nullif(list_position(
+                        [c >= t.n_tokens FOR c IN s.caps], true), 0) IS NULL
+                    THEN list_append(s.caps, {PACK_CONTEXT} - t.n_tokens)
+                    ELSE [CASE WHEN j = list_position(
+                                   [c >= t.n_tokens FOR c IN s.caps], true)
+                               THEN s.caps[j] - t.n_tokens
+                               ELSE s.caps[j] END
+                          FOR j IN range(1, len(s.caps) + 1)]
+               END,
+               t.doc_id, t.n_tokens,
+               CAST(coalesce(nullif(list_position(
+                        [c >= t.n_tokens FOR c IN s.caps], true), 0),
+                    len(s.caps) + 1) - 1 AS BIGINT)
+        FROM step s
+        JOIN seq t ON t.shard = s.shard AND t.rk = s.i + 1
+    )
+    SELECT doc_id, shard, n_tokens, bin_id FROM step WHERE i >= 1
+    """,
+)
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window sequence packing: assign every document to a
     (shard, bin) such that each bin's token total fits PACK_CONTEXT —
@@ -213,15 +272,42 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor count, defines the problem. Invariants (every doc exactly
     once, capacity respected, determinism) are pinned in
     tests/test_curation.py; bin numbering is per-shard dense from 0.
-    """
+
+    FULL oracle (promoted from rows-only, VERDICT r15 #7, beyond the
+    ordered aggregate-columns notch): the shard hash is md5-derived
+    (engine-portable — the r15 LSH move), and the greedy FFD fold
+    itself is replayed in DuckDB as a recursive CTE whose working row
+    threads each shard's open-bin capacity list, one document per
+    recursion level (first-fit = list_position of the first bucket
+    with room). Every (doc_id, shard, n_tokens, bin_id) row is
+    hash-adjudicated. Determinism across engines holds because the
+    pack order (n_tokens DESC, doc_id ASC NULLS LAST) is a total order
+    up to fully-identical rows, whose assignments are multiset-
+    invariant. NULL doc_id packs in its own shard -1 (md5(NULL) is
+    NULL; the engine mirrors with an explicit branch). The audit twin
+    (pack_sequences_audit) keeps the capacity/coverage invariants."""
     d = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.when(F.col("doc_id").isNull(), F.lit(-1))
+        .otherwise(
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(PACK_SHARDS),
+            )
+        )
+        .cast("long")
+    )
     toks = d.select(
         "doc_id",
         # NULL text packs as a zero-token doc (r11 contract): size(NULL)
         # is NULL and a NaN n_tokens crashed the FFD kernel; every doc
         # still appears exactly once in the packing.
         F.coalesce(F.size(F.expr(_WORDS)), F.lit(0)).cast("long").alias("n_tokens"),
-        F.pmod(F.xxhash64("doc_id"), F.lit(PACK_SHARDS)).cast("long").alias("shard"),
+        shard.alias("shard"),
     )
 
     def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -530,8 +530,11 @@ def _sim_word_half_duck(pos: int) -> str:
     )
 
 
-_SIMHASH_ORACLE = rf"""
-    WITH words AS (
+# words -> md5 hashes -> majority fingerprints -> 4x16 band keys;
+# shared prefix of the dedup_simhash (pair) and dedup_simhash_clusters
+# (component) oracles.
+_SIMHASH_BANDS_CTE = rf"""
+    words AS (
         SELECT doc_id,
                unnest(list_distinct(list_filter(
                    string_split_regex(text, '\s+'), x -> x != ''))) AS word
@@ -569,7 +572,11 @@ _SIMHASH_ORACLE = rf"""
         SELECT doc_id, h_lo, h_hi, 2, h_hi & 65535 FROM packed
         UNION ALL
         SELECT doc_id, h_lo, h_hi, 3, (h_hi >> 16) & 65535 FROM packed
-    ),
+    )
+"""
+
+_SIMHASH_ORACLE = f"""
+    WITH {_SIMHASH_BANDS_CTE},
     cands AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                a.h_lo AS a_lo, a.h_hi AS a_hi,
@@ -659,6 +666,124 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 8)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+@query(
+    "dedup_simhash_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SIMHASH_BANDS_CTE},
+    roots AS (
+        SELECT band, key, MIN(doc_id) AS root
+        FROM bands GROUP BY band, key
+    ),
+    star AS (
+        SELECT DISTINCT r.root AS sa, b.doc_id AS sb
+        FROM bands b JOIN roots r ON b.band = r.band AND b.key = r.key
+        WHERE b.doc_id != r.root
+    ),
+    edges(a, b) AS (
+        SELECT sa, sb FROM star UNION SELECT sb, sa FROM star
+    ),
+    reach(node, target) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.node, e.b FROM reach r JOIN edges e ON r.target = e.a
+    ),
+    reps AS (
+        SELECT node AS doc_id, CAST(MIN(target) AS BIGINT) AS cluster_rep
+        FROM reach GROUP BY node
+    ),
+    lab AS (
+        SELECT d.doc_id,
+               CAST(COALESCE(r.cluster_rep, d.doc_id) AS BIGINT)
+                   AS cluster_rep
+        FROM documents d LEFT JOIN reps r ON d.doc_id = r.doc_id
+    )
+    SELECT doc_id, cluster_rep,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT)
+               AS cluster_size,
+           doc_id = cluster_rep AS is_rep
+    FROM lab
+    """,
+)
+def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash CLUSTER labeling — the structural fix for the
+    quadratic-clones class (VERDICT r15 #6): at high duplication factors
+    the TRUE near-dup PAIR set is itself quadratic (the 100x cloned
+    replica drove dedup_simhash to 13.06e9 pairs — every cross-clone
+    pair is a real pair), but a real pipeline doesn't want pairs, it
+    wants one representative per duplicate cluster. This operator's
+    output — (doc_id, cluster_rep, cluster_size, is_rep), one row per
+    document — is O(docs) at ANY duplication factor, and so is every
+    intermediate:
+
+    * candidate edges are NEVER materialized pairwise. Each of the 4
+      LSH band buckets contributes a STAR — every member linked to the
+      bucket's minimum doc_id — so a bucket of s docs yields s-1 edges
+      (the clique would be s(s-1)/2). Star edges preserve bucket
+      connectivity exactly, so connected components over them equal
+      components over dedup_simhash's full shared-band candidate graph.
+    * components via the shared _connected_components machinery
+      (distributed contraction above the 2M-edge cap, driver union-find
+      under it; labels are component minima), reused from
+      dedup_clusters.
+
+    Semantics: cluster = connected component of the BAND-BUCKET
+    candidate graph (standard LSH clustering as in large-corpus dedup
+    pipelines — SlimPajama/RefinedWeb thin by LSH-bucket connectivity).
+    This is a superset-coarsening of dedup_simhash's Hamming<=8
+    verified pairs: pairwise verification cannot scale to quadratic
+    clone sets, and component labels built by chaining verified pairs
+    are already transitive approximations; the band-connectivity
+    cluster is the honest O(N) contract. Docs with no fingerprint
+    (empty/NULL text) are singletons via the left join. Total order: the
+    output is keyed by doc_id, so the whole relation is hash-stable.
+
+    Scale shape: fingerprints (one corpus shuffle, Arrow kernel) ->
+    4 band rows/doc -> groupBy(band,key) min (map-side combine) ->
+    one equi-join back -> <=4N star edges -> CC -> one window over docs
+    for cluster_size. No step is super-linear in the corpus.
+    """
+    docs = simhash_fingerprints(spark, sf_dir)
+    band_keys = [
+        F.col("h_lo").bitwiseAND(65535),
+        F.shiftright("h_lo", 16).bitwiseAND(65535),
+        F.col("h_hi").bitwiseAND(65535),
+        F.shiftright("h_hi", 16).bitwiseAND(65535),
+    ]
+    bands = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band"), band_keys[i].alias("key"))
+                for i in range(4)
+            ])
+        ).alias("bk"),
+    ).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    roots = bands.groupBy("band", "key").agg(F.min("doc_id").alias("root"))
+    star = (
+        bands.join(roots, ["band", "key"])
+        .filter(F.col("doc_id") != F.col("root"))
+        .select(F.col("root").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+    from pyspark.sql.window import Window
+
+    labels = _connected_components(spark, star)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    lab = d.join(labels, d["doc_id"] == labels["node"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_rep"),
+    )
+    size_w = Window.partitionBy("cluster_rep")
+    return lab.select(
+        "doc_id",
+        "cluster_rep",
+        F.count(F.lit(1)).over(size_w).cast("long").alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_rep")).alias("is_rep"),
     )
 
 

@@ -262,29 +262,81 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_tfidf_topterms")  # ln() is not a cross-engine bit contract
+@query(
+    "text_tfidf_topterms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_DUCK_WORDS}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term
+    ),
+    -- df counts per-(doc,term) DISTINCT rows with count(*), NOT
+    -- count(DISTINCT doc_id): SQL's DISTINCT-agg drops NULL doc_ids
+    -- while the engine's .distinct() keeps them as one group (allnull
+    -- replica contract)
+    df AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df
+        FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+        SELECT t.doc_id, t.term, t.tf, d.df, n.n_docs,
+               round(t.tf * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1),
+                     6) AS s
+        FROM tf t JOIN df d USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, n_docs
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY doc_id ORDER BY s DESC, term) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
 def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document: tf = in-doc count, idf =
     ln((N+1)/(df+1)) + 1 (smoothed), deterministic (score desc, term)
     tiebreak. Distributed shape: one explode + two hash aggregates + a
     broadcast of the (tiny) df table + a per-doc window — no collect.
-    Rows-only check; invariants (k per doc, term ∈ doc) pinned in tests."""
+
+    FULL oracle (promoted from rows-only, VERDICT r15 #7): the emitted
+    columns are the EXACT integers the score is a function of —
+    (tf, df, n_docs) alongside (doc_id, term) — so the driver hash
+    adjudicates the selection and every scoring input bit-for-bit. The
+    float score itself stays display-only (reconstruct as
+    round(tf * (ln((n_docs+1)/(df+1)) + 1), 6)): ln is not a
+    cross-engine bit contract, so hashing it would trade a solid
+    integer check for a fragile float one. Selection ORDERING uses the
+    6-dp-rounded score on both engines — a 1-ULP ln divergence
+    collapses under the rounding except on exact 5e-7 boundaries, which
+    a ln() output does not land on; the ordering contract
+    (non-increasing scores, top-k witness bound) is additionally pinned
+    by the audit twin text_tfidf_audit."""
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.count()
     tokens = d.select("doc_id", F.explode(F.expr(_WORDS)).alias("term"))
-    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tokens.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
     df = tokens.select("doc_id", "term").distinct().groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
+        F.count(F.lit(1)).cast("long").alias("df")
     )
     idf = (F.log((F.lit(float(n_docs)) + 1) / (F.col("df") + 1)) + 1).alias("idf")
-    scored = tf.join(F.broadcast(df.select("term", idf)), "term").withColumn(
-        "tfidf", F.round(F.col("tf") * F.col("idf"), 6)
-    )
+    scored = tf.join(
+        F.broadcast(df.select("term", "df", idf)), "term"
+    ).withColumn("tfidf", F.round(F.col("tf") * F.col("idf"), 6))
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("doc_id", "term", "tfidf")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.lit(n_docs).cast("long").alias("n_docs"),
+        )
     )
 
 

@@ -1,8 +1,9 @@
 """Invariant tests for the curation operators (llm/curation.py).
 
 The oracle-checked queries (decontaminate / quota / stratified) get
-semantic spot-checks; pack_sequences is rows-only, so its full contract
-lives here: partition of the corpus, capacity respected, determinism.
+semantic spot-checks; pack_sequences was promoted to a FULL oracle in
+r16 (md5 shard hash + recursive-CTE FFD replay), but the invariant
+tests stay: partition of the corpus, capacity respected, determinism.
 """
 
 from __future__ import annotations

@@ -53,6 +53,158 @@ def test_grouped_quantile_null_group_key_kept(spark, tmp_path):
     assert not any(g == "Z" for g, _ in got)
 
 
+# --- dedup_simhash_clusters: O(docs) structural dedup (VERDICT r15 #6) ------
+
+
+def test_simhash_clusters_output_is_one_row_per_doc(spark):
+    from databricks_feature_store_poc_spark.llm.dedup import (
+        dedup_simhash_clusters,
+    )
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    out = dedup_simhash_clusters(spark, SF_TEST).collect()
+    n_docs = load_table(spark, SF_TEST, "documents").count()
+    assert len(out) == n_docs
+    assert len({r["doc_id"] for r in out}) == n_docs
+    # size bookkeeping: summing each cluster's size once == n_docs
+    sizes = {r["cluster_rep"]: r["cluster_size"] for r in out}
+    assert sum(sizes.values()) == n_docs
+    # rep is the component minimum and is flagged
+    for r in out:
+        assert r["cluster_rep"] <= r["doc_id"]
+        assert r["is_rep"] == (r["doc_id"] == r["cluster_rep"])
+
+
+def test_simhash_clusters_superset_of_verified_pairs(spark):
+    """Every Hamming-verified dedup_simhash pair shares a band, hence
+    must land in the same band-connectivity cluster (the coarsening
+    direction is one-way by construction)."""
+    from databricks_feature_store_poc_spark.llm.dedup import (
+        dedup_simhash,
+        dedup_simhash_clusters,
+    )
+
+    lab = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in dedup_simhash_clusters(spark, SF_TEST).collect()
+    }
+    for p in dedup_simhash(spark, SF_TEST).collect():
+        assert lab[p["doc_a"]] == lab[p["doc_b"]], p
+
+
+def test_simhash_clusters_clones_collapse(spark, tmp_path):
+    """3 verbatim clones of one doc -> one cluster, rep = min doc_id,
+    size 3; a distinct doc and an empty doc stay singletons."""
+    from databricks_feature_store_poc_spark.llm.dedup import (
+        dedup_simhash_clusters,
+    )
+
+    long_a = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = [
+        (10, long_a, "en", "w", len(long_a)),
+        (11, long_a, "en", "w", len(long_a)),
+        (12, long_a, "en", "w", len(long_a)),
+        (20, "completely different words entirely here unrelated "
+             "vocabulary tokens nothing shared whatsoever at all",
+         "en", "w", 99),
+        (30, "", "en", "w", 0),
+        (40, None, "en", "w", None),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: (r["cluster_rep"], r["cluster_size"], r["is_rep"])
+        for r in dedup_simhash_clusters(spark, str(tmp_path)).collect()
+    }
+    assert got[10] == (10, 3, True)
+    assert got[11] == (10, 3, False)
+    assert got[12] == (10, 3, False)
+    assert got[30] == (30, 1, True)
+    assert got[40] == (40, 1, True)
+    # the distinct doc must not be pulled into the clone cluster
+    assert got[20][0] != 10
+
+
+# --- pack_sequences / text_tfidf_topterms: full-oracle promotions -----------
+
+
+def test_pack_sequences_null_doc_id_shard(spark, tmp_path):
+    """NULL doc_id packs in shard -1 (md5(NULL) is NULL on both
+    engines); every doc still appears exactly once and capacity holds."""
+    from databricks_feature_store_poc_spark.llm.curation import (
+        PACK_CONTEXT,
+        pack_sequences,
+    )
+
+    rows = [
+        (None, "a b c", "en", "w", 5),
+        (None, " ".join(["x"] * 300), "en", "w", 600),  # oversized
+        (1, "one two", "en", "w", 7),
+        (2, None, "en", "w", None),  # NULL text -> 0 tokens
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = pack_sequences(spark, str(tmp_path)).collect()
+    assert len(out) == 4
+    null_rows = [r for r in out if r["doc_id"] is None]
+    assert len(null_rows) == 2
+    assert all(r["shard"] == -1 for r in null_rows)
+    # oversized doc got its own bin; the 3-token doc a different one
+    bins = sorted((r["n_tokens"], r["bin_id"]) for r in null_rows)
+    assert bins[0][1] != bins[1][1]
+    # per-(shard,bin) fill respects capacity except one-oversized-doc
+    from collections import defaultdict
+
+    fill = defaultdict(list)
+    for r in out:
+        fill[(r["shard"], r["bin_id"])].append(r["n_tokens"])
+    for toks in fill.values():
+        assert sum(toks) <= PACK_CONTEXT or len(toks) == 1
+
+
+def test_tfidf_integer_columns_exact(spark):
+    """The promoted output's (tf, df, n_docs) must equal independent
+    recomputation from the corpus."""
+    from collections import Counter
+
+    from databricks_feature_store_poc_spark.registry import (
+        QUERIES,
+        load_all_queries,
+    )
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    load_all_queries()
+    docs = load_table(spark, SF_TEST, "documents").collect()
+    n_docs = len(docs)
+    tf = Counter()
+    dfc = Counter()
+    for d in docs:
+        words = [w for w in (d["text"] or "").split() if w]
+        for w in words:
+            tf[(d["doc_id"], w)] += 1
+        for w in set(words):
+            dfc[w] += 1
+    out = QUERIES["text_tfidf_topterms"](spark, SF_TEST).collect()
+    assert out, "no rows"
+    for r in out:
+        assert r["n_docs"] == n_docs
+        assert r["tf"] == tf[(r["doc_id"], r["term"])], r
+        assert r["df"] == dfc[r["term"]], r
+
+
 # --- PNG/GIF: truncated/forged length fields (ADVICE r15 #2) ----------------
 
 
