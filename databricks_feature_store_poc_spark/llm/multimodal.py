@@ -1418,3 +1418,562 @@ def mm_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     staged = d.select("doc_id", "text").mapInPandas(encode_batches, enc_schema)
     return staged.mapInPandas(_make_gif_decoder(), dec_schema)
+
+
+# --- JPEG (sixth codec: baseline JFIF — huffman entropy + DCT family) -------
+
+# Standard JPEG tables (ITU-T T.81 Annex K — public spec).
+JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+JPEG_DC_VALS = tuple(range(12))
+JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125)
+JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+# Engine DQT in zigzag order: DC step 8 (F(0,0) of a constant block is
+# exactly 8*(v-128), so coded DC == v-128 and the roundtrip is
+# bit-exact); AC steps 16 (standard-ish; engine blocks have zero AC).
+JPEG_QTABLE = (8,) + (16,) * 63
+
+
+def jpeg_canonical_codes(bits, vals):
+    """(symbol -> (code, length)) canonical Huffman assignment per
+    T.81 C.2 — shared derivation for the encoder and decoder."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _make_jpeg_decoder():
+    """Factory for mm_decode_jpeg's decode stage (closure =>
+    cloudpickle by-value, the codec-family convention). The decoder is
+    a GENERAL baseline-grayscale JFIF reader, not an inverse of the
+    engine's DC-only encoder: marker walk (APPn/COM skip, multi-table
+    DQT incl. 16-bit precision, multi-table DHT, SOF0, DRI), canonical
+    Huffman decode of the entropy scan with 0xFF00 byte-unstuffing and
+    RSTn restart handling (DC predictor reset + byte realign), JPEG
+    EXTEND sign recovery, run-length AC with ZRL and EOB, dequantize,
+    inverse zigzag, and a real separable float IDCT (numpy) with
+    round-and-clamp — foreign payloads with dense AC coefficients
+    decode exactly (pinned in tests against an independent numpy IDCT).
+
+    Progressive (SOF2) / arithmetic / multi-component scans return the
+    diagnostic row: the registered contract is baseline grayscale.
+    Truncated/forged structures return the diagnostic row, never a
+    crash (the r15-advice codec rule; broad guard on parse)."""
+    import math
+    import struct
+
+    import numpy as np
+
+    # Bind the module-level table to a LOCAL so the closure pickles it
+    # BY VALUE — a module-attribute reference would make executors
+    # import this repo, which a plain driver session's workers cannot
+    # (the codec-family closure convention).
+    zigzag = list(JPEG_ZIGZAG)
+
+    # IDCT basis: A[x, u] = 0.5 * C(u) * cos((2x+1) u pi / 16);
+    # spatial = A @ F @ A.T
+    _A = np.array(
+        [
+            [
+                0.5 * (1 / math.sqrt(2) if u == 0 else 1.0)
+                * math.cos((2 * x + 1) * u * math.pi / 16)
+                for u in range(8)
+            ]
+            for x in range(8)
+        ]
+    )
+
+    def build_decode(bits, vals):
+        table = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                table[(length, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+        return table
+
+    class BitReader:
+        """Entropy-segment bit reader: unstuffs 0xFF00, stops at any
+        other marker (reporting it), byte-realigns on restart."""
+
+        def __init__(self, buf: bytes, pos: int):
+            self.buf = buf
+            self.pos = pos
+            self.bit = 0
+            self.marker = None
+
+        def _next_byte(self):
+            if self.marker is not None:
+                raise ValueError("read past marker")
+            if self.pos >= len(self.buf):
+                raise ValueError("truncated entropy data")
+            b = self.buf[self.pos]
+            if b == 0xFF:
+                if self.pos + 1 >= len(self.buf):
+                    raise ValueError("truncated marker")
+                nxt = self.buf[self.pos + 1]
+                if nxt == 0x00:
+                    self.pos += 2
+                    return 0xFF
+                self.marker = nxt
+                raise ValueError("marker in entropy data")
+            self.pos += 1
+            return b
+
+        def byte_align(self):
+            """Discard pad bits of a partially-consumed byte (the byte
+            itself was already read off the buffer, so only the bit
+            cursor resets) — spec behavior before a restart marker."""
+            self.bit = 0
+
+        def peek_marker(self):
+            """At a byte boundary, check for a marker without consuming."""
+            if (
+                self.bit == 0
+                and self.pos + 1 < len(self.buf)
+                and self.buf[self.pos] == 0xFF
+                and self.buf[self.pos + 1] != 0x00
+            ):
+                return self.buf[self.pos + 1]
+            return None
+
+        def skip_marker(self):
+            self.pos += 2
+            self.bit = 0
+            self.marker = None
+
+        def read_bit(self):
+            if self.bit == 0:
+                self.cur = self._next_byte()
+            b = (self.cur >> (7 - self.bit)) & 1
+            self.bit = (self.bit + 1) & 7
+            return b
+
+        def read_bits(self, n):
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | self.read_bit()
+            return v
+
+    def decode_huff(br, table):
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid huffman code")
+
+    def extend(v, n):
+        """T.81 F.2.2.1 EXTEND: recover signed value from n raw bits."""
+        if n == 0:
+            return 0
+        return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+    def parse(payload):
+        if payload is None:
+            return None, None, None, None, None
+        bad = (None, None, None, False, None)
+        p = bytes(payload)
+        try:
+            if len(p) < 4 or p[:2] != b"\xff\xd8":
+                return bad
+            pos = 2
+            qtables = {}
+            dc_tables = {}
+            ac_tables = {}
+            w = h = None
+            qsel = None
+            restart_interval = 0
+            while True:
+                if pos + 4 > len(p):
+                    return bad
+                if p[pos] != 0xFF:
+                    return bad
+                m = p[pos + 1]
+                if m == 0xD9:  # EOI before SOS: no image
+                    return bad
+                (seglen,) = struct.unpack_from(">H", p, pos + 2)
+                seg = p[pos + 4:pos + 2 + seglen]
+                if len(seg) != seglen - 2:
+                    return bad
+                if m == 0xDB:  # DQT, possibly several tables
+                    off = 0
+                    while off < len(seg):
+                        pq, tq = seg[off] >> 4, seg[off] & 0x0F
+                        off += 1
+                        if pq == 0:
+                            if off + 64 > len(seg):
+                                return bad
+                            qtables[tq] = list(seg[off:off + 64])
+                            off += 64
+                        else:  # 16-bit precision
+                            if off + 128 > len(seg):
+                                return bad
+                            qtables[tq] = [
+                                (seg[off + 2 * i] << 8) | seg[off + 2 * i + 1]
+                                for i in range(64)
+                            ]
+                            off += 128
+                elif m == 0xC4:  # DHT, possibly several tables
+                    off = 0
+                    while off < len(seg):
+                        tc, th = seg[off] >> 4, seg[off] & 0x0F
+                        bits = list(seg[off + 1:off + 17])
+                        nv = sum(bits)
+                        vals = list(seg[off + 17:off + 17 + nv])
+                        if len(vals) != nv:
+                            return bad
+                        t = build_decode(bits, vals)
+                        if tc == 0:
+                            dc_tables[th] = t
+                        else:
+                            ac_tables[th] = t
+                        off += 17 + nv
+                elif m == 0xC0:  # SOF0 baseline
+                    if seg[0] != 8:
+                        return bad
+                    h, w = struct.unpack_from(">HH", seg, 1)
+                    ncomp = seg[5]
+                    if ncomp != 1:
+                        return bad  # grayscale contract
+                    if seg[7] != 0x11:
+                        return bad  # no subsampling with 1 component
+                    qsel = seg[8]
+                elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                           0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                    return bad  # non-baseline SOF
+                elif m == 0xDD:  # DRI
+                    (restart_interval,) = struct.unpack_from(">H", seg, 0)
+                elif m == 0xDA:  # SOS
+                    if w is None or seg[0] != 1:
+                        return bad
+                    td, ta = seg[2] >> 4, seg[2] & 0x0F
+                    if (
+                        td not in dc_tables
+                        or ta not in ac_tables
+                        or qsel not in qtables
+                    ):
+                        return bad
+                    pos = pos + 2 + seglen
+                    break
+                # APPn / COM / anything else with a length: skip
+                pos = pos + 2 + seglen
+
+            q = qtables[qsel]
+            dct, act = dc_tables[td], ac_tables[ta]
+            bw, bh = (w + 7) // 8, (h + 7) // 8
+            img = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+            br = BitReader(p, pos)
+            pred = 0
+            mcu = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if (
+                        restart_interval
+                        and mcu
+                        and mcu % restart_interval == 0
+                    ):
+                        br.byte_align()
+                        mk = br.peek_marker()
+                        if mk is None or not (0xD0 <= mk <= 0xD7):
+                            return bad
+                        br.skip_marker()
+                        pred = 0
+                    coeffs = np.zeros(64, dtype=np.int64)
+                    s = decode_huff(br, dct)
+                    diff = extend(br.read_bits(s), s)
+                    pred += diff
+                    coeffs[0] = pred
+                    k = 1
+                    while k < 64:
+                        rs = decode_huff(br, act)
+                        r, size = rs >> 4, rs & 0x0F
+                        if size == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            return bad
+                        coeffs[k] = extend(br.read_bits(size), size)
+                        k += 1
+                    fq = (
+                        coeffs * np.array(q, dtype=np.int64)
+                    )[np.argsort(np.array(zigzag))].reshape(8, 8)
+                    spatial = _A @ fq.astype(np.float64) @ _A.T
+                    block = np.clip(np.round(spatial) + 128, 0, 255)
+                    img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = block
+                    mcu += 1
+            # after the scan: expect EOI. A partially-consumed byte was
+            # already read off the buffer (its remaining bits are the
+            # encoder's pad), so the next marker starts at br.pos.
+            endpos = br.pos
+            consistent = (
+                endpos + 2 <= len(p)
+                and p[endpos:endpos + 2] == b"\xff\xd9"
+                and endpos + 2 == len(p)
+            )
+            cropped = img[:h, :w].reshape(-1)
+            wsum = int(
+                ((np.arange(cropped.size, dtype=np.int64) + 1) * cropped)
+                .sum()
+                % 65536
+            )
+            return (
+                int(w),
+                int(h),
+                int(mcu),
+                bool(consistent),
+                wsum,
+            )
+        except (struct.error, IndexError, ValueError):
+            return bad
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [parse(x) for x in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": pd.array([r[0] for r in rows], dtype="Int32"),
+                    "height": pd.array([r[1] for r in rows], dtype="Int32"),
+                    "n_blocks": pd.array([r[2] for r in rows], dtype="Int32"),
+                    "header_consistent": pd.array(
+                        [r[3] for r in rows], dtype="boolean"
+                    ),
+                    "pixel_checksum_weighted": pd.array(
+                        [r[4] for r in rows], dtype="Int32"
+                    ),
+                }
+            )
+
+    return decode_batches
+
+
+@query(
+    "mm_decode_jpeg",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, text IS NULL AS is_null,
+               octet_length(encode(coalesce(text, ''))) AS n,
+               hex(encode(coalesce(text, ''))) AS hx
+        FROM documents
+    ),
+    dims AS (
+        SELECT doc_id, is_null, n, hx,
+               1 + n % 4 AS bw, 1 + (n // 7) % 3 AS bh
+        FROM b
+    ),
+    sums AS (
+        SELECT doc_id, is_null, bw, bh, 8 * bw AS w, 8 * bh AS h,
+               -- block i's gray level = byte (i % n) of the text (128
+               -- for empty text); its 64 pixels decode to exactly that
+               -- level (DC-only block, DC quant step 8), so the
+               -- position-weighted sum is k_i times the closed-form
+               -- index sum of block i's 8x8 tile in the w-wide image
+               COALESCE(list_sum([
+                   (CASE WHEN n = 0 THEN 128 ELSE
+                        16 * (strpos('0123456789ABCDEF',
+                              substring(hx, 2 * (i % greatest(n, 1)) + 1,
+                                        1)) - 1)
+                        + (strpos('0123456789ABCDEF',
+                              substring(hx, 2 * (i % greatest(n, 1)) + 2,
+                                        1)) - 1) END)
+                   * (8 * (8 * bw) * (64 * (i // bw) + 28)
+                      + 8 * (64 * (i % bw) + 28) + 64)
+                   FOR i IN range(0, bw * bh)
+               ]), 0) AS wsum
+        FROM dims
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN is_null THEN NULL ELSE w END AS INT) AS width,
+           CAST(CASE WHEN is_null THEN NULL ELSE h END AS INT) AS height,
+           CAST(CASE WHEN is_null THEN NULL ELSE bw * bh END AS INT)
+               AS n_blocks,
+           CASE WHEN is_null THEN NULL ELSE TRUE END AS header_consistent,
+           CAST(CASE WHEN is_null THEN NULL ELSE wsum % 65536 END AS INT)
+               AS pixel_checksum_weighted
+    FROM sums
+    """,
+)
+def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sixth REAL byte-level codec and the first DCT-family format
+    (VERDICT r15 #5 — the last multimodal gap): stage 1 ENCODES each
+    document as an actual baseline JFIF — SOI/APP0/DQT/SOF0/two
+    DHTs/SOS framing, the STANDARD T.81 Annex K luminance Huffman
+    tables, category-coded DC differences with JPEG's ones-complement
+    negative convention, per-block EOB, 0xFF byte-stuffing, 1-padded
+    final byte, EOI — and stage 2 DECODES it with a general baseline
+    grayscale reader (_make_jpeg_decoder: marker walk, canonical
+    Huffman, EXTEND, run-length AC with ZRL/EOB, dequantize, inverse
+    zigzag, separable float IDCT, restart-marker support).
+
+    Oracle strategy (exactness through a LOSSY format): each 8x8 block
+    is CONSTANT — one gray level per block, taken from the text bytes —
+    so its forward DCT is exactly DC = 8*(v-128) with all AC
+    identically zero, and with DC quant step 8 the coded value is
+    v-128 bit-exactly. The decode side then reproduces v exactly: a
+    DC-only dequantized block IDCTs to a constant whose float error is
+    ~1e-14, far under the round-to-int threshold. The entropy layer in
+    between (Huffman codes, category bits, stuffing) is fully real —
+    any bitstream defect lands on the wrong gray level and the
+    position-weighted checksum goes hash-red. The decoder's AC path is
+    exercised by FOREIGN payloads in tests (arbitrary coefficient
+    blocks round-tripped against an independent numpy IDCT), like the
+    PNG/GIF foreign-payload suites. File size is NOT emitted: byte
+    stuffing makes it depend on bit alignment, which SQL cannot see —
+    dims/blocks/consistency/checksum are the SQL-predictable contract.
+
+    Scale shape: the codec-family invariant — two Arrow-batched
+    mapInPandas stages over one documents scan, payloads never cross an
+    exchange, no shuffle anywhere (decode cost is the payload, not the
+    plan)."""
+    import struct
+
+    # Driver-side: derive the Huffman code assignments and copy every
+    # table into plain locals, so encode_batches closes over VALUES and
+    # never needs this module importable on an executor.
+    dc_codes = jpeg_canonical_codes(JPEG_DC_BITS, JPEG_DC_VALS)
+    ac_codes = jpeg_canonical_codes(JPEG_AC_BITS, JPEG_AC_VALS)
+    qtable_b = bytes(JPEG_QTABLE)
+    dc_bits_b, dc_vals_b = bytes(JPEG_DC_BITS), bytes(JPEG_DC_VALS)
+    ac_bits_b, ac_vals_b = bytes(JPEG_AC_BITS), bytes(JPEG_AC_VALS)
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        eob_code, eob_len = ac_codes[0x00]
+
+        def to_jpeg(text) -> bytes | None:
+            if text is None:
+                return None
+            tb = text.encode("utf-8")
+            n = len(tb)
+            bw, bh = 1 + n % 4, 1 + (n // 7) % 3
+            w, h = 8 * bw, 8 * bh
+            ks = [tb[i % n] if n else 128 for i in range(bw * bh)]
+            out = bytearray(b"\xff\xd8")
+            out += (
+                b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+                + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+            )
+            out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
+            out += qtable_b
+            out += (
+                b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+                + struct.pack(">HH", h, w) + b"\x01" + bytes([1, 0x11, 0])
+            )
+            out += (
+                b"\xff\xc4" + struct.pack(">H", 19 + len(dc_vals_b))
+                + b"\x00" + dc_bits_b + dc_vals_b
+            )
+            out += (
+                b"\xff\xc4" + struct.pack(">H", 19 + len(ac_vals_b))
+                + b"\x10" + ac_bits_b + ac_vals_b
+            )
+            out += (
+                b"\xff\xda" + struct.pack(">H", 8) + b"\x01"
+                + bytes([1, 0x00]) + bytes([0, 63, 0])
+            )
+            entropy = bytearray()
+            acc, nacc = 0, 0
+
+            def put(v: int, nb: int) -> None:
+                nonlocal acc, nacc
+                acc = (acc << nb) | (v & ((1 << nb) - 1))
+                nacc += nb
+                while nacc >= 8:
+                    byte = (acc >> (nacc - 8)) & 0xFF
+                    entropy.append(byte)
+                    if byte == 0xFF:
+                        entropy.append(0x00)  # byte stuffing
+                    nacc -= 8
+                    acc &= (1 << nacc) - 1
+
+            pred = 0
+            for k in ks:
+                x = k - 128
+                diff = x - pred
+                pred = x
+                cat = abs(diff).bit_length()
+                ccode, clen = dc_codes[cat]
+                put(ccode, clen)
+                if cat:
+                    put(
+                        diff if diff >= 0 else diff + (1 << cat) - 1,
+                        cat,
+                    )
+                put(eob_code, eob_len)
+            if nacc:
+                put((1 << (8 - nacc)) - 1, 8 - nacc)  # 1-pad
+            out += entropy + b"\xff\xd9"
+            return bytes(out)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [to_jpeg(t) for t in pdf["text"]],
+                }
+            )
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    dec_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_blocks", T.IntegerType()),
+            T.StructField("header_consistent", T.BooleanType()),
+            T.StructField("pixel_checksum_weighted", T.IntegerType()),
+        ]
+    )
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select("doc_id", "text").mapInPandas(encode_batches, enc_schema)
+    return staged.mapInPandas(_make_jpeg_decoder(), dec_schema)

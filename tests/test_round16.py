@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 import pytest
 
 from tests.conftest import SF_TEST
@@ -203,6 +204,217 @@ def test_tfidf_integer_columns_exact(spark):
         assert r["n_docs"] == n_docs
         assert r["tf"] == tf[(r["doc_id"], r["term"])], r
         assert r["df"] == dfc[r["term"]], r
+
+
+# --- mm_decode_jpeg: sixth codec, foreign payloads --------------------------
+
+
+def _ref_jpeg(coeff_blocks, bw, bh, qtable, dri=0):
+    """Test-local general baseline-grayscale encoder: arbitrary
+    ZIGZAG-order quantized coefficients per block (dense AC, ZRL runs),
+    optional restart interval — payload shapes the engine encoder never
+    emits."""
+    import struct
+
+    from databricks_feature_store_poc_spark.llm.multimodal import (
+        JPEG_AC_BITS,
+        JPEG_AC_VALS,
+        JPEG_DC_BITS,
+        JPEG_DC_VALS,
+        jpeg_canonical_codes,
+    )
+
+    dc_codes = jpeg_canonical_codes(JPEG_DC_BITS, JPEG_DC_VALS)
+    ac_codes = jpeg_canonical_codes(JPEG_AC_BITS, JPEG_AC_VALS)
+    w, h = 8 * bw, 8 * bh
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(qtable)
+    out += (
+        b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", h, w) + b"\x01" + bytes([1, 0x11, 0])
+    )
+    out += (
+        b"\xff\xc4" + struct.pack(">H", 19 + len(JPEG_DC_VALS))
+        + b"\x00" + bytes(JPEG_DC_BITS) + bytes(JPEG_DC_VALS)
+    )
+    out += (
+        b"\xff\xc4" + struct.pack(">H", 19 + len(JPEG_AC_VALS))
+        + b"\x10" + bytes(JPEG_AC_BITS) + bytes(JPEG_AC_VALS)
+    )
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    out += (
+        b"\xff\xda" + struct.pack(">H", 8) + b"\x01"
+        + bytes([1, 0x00]) + bytes([0, 63, 0])
+    )
+    entropy = bytearray()
+    state = {"acc": 0, "n": 0}
+
+    def put(v, nb):
+        state["acc"] = (state["acc"] << nb) | (v & ((1 << nb) - 1))
+        state["n"] += nb
+        while state["n"] >= 8:
+            byte = (state["acc"] >> (state["n"] - 8)) & 0xFF
+            entropy.append(byte)
+            if byte == 0xFF:
+                entropy.append(0x00)
+            state["n"] -= 8
+            state["acc"] &= (1 << state["n"]) - 1
+
+    def flush_pad():
+        if state["n"]:
+            put((1 << (8 - state["n"])) - 1, 8 - state["n"])
+
+    def put_coeff(v, codes, run=0):
+        cat = abs(v).bit_length()
+        code, ln = codes[(run << 4) | cat]
+        put(code, ln)
+        if cat:
+            put(v if v >= 0 else v + (1 << cat) - 1, cat)
+
+    pred = 0
+    rst = 0
+    for i, zz in enumerate(coeff_blocks):
+        if dri and i and i % dri == 0:
+            flush_pad()
+            entropy.append(0xFF)
+            entropy.append(0xD0 + rst % 8)
+            rst += 1
+            pred = 0
+        diff = zz[0] - pred
+        pred = zz[0]
+        cat = abs(diff).bit_length()
+        code, ln = jpeg_canonical_codes(JPEG_DC_BITS, JPEG_DC_VALS)[cat]
+        put(code, ln)
+        if cat:
+            put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+        k = 1
+        while k < 64:
+            run = 0
+            while k < 64 and zz[k] == 0:
+                run += 1
+                k += 1
+            if k == 64:
+                code, ln = ac_codes[0x00]  # EOB
+                put(code, ln)
+                break
+            while run >= 16:
+                code, ln = ac_codes[0xF0]  # ZRL
+                put(code, ln)
+                run -= 16
+            put_coeff(zz[k], ac_codes, run)
+            k += 1
+    flush_pad()
+    out += entropy + b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_reference_pixels(coeff_blocks, bw, bh, qtable):
+    """Independent IDCT reference (test-side numpy, separate from the
+    kernel's implementation path)."""
+    import math
+
+    import numpy as np
+
+    from databricks_feature_store_poc_spark.llm.multimodal import JPEG_ZIGZAG
+
+    A = np.array(
+        [
+            [
+                0.5 * (1 / math.sqrt(2) if u == 0 else 1.0)
+                * math.cos((2 * x + 1) * u * math.pi / 16)
+                for u in range(8)
+            ]
+            for x in range(8)
+        ]
+    )
+    img = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+    for i, zz in enumerate(coeff_blocks):
+        by, bx = i // bw, i % bw
+        dq = np.array(zz, dtype=np.int64) * np.array(qtable, dtype=np.int64)
+        nat = np.zeros(64, dtype=np.float64)
+        nat[list(JPEG_ZIGZAG)] = dq
+        spatial = A @ nat.reshape(8, 8) @ A.T
+        img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = np.clip(
+            np.round(spatial) + 128, 0, 255
+        )
+    return img
+
+
+def _decode_jpeg_foreign(payload):
+    from databricks_feature_store_poc_spark.llm.multimodal import (
+        _make_jpeg_decoder,
+    )
+
+    batches = iter([pd.DataFrame({"doc_id": [1], "payload": [payload]})])
+    out = next(_make_jpeg_decoder()(batches))
+    r = out.iloc[0]
+
+    def v(x):
+        return None if pd.isna(x) else (
+            bool(x) if isinstance(x, bool) else int(x)
+        )
+
+    return (
+        v(r["width"]), v(r["height"]), v(r["n_blocks"]),
+        None if pd.isna(r["header_consistent"])
+        else bool(r["header_consistent"]),
+        v(r["pixel_checksum_weighted"]),
+    )
+
+
+@pytest.mark.parametrize("dri", [0, 2])
+def test_jpeg_decoder_dense_ac(dri):
+    """Foreign payload with dense AC coefficients, ZRL runs, and
+    (parametrized) restart markers: the decoded weighted checksum must
+    equal an independent numpy IDCT of the same coefficients."""
+    import random
+
+    rng = random.Random(42)
+    bw, bh = 3, 2
+    qtable = [8] + [2 * (1 + (i % 7)) for i in range(63)]
+    blocks = []
+    for b in range(bw * bh):
+        zz = [0] * 64
+        zz[0] = rng.randint(-80, 80)
+        for _ in range(12):  # sparse-but-real AC
+            zz[rng.randint(1, 63)] = rng.randint(-30, 30)
+        # one long zero run to force ZRL
+        for k in range(20, 40):
+            zz[k] = 0
+        zz[45] = 5
+        blocks.append(zz)
+    payload = _ref_jpeg(blocks, bw, bh, qtable, dri=dri)
+    img = _jpeg_reference_pixels(blocks, bw, bh, qtable)
+    want = int(
+        sum((i + 1) * int(p) for i, p in enumerate(img.reshape(-1))) % 65536
+    )
+    got = _decode_jpeg_foreign(payload)
+    assert got == (8 * bw, 8 * bh, bw * bh, True, want), got
+
+
+def test_jpeg_corruption_detected():
+    blocks = [[10] + [0] * 63, [-5] + [0] * 63]
+    qtable = [8] + [16] * 63
+    good = _ref_jpeg(blocks, 2, 1, qtable)
+    # truncated mid-entropy
+    got = _decode_jpeg_foreign(good[:-6])
+    assert got[3] in (False, None)
+    # bad signature
+    got2 = _decode_jpeg_foreign(b"\x00\x00" + good[2:])
+    assert got2[3] in (False, None)
+    # progressive SOF2 is out of contract -> diagnostic row
+    prog = bytearray(good)
+    sof = prog.index(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    got3 = _decode_jpeg_foreign(bytes(prog))
+    assert got3[3] in (False, None)
+    # forged segment length pointing past the buffer
+    forged = bytearray(good)
+    dqt = forged.index(b"\xff\xdb")
+    forged[dqt + 2:dqt + 4] = (60000).to_bytes(2, "big")
+    got4 = _decode_jpeg_foreign(bytes(forged))
+    assert got4[3] in (False, None)
 
 
 # --- PNG/GIF: truncated/forged length fields (ADVICE r15 #2) ----------------
