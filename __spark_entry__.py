@@ -40,99 +40,119 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver adjudicates ~50 queries per round in dict order, so the dict
-# is emitted in ADJUDICATION-PRIORITY order, not alphabetical. Round-15
-# policy (VERDICT r14 'do this' #1 — retire the driver-verdict debt;
-# tier arithmetic COUNTED before writing this comment, per the r14
-# blemish): 1 headline + 11 changed + 18 r8-age + 20 r9-age = 50 slots
-# exactly; the last two r9-age keys (win_rank, win_topk_per_group) ride
-# at positions 51-52 in case the driver's budget stretches past 50,
-# else they are the r16 tier-2 head. The r10 cohort (20 keys) is r16
-# tier 2. A NEVER-adjudicated new key outranks a stale-green r9
-# re-check, hence the displacement. Done-criterion: after CORRECTNESS_r15 the
-# merged ledger has NO verdict older than r10.
+# is emitted in ADJUDICATION-PRIORITY order, not alphabetical. Round-16
+# policy (VERDICT r15 'do this' #1-#3 — zipf first, then retire the
+# remaining ledger debt; tier arithmetic COUNTED before writing this
+# comment): 1 headline + 9 changed + 2 r9-age stragglers + 19 r10-age
+# + 19 r11-age head = 50 slots exactly; the next r11 keys ride at
+# positions 51+ in case the driver's budget stretches. Done-criterion
+# (VERDICT r15 #3): after CORRECTNESS_r16 the merged ledger has NO
+# verdict older than r11.
 #   0. the headline training-set assembly (1 key, always adjudicated);
-#   1. changed-in-r15: keys whose engine or oracle changed this round —
-#      mm_decode_png (NEW: fourth real codec), agg_exact_quantile_2pass
-#      and agg_exact_quantile_grouped (NEW: exact global and per-group
-#      quantiles via 2-pass bucket selection, no global
-#      sort), sample_minhash_diverse (NEW: LSH-stratified diversity
-#      subsample), dedup_near_minhash and dedup_simhash (promoted rows-only
-#      -> FULL md5-based oracles), text_zipf_fit (slope columns BIGINT
-#      -> DECIMAL(38,0)), graph_bfs_reach (per-hop localCheckpoint —
-#      plan-only, but the changed-keys rule re-adjudicates engine
-#      changes), graph_pagerank (degree-table localCheckpoint),
-#      text_url_canonicalize (NEW: real URL canonicalizer over
-#      synthesized surface variants, map-only), mm_decode_gif (NEW:
-#      fifth codec — hand-written general LZW entropy decoder);
-#   2. the COMPLETE r8-age cohort (18 keys — the rotation order that
-#      rolled over from r14);
-#   3. the COMPLETE r9-age cohort (22 keys);
+#   1. changed-in-r16, 9 keys: text_zipf_fit (slot 2 as ordered — slope
+#      columns now DOUBLE; DECIMAL(38,0) arithmetic stays internal),
+#      mm_decode_jpeg (NEW: sixth codec, baseline JFIF huffman+DCT),
+#      dedup_simhash_clusters (NEW: O(docs) structural dedup, star
+#      edges + connected components), pack_sequences (promoted to FULL
+#      oracle: md5 shard + recursive-CTE FFD replay),
+#      text_tfidf_topterms (promoted to FULL oracle: exact integer
+#      triple emitted), agg_exact_quantile_grouped (null-safe pass-2
+#      probe join), text_url_canonicalize (pmod oracle + empty-source
+#      host guard), mm_decode_png and mm_decode_gif (truncation
+#      bounds checks — engine-output unchanged, changed-keys rule
+#      re-adjudicates);
+#   2. the 2 r9-age stragglers (win_rank, win_topk_per_group — budget-
+#      cut at positions 51-52 last round);
+#   3. the COMPLETE r10-age cohort (18 keys) + text_tfidf_audit (the
+#      promoted key's twin, re-adjudicated alongside per VERDICT r15
+#      #3's pairing note) = 19 slots;
+#   4. the r11-age head (19 of 36, alphabetical; the remaining 17 are
+#      the r17 tier-2 head).
 
 _HEADLINE = (
     "training_set_flagship",
 )
 _CHANGED_TIER = (
-    "mm_decode_png",
-    "agg_exact_quantile_2pass",
-    "agg_exact_quantile_grouped",
-    "sample_minhash_diverse",
-    "dedup_near_minhash",
-    "dedup_simhash",
     "text_zipf_fit",
-    "graph_bfs_reach",
-    "graph_pagerank",
+    "mm_decode_jpeg",
+    "dedup_simhash_clusters",
+    "pack_sequences",
+    "text_tfidf_topterms",
+    "agg_exact_quantile_grouped",
     "text_url_canonicalize",
+    "mm_decode_png",
     "mm_decode_gif",
 )
-# r8-age cohort, complete (merged-ledger verdicts last adjudicated r8)
-_R8_COHORT = (
-    "dedup_distinct",
-    "dedup_ngram_jaccard",
-    "fn_null_semantics",
-    "fn_string_extended",
-    "limit_topk",
-    "missing_value_scan",
-    "mm_binary_meta",
-    "pipeline_curate_corpus",
-    "sample_quota_per_lang",
-    "sample_stratified_hash",
-    "sample_weighted_bernoulli",
-    "scan_json",
-    "scan_orc",
-    "score_batch_replay",
-    "set_intersect",
-    "set_union_all",
-    "sink_compact_smallfiles",
-    "dedup_clusters",
-)
-# r9-age cohort, complete
+# r9-age stragglers (merged-ledger verdicts last adjudicated r9)
 _R9_COHORT = (
-    "agg_approx_distinct",
-    "agg_corr_covar",
-    "dedup_minhash_audit",
-    "fn_math",
-    "fn_try_arithmetic",
-    "funnel_signup_purchase",
-    "join_interval_overlap",
-    "sink_feature_table",
-    "sort_multi",
-    "split_temporal",
-    "stream_interval_join",
-    "subquery_exists",
-    "text_decontaminate",
-    "text_lang_dist",
-    "text_langid",
-    "text_ngrams",
-    "text_pii_scrub",
-    "text_token_count",
-    "unpivot_melt",
-    "win_distribution",
     "win_rank",
     "win_topk_per_group",
 )
-# r10-age cohort: fully deferred to r16 tier 2 (changed keys took the
-# remaining budget)
-_R10_HEAD = ()
+# r10-age cohort, complete
+_R10_COHORT = (
+    "agg_bloom_filter",
+    "agg_hll_sketch",
+    "agg_latency_bands",
+    "agg_mode_deterministic",
+    "dedup_embedding_stats",
+    "embed_quantize_int8",
+    "join_asof",
+    "merge_scd1_upsert",
+    "sink_partitioned_pruned",
+    "sink_sorted_parquet",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q4",
+    "win_ntile_deciles",
+    "text_tfidf_audit",
+)
+# r11-age head (alphabetical; pack_sequences/text_tfidf_topterms moved
+# to the changed tier, mm_decode_stub rides with the codec family)
+_R11_HEAD = (
+    "agg_countmin_sketch",
+    "agg_heavy_hitters",
+    "dedup_embedding_cosine",
+    "densify_daily_spine",
+    "embed_gram_norms",
+    "eval_auc_roc",
+    "feature_importance",
+    "fn_json",
+    "fn_map",
+    "fn_string",
+    "fn_url",
+    "graph_jaccard_neighbors",
+    "merge_scd2_history",
+    "mm_decode_stub",
+    "mm_frame_sample",
+    "pipeline_clean_corpus",
+    "pipeline_incremental_curate",
+    "scan_csv_infer",
+    "scan_csv_malformed_quarantine",
+)
+# r11-age tail at positions 51-66: adjudicated only if the driver's
+# budget stretches past 50; else the r17 tier-2 head
+_R11_TAIL = (
+    "scan_text_lines",
+    "sim_cosine_topk",
+    "sim_range_search",
+    "sink_vacuum_retention",
+    "sink_zorder",
+    "stream_stateful_parity",
+    "text_chunk_sliding",
+    "text_fingerprint",
+    "text_quality_score",
+    "text_stats",
+    "tpch_q16",
+    "training_set_on_demand",
+    "training_set_pit_on_demand",
+    "training_set_point_in_time",
+    "udtf_explode_tokens",
+    "udtf_native_split",
+)
 
 
 def _priority_order(names: list[str]) -> list[str]:
@@ -141,13 +161,15 @@ def _priority_order(names: list[str]) -> list[str]:
             return (0, _HEADLINE.index(name), "")
         if name in _CHANGED_TIER:
             return (1, _CHANGED_TIER.index(name), "")
-        if name in _R8_COHORT:
-            return (2, _R8_COHORT.index(name), "")
         if name in _R9_COHORT:
-            return (3, _R9_COHORT.index(name), "")
-        if name in _R10_HEAD:
-            return (4, _R10_HEAD.index(name), "")
-        return (5, 0, name)
+            return (2, _R9_COHORT.index(name), "")
+        if name in _R10_COHORT:
+            return (3, _R10_COHORT.index(name), "")
+        if name in _R11_HEAD:
+            return (4, _R11_HEAD.index(name), "")
+        if name in _R11_TAIL:
+            return (5, _R11_TAIL.index(name), "")
+        return (6, 0, name)
 
     return sorted(names, key=tier)
 

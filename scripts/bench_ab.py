@@ -144,6 +144,19 @@ def main() -> int:
             regressions.append(q)
         rows.append(row)
 
+    # Comparable-set wall ratio oldest-vs-HEAD (VERDICT r15 #8's
+    # standing round-close metric): totals over ONLY the queries both
+    # versions ran, so registry growth between rounds cannot inflate
+    # the ratio. Bar: <= 1.05 or the named per-query regressions above
+    # explain it.
+    comparable = [
+        (r[f"sec_{labels[0]}"], r[f"sec_{labels[-1]}"])
+        for r in rows
+        if r.get(f"sec_{labels[0]}") is not None
+        and r.get(f"sec_{labels[-1]}") is not None
+    ]
+    comp_old = round(sum(a for a, _ in comparable), 2)
+    comp_head = round(sum(b for _, b in comparable), 2)
     out = {
         "versions": labels,
         "sf": versions[-1][1].get("sf"),
@@ -151,6 +164,11 @@ def main() -> int:
         "synthetic": {lb: v.get("synthetic_sec") for lb, v in versions},
         "passes": {lb: v.get("passes") for lb, v in versions},
         "n_queries": len(rows),
+        "n_comparable": len(comparable),
+        "comparable_totals": {labels[0]: comp_old, labels[-1]: comp_head},
+        "comparable_ratio": (
+            round(comp_head / comp_old, 3) if comp_old else None
+        ),
         "regressions": regressions,
         "rows": rows,
     }

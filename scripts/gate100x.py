@@ -629,11 +629,123 @@ def _verify_simhash_clusters(spark, df, rec: dict, state: dict) -> dict:
         return rec
 
 
+def _verify_pack_sequences(spark, df, rec: dict, state: dict) -> dict:
+    """pack_sequences at 100x: the registered recursive-CTE FFD oracle
+    replays the greedy fold one document per recursion level — exact
+    and fine at driver SF (500-5000 docs), but at 500k docs the
+    recursion's list-rebuild cost times the gate out. Dedicated
+    verifier: DuckDB computes the INPUTS the fold is a pure function of
+    (per-shard (n_tokens DESC, doc_id ASC NULLS LAST) sequences — the
+    md5 shard hash and tokenization stay cross-engine-checked), and the
+    fold itself is replayed driver-side with a DIFFERENT first-fit
+    search structure (leftmost-bin-with-capacity segment tree, O(log
+    bins) per doc, vs the engine kernel's linear scan) — an independent
+    implementation of the same spec, then a full-output hash compare."""
+    rec["phase"] = "spark-collect"
+    spark_rows = [tuple(r) for r in df.collect()]
+    n_docs = len(spark_rows)
+    rec["invariants"] = {"n_rows": n_docs}
+
+    try:
+        con = state["con"] = gate_con(DST)
+        rec["phase"] = "oracle-seq"
+        md5_32 = (
+            "CAST(list_sum([(strpos('0123456789abcdef', "
+            "substring(md5(CAST(doc_id AS VARCHAR)), c, 1)) - 1) "
+            "* (16 ** (8 - c)) FOR c IN range(1, 9)]) AS BIGINT)"
+        )
+        seq = con.sql(
+            rf"""
+            SELECT doc_id,
+                   CAST(coalesce(len(list_filter(
+                       string_split_regex(text, '\s+'), x -> x != '')), 0)
+                       AS BIGINT) AS n_tokens,
+                   CASE WHEN doc_id IS NULL THEN CAST(-1 AS BIGINT)
+                        ELSE {md5_32} % 32 END AS shard
+            FROM documents
+            ORDER BY shard, n_tokens DESC, doc_id ASC NULLS LAST
+            """
+        ).fetchall()
+        rec["phase"] = "replay-ffd"
+        CONTEXT = 256
+        duck_rows = []
+        i = 0
+        while i < len(seq):
+            shard = seq[i][2]
+            j = i
+            while j < len(seq) and seq[j][2] == shard:
+                j += 1
+            # leftmost-fit segment tree over bin capacities
+            NEG = -(1 << 60)
+            size = 1
+            caps: list = []
+            tree = [NEG, NEG]  # max-capacity tree, 1-indexed
+
+            def _pull_up(node: int) -> None:
+                node //= 2
+                while node:
+                    tree[node] = max(tree[2 * node], tree[2 * node + 1])
+                    node //= 2
+
+            for doc_id, nt, _ in seq[i:j]:
+                nt = int(nt)
+                if caps and tree[1] >= nt:
+                    node = 1
+                    while node < size:  # descend to leftmost fitting bin
+                        node *= 2
+                        if tree[node] < nt:
+                            node += 1
+                    b = node - size
+                    caps[b] -= nt
+                    tree[node] = caps[b]
+                    _pull_up(node)
+                else:
+                    b = len(caps)
+                    caps.append(CONTEXT - nt)
+                    if len(caps) > size:  # grow + rebuild
+                        while size < len(caps):
+                            size *= 2
+                        tree = [NEG] * (2 * size)
+                        for k, c in enumerate(caps):
+                            tree[size + k] = c
+                        for k in range(size - 1, 0, -1):
+                            tree[k] = max(tree[2 * k], tree[2 * k + 1])
+                    else:
+                        tree[size + b] = caps[b]
+                        _pull_up(size + b)
+                duck_rows.append((doc_id, shard, nt, b))
+            i = j
+        rec["mode"] = "spec-replay"
+        match = value_hash(spark_rows, list(df.columns)) == value_hash(
+            duck_rows, ["doc_id", "shard", "n_tokens", "bin_id"]
+        )
+        rec["ok"] = bool(match and len(duck_rows) == n_docs)
+        if not match:
+            rec["issue"] = "FFD spec-replay value-hash mismatch"
+        else:
+            rec["note"] = (
+                "inputs (md5 shard + token counts + pack order) "
+                "cross-engine from DuckDB; greedy fold replayed with an "
+                "independent leftmost-fit segment tree — full output "
+                "hash match at 100x (the registered recursive-CTE "
+                "oracle is exact but times out at 500k docs)"
+            )
+        return rec
+    except Exception as exc:
+        if not _capacity_error(exc):
+            raise
+        rec["mode"] = "heavy-intermediate"
+        rec["ok"] = False
+        rec["issue"] = f"capacity: {type(exc).__name__}"
+        return rec
+
+
 HEAVY_INTERMEDIATE = {
     "graph_pagerank": _verify_pagerank,
     "dedup_semantic_cluster": _verify_semantic_cluster,
     "graph_jaccard_neighbors": _verify_jaccard,
     "dedup_simhash_clusters": _verify_simhash_clusters,
+    "pack_sequences": _verify_pack_sequences,
 }
 
 # Per-query wall multipliers (applied to GATE_TIMEOUT) for queries whose

@@ -53,8 +53,13 @@ stop later steps — the close block needs the whole picture):
                        recall margin that six sf0.01 gates missed);
                        rotating quarter-slice + floor sentinels
  15. bench           — bench.py median-of-3 at sf0.1 -> bench_result.json
- 16. bench_ab        — full-registry A/B vs the previous round-final
-                       commit (only when ROUNDCLOSE_REF is set)
+ 16. bench_ab        — STANDING (VERDICT r15 #8): full-registry
+                       fresh-JVM A/B vs the previous round-final
+                       commit, auto-resolved as the latest driver
+                       round-boundary commit ('round N: ...');
+                       records the comparable-set wall ratio (bar:
+                       <= 1.05 or named regressions). ROUNDCLOSE_REF
+                       overrides the ref; ROUNDCLOSE_REF=skip disables.
 
 Slice offsets (r13): sliced gates pass distinct offsets to the
 rotating quarter (10x:0, zipf:1, adv_zipf:2, dup_zipf:3, adv_sf01:2),
@@ -94,7 +99,28 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PY = sys.executable
 SKIP = set(filter(None, os.environ.get("ROUNDCLOSE_SKIP", "").split(",")))
-REF = os.environ.get("ROUNDCLOSE_REF")
+def _default_ref() -> str | None:
+    """STANDING bench_ab reference (VERDICT r15 #8): the previous
+    round's final commit is the latest driver round-boundary commit
+    ('round N: verdict/advice/correctness/bench'). ROUNDCLOSE_REF
+    overrides; ROUNDCLOSE_REF=skip disables."""
+    import subprocess
+
+    try:
+        sha = subprocess.run(
+            ["git", "log", "--grep", "^round [0-9]*:", "-n", "1",
+             "--format=%H"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            check=True, capture_output=True, text=True,
+        ).stdout.strip()
+        return sha or None
+    except Exception:
+        return None
+
+
+REF = os.environ.get("ROUNDCLOSE_REF") or _default_ref()
+if REF == "skip":
+    REF = None
 
 REPLICA_10X = "/tmp/spark_graft_stress10x_full"
 REPLICA_ZIPF = "/tmp/spark_graft_zipf"
