@@ -497,21 +497,19 @@ def _verify_jaccard(spark, df, rec: dict, state: dict) -> dict:
         return rec
 
 
-def _verify_simhash_clusters(spark, df, rec: dict, state: dict) -> dict:
-    """dedup_simhash_clusters at 100x: the ENGINE output is O(docs) by
-    design (that is the operator's whole point — VERDICT r15 #6), but
-    the registered oracle's recursive transitive-closure CTE
-    materializes node x reachable-set pairs, quadratic per component,
-    and OOMs on the clone replica's giant components. Same fixpoint,
-    computed STEPWISE: min-label propagation through the band buckets
-    (each pass, every bucket's minimum label floods to its members —
-    one temp table per pass, linear work, monotone decreasing, fixpoint
-    = component minimum = exactly what the engine's union-find labels).
-    Full 500k-row hash compare at 100x."""
-    from databricks_feature_store_poc_spark.llm.dedup import (
-        _SIMHASH_BANDS_CTE,
-    )
-
+def _verify_lsh_clusters(
+    spark, df, rec: dict, state: dict, bands_create: str, key_cols: list
+) -> dict:
+    """Shared verifier for the LSH cluster family at 100x: the ENGINE
+    output is O(docs) by design (the operators' whole point — VERDICT
+    r15 #6), but the registered oracles' recursive transitive-closure
+    CTEs materialize node x reachable-set pairs, quadratic per
+    component, and OOM on the clone replica's giant components. Same
+    fixpoint, computed STEPWISE: min-label propagation through the
+    band buckets (each pass, every bucket's minimum label floods to
+    its members — one temp table per pass, linear work, monotone
+    decreasing, fixpoint = component minimum = exactly what the
+    engine's union-find labels). Full 500k-row hash compare."""
     rec["phase"] = "spark-collect"
     spark_rows = [tuple(r) for r in df.collect()]
     n_docs = len(spark_rows)
@@ -535,10 +533,9 @@ def _verify_simhash_clusters(spark, df, rec: dict, state: dict) -> dict:
     try:
         con = state["con"] = gate_con(DST)
         rec["phase"] = "oracle-bands"
-        con.sql(
-            f"CREATE TEMP TABLE shc_bands AS WITH {_SIMHASH_BANDS_CTE} "
-            "SELECT doc_id, band, key FROM bands"
-        )
+        con.sql(bands_create)
+        keys = ", ".join(f"b.{c}" for c in key_cols)
+        on = " AND ".join(f"m.{c} = b.{c}" for c in key_cols)
         con.sql(
             "CREATE TEMP TABLE shc_lab AS "
             "SELECT DISTINCT doc_id, doc_id AS lab FROM shc_bands"
@@ -548,16 +545,16 @@ def _verify_simhash_clusters(spark, df, rec: dict, state: dict) -> dict:
             rec["phase"] = f"oracle-propagate-{passes}"
             con.sql(
                 "CREATE TEMP TABLE shc_bmin AS "
-                "SELECT b.band, b.key, MIN(l.lab) AS blab "
+                f"SELECT {keys}, MIN(l.lab) AS blab "
                 "FROM shc_bands b JOIN shc_lab l USING (doc_id) "
-                "GROUP BY b.band, b.key"
+                f"GROUP BY {keys}"
             )
             con.sql(
                 "CREATE TEMP TABLE shc_next AS "
                 "SELECT l.doc_id, least(l.lab, MIN(m.blab)) AS lab "
                 "FROM shc_lab l "
                 "JOIN shc_bands b ON b.doc_id = l.doc_id "
-                "JOIN shc_bmin m ON m.band = b.band AND m.key = b.key "
+                f"JOIN shc_bmin m ON {on} "
                 "GROUP BY l.doc_id, l.lab"
             )
             changed = con.sql(
@@ -627,6 +624,45 @@ def _verify_simhash_clusters(spark, df, rec: dict, state: dict) -> dict:
         if not rec["ok"]:
             rec["issue"] = f"invariant failed: {rec['invariants']}"
         return rec
+
+
+def _verify_simhash_clusters(spark, df, rec: dict, state: dict) -> dict:
+    from databricks_feature_store_poc_spark.llm.dedup import (
+        _SIMHASH_BANDS_CTE,
+    )
+
+    return _verify_lsh_clusters(
+        spark, df, rec, state,
+        f"CREATE TEMP TABLE shc_bands AS WITH {_SIMHASH_BANDS_CTE} "
+        "SELECT doc_id, band, key FROM bands",
+        ["band", "key"],
+    )
+
+
+def _verify_minhash_clusters(spark, df, rec: dict, state: dict) -> dict:
+    from databricks_feature_store_poc_spark.llm.dedup import (
+        _DUCK_SHINGLES,
+        _MINHASH_BANDS,
+        _MINHASH_LANES,
+        _mh_sigs_duck,
+    )
+
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + ", ".join(f"mh{b * 4 + r} AS k{r}" for r in range(4))
+        + " FROM sigs"
+        for b in range(_MINHASH_BANDS)
+    )
+    return _verify_lsh_clusters(
+        spark, df, rec, state,
+        # _DUCK_SHINGLES begins "WITH words AS (...)"
+        "CREATE TEMP TABLE shc_bands AS "
+        + _DUCK_SHINGLES
+        + _mh_sigs_duck(_MINHASH_LANES)
+        + f", bands AS ({bands_union}) "
+        "SELECT doc_id, band, k0, k1, k2, k3 FROM bands",
+        ["band", "k0", "k1", "k2", "k3"],
+    )
 
 
 def _verify_pack_sequences(spark, df, rec: dict, state: dict) -> dict:
@@ -745,6 +781,7 @@ HEAVY_INTERMEDIATE = {
     "dedup_semantic_cluster": _verify_semantic_cluster,
     "graph_jaccard_neighbors": _verify_jaccard,
     "dedup_simhash_clusters": _verify_simhash_clusters,
+    "dedup_minhash_clusters": _verify_minhash_clusters,
     "pack_sequences": _verify_pack_sequences,
 }
 

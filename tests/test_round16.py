@@ -417,6 +417,260 @@ def test_jpeg_corruption_detected():
     assert got4[3] in (False, None)
 
 
+# --- mm_decode_jpeg_color: foreign multi-component payloads -----------------
+
+
+def _ref_jpeg_color(comps, mcus_x, mcus_y, dri=0):
+    """Test-local general color encoder: comps = list of dicts with
+    keys (id, h, v, tq, blocks) where blocks is the list of ZIGZAG
+    coefficient arrays in MCU-interleaved order for that component.
+    Emits two quant tables (0: luma-style, 1: chroma-style)."""
+    import struct
+
+    from databricks_feature_store_poc_spark.llm.multimodal import (
+        JPEG_AC_BITS,
+        JPEG_AC_VALS,
+        JPEG_DC_BITS,
+        JPEG_DC_VALS,
+        JPEG_QTABLE,
+        jpeg_canonical_codes,
+    )
+
+    dc_codes = jpeg_canonical_codes(JPEG_DC_BITS, JPEG_DC_VALS)
+    ac_codes = jpeg_canonical_codes(JPEG_AC_BITS, JPEG_AC_VALS)
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    w, h = 8 * hmax * mcus_x, 8 * vmax * mcus_y
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 2 * 65)
+    out += b"\x00" + bytes(JPEG_QTABLE) + b"\x01" + bytes(JPEG_QTABLE)
+    out += b"\xff\xc0" + struct.pack(">H", 8 + 3 * len(comps)) + b"\x08"
+    out += struct.pack(">HH", h, w) + bytes([len(comps)])
+    for c in comps:
+        out += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += (
+        b"\xff\xc4" + struct.pack(">H", 19 + len(JPEG_DC_VALS))
+        + b"\x00" + bytes(JPEG_DC_BITS) + bytes(JPEG_DC_VALS)
+    )
+    out += (
+        b"\xff\xc4" + struct.pack(">H", 19 + len(JPEG_AC_VALS))
+        + b"\x10" + bytes(JPEG_AC_BITS) + bytes(JPEG_AC_VALS)
+    )
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    out += b"\xff\xda" + struct.pack(">H", 6 + 2 * len(comps))
+    out += bytes([len(comps)])
+    for c in comps:
+        out += bytes([c["id"], 0x00])
+    out += bytes([0, 63, 0])
+    entropy = bytearray()
+    state = {"acc": 0, "n": 0}
+
+    def put(v, nb):
+        state["acc"] = (state["acc"] << nb) | (v & ((1 << nb) - 1))
+        state["n"] += nb
+        while state["n"] >= 8:
+            byte = (state["acc"] >> (state["n"] - 8)) & 0xFF
+            entropy.append(byte)
+            if byte == 0xFF:
+                entropy.append(0x00)
+            state["n"] -= 8
+            state["acc"] &= (1 << state["n"]) - 1
+
+    def put_block(zz, pred, ci):
+        diff = zz[0] - pred
+        cat = abs(diff).bit_length()
+        code, ln = dc_codes[cat]
+        put(code, ln)
+        if cat:
+            put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+        k = 1
+        while k < 64:
+            run = 0
+            while k < 64 and zz[k] == 0:
+                run += 1
+                k += 1
+            if k == 64:
+                code, ln = ac_codes[0x00]
+                put(code, ln)
+                break
+            while run >= 16:
+                code, ln = ac_codes[0xF0]
+                put(code, ln)
+                run -= 16
+            cat = abs(zz[k]).bit_length()
+            code, ln = ac_codes[(run << 4) | cat]
+            put(code, ln)
+            put(zz[k] if zz[k] >= 0 else zz[k] + (1 << cat) - 1, cat)
+            k += 1
+        return zz[0]
+
+    preds = [0] * len(comps)
+    idxs = [0] * len(comps)
+    mcu = 0
+    rst = 0
+    for _ in range(mcus_x * mcus_y):
+        if dri and mcu and mcu % dri == 0:
+            if state["n"]:
+                put((1 << (8 - state["n"])) - 1, 8 - state["n"])
+            entropy.append(0xFF)
+            entropy.append(0xD0 + rst % 8)
+            rst += 1
+            preds = [0] * len(comps)
+        for ci, c in enumerate(comps):
+            for _ in range(c["h"] * c["v"]):
+                preds[ci] = put_block(c["blocks"][idxs[ci]], preds[ci], ci)
+                idxs[ci] += 1
+        mcu += 1
+    if state["n"]:
+        put((1 << (8 - state["n"])) - 1, 8 - state["n"])
+    out += entropy + b"\xff\xd9"
+    return bytes(out), w, h
+
+
+def _jpeg_color_reference(comps, mcus_x, mcus_y):
+    """Independent reference: per-component IDCT planes (same basis
+    math as _jpeg_reference_pixels), replication upsample, fixed-point
+    conversion per the documented spec."""
+    import numpy as np
+
+    from databricks_feature_store_poc_spark.llm.multimodal import JPEG_QTABLE
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    w, h = 8 * hmax * mcus_x, 8 * vmax * mcus_y
+    planes = []
+    for c in comps:
+        pw, ph = 8 * c["h"] * mcus_x, 8 * c["v"] * mcus_y
+        plane = np.zeros((ph, pw), dtype=np.int64)
+        idx = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        img = _jpeg_reference_pixels(
+                            [c["blocks"][idx]], 1, 1, JPEG_QTABLE
+                        )
+                        r0 = (my * c["v"] + by) * 8
+                        c0 = (mx * c["h"] + bx) * 8
+                        plane[r0:r0 + 8, c0:c0 + 8] = img
+                        idx += 1
+        up = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        planes.append(up[:h, :w])
+    if len(comps) == 1:
+        R = G = B = planes[0]
+    else:
+        Y, cb, cr = planes[0], planes[1] - 128, planes[2] - 128
+        R = np.clip(Y + ((91881 * cr + 32768) >> 16), 0, 255)
+        G = np.clip(Y - ((22554 * cb + 46802 * cr + 32768) >> 16), 0, 255)
+        B = np.clip(Y + ((116130 * cb + 32768) >> 16), 0, 255)
+    rgb = np.stack([R, G, B], axis=-1).reshape(-1)
+    return int(((np.arange(rgb.size) + 1) * rgb).sum() % 65536), w, h
+
+
+def _decode_jpeg_color_foreign(payload):
+    from databricks_feature_store_poc_spark.llm.multimodal import (
+        _make_jpeg_color_decoder,
+    )
+
+    batches = iter([pd.DataFrame({"doc_id": [1], "payload": [payload]})])
+    out = next(_make_jpeg_color_decoder()(batches))
+    r = out.iloc[0]
+
+    def v(x):
+        return None if pd.isna(x) else int(x)
+
+    return (
+        v(r["width"]), v(r["height"]), v(r["n_mcus"]),
+        None if pd.isna(r["header_consistent"])
+        else bool(r["header_consistent"]),
+        v(r["pixel_checksum_weighted"]),
+    )
+
+
+def _rand_blocks(rng, n, dc_range=60, n_ac=8):
+    blocks = []
+    for _ in range(n):
+        zz = [0] * 64
+        zz[0] = rng.randint(-dc_range, dc_range)
+        for _ in range(n_ac):
+            zz[rng.randint(1, 63)] = rng.randint(-20, 20)
+        blocks.append(zz)
+    return blocks
+
+
+@pytest.mark.parametrize(
+    "sampling,dri",
+    [("444", 0), ("420", 0), ("420", 2), ("422", 0)],
+)
+def test_jpeg_color_decoder_foreign(sampling, dri):
+    """Foreign color payloads the engine never emits: dense AC in all
+    three components, 4:4:4 / 4:2:0 / 4:2:2 sampling, restart markers.
+    Decoded RGB checksum must equal the independent reference."""
+    import random
+
+    rng = random.Random(sampling.__hash__() & 0xFFFF | 7)
+    mcus_x, mcus_y = 2, 2
+    hv = {"444": (1, 1), "420": (2, 2), "422": (2, 1)}[sampling]
+    n_y = hv[0] * hv[1] * mcus_x * mcus_y
+    n_c = mcus_x * mcus_y
+    comps = [
+        {"id": 1, "h": hv[0], "v": hv[1], "tq": 0,
+         "blocks": _rand_blocks(rng, n_y)},
+        {"id": 2, "h": 1, "v": 1, "tq": 1,
+         "blocks": _rand_blocks(rng, n_c, dc_range=40, n_ac=5)},
+        {"id": 3, "h": 1, "v": 1, "tq": 1,
+         "blocks": _rand_blocks(rng, n_c, dc_range=40, n_ac=5)},
+    ]
+    payload, w, h = _ref_jpeg_color(comps, mcus_x, mcus_y, dri=dri)
+    want, ww, wh = _jpeg_color_reference(comps, mcus_x, mcus_y)
+    assert (w, h) == (ww, wh)
+    got = _decode_jpeg_color_foreign(payload)
+    assert got == (w, h, mcus_x * mcus_y, True, want), (sampling, dri, got)
+
+
+def test_jpeg_color_corruption_detected():
+    comps = [
+        {"id": 1, "h": 2, "v": 2, "tq": 0,
+         "blocks": [[10] + [0] * 63] * 4},
+        {"id": 2, "h": 1, "v": 1, "tq": 1, "blocks": [[0] + [0] * 63]},
+        {"id": 3, "h": 1, "v": 1, "tq": 1, "blocks": [[0] + [0] * 63]},
+    ]
+    good, w, h = _ref_jpeg_color(comps, 1, 1)
+    got = _decode_jpeg_color_foreign(good[:-8])
+    assert got[3] in (False, None)
+    # 4-component SOF is out of contract
+    bad4 = bytearray(good)
+    sof = bad4.index(b"\xff\xc0")
+    bad4[sof + 9] = 4
+    got2 = _decode_jpeg_color_foreign(bytes(bad4))
+    assert got2[3] in (False, None)
+
+
+# --- dedup_minhash_clusters ---------------------------------------------------
+
+
+def test_minhash_clusters_matches_simhash_contract(spark):
+    from databricks_feature_store_poc_spark.llm.dedup import (
+        dedup_minhash_clusters,
+        dedup_near_minhash,
+    )
+    from databricks_feature_store_poc_spark.sources.catalog import load_table
+
+    out = dedup_minhash_clusters(spark, SF_TEST).collect()
+    n_docs = load_table(spark, SF_TEST, "documents").count()
+    assert len(out) == n_docs
+    sizes = {r["cluster_rep"]: r["cluster_size"] for r in out}
+    assert sum(sizes.values()) == n_docs
+    lab = {r["doc_id"]: r["cluster_rep"] for r in out}
+    # every LSH candidate pair (verified or not, n_shared_bands >= 1)
+    # is in the same cluster — the coarsening direction
+    for p in dedup_near_minhash(spark, SF_TEST).collect():
+        assert lab[p["doc_a"]] == lab[p["doc_b"]], p
+
+
 # --- PNG/GIF: truncated/forged length fields (ADVICE r15 #2) ----------------
 
 
