@@ -1736,6 +1736,21 @@ def _make_jpeg_decoder():
                             return bad
                         coeffs[k] = extend(br.read_bits(size), size)
                         k += 1
+                    if k == 1:
+                        # DC-only block: the matmul's other 63 terms are
+                        # exact float zeros, so the constant (a*F00)*a
+                        # (a = A[0,0]) is bit-identical to the full IDCT
+                        # — libjpeg's 1-coefficient IDCT fast path
+                        a = float(_A[0, 0])
+                        c = min(
+                            255,
+                            max(0, round((a * float(coeffs[0] * q[0])) * a)
+                                + 128),
+                        )
+                        img[by * 8:(by + 1) * 8,
+                            bx * 8:(bx + 1) * 8] = int(c)
+                        mcu += 1
+                        continue
                     fq = (
                         coeffs * np.array(q, dtype=np.int64)
                     )[np.argsort(np.array(zigzag))].reshape(8, 8)
@@ -2111,6 +2126,16 @@ def _make_jpeg_color_decoder():
                 raise ValueError("AC run past 63")
             coeffs[k] = extend(br.read_bits(size), size)
             k += 1
+        if k == 1:
+            # DC-only: bit-identical 1-coefficient IDCT (see the
+            # grayscale decoder) — the overwhelmingly common block in
+            # flat image regions, and a ~10x decode win there
+            a = float(_A[0, 0])
+            c = min(
+                255,
+                max(0, round((a * float(coeffs[0] * q[0])) * a) + 128),
+            )
+            return np.full((8, 8), int(c), dtype=np.int64), pred
         fq = (coeffs * q)[np.argsort(np.array(zigzag))].reshape(8, 8)
         spatial = _A @ fq.astype(np.float64) @ _A.T
         return np.clip(np.round(spatial) + 128, 0, 255).astype(np.int64), pred

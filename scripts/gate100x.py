@@ -793,6 +793,11 @@ HEAVY_INTERMEDIATE = {
 # is seconds after the r15 localCheckpoint fix.
 TIMEOUT_MULTIPLIER = {
     "graph_bfs_reach": 3.0,
+    # color JPEG decode at 500k docs is payload volume (map-only plan):
+    # ~18 blocks/doc through a python entropy decoder; the DC-only
+    # IDCT fast path cut it ~10x but the margin keeps a slow machine
+    # from recording a spurious red
+    "mm_decode_jpeg_color": 2.0,
 }
 
 
