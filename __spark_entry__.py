@@ -43,13 +43,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # is emitted in ADJUDICATION-PRIORITY order, not alphabetical. Round-16
 # policy (VERDICT r15 'do this' #1-#3 — zipf first, then retire the
 # remaining ledger debt; tier arithmetic COUNTED before writing this
-# comment): 1 headline + 11 changed + 2 r9-age stragglers + 19 r10-age
-# + 17 r11-age head = 50 slots exactly; the next r11 keys ride at
+# comment): 1 headline + 13 changed + 2 r9-age stragglers + 19 r10-age
+# + 15 r11-age head = 50 slots exactly; the next r11 keys ride at
 # positions 51+ in case the driver's budget stretches. Done-criterion
 # (VERDICT r15 #3): after CORRECTNESS_r16 the merged ledger has NO
 # verdict older than r11.
 #   0. the headline training-set assembly (1 key, always adjudicated);
-#   1. changed-in-r16, 11 keys: text_zipf_fit (slot 2 as ordered —
+#   1. changed-in-r16, 13 keys: text_zipf_fit (slot 2 as ordered —
 #      slope columns now DOUBLE; DECIMAL(38,0) arithmetic stays
 #      internal), mm_decode_jpeg (NEW: sixth codec, baseline JFIF
 #      huffman+DCT), mm_decode_jpeg_color (NEW: seventh codec — 4:2:0
@@ -62,14 +62,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #      agg_exact_quantile_grouped (null-safe pass-2 probe join),
 #      text_url_canonicalize (pmod oracle + empty-source host guard),
 #      mm_decode_png and mm_decode_gif (truncation bounds checks —
-#      engine output unchanged, changed-keys rule re-adjudicates);
+#      engine output unchanged, changed-keys rule re-adjudicates),
+#      text_bpe_learn and text_bpe_apply (NEW: distributed BPE
+#      tokenizer training + application, unrolled-CTE oracles);
 #   2. the 2 r9-age stragglers (win_rank, win_topk_per_group — budget-
 #      cut at positions 51-52 last round);
 #   3. the COMPLETE r10-age cohort (18 keys) + text_tfidf_audit (the
 #      promoted key's twin, re-adjudicated alongside per VERDICT r15
 #      #3's pairing note) = 19 slots;
-#   4. the r11-age head (17 of 34 remaining, alphabetical; the rest
-#      ride at positions 51-68 and are the r17 tier-2 head otherwise).
+#   4. the r11-age head (15 of 34 remaining, alphabetical; the rest
+#      ride at positions 51-70 and are the r17 tier-2 head otherwise).
 
 _HEADLINE = (
     "training_set_flagship",
@@ -86,6 +88,8 @@ _CHANGED_TIER = (
     "text_url_canonicalize",
     "mm_decode_png",
     "mm_decode_gif",
+    "text_bpe_learn",
+    "text_bpe_apply",
 )
 # r9-age stragglers (merged-ledger verdicts last adjudicated r9)
 _R9_COHORT = (
@@ -132,12 +136,12 @@ _R11_HEAD = (
     "merge_scd2_history",
     "mm_decode_stub",
     "mm_frame_sample",
-    "pipeline_clean_corpus",
-    "pipeline_incremental_curate",
 )
-# r11-age tail at positions 51-68: adjudicated only if the driver's
+# r11-age tail at positions 51-70: adjudicated only if the driver's
 # budget stretches past 50; else the r17 tier-2 head
 _R11_TAIL = (
+    "pipeline_clean_corpus",
+    "pipeline_incremental_curate",
     "scan_csv_infer",
     "scan_csv_malformed_quarantine",
     "scan_text_lines",

@@ -1412,3 +1412,265 @@ def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             has_url, F.expr("parse_url(url_raw, 'REF')").isNotNull()
         ).alias("had_fragment"),
     )
+
+
+# --- BPE tokenizer training (distributed pair-merge learning) ---------------
+
+BPE_MERGES = 6
+# a control char no lowercase-alpha symbol string can contain — the
+# no-op replace pattern when a round found no pair to merge
+_BPE_NOOP = "chr(1)"
+
+
+def _bpe_oracle(k: int) -> str:
+    """Unrolled DuckDB twin of the k-round BPE merge loop. Round i:
+    pair counts from syms_{i-1} (freq-weighted, zip-unnest of adjacent
+    symbols), argmax (cnt DESC, lhs, rhs), rewrite via delimiter-
+    consuming replace. Scalar subqueries carry the data-dependent merge
+    into the next stage; coalesce to an impossible pattern keeps later
+    stages no-ops when fewer than k merges exist."""
+    parts = [
+        """
+    w0 AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest({words}) AS word FROM documents)
+        WHERE regexp_matches(word, '^[a-z]+$')
+        GROUP BY word
+    ),
+    s0 AS (
+        SELECT word, freq,
+               ' ' || array_to_string(
+                   [substring(word, i, 1)
+                    FOR i IN range(1, len(word) + 1)], '  ') || ' ' AS sym
+        FROM w0
+    )""".format(words=_DUCK_WORDS)
+    ]
+    for i in range(1, k + 1):
+        parts.append(f"""
+    p{i} AS (
+        SELECT l AS lhs, r AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM (
+            SELECT freq,
+                   unnest(wl[1:len(wl) - 1]) AS l,
+                   unnest(wl[2:len(wl)]) AS r
+            FROM (SELECT freq,
+                         list_filter(string_split(trim(sym), ' '),
+                                     x -> x != '') AS wl
+                  FROM s{i - 1})
+        )
+        GROUP BY l, r
+    ),
+    t{i} AS (
+        SELECT lhs, rhs, cnt FROM p{i}
+        ORDER BY cnt DESC, lhs, rhs LIMIT 1
+    ),
+    s{i} AS (
+        SELECT word, freq,
+               replace(sym,
+                       coalesce((SELECT ' ' || lhs || '  ' || rhs || ' '
+                                 FROM t{i}), {_BPE_NOOP}),
+                       coalesce((SELECT ' ' || lhs || rhs || ' '
+                                 FROM t{i}), '')) AS sym
+        FROM s{i - 1}
+    )""")
+    return "WITH " + ",".join(parts)
+
+
+@query(
+    "text_bpe_learn",
+    oracle=_bpe_oracle(BPE_MERGES)
+    + "\n    "
+    + " UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS merge_rank, lhs, rhs, "
+        f"lhs || rhs AS merged, cnt AS pair_count FROM t{i}"
+        for i in range(1, BPE_MERGES + 1)
+    ),
+)
+def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING as a distributed pipeline — the merge-
+    learning loop of Sennrich et al. 2016 (public): start from
+    characters, repeatedly merge the most frequent adjacent symbol
+    pair. Emits the learned merge table (rank, lhs, rhs, merged,
+    pair_count), BPE_MERGES rows (fewer if the corpus runs dry).
+
+    Distributed shape (the Sennrich dedup): merges are learned over the
+    DISTINCT-WORD table weighted by corpus frequency — one corpus-sized
+    explode+groupBy builds (word, freq) once, and every merge round is
+    then VOCABULARY-sized: explode adjacent symbol pairs (map-side,
+    zip of the symbol array against itself), one freq-weighted groupBy
+    with map-side combine, a 1-row argmax collect (cnt DESC, lhs, rhs
+    total order), and a map-only rewrite of the symbol strings. At
+    100 TB the corpus is touched once; the k rounds cost k passes over
+    the vocabulary (~millions of rows), each an embarrassingly small
+    job.
+
+    Determinism contract (both engines, pinned by the oracle): words
+    are lowercase-alpha only (``^[a-z]+$`` — sidesteps cross-engine
+    UTF-16/UTF-8 indexing of surrogate pairs); symbol strings are
+    space-delimited with sentinel spaces; merge application is
+    LEFT-TO-RIGHT NON-OVERLAPPING delimiter-consuming string replace —
+    on a run 'a a a' the first pair wins and the run yields 'aa a'
+    (textbook pairwise BPE differs on odd runs; replace() semantics are
+    identical in Spark and DuckDB, tested on exactly this case).
+
+    The oracle replays all BPE_MERGES rounds as unrolled CTE stages
+    with scalar-subquery merge carries — the entire learned table is
+    hash-adjudicated, argmax tie-breaks included."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.expr(_WORDS)).alias("word"))
+        .filter(F.expr("word rlike '^[a-z]+$'"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    syms = words.select(
+        "word",
+        "freq",
+        F.expr(
+            "concat(' ', array_join(transform(sequence(1, length(word)), "
+            "i -> substring(word, i, 1)), '  '), ' ')"
+        ).alias("sym"),
+    )
+    merges: list[tuple] = []
+    for rank in range(1, BPE_MERGES + 1):
+        pairs = syms.select(
+            "freq",
+            F.expr(
+                "filter(split(trim(sym), ' '), x -> x != '')"
+            ).alias("wl"),
+        ).select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(slice(wl, 1, greatest(size(wl) - 1, 0)), "
+                    "(x, i) -> struct(x AS l, element_at(wl, i + 2) AS r))"
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(F.col("p.l").alias("lhs"), F.col("p.r").alias("rhs"))
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), "lhs", "rhs")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        lhs, rhs, cnt = top[0]["lhs"], top[0]["rhs"], top[0]["cnt"]
+        merges.append((rank, lhs, rhs, lhs + rhs, cnt))
+        # symbols are lowercase alpha by the filter — safe as literals
+        syms = syms.withColumn(
+            "sym",
+            F.expr(f"replace(sym, ' {lhs}  {rhs} ', ' {lhs}{rhs} ')"),
+        )
+        # checkpoint lineage every round: 6 nested replaces over an
+        # exploded-and-regrouped base re-run the whole prefix per
+        # round's argmax job otherwise
+        syms = syms.localCheckpoint(eager=False)
+    schema = (
+        "merge_rank int, lhs string, rhs string, merged string,"
+        " pair_count long"
+    )
+    return spark.createDataFrame(merges, schema)
+
+
+@query(
+    "text_bpe_apply",
+    oracle=_bpe_oracle(BPE_MERGES)
+    + f"""
+    , tok AS (
+        SELECT word,
+               CAST(len(list_filter(string_split(trim(sym), ' '),
+                                    x -> x != '')) AS BIGINT) AS n_tokens
+        FROM s{BPE_MERGES}
+    ),
+    occ AS (
+        SELECT doc_id, word
+        FROM (SELECT doc_id, unnest({{words}}) AS word FROM documents)
+        WHERE regexp_matches(word, '^[a-z]+$')
+    ),
+    per_doc AS (
+        SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_alpha_words,
+               CAST(SUM(t.n_tokens) AS BIGINT) AS n_bpe_tokens
+        FROM occ o JOIN tok t USING (word)
+        GROUP BY o.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_alpha_words, 0) AS BIGINT) AS n_alpha_words,
+           CAST(coalesce(p.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+    FROM documents d
+    LEFT JOIN per_doc p ON d.doc_id IS NOT DISTINCT FROM p.doc_id
+    """.format(words=_DUCK_WORDS),
+)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges to the corpus: per document, the
+    alpha-word count and the total BPE token count after BPE_MERGES
+    merges — the number a training-data pipeline actually bills by
+    (sequence lengths under the tokenizer, not whitespace words).
+
+    Distributed shape: tokenization is computed ONCE PER DISTINCT WORD
+    (the learn loop's final symbol table maps word -> n_tokens), then a
+    broadcast join onto the corpus occurrences re-aggregates per doc —
+    the corpus is never re-tokenized row by row. Docs with no alpha
+    words (incl. NULL text) emit zeros via the left join.
+
+    Caveat shared with text_bpe_learn: duplicate doc_ids (dup replica)
+    group into one output row per distinct doc_id on both engines (the
+    oracle's final LEFT JOIN is against the raw documents table, so
+    each duplicate row re-emits its group's totals)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.expr(_WORDS)).alias("word"))
+        .filter(F.expr("word rlike '^[a-z]+$'"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    syms = words.select(
+        "word",
+        "freq",
+        F.expr(
+            "concat(' ', array_join(transform(sequence(1, length(word)), "
+            "i -> substring(word, i, 1)), '  '), ' ')"
+        ).alias("sym"),
+    )
+    for m in text_bpe_learn(spark, sf_dir).collect():
+        syms = syms.withColumn(
+            "sym",
+            F.expr(
+                f"replace(sym, ' {m['lhs']}  {m['rhs']} ',"
+                f" ' {m['merged']} ')"
+            ),
+        )
+    tok = syms.select(
+        "word",
+        F.expr(
+            "cast(size(filter(split(trim(sym), ' '), x -> x != '')) as long)"
+        ).alias("n_tokens"),
+    )
+    occ = d.select(
+        "doc_id", F.explode(F.expr(_WORDS)).alias("word")
+    ).filter(F.expr("word rlike '^[a-z]+$'"))
+    per_doc = (
+        occ.join(F.broadcast(tok), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_alpha_words"),
+            F.sum("n_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+        .withColumnRenamed("doc_id", "p_doc_id")
+    )
+    return (
+        d.select("doc_id")
+        .join(
+            per_doc, F.col("doc_id").eqNullSafe(F.col("p_doc_id")), "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce("n_alpha_words", F.lit(0)).cast("long").alias(
+                "n_alpha_words"
+            ),
+            F.coalesce("n_bpe_tokens", F.lit(0)).cast("long").alias(
+                "n_bpe_tokens"
+            ),
+        )
+    )

@@ -798,6 +798,10 @@ TIMEOUT_MULTIPLIER = {
     # IDCT fast path cut it ~10x but the margin keeps a slow machine
     # from recording a spurious red
     "mm_decode_jpeg_color": 2.0,
+    # the apply oracle re-runs the ENTIRE unrolled 6-round learn
+    # pipeline (347 s standalone at 100x) before its own join — a
+    # structurally slow oracle, not an engine cost
+    "text_bpe_apply": 3.0,
 }
 
 
