@@ -22,6 +22,7 @@ import hashlib
 import os
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -732,18 +733,27 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"concurrent run staged it: {exc}"
                 ) from exc
         # Opportunistic GC: fingerprinted dup dirs from re-staged bases
-        # accumulate forever otherwise. Siblings whose fingerprint no
-        # longer matches the current base part list are stale; removal
-        # races with a concurrent reader are possible only for runs
-        # older than the current base mtime, which have already listed.
+        # accumulate forever otherwise (ADVICE r16 #1 hardening): any
+        # sibling containing '.tmp.' is a staging dir — possibly another
+        # live process's in-flight copy — and is reaped only past an age
+        # threshold that marks it abandoned (a crashed run), never by
+        # name alone. Stale fingerprinted dirs get an mtime grace window
+        # so an older concurrent readStream that already LISTED the dir
+        # can finish reading its parquet files before removal.
         parent, prefix = os.path.dirname(base), os.path.basename(base)
+        now = time.time()
         for d in os.listdir(parent or "."):
-            if (
-                d.startswith(prefix + "_dup_")
-                and d != os.path.basename(staged)
-                and not d.endswith(f".tmp.{os.getpid()}")
+            if not d.startswith(prefix + "_dup_") or d == os.path.basename(
+                staged
             ):
-                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+                continue
+            victim = os.path.join(parent, d)
+            grace = 3600.0 if ".tmp." in d else 600.0
+            try:
+                if now - os.path.getmtime(victim) > grace:
+                    shutil.rmtree(victim, ignore_errors=True)
+            except OSError:
+                pass  # vanished under us — another run's GC won
     # Schema must match the RAW file layout (ts = INT64 nanos under
     # nanosAsLong) — the batch-side TimestampType is a post-read cast.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -172,7 +172,12 @@ def main() -> int:
         "regressions": regressions,
         "rows": rows,
     }
-    with open(os.path.join(REPO, "scripts", "bench_ab_result.json"), "w") as f:
+    # VERDICT r16 #5: distinct artifact per purpose — targeted re-runs
+    # must not clobber the close's full-run summary. BENCH_AB_OUT names
+    # the file (roundclose sets bench_ab_r{N}_close.json; manual
+    # targeted runs should set bench_ab_r{N}_targeted.json).
+    out_name = os.environ.get("BENCH_AB_OUT", "bench_ab_result.json")
+    with open(os.path.join(REPO, "scripts", out_name), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: v for k, v in out.items() if k != "rows"}))
     return 1 if regressions else 0

@@ -106,14 +106,26 @@ def _default_ref() -> str | None:
     overrides; ROUNDCLOSE_REF=skip disables."""
     import subprocess
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     try:
-        sha = subprocess.run(
-            ["git", "log", "--grep", "^round [0-9]*:", "-n", "1",
-             "--format=%H"],
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            check=True, capture_output=True, text=True,
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=repo, check=True, capture_output=True, text=True,
         ).stdout.strip()
-        return sha or None
+        # ADVICE r16 #2: search from HEAD~1 so a re-run after the
+        # current round's boundary commit never A/Bs HEAD against
+        # itself, and re-anchor the match to the SUBJECT line (git's
+        # --grep matches any body line).
+        out = subprocess.run(
+            ["git", "log", "HEAD~1", "--grep", "^round [0-9]*:",
+             "-n", "20", "--format=%H %s"],
+            cwd=repo, check=True, capture_output=True, text=True,
+        ).stdout
+        for line in out.splitlines():
+            sha, _, subject = line.partition(" ")
+            if sha != head and re.match(r"round [0-9]+:", subject):
+                return sha
+        return None
     except Exception:
         return None
 
@@ -351,9 +363,16 @@ def step_bench() -> dict:
 
 
 def step_bench_ab() -> dict:
-    code, out, sec = _run([PY, "scripts/bench_ab.py", REF])
+    # VERDICT r16 #5: the close's full-run summary gets its own
+    # round-stamped artifact so targeted re-runs can't clobber it.
+    env = dict(os.environ)
+    env["BENCH_AB_OUT"] = f"bench_ab_r{_round_number()}_close.json"
+    code, out, sec = _run([PY, "scripts/bench_ab.py", REF], env=env)
     tail = out.strip().splitlines()[-1] if out.strip() else ""
-    return {"ok": code == 0, "sec": round(sec, 1), "detail": tail, "ref": REF}
+    return {
+        "ok": code == 0, "sec": round(sec, 1), "detail": tail, "ref": REF,
+        "artifact": env["BENCH_AB_OUT"],
+    }
 
 
 def main() -> int:

@@ -327,12 +327,26 @@ def test_no_query_emits_decimal_output(spark):
         return False
 
     offenders = []
+    build_errors = []
     for name in sorted(QUERIES):
-        schema = QUERIES[name](spark, SF_SMOKE).schema
+        # ADVICE r16 #3: some builders (text_bpe_learn/apply) run real
+        # jobs at BUILD time; a runtime failure there is an operator
+        # bug covered by its own oracle tests, not a DECIMAL-lint
+        # finding — record it separately so the lint only reports
+        # schema offenses.
+        try:
+            schema = QUERIES[name](spark, SF_SMOKE).schema
+        except Exception as exc:  # noqa: BLE001 — lint isolation
+            build_errors.append((name, repr(exc)[:200]))
+            continue
         bad = [f.name for f in schema.fields if has_decimal(f.dataType)]
         if bad:
             offenders.append((name, bad))
     assert not offenders, offenders
+    assert not build_errors, (
+        "builders failed during schema lint (not DECIMAL offenses; "
+        "see their own tests)", build_errors,
+    )
 
 
 def test_gdpr_delete_no_fact_shuffle_all_broadcast(spark):
