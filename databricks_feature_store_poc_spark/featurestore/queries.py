@@ -17,6 +17,7 @@ whole training-set assembly is a map-only pipeline over the spine scan.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from databricks_feature_store_poc_spark.featurestore.lookup import (
     FeatureLookup,
@@ -302,4 +303,105 @@ def training_set_pit_on_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.load_df().select(
         "event_id", "user_id", "ts", "value", "balance",
         "value_to_balance", "is_funded",
+    )
+
+
+def _bpe_features_oracle() -> str:
+    from databricks_feature_store_poc_spark.llm.text import (
+        BPE_MERGES,
+        _bpe_oracle,
+        _DUCK_WORDS,
+    )
+
+    return (
+        _bpe_oracle(BPE_MERGES)
+        + f"""
+    , tok AS (
+        SELECT word,
+               CAST(len(list_filter(string_split(trim(sym), ' '),
+                                    x -> x != '')) AS BIGINT) AS n_tokens
+        FROM s{BPE_MERGES}
+    ),
+    occ AS (
+        SELECT doc_id, word
+        FROM (SELECT doc_id, unnest({_DUCK_WORDS}) AS word FROM documents)
+        WHERE regexp_matches(word, '^[a-z]+$')
+    ),
+    per_doc AS (
+        SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_alpha_words,
+               CAST(SUM(t.n_tokens) AS BIGINT) AS n_bpe_tokens
+        FROM occ o JOIN tok t USING (word)
+        GROUP BY o.doc_id
+    )
+    SELECT d.doc_id, d.n_chars,
+           CAST(coalesce(p.n_alpha_words, 0) AS BIGINT) AS n_alpha_words,
+           CAST(coalesce(p.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+           round(coalesce(p.n_bpe_tokens, 0) * 1.0
+                 / nullif(coalesce(p.n_alpha_words, 0), 0), 6) + 0.0
+               AS bpe_tokens_per_word,
+           coalesce(p.n_bpe_tokens, 0) > coalesce(p.n_alpha_words, 0) * 2
+               AS is_token_heavy
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """
+    )
+
+
+@query("training_set_bpe_features", oracle=_bpe_features_oracle())
+def training_set_bpe_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store <-> tokenizer composition end-to-end (VERDICT r16
+    #7): the r16 BPE tokenizer's per-doc token counts consumed as a
+    FEATURE TABLE by create_training_set, with on-demand features
+    derived from them at lookup time — documents spine, bpe_doc_features
+    lookup (itself fed by the FeatureStore-persisted merge table, S5/S8),
+    two on-demand expressions (the fertility ratio tokens-per-word and a
+    token-heavy flag) evaluated inside the same Catalyst plan.
+
+    ``use_broadcast=False``: unlike the flagship's dimension lookups,
+    this feature table is CORPUS-sized (one row per distinct doc), so
+    the honest 100 TB plan is a co-partitioned hash join on doc_id (AQE
+    picks the strategy; bucket both sides on doc_id to make repeated
+    builds shuffle-free), not a broadcast of the corpus.
+
+    The oracle replays the full unrolled BPE learn + tokenize + lookup +
+    on-demand expressions in SQL — token counts AND derived features are
+    hash-adjudicated."""
+    from databricks_feature_store_poc_spark.llm.text import bpe_doc_features
+
+    d = load_table(spark, sf_dir, "documents")
+    spine = d.select("doc_id", "n_chars")
+    feats = bpe_doc_features(spark, sf_dir)
+    lookups = [
+        FeatureLookup(
+            table_name="bpe_doc_features",
+            feature_names=("n_alpha_words", "n_bpe_tokens"),
+            lookup_key=("doc_id",),
+        )
+    ]
+    ts = create_training_set(
+        spark,
+        spine,
+        lookups,
+        resolve_table={"bpe_doc_features": feats}.__getitem__,
+        use_broadcast=False,
+        on_demand_features={
+            "bpe_tokens_per_word": (
+                "round(coalesce(n_bpe_tokens, 0) * 1.0"
+                " / nullif(coalesce(n_alpha_words, 0), 0), 6) + 0.0"
+            ),
+            "is_token_heavy": (
+                "coalesce(n_bpe_tokens, 0) > coalesce(n_alpha_words, 0) * 2"
+            ),
+        },
+    )
+    return ts.load_df().select(
+        "doc_id",
+        "n_chars",
+        F.coalesce("n_alpha_words", F.lit(0)).cast("long").alias(
+            "n_alpha_words"
+        ),
+        F.coalesce("n_bpe_tokens", F.lit(0)).cast("long").alias(
+            "n_bpe_tokens"
+        ),
+        "bpe_tokens_per_word",
+        "is_token_heavy",
     )

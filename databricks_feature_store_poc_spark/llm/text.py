@@ -1574,6 +1574,48 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(merges, schema)
 
 
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table, persisted THROUGH the FeatureStore
+    (VERDICT r16 #2): the first call per corpus runs text_bpe_learn and
+    create_table()s the result under a corpus-fingerprinted name (S5 —
+    PK uniqueness enforced on merge_rank); every later call is a
+    read_table (S8). A real pipeline trains the tokenizer once and
+    ships the merge table as an artifact — text_bpe_apply now reads it
+    instead of re-running the learn loop inline.
+
+    Staleness: the fingerprint (mtime+size of documents.parquet, the
+    cacheutil convention) is baked into the table NAME, so regenerated
+    or swapped corpora miss and retrain; merge tables of dead corpora
+    are dropped at create time so the warehouse holds one live table
+    per corpus."""
+    import os as _os
+
+    from databricks_feature_store_poc_spark.cacheutil import (
+        source_fingerprint,
+    )
+    from databricks_feature_store_poc_spark.featurestore.store import (
+        FeatureStore,
+    )
+
+    fp = source_fingerprint([_os.path.join(sf_dir, "documents.parquet")])
+    name = f"bpe_merges_{fp}"
+    fs = FeatureStore(spark)
+    if not spark.catalog.tableExists(name):
+        for t in spark.catalog.listTables():
+            if t.name.startswith("bpe_merges_"):
+                fs.drop_table(t.name)
+        fs.create_table(
+            name,
+            ["merge_rank"],
+            text_bpe_learn(spark, sf_dir),
+            description=(
+                f"BPE merge table ({BPE_MERGES} merges) learned from "
+                f"{sf_dir}/documents.parquet"
+            ),
+        )
+    return fs.read_table(name)
+
+
 @query(
     "text_bpe_apply",
     oracle=_bpe_oracle(BPE_MERGES)
@@ -1619,6 +1661,38 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's final LEFT JOIN is against the raw documents table, so
     each duplicate row re-emits its group's totals)."""
     d = load_table(spark, sf_dir, "documents")
+    per_doc = bpe_doc_features(spark, sf_dir).withColumnRenamed(
+        "doc_id", "p_doc_id"
+    )
+    return (
+        d.select("doc_id")
+        .join(
+            per_doc, F.col("doc_id").eqNullSafe(F.col("p_doc_id")), "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce("n_alpha_words", F.lit(0)).cast("long").alias(
+                "n_alpha_words"
+            ),
+            F.coalesce("n_bpe_tokens", F.lit(0)).cast("long").alias(
+                "n_bpe_tokens"
+            ),
+        )
+    )
+
+
+def bpe_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DISTINCT-doc BPE features (doc_id, n_alpha_words,
+    n_bpe_tokens): the aggregate half of text_bpe_apply, exposed as a
+    feature table for training_set_bpe_features (VERDICT r16 #7).
+
+    Tokenization cost is paid once per distinct WORD (the merge table —
+    read from the FeatureStore artifact written by bpe_merge_table — is
+    replayed over the vocabulary, never the corpus), then one broadcast
+    join onto the corpus occurrences and one per-doc aggregate. Docs
+    with no alpha words are absent here; consumers left-join and
+    coalesce to zero."""
+    d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.expr(_WORDS)).alias("word"))
         .filter(F.expr("word rlike '^[a-z]+$'"))
@@ -1633,7 +1707,11 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i -> substring(word, i, 1)), '  '), ' ')"
         ).alias("sym"),
     )
-    for m in text_bpe_learn(spark, sf_dir).collect():
+    # merges come from the FeatureStore-persisted table (VERDICT r16
+    # #2) — trained once per corpus, read back here; rank order is the
+    # application order, and a table read has no row-order guarantee,
+    # so sort explicitly.
+    for m in bpe_merge_table(spark, sf_dir).orderBy("merge_rank").collect():
         syms = syms.withColumn(
             "sym",
             F.expr(
@@ -1650,27 +1728,11 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = d.select(
         "doc_id", F.explode(F.expr(_WORDS)).alias("word")
     ).filter(F.expr("word rlike '^[a-z]+$'"))
-    per_doc = (
+    return (
         occ.join(F.broadcast(tok), "word")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_alpha_words"),
             F.sum("n_tokens").cast("long").alias("n_bpe_tokens"),
-        )
-        .withColumnRenamed("doc_id", "p_doc_id")
-    )
-    return (
-        d.select("doc_id")
-        .join(
-            per_doc, F.col("doc_id").eqNullSafe(F.col("p_doc_id")), "left"
-        )
-        .select(
-            "doc_id",
-            F.coalesce("n_alpha_words", F.lit(0)).cast("long").alias(
-                "n_alpha_words"
-            ),
-            F.coalesce("n_bpe_tokens", F.lit(0)).cast("long").alias(
-                "n_bpe_tokens"
-            ),
         )
     )

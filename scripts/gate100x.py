@@ -665,6 +665,31 @@ def _verify_minhash_clusters(spark, df, rec: dict, state: dict) -> dict:
     )
 
 
+def _verify_image_dhash_clusters(spark, df, rec: dict, state: dict) -> dict:
+    """dedup_image_dhash joins the LSH cluster family (r17): same
+    star/CC contract over the dHash 4x16 Hamming bands, same
+    quadratic-per-component registered transitive-closure oracle at
+    100x, same stepwise min-label fixpoint here."""
+    from databricks_feature_store_poc_spark.llm.multimodal import (
+        _DHASH_PACKED_CTE,
+    )
+
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {expr} AS key"
+        " FROM packed WHERE NOT is_null"
+        for b, expr in enumerate(
+            ["h_lo & 65535", "(h_lo >> 16) & 65535",
+             "h_hi & 65535", "(h_hi >> 16) & 65535"]
+        )
+    )
+    return _verify_lsh_clusters(
+        spark, df, rec, state,
+        f"CREATE TEMP TABLE shc_bands AS WITH {_DHASH_PACKED_CTE}, "
+        f"bands AS ({bands_union}) SELECT doc_id, band, key FROM bands",
+        ["band", "key"],
+    )
+
+
 def _verify_pack_sequences(spark, df, rec: dict, state: dict) -> dict:
     """pack_sequences at 100x: the registered recursive-CTE FFD oracle
     replays the greedy fold one document per recursion level — exact
@@ -782,6 +807,7 @@ HEAVY_INTERMEDIATE = {
     "graph_jaccard_neighbors": _verify_jaccard,
     "dedup_simhash_clusters": _verify_simhash_clusters,
     "dedup_minhash_clusters": _verify_minhash_clusters,
+    "dedup_image_dhash": _verify_image_dhash_clusters,
     "pack_sequences": _verify_pack_sequences,
 }
 
@@ -802,6 +828,9 @@ TIMEOUT_MULTIPLIER = {
     # pipeline (347 s standalone at 100x) before its own join — a
     # structurally slow oracle, not an engine cost
     "text_bpe_apply": 3.0,
+    # same structurally slow unrolled-learn oracle as text_bpe_apply,
+    # plus the lookup join replay
+    "training_set_bpe_features": 3.0,
 }
 
 
