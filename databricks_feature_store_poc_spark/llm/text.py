@@ -1516,6 +1516,19 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays all BPE_MERGES rounds as unrolled CTE stages
     with scalar-subquery merge carries — the entire learned table is
     hash-adjudicated, argmax tie-breaks included."""
+    schema = (
+        "merge_rank int, lhs string, rhs string, merged string,"
+        " pair_count long"
+    )
+    return spark.createDataFrame(
+        _bpe_learn_merges(spark, sf_dir, BPE_MERGES), schema
+    )
+
+
+def _bpe_sym_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq, sym) initial BPE state: corpus-frequency-weighted
+    distinct alpha words, symbol string = space-delimited characters
+    with sentinel spaces."""
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.expr(_WORDS)).alias("word"))
@@ -1523,7 +1536,7 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
-    syms = words.select(
+    return words.select(
         "word",
         "freq",
         F.expr(
@@ -1531,25 +1544,47 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i -> substring(word, i, 1)), '  '), ' ')"
         ).alias("sym"),
     )
-    merges: list[tuple] = []
-    for rank in range(1, BPE_MERGES + 1):
-        pairs = syms.select(
-            "freq",
+
+
+def _bpe_pair_counts(syms: DataFrame) -> DataFrame:
+    """Freq-weighted adjacent-symbol pair counts (lhs, rhs, cnt) over a
+    symbol table — one vocabulary-sized groupBy with map-side combine."""
+    pairs = syms.select(
+        "freq",
+        F.expr("filter(split(trim(sym), ' '), x -> x != '')").alias("wl"),
+    ).select(
+        "freq",
+        F.explode(
             F.expr(
-                "filter(split(trim(sym), ' '), x -> x != '')"
-            ).alias("wl"),
-        ).select(
-            "freq",
-            F.explode(
-                F.expr(
-                    "transform(slice(wl, 1, greatest(size(wl) - 1, 0)), "
-                    "(x, i) -> struct(x AS l, element_at(wl, i + 2) AS r))"
-                )
-            ).alias("p"),
-        )
+                "transform(slice(wl, 1, greatest(size(wl) - 1, 0)), "
+                "(x, i) -> struct(x AS l, element_at(wl, i + 2) AS r))"
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy(
+        F.col("p.l").alias("lhs"), F.col("p.r").alias("rhs")
+    ).agg(F.sum("freq").cast("long").alias("cnt"))
+
+
+def _bpe_learn_merges(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int,
+    round_walls: list | None = None,
+) -> list[tuple]:
+    """The exact Sennrich loop, parameterized on merge count so the
+    registered query (BPE_MERGES) and the scale probe
+    (scripts/probe_bpe_merges.py, VERDICT r16 #2b) share one
+    implementation. ``round_walls``, when given, receives each round's
+    wall seconds (argmax job + rewrite)."""
+    import time as _time
+
+    syms = _bpe_sym_table(spark, sf_dir)
+    merges: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        t0 = _time.perf_counter()
         top = (
-            pairs.groupBy(F.col("p.l").alias("lhs"), F.col("p.r").alias("rhs"))
-            .agg(F.sum("freq").cast("long").alias("cnt"))
+            _bpe_pair_counts(syms)
             .orderBy(F.desc("cnt"), "lhs", "rhs")
             .limit(1)
             .collect()
@@ -1563,15 +1598,13 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sym",
             F.expr(f"replace(sym, ' {lhs}  {rhs} ', ' {lhs}{rhs} ')"),
         )
-        # checkpoint lineage every round: 6 nested replaces over an
+        # checkpoint lineage every round: k nested replaces over an
         # exploded-and-regrouped base re-run the whole prefix per
         # round's argmax job otherwise
         syms = syms.localCheckpoint(eager=False)
-    schema = (
-        "merge_rank int, lhs string, rhs string, merged string,"
-        " pair_count long"
-    )
-    return spark.createDataFrame(merges, schema)
+        if round_walls is not None:
+            round_walls.append(round(_time.perf_counter() - t0, 3))
+    return merges
 
 
 def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1736,3 +1769,169 @@ def bpe_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+# --- Batched (parallel-approximation) BPE learning (VERDICT r16 #2a) --------
+
+BPE_BATCH_ROUNDS = 3
+BPE_BATCH_TOPK = 8
+
+
+def _bpe_batched_oracle(rounds: int, topk: int) -> str:
+    """Unrolled DuckDB twin of the batched BPE loop. Round i: pair
+    counts from s{i-1}; the top-``topk`` candidates by (cnt DESC, lhs,
+    rhs); a candidate is KEPT iff it shares no symbol — lhs, rhs, or
+    merged — with ANY higher-ranked candidate (kept or not: the
+    window-conflict rule, deterministic and non-iterative); kept merges
+    apply sequentially in rank order via a recursive CTE whose depth is
+    the data-dependent kept count."""
+    parts = [
+        """
+    w0 AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest({words}) AS word FROM documents)
+        WHERE regexp_matches(word, '^[a-z]+$')
+        GROUP BY word
+    ),
+    s0 AS (
+        SELECT word, freq,
+               ' ' || array_to_string(
+                   [substring(word, i, 1)
+                    FOR i IN range(1, len(word) + 1)], '  ') || ' ' AS sym
+        FROM w0
+    )""".format(words=_DUCK_WORDS)
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+    p{i} AS (
+        SELECT lhs, rhs, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, lhs, rhs) AS rn
+        FROM (
+            SELECT l AS lhs, r AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+            FROM (
+                SELECT freq,
+                       unnest(wl[1:len(wl) - 1]) AS l,
+                       unnest(wl[2:len(wl)]) AS r
+                FROM (SELECT freq,
+                             list_filter(string_split(trim(sym), ' '),
+                                         x -> x != '') AS wl
+                      FROM s{i - 1})
+            )
+            GROUP BY l, r
+        )
+        QUALIFY rn <= {topk}
+    ),
+    k{i} AS (
+        SELECT c.lhs, c.rhs, c.cnt,
+               ROW_NUMBER() OVER (ORDER BY c.rn) AS krn
+        FROM p{i} c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM p{i} h
+            WHERE h.rn < c.rn AND (
+                h.lhs IN (c.lhs, c.rhs, c.lhs || c.rhs) OR
+                h.rhs IN (c.lhs, c.rhs, c.lhs || c.rhs) OR
+                h.lhs || h.rhs IN (c.lhs, c.rhs, c.lhs || c.rhs))
+        )
+    ),
+    a{i}(word, freq, sym, j) AS (
+        SELECT word, freq, sym, 0 FROM s{i - 1}
+        UNION ALL
+        SELECT a.word, a.freq,
+               replace(a.sym, ' ' || k.lhs || '  ' || k.rhs || ' ',
+                       ' ' || k.lhs || k.rhs || ' '),
+               a.j + 1
+        FROM a{i} a JOIN k{i} k ON k.krn = a.j + 1
+    ),
+    s{i} AS (
+        SELECT word, freq, sym FROM a{i}
+        WHERE j = (SELECT count(*) FROM k{i})
+    )""")
+    offsets = {
+        i: " + ".join([f"(SELECT count(*) FROM k{j})" for j in range(1, i)])
+        or "0"
+        for i in range(1, rounds + 1)
+    }
+    final = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS round,"
+        f" CAST({offsets[i]} + krn AS INT) AS merge_rank,"
+        f" lhs, rhs, lhs || rhs AS merged, cnt AS pair_count FROM k{i}"
+        for i in range(1, rounds + 1)
+    )
+    return "WITH RECURSIVE " + ",".join(parts) + "\n    " + final
+
+
+@query(
+    "text_bpe_learn_batched",
+    oracle=_bpe_batched_oracle(BPE_BATCH_ROUNDS, BPE_BATCH_TOPK),
+)
+def text_bpe_learn_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE learning with BATCHED merge rounds — the standard
+    parallel-BPE approximation (VERDICT r16 #2a) that removes the
+    one-Spark-job-per-merge driver bottleneck of text_bpe_learn: a real
+    32k-merge tokenizer is 32k sequential argmax jobs under strict
+    Sennrich order, but per round the top-k pair candidates are almost
+    always pairwise-independent, so each round commits a WINDOW of
+    non-conflicting merges from ONE distributed count.
+
+    Per round: one vocabulary-sized pair count (identical shape to the
+    exact learner), ONE constant-size top-K collect, then the
+    window-conflict rule — candidate i is kept iff it shares no symbol
+    (lhs, rhs, OR the merged token: a merge that MINTS another
+    candidate's operand would make application order observable) with
+    any HIGHER-ranKED candidate, kept or discarded. Checking against
+    all higher candidates rather than kept-only is deliberately more
+    conservative than greedy chaining: it needs no iteration, is
+    expressible in one SQL window, and keeps Spark and the oracle
+    trivially in lockstep. Kept merges commute (disjoint symbols,
+    no minted-operand overlap), so applying them in rank order inside
+    one map-only rewrite equals any order.
+
+    DEVIATION from strict Sennrich order (documented per the VERDICT):
+    merges 2..k of a round are chosen by counts measured BEFORE merges
+    1..i-1 of the same round applied; when a window's pairs interact
+    through shared words the learned table can differ from the exact
+    learner's. The oracle adjudicates the BATCHED semantics exactly —
+    round structure, window conflicts, tie-breaks, and counts are all
+    hash-checked.
+
+    Scale: BPE_BATCH_ROUNDS distributed passes commit up to
+    BPE_BATCH_TOPK merges each — a 32k-merge vocabulary needs ~32k/k
+    rounds instead of 32k jobs, and each round stays one
+    vocabulary-sized aggregate + one O(k) collect + one map-only
+    rewrite (localCheckpoint per round caps lineage), the measured
+    fix for the wall-per-merge curve in scripts/probe_bpe_merges.json."""
+    syms = _bpe_sym_table(spark, sf_dir)
+    out: list[tuple] = []
+    for rnd in range(1, BPE_BATCH_ROUNDS + 1):
+        top = (
+            _bpe_pair_counts(syms)
+            .orderBy(F.desc("cnt"), "lhs", "rhs")
+            .limit(BPE_BATCH_TOPK)
+            .collect()
+        )
+        kept = []
+        for idx, c in enumerate(top):
+            c_syms = {c["lhs"], c["rhs"], c["lhs"] + c["rhs"]}
+            if all(
+                c_syms.isdisjoint({h["lhs"], h["rhs"], h["lhs"] + h["rhs"]})
+                for h in top[:idx]
+            ):
+                kept.append(c)
+        for c in kept:
+            out.append(
+                (rnd, len(out) + 1, c["lhs"], c["rhs"],
+                 c["lhs"] + c["rhs"], c["cnt"])
+            )
+            syms = syms.withColumn(
+                "sym",
+                F.expr(
+                    f"replace(sym, ' {c['lhs']}  {c['rhs']} ',"
+                    f" ' {c['lhs']}{c['rhs']} ')"
+                ),
+            )
+        syms = syms.localCheckpoint(eager=False)
+    schema = (
+        "round int, merge_rank int, lhs string, rhs string,"
+        " merged string, pair_count long"
+    )
+    return spark.createDataFrame(out, schema)
