@@ -2910,3 +2910,615 @@ def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(size_w).cast("long").alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_rep")).alias("is_rep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Eighth codec: PROGRESSIVE JPEG (SOF2) — VERDICT r16 #6
+# ---------------------------------------------------------------------------
+
+def _make_jpeg_progressive_decoder():
+    """Factory for mm_decode_jpeg_progressive's decode stage (closure =>
+    cloudpickle by-value, the codec-family convention). A GENERAL
+    progressive-grayscale JFIF reader implementing T.81 Annex G decode:
+
+    - multi-scan loop to EOI over a persistent per-block COEFFICIENT
+      accumulator (progressive's defining structure: no scan renders
+      pixels; they successively deposit coefficient bits);
+    - DC first scans (Ss=Se=0, Ah=0): Huffman-coded diffs of the
+      point-transformed DC, deposited at << Al;
+    - DC refinement scans (Ah>0): one raw bit per block OR'd in at Al;
+    - AC first scans (spectral band Ss..Se, Ah=0): run-length zeros,
+      ZRL, EXTEND-signed coefficients at << Al, and EOBRUN — the
+      end-of-band RUN across blocks (EOBn symbol + n extra bits) that
+      baseline JPEG does not have;
+    - AC refinement scans (Ah>0): the G.1.2.3 correction-bit walk —
+      newly-nonzero coefficients arrive as +-(1<<Al) sign bits,
+      every nonzero-history coefficient consumes a correction bit
+      (including inside EOBRUN tails), ZRL skips 16 zero-history lanes;
+    - restart markers reset predictor, EOBRUN, and bit alignment;
+    - final reconstruction: dequantize + inverse zigzag + separable
+      float IDCT per block, with the 1-coefficient DC fast path
+      (bit-identical, see mm_decode_jpeg).
+
+    Baseline (SOF0) or other SOFs return the diagnostic row — the
+    registered contract here is progressive grayscale; truncated or
+    forged structures return the diagnostic row, never a crash."""
+    import math
+    import struct
+
+    import numpy as np
+
+    zigzag = list(JPEG_ZIGZAG)
+
+    _A = np.array(
+        [
+            [
+                0.5 * (1 / math.sqrt(2) if u == 0 else 1.0)
+                * math.cos((2 * x + 1) * u * math.pi / 16)
+                for u in range(8)
+            ]
+            for x in range(8)
+        ]
+    )
+
+    def build_decode(bits, vals):
+        table = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                table[(length, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+        return table
+
+    class BitReader:
+        def __init__(self, buf: bytes, pos: int):
+            self.buf = buf
+            self.pos = pos
+            self.bit = 0
+            self.marker = None
+
+        def _next_byte(self):
+            if self.marker is not None:
+                raise ValueError("read past marker")
+            if self.pos >= len(self.buf):
+                raise ValueError("truncated entropy data")
+            b = self.buf[self.pos]
+            if b == 0xFF:
+                if self.pos + 1 >= len(self.buf):
+                    raise ValueError("truncated marker")
+                nxt = self.buf[self.pos + 1]
+                if nxt == 0x00:
+                    self.pos += 2
+                    return 0xFF
+                self.marker = nxt
+                raise ValueError("marker in entropy data")
+            self.pos += 1
+            return b
+
+        def byte_align(self):
+            self.bit = 0
+
+        def peek_marker(self):
+            if (
+                self.bit == 0
+                and self.pos + 1 < len(self.buf)
+                and self.buf[self.pos] == 0xFF
+                and self.buf[self.pos + 1] != 0x00
+            ):
+                return self.buf[self.pos + 1]
+            return None
+
+        def skip_marker(self):
+            self.pos += 2
+            self.bit = 0
+            self.marker = None
+
+        def read_bit(self):
+            if self.bit == 0:
+                self.cur = self._next_byte()
+            b = (self.cur >> (7 - self.bit)) & 1
+            self.bit = (self.bit + 1) & 7
+            return b
+
+        def read_bits(self, n):
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | self.read_bit()
+            return v
+
+    def decode_huff(br, table):
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid huffman code")
+
+    def extend(v, n):
+        if n == 0:
+            return 0
+        return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+    def parse(payload):
+        if payload is None:
+            return None, None, None, None, None, None
+        bad = (None, None, None, None, False, None)
+        p = bytes(payload)
+        try:
+            if len(p) < 4 or p[:2] != b"\xff\xd8":
+                return bad
+            pos = 2
+            qtables = {}
+            dc_tables = {}
+            ac_tables = {}
+            w = h = None
+            qsel = None
+            restart_interval = 0
+            coeffs = None
+            bw = bh = 0
+            n_scans = 0
+            consistent = True
+            saw_eoi = False
+            while True:
+                if pos + 2 > len(p):
+                    return bad
+                if p[pos] != 0xFF:
+                    return bad
+                m = p[pos + 1]
+                if m == 0xD9:  # EOI
+                    saw_eoi = True
+                    pos += 2
+                    break
+                if pos + 4 > len(p):
+                    return bad
+                (seglen,) = struct.unpack_from(">H", p, pos + 2)
+                seg = p[pos + 4:pos + 2 + seglen]
+                if len(seg) != seglen - 2:
+                    return bad
+                if m == 0xDB:  # DQT
+                    off = 0
+                    while off < len(seg):
+                        pq, tq = seg[off] >> 4, seg[off] & 0x0F
+                        off += 1
+                        if pq == 0:
+                            if off + 64 > len(seg):
+                                return bad
+                            qtables[tq] = list(seg[off:off + 64])
+                            off += 64
+                        else:
+                            if off + 128 > len(seg):
+                                return bad
+                            qtables[tq] = [
+                                (seg[off + 2 * i] << 8) | seg[off + 2 * i + 1]
+                                for i in range(64)
+                            ]
+                            off += 128
+                elif m == 0xC4:  # DHT
+                    off = 0
+                    while off < len(seg):
+                        tc, th = seg[off] >> 4, seg[off] & 0x0F
+                        bits = list(seg[off + 1:off + 17])
+                        nv = sum(bits)
+                        vals = list(seg[off + 17:off + 17 + nv])
+                        if len(vals) != nv:
+                            return bad
+                        t = build_decode(bits, vals)
+                        if tc == 0:
+                            dc_tables[th] = t
+                        else:
+                            ac_tables[th] = t
+                        off += 17 + nv
+                elif m == 0xC2:  # SOF2 progressive
+                    if seg[0] != 8 or seg[5] != 1 or seg[7] != 0x11:
+                        return bad  # grayscale contract
+                    h, w = struct.unpack_from(">HH", seg, 1)
+                    qsel = seg[8]
+                    bw, bh = (w + 7) // 8, (h + 7) // 8
+                    coeffs = np.zeros((bh * bw, 64), dtype=np.int64)
+                elif m in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                           0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                    return bad  # not progressive
+                elif m == 0xDD:  # DRI
+                    (restart_interval,) = struct.unpack_from(">H", seg, 0)
+                elif m == 0xDA:  # SOS: one progressive scan
+                    if coeffs is None or seg[0] != 1:
+                        return bad
+                    td, ta = seg[2] >> 4, seg[2] & 0x0F
+                    ss, se = seg[3], seg[4]
+                    ah, al = seg[5] >> 4, seg[5] & 0x0F
+                    if not (0 <= ss <= se <= 63):
+                        return bad
+                    if (ss == 0) != (se == 0):
+                        return bad  # DC scans are exactly Ss=Se=0
+                    br = BitReader(p, pos + 2 + seglen)
+                    n_blocks = bw * bh
+                    eobrun = 0
+                    pred = 0
+                    mcu = 0
+                    p1 = 1 << al
+                    m1 = -1 << al
+                    for bi in range(n_blocks):
+                        if (
+                            restart_interval
+                            and mcu
+                            and mcu % restart_interval == 0
+                        ):
+                            br.byte_align()
+                            mk = br.peek_marker()
+                            if mk is None or not (0xD0 <= mk <= 0xD7):
+                                return bad
+                            br.skip_marker()
+                            pred = 0
+                            eobrun = 0
+                        c = coeffs[bi]
+                        if ss == 0:  # DC scan
+                            if ah == 0:
+                                s = decode_huff(br, dc_tables[td])
+                                pred += extend(br.read_bits(s), s)
+                                c[0] = pred << al
+                            else:  # DC refinement: one raw bit
+                                if br.read_bit():
+                                    c[0] |= p1
+                        elif ah == 0:  # AC first scan
+                            if eobrun > 0:
+                                eobrun -= 1
+                            else:
+                                k = ss
+                                while k <= se:
+                                    rs = decode_huff(br, ac_tables[ta])
+                                    r, s = rs >> 4, rs & 0x0F
+                                    if s == 0:
+                                        if r != 15:  # EOBn
+                                            eobrun = (1 << r) - 1
+                                            if r:
+                                                eobrun += br.read_bits(r)
+                                            break
+                                        k += 16  # ZRL
+                                        continue
+                                    k += r
+                                    if k > se:
+                                        return bad
+                                    # coefficients live in SCAN order
+                                    # (like the DQT); natural order is
+                                    # restored once, at reconstruction
+                                    c[k] = extend(br.read_bits(s), s) << al
+                                    k += 1
+                        else:  # AC refinement scan (G.1.2.3)
+                            k = ss
+                            if eobrun == 0:
+                                while k <= se:
+                                    rs = decode_huff(br, ac_tables[ta])
+                                    r, s = rs >> 4, rs & 0x0F
+                                    if s == 0:
+                                        if r != 15:  # EOBn: current
+                                            # block's tail handled below
+                                            eobrun = 1 << r
+                                            if r:
+                                                eobrun += br.read_bits(r)
+                                            break
+                                        # ZRL: skip 16 zero-history
+                                        # lanes, correcting nonzeros
+                                    elif s == 1:
+                                        newval = (
+                                            p1 if br.read_bit() else m1
+                                        )
+                                    else:
+                                        return bad  # refine s must be 1
+                                    while k <= se:
+                                        if c[k] != 0:
+                                            if br.read_bit() and not (
+                                                c[k] & p1
+                                            ):
+                                                c[k] += (
+                                                    p1 if c[k] > 0 else m1
+                                                )
+                                        else:
+                                            if r == 0:
+                                                if s:
+                                                    c[k] = newval
+                                                k += 1
+                                                break
+                                            r -= 1
+                                        k += 1
+                            if eobrun > 0:
+                                while k <= se:
+                                    if c[k] != 0:
+                                        if br.read_bit() and not (
+                                            c[k] & p1
+                                        ):
+                                            c[k] += p1 if c[k] > 0 else m1
+                                    k += 1
+                                eobrun -= 1
+                        mcu += 1
+                    n_scans += 1
+                    # scan's pad bits: discard; next marker at br.pos
+                    pos = br.pos
+                    continue
+                pos = pos + 2 + seglen
+            if coeffs is None or n_scans == 0 or qsel not in qtables:
+                return bad
+            consistent = bool(saw_eoi and pos == len(p))
+            q = np.array(qtables[qsel], dtype=np.int64)
+            inv = np.argsort(np.array(zigzag))
+            img = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+            a00 = float(_A[0, 0])
+            for bi in range(bw * bh):
+                by, bx = divmod(bi, bw)
+                c = coeffs[bi]
+                if not c[1:].any():
+                    # DC-only fast path (bit-identical — mm_decode_jpeg)
+                    v = min(
+                        255,
+                        max(0, round((a00 * float(c[0] * q[0])) * a00) + 128),
+                    )
+                    img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = int(v)
+                    continue
+                fq = (c * q)[inv].reshape(8, 8)
+                spatial = _A @ fq.astype(np.float64) @ _A.T
+                img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = np.clip(
+                    np.round(spatial) + 128, 0, 255
+                )
+            cropped = img[:h, :w].reshape(-1)
+            wsum = int(
+                ((np.arange(cropped.size, dtype=np.int64) + 1) * cropped)
+                .sum()
+                % 65536
+            )
+            return (
+                int(w), int(h), int(bw * bh), int(n_scans),
+                bool(consistent), wsum,
+            )
+        except (struct.error, IndexError, ValueError):
+            return bad
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [parse(x) for x in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": pd.array([r[0] for r in rows], dtype="Int32"),
+                    "height": pd.array([r[1] for r in rows], dtype="Int32"),
+                    "n_blocks": pd.array([r[2] for r in rows], dtype="Int32"),
+                    "n_scans": pd.array([r[3] for r in rows], dtype="Int32"),
+                    "header_consistent": pd.array(
+                        [r[4] for r in rows], dtype="boolean"
+                    ),
+                    "pixel_checksum_weighted": pd.array(
+                        [r[5] for r in rows], dtype="Int32"
+                    ),
+                }
+            )
+
+    return decode_batches
+
+
+@query(
+    "mm_decode_jpeg_progressive",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, text IS NULL AS is_null,
+               octet_length(encode(coalesce(text, ''))) AS n,
+               hex(encode(coalesce(text, ''))) AS hx
+        FROM documents
+    ),
+    dims AS (
+        SELECT doc_id, is_null, n, hx,
+               1 + (n // 3) % 4 AS bw, 1 + (n // 11) % 3 AS bh
+        FROM b
+    ),
+    sums AS (
+        SELECT doc_id, is_null, bw, bh, 8 * bw AS w, 8 * bh AS h,
+               -- block i's gray level = byte (i % n) (128 for empty);
+               -- the six progressive scans reassemble exactly that
+               -- DC-only level, so the position-weighted sum is the
+               -- same closed form as mm_decode_jpeg's
+               COALESCE(list_sum([
+                   (CASE WHEN n = 0 THEN 128 ELSE
+                        16 * (strpos('0123456789ABCDEF',
+                              substring(hx, 2 * (i % greatest(n, 1)) + 1,
+                                        1)) - 1)
+                        + (strpos('0123456789ABCDEF',
+                              substring(hx, 2 * (i % greatest(n, 1)) + 2,
+                                        1)) - 1) END)
+                   * (8 * (8 * bw) * (64 * (i // bw) + 28)
+                      + 8 * (64 * (i % bw) + 28) + 64)
+                   FOR i IN range(0, bw * bh)
+               ]), 0) AS wsum
+        FROM dims
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN is_null THEN NULL ELSE w END AS INT) AS width,
+           CAST(CASE WHEN is_null THEN NULL ELSE h END AS INT) AS height,
+           CAST(CASE WHEN is_null THEN NULL ELSE bw * bh END AS INT)
+               AS n_blocks,
+           CAST(CASE WHEN is_null THEN NULL ELSE 6 END AS INT) AS n_scans,
+           CASE WHEN is_null THEN NULL ELSE TRUE END AS header_consistent,
+           CAST(CASE WHEN is_null THEN NULL ELSE wsum % 65536 END AS INT)
+               AS pixel_checksum_weighted
+    FROM sums
+    """,
+)
+def mm_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eighth REAL codec and the stretch VERDICT r16 #6 picked:
+    PROGRESSIVE JPEG (SOF2). Stage 1 ENCODES each document as an actual
+    six-scan progressive JFIF — the scan script a real progressive
+    encoder emits for grayscale:
+
+      1. DC first        Ss=0  Se=0  Ah=0 Al=1  (point-transformed
+         Huffman diffs — successive approximation's coarse pass)
+      2. AC first  1-31  Ss=1  Se=31 Ah=0 Al=1  (spectral selection;
+         all-zero bands coded as ONE cross-block EOBRUN)
+      3. AC first 32-63  Ss=32 Se=63 Ah=0 Al=1
+      4. AC refine 1-31  Ss=1  Se=31 Ah=1 Al=0  (EOBRUN tail with
+         correction-bit walk — empty here, no nonzero history)
+      5. AC refine 32-63 Ss=32 Se=63 Ah=1 Al=0
+      6. DC refine       Ss=0  Se=0  Ah=1 Al=0  (one raw bit/block)
+
+    and stage 2 DECODES it with the general Annex-G reader above
+    (_make_jpeg_progressive_decoder) — coefficient accumulator, EOBRUN,
+    successive-approximation deposits, refinement correction bits.
+
+    Oracle strategy (shared with mm_decode_jpeg): each 8x8 block is one
+    constant gray level from the text bytes, so DC = v-128 exactly and
+    every AC is zero; the point transform splits v-128 into
+    ((v-128)>>1 via scan 1) << 1 | (bit via scan 6), which floor-shift
+    arithmetic reassembles EXACTLY for negatives too — so the decoded
+    image equals the closed form and the entire six-scan entropy layer
+    (EOBRUN lengths included: one run of bw*bh per AC scan) is
+    hash-adjudicated through the weighted checksum. Dense-AC
+    progressive payloads (nonzero coefficients, ZRL, AC refinement
+    correction bits) are exercised by FOREIGN payloads in tests, like
+    the rest of the codec family. n_scans is decoder-COUNTED (6), not
+    assumed.
+
+    Scale shape: the codec-family invariant — two Arrow-batched
+    mapInPandas stages over one documents scan, no shuffle anywhere."""
+    import struct
+
+    dc_codes = jpeg_canonical_codes(JPEG_DC_BITS, JPEG_DC_VALS)
+    # progressive AC table: only EOBn symbols (n = 0..3 covers runs of
+    # 1..15 blocks; the corpus has <= 12) — baseline's Annex-K AC table
+    # has no EOBn, they are progressive-only symbols
+    # three 2-bit codes + one 3-bit (T.81 C.2 reserves the all-1s code
+    # word as a prefix, so a saturated 2-bit level would be non-conformant)
+    ac_bits = (0, 3, 1) + (0,) * 13
+    ac_vals = (0x00, 0x10, 0x20, 0x30)
+    ac_codes = jpeg_canonical_codes(ac_bits, ac_vals)
+    qtable_b = bytes(JPEG_QTABLE)
+    dc_bits_b, dc_vals_b = bytes(JPEG_DC_BITS), bytes(JPEG_DC_VALS)
+    ac_bits_b, ac_vals_b = bytes(ac_bits), bytes(ac_vals)
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def scan_entropy(put_fn_bits) -> bytes:
+            """Run a bit-emitting callback, return the 1-padded,
+            FF00-stuffed entropy segment."""
+            entropy = bytearray()
+            state = {"acc": 0, "n": 0}
+
+            def put(v: int, nb: int) -> None:
+                state["acc"] = (state["acc"] << nb) | (v & ((1 << nb) - 1))
+                state["n"] += nb
+                while state["n"] >= 8:
+                    byte = (state["acc"] >> (state["n"] - 8)) & 0xFF
+                    entropy.append(byte)
+                    if byte == 0xFF:
+                        entropy.append(0x00)
+                    state["n"] -= 8
+                    state["acc"] &= (1 << state["n"]) - 1
+
+            put_fn_bits(put)
+            if state["n"]:
+                put((1 << (8 - state["n"])) - 1, 8 - state["n"])
+            return bytes(entropy)
+
+        def sos(td_ta: int, ss: int, se: int, ah: int, al: int) -> bytes:
+            return (
+                b"\xff\xda" + struct.pack(">H", 8) + b"\x01"
+                + bytes([1, td_ta]) + bytes([ss, se, (ah << 4) | al])
+            )
+
+        def eob_run(put, n_blocks: int) -> None:
+            r = n_blocks.bit_length() - 1
+            code, clen = ac_codes[r << 4]
+            put(code, clen)
+            if r:
+                put(n_blocks - (1 << r), r)
+
+        def to_pjpeg(text) -> bytes | None:
+            if text is None:
+                return None
+            tb = text.encode("utf-8")
+            n = len(tb)
+            bw, bh = 1 + (n // 3) % 4, 1 + (n // 11) % 3
+            w, h = 8 * bw, 8 * bh
+            nb = bw * bh
+            dcs = [
+                (tb[i % n] if n else 128) - 128 for i in range(nb)
+            ]
+            out = bytearray(b"\xff\xd8")
+            out += (
+                b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+                + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+            )
+            out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + qtable_b
+            out += (
+                b"\xff\xc2" + struct.pack(">H", 11) + b"\x08"
+                + struct.pack(">HH", h, w) + b"\x01" + bytes([1, 0x11, 0])
+            )
+            out += (
+                b"\xff\xc4" + struct.pack(">H", 19 + len(dc_vals_b))
+                + b"\x00" + dc_bits_b + dc_vals_b
+            )
+            out += (
+                b"\xff\xc4" + struct.pack(">H", 19 + len(ac_vals_b))
+                + b"\x11" + ac_bits_b + ac_vals_b
+            )
+
+            def dc_first(put):
+                pred = 0
+                for dc in dcs:
+                    v = dc >> 1  # point transform (floor shift)
+                    diff = v - pred
+                    pred = v
+                    cat = abs(diff).bit_length()
+                    ccode, clen = dc_codes[cat]
+                    put(ccode, clen)
+                    if cat:
+                        put(
+                            diff if diff >= 0 else diff + (1 << cat) - 1,
+                            cat,
+                        )
+
+            def ac_all_zero(put):
+                eob_run(put, nb)
+
+            def dc_refine(put):
+                for dc in dcs:
+                    put(dc & 1, 1)
+
+            out += sos(0x00, 0, 0, 0, 1) + scan_entropy(dc_first)
+            out += sos(0x01, 1, 31, 0, 1) + scan_entropy(ac_all_zero)
+            out += sos(0x01, 32, 63, 0, 1) + scan_entropy(ac_all_zero)
+            out += sos(0x01, 1, 31, 1, 0) + scan_entropy(ac_all_zero)
+            out += sos(0x01, 32, 63, 1, 0) + scan_entropy(ac_all_zero)
+            out += sos(0x00, 0, 0, 1, 0) + scan_entropy(dc_refine)
+            out += b"\xff\xd9"
+            return bytes(out)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [to_pjpeg(t) for t in pdf["text"]],
+                }
+            )
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    dec_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_blocks", T.IntegerType()),
+            T.StructField("n_scans", T.IntegerType()),
+            T.StructField("header_consistent", T.BooleanType()),
+            T.StructField("pixel_checksum_weighted", T.IntegerType()),
+        ]
+    )
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select("doc_id", "text").mapInPandas(encode_batches, enc_schema)
+    return staged.mapInPandas(_make_jpeg_progressive_decoder(), dec_schema)

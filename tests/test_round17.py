@@ -216,3 +216,221 @@ def test_bpe_merge_table_persists_and_rotates(spark, tmp_path):
         if t.name.startswith("bpe_merges_")
     ]
     assert len(tables2) == 1 and tables2 != tables  # rotated, stale dropped
+
+
+# --- mm_decode_jpeg_progressive: foreign dense-AC payloads ------------------
+
+
+def _ref_pjpeg(coeff_blocks, bw, bh, qtable):
+    """Test-local GENERAL progressive encoder (successive approximation
+    Al=1 -> 0 over arbitrary coefficients): DC first (floor point
+    transform), AC first 1-63 at Al=1 (sign-magnitude point transform,
+    run/size symbols, ZRL, per-block EOB), AC refine at Al=0 (the
+    G.1.2.3 correction-bit algorithm: ZRL flush BEFORE buffering the
+    triggering correction — the libjpeg ordering), DC refine (raw
+    bits). Independent of the engine encoder: the engine corpus is
+    DC-only; this exercises every dense path."""
+    import struct
+
+    from databricks_feature_store_poc_spark.llm.multimodal import (
+        JPEG_AC_BITS,
+        JPEG_AC_VALS,
+        JPEG_DC_BITS,
+        JPEG_DC_VALS,
+        jpeg_canonical_codes,
+    )
+
+    dc_codes = jpeg_canonical_codes(JPEG_DC_BITS, JPEG_DC_VALS)
+    ac_codes = jpeg_canonical_codes(JPEG_AC_BITS, JPEG_AC_VALS)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(qtable)
+    out += (
+        b"\xff\xc2" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 8 * bh, 8 * bw) + b"\x01" + bytes([1, 0x11, 0])
+    )
+    out += (
+        b"\xff\xc4" + struct.pack(">H", 19 + len(JPEG_DC_VALS))
+        + b"\x00" + bytes(JPEG_DC_BITS) + bytes(JPEG_DC_VALS)
+    )
+    out += (
+        b"\xff\xc4" + struct.pack(">H", 19 + len(JPEG_AC_VALS))
+        + b"\x10" + bytes(JPEG_AC_BITS) + bytes(JPEG_AC_VALS)
+    )
+
+    def scan(fn):
+        entropy = bytearray()
+        state = {"acc": 0, "n": 0}
+
+        def put(v, nb):
+            state["acc"] = (state["acc"] << nb) | (v & ((1 << nb) - 1))
+            state["n"] += nb
+            while state["n"] >= 8:
+                byte = (state["acc"] >> (state["n"] - 8)) & 0xFF
+                entropy.append(byte)
+                if byte == 0xFF:
+                    entropy.append(0)
+                state["n"] -= 8
+                state["acc"] &= (1 << state["n"]) - 1
+
+        fn(put)
+        if state["n"]:
+            put((1 << (8 - state["n"])) - 1, 8 - state["n"])
+        return bytes(entropy)
+
+    def sos(td_ta, ss, se, ah, al):
+        return (
+            b"\xff\xda" + struct.pack(">H", 8) + b"\x01"
+            + bytes([1, td_ta]) + bytes([ss, se, (ah << 4) | al])
+        )
+
+    def put_huff(put, codes, sym):
+        c, ln = codes[sym]
+        put(c, ln)
+
+    def dc_first(put):
+        pred = 0
+        for zz in coeff_blocks:
+            v = zz[0] >> 1  # DC: floor point transform
+            diff = v - pred
+            pred = v
+            cat = abs(diff).bit_length()
+            put_huff(put, dc_codes, cat)
+            if cat:
+                put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+
+    def ac_first(put):  # Al = 1, sign-magnitude point transform
+        for zz in coeff_blocks:
+            t = [
+                (abs(zz[k]) >> 1) * (1 if zz[k] >= 0 else -1)
+                for k in range(64)
+            ]
+            r = 0
+            last = max((k for k in range(1, 64) if t[k]), default=0)
+            for k in range(1, last + 1):
+                if t[k] == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    put_huff(put, ac_codes, 0xF0)
+                    r -= 16
+                s = abs(t[k]).bit_length()
+                put_huff(put, ac_codes, (r << 4) | s)
+                v = t[k]
+                put(v if v >= 0 else v + (1 << s) - 1, s)
+                r = 0
+            if last < 63:
+                put_huff(put, ac_codes, 0x00)  # EOB
+
+    def ac_refine(put):  # Ah=1, Al=0
+        for zz in coeff_blocks:
+            absv = [abs(zz[k]) for k in range(64)]
+            newly = [k for k in range(1, 64) if absv[k] == 1]
+            eob = max(newly, default=0)
+            r = 0
+            br: list[int] = []
+            for k in range(1, 64):
+                t = absv[k]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob:
+                    put_huff(put, ac_codes, 0xF0)
+                    for b in br:
+                        put(b, 1)
+                    br = []
+                    r -= 16
+                if t > 1:
+                    br.append(t & 1)
+                    continue
+                put_huff(put, ac_codes, (r << 4) | 1)
+                put(1 if zz[k] > 0 else 0, 1)
+                for b in br:
+                    put(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                put_huff(put, ac_codes, 0x00)
+                for b in br:
+                    put(b, 1)
+
+    def dc_refine(put):
+        for zz in coeff_blocks:
+            put(zz[0] & 1, 1)
+
+    out += sos(0x00, 0, 0, 0, 1) + scan(dc_first)
+    out += sos(0x00, 1, 63, 0, 1) + scan(ac_first)
+    out += sos(0x00, 1, 63, 1, 0) + scan(ac_refine)
+    out += sos(0x00, 0, 0, 1, 0) + scan(dc_refine)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_pjpeg_foreign(payload):
+    from databricks_feature_store_poc_spark.llm.multimodal import (
+        _make_jpeg_progressive_decoder,
+    )
+
+    pdf = pd.DataFrame({"doc_id": [0], "payload": [payload]})
+    out = next(_make_jpeg_progressive_decoder()(iter([pdf])))
+    r = out.iloc[0]
+
+    def v(x):
+        return None if pd.isna(x) else (bool(x) if isinstance(x, (bool,)) else int(x))
+
+    return (
+        v(r["width"]), v(r["height"]), v(r["n_blocks"]), v(r["n_scans"]),
+        None if pd.isna(r["header_consistent"]) else bool(r["header_consistent"]),
+        v(r["pixel_checksum_weighted"]),
+    )
+
+
+def test_progressive_jpeg_dense_ac_roundtrip():
+    """Arbitrary coefficients through the 4-scan successive-approximation
+    script: first-pass runs + ZRL at Al=1, refinement correction bits,
+    NEWLY-nonzero +-1 coefficients arriving in the refine scan, per-block
+    EOBs — decoded pixels must equal the independent numpy IDCT of the
+    full-precision coefficients (successive approximation reconstructs
+    every v exactly: deposit sign*(|v|>>1)<<1, then one move-away-from-
+    zero bit)."""
+    import random
+
+    from tests.test_round16 import _jpeg_reference_pixels
+
+    rng = random.Random(1717)
+    bw, bh = 3, 2
+    qtable = [8] + [2 * (1 + (i % 7)) for i in range(63)]
+    blocks = []
+    for b in range(bw * bh):
+        zz = [0] * 64
+        zz[0] = rng.randint(-80, 80)
+        for _ in range(10):
+            zz[rng.randint(1, 63)] = rng.randint(-30, 30)
+        zz[17] = 1   # newly nonzero in the refine scan
+        zz[41] = -1  # with a ZRL-spanning gap before it
+        for k in range(20, 40):
+            zz[k] = 0
+        zz[45] = 5
+        zz[63] = 1 if b % 2 else 0  # band-final newly nonzero
+        blocks.append(zz)
+    payload = _ref_pjpeg(blocks, bw, bh, qtable)
+    img = _jpeg_reference_pixels(blocks, bw, bh, qtable)
+    want = int(
+        sum((i + 1) * int(p) for i, p in enumerate(img.reshape(-1))) % 65536
+    )
+    got = _decode_pjpeg_foreign(payload)
+    assert got == (8 * bw, 8 * bh, bw * bh, 4, True, want), got
+
+
+def test_progressive_jpeg_corruption_and_contract():
+    blocks = [[10] + [0] * 63, [-5] + [0] * 63]
+    qtable = [8] + [16] * 63
+    good = _ref_pjpeg(blocks, 2, 1, qtable)
+    assert _decode_pjpeg_foreign(good)[4] is True
+    got = _decode_pjpeg_foreign(good[:-6])  # truncated mid-entropy
+    assert got[4] in (False, None)
+    # baseline SOF0 is out of contract for the progressive reader
+    base = bytearray(good)
+    sof = base.index(b"\xff\xc2")
+    base[sof + 1] = 0xC0
+    assert _decode_pjpeg_foreign(bytes(base))[4] in (False, None)
+    assert _decode_pjpeg_foreign(None)[4] is None
