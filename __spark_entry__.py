@@ -40,106 +40,43 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver adjudicates ~50 queries per round in dict order, so the dict
-# is emitted in ADJUDICATION-PRIORITY order, not alphabetical. Round-16
-# policy (VERDICT r15 'do this' #1-#3 — zipf first, then retire the
-# remaining ledger debt; tier arithmetic COUNTED before writing this
-# comment): 1 headline + 13 changed + 2 r9-age stragglers + 19 r10-age
-# + 15 r11-age head = 50 slots exactly; the next r11 keys ride at
-# positions 51+ in case the driver's budget stretches. Done-criterion
-# (VERDICT r15 #3): after CORRECTNESS_r16 the merged ledger has NO
-# verdict older than r11.
+# is emitted in ADJUDICATION-PRIORITY order, not alphabetical. Round-17
+# policy (VERDICT r16 'do this' #1: retire the r11 cohort COMPLETELY +
+# the r12 head; tier arithmetic COUNTED before writing this comment):
+# 1 headline + 6 changed + 20 r11-age + 23 r12-age head = 50 slots
+# exactly; the 13 remaining r12-age keys ride at positions 51+ in case
+# the driver's budget stretches. Done-criterion (VERDICT r16 #1): after
+# CORRECTNESS_r17 the merged ledger has NO verdict older than r12.
 #   0. the headline training-set assembly (1 key, always adjudicated);
-#   1. changed-in-r16, 13 keys: text_zipf_fit (slot 2 as ordered —
-#      slope columns now DOUBLE; DECIMAL(38,0) arithmetic stays
-#      internal), mm_decode_jpeg (NEW: sixth codec, baseline JFIF
-#      huffman+DCT), mm_decode_jpeg_color (NEW: seventh codec — 4:2:0
-#      interleaved color MCUs, fixed-point YCbCr->RGB),
-#      dedup_simhash_clusters and dedup_minhash_clusters (NEW: O(docs)
-#      structural dedup, star edges + connected components),
-#      pack_sequences (promoted to FULL oracle: md5 shard +
-#      recursive-CTE FFD replay), text_tfidf_topterms (promoted to
-#      FULL oracle: exact integer triple emitted),
-#      agg_exact_quantile_grouped (null-safe pass-2 probe join),
-#      text_url_canonicalize (pmod oracle + empty-source host guard),
-#      mm_decode_png and mm_decode_gif (truncation bounds checks —
-#      engine output unchanged, changed-keys rule re-adjudicates),
-#      text_bpe_learn and text_bpe_apply (NEW: distributed BPE
-#      tokenizer training + application, unrolled-CTE oracles);
-#   2. the 2 r9-age stragglers (win_rank, win_topk_per_group — budget-
-#      cut at positions 51-52 last round);
-#   3. the COMPLETE r10-age cohort (18 keys) + text_tfidf_audit (the
-#      promoted key's twin, re-adjudicated alongside per VERDICT r15
-#      #3's pairing note) = 19 slots;
-#   4. the r11-age head (15 of 34 remaining, alphabetical; the rest
-#      ride at positions 51-70 and are the r17 tier-2 head otherwise).
+#   1. changed-in-r17, 6 keys: mm_image_dhash and dedup_image_dhash
+#      (NEW: perceptual image fingerprints over real BMP decode +
+#      Hamming-banded LSH star/CC clustering — VERDICT r16 #3),
+#      mm_decode_jpeg_progressive (NEW: eighth codec, six-scan SOF2
+#      successive approximation + spectral selection — VERDICT r16 #6),
+#      text_bpe_learn_batched (NEW: window-conflict parallel-BPE
+#      rounds — VERDICT r16 #2a), training_set_bpe_features (NEW:
+#      tokenizer counts as a lookup feature table with on-demand
+#      expressions — VERDICT r16 #7), text_bpe_apply (CHANGED: reads
+#      the FeatureStore-persisted merge table instead of re-running
+#      learn inline — VERDICT r16 #2);
+#   2. the COMPLETE r11-age cohort (20 keys, alphabetical — the exact
+#      list VERDICT r16 #1 enumerates);
+#   3. the r12-age head (23 of 36, alphabetical; the 13-key tail rides
+#      at positions 51-63 and is the r18 tier-2 head otherwise).
 
 _HEADLINE = (
     "training_set_flagship",
 )
 _CHANGED_TIER = (
-    "text_zipf_fit",
-    "mm_decode_jpeg",
-    "mm_decode_jpeg_color",
-    "dedup_simhash_clusters",
-    "dedup_minhash_clusters",
-    "pack_sequences",
-    "text_tfidf_topterms",
-    "agg_exact_quantile_grouped",
-    "text_url_canonicalize",
-    "mm_decode_png",
-    "mm_decode_gif",
-    "text_bpe_learn",
+    "mm_image_dhash",
+    "dedup_image_dhash",
+    "mm_decode_jpeg_progressive",
+    "text_bpe_learn_batched",
+    "training_set_bpe_features",
     "text_bpe_apply",
 )
-# r9-age stragglers (merged-ledger verdicts last adjudicated r9)
-_R9_COHORT = (
-    "win_rank",
-    "win_topk_per_group",
-)
-# r10-age cohort, complete
-_R10_COHORT = (
-    "agg_bloom_filter",
-    "agg_hll_sketch",
-    "agg_latency_bands",
-    "agg_mode_deterministic",
-    "dedup_embedding_stats",
-    "embed_quantize_int8",
-    "join_asof",
-    "merge_scd1_upsert",
-    "sink_partitioned_pruned",
-    "sink_sorted_parquet",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q2",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q4",
-    "win_ntile_deciles",
-    "text_tfidf_audit",
-)
-# r11-age head (alphabetical; pack_sequences/text_tfidf_topterms moved
-# to the changed tier, mm_decode_stub rides with the codec family)
-_R11_HEAD = (
-    "agg_countmin_sketch",
-    "agg_heavy_hitters",
-    "dedup_embedding_cosine",
-    "densify_daily_spine",
-    "embed_gram_norms",
-    "eval_auc_roc",
-    "feature_importance",
-    "fn_json",
-    "fn_map",
-    "fn_string",
-    "fn_url",
-    "graph_jaccard_neighbors",
-    "merge_scd2_history",
-    "mm_decode_stub",
-    "mm_frame_sample",
-)
-# r11-age tail at positions 51-70: adjudicated only if the driver's
-# budget stretches past 50; else the r17 tier-2 head
-_R11_TAIL = (
+# r11-age cohort, complete (merged-ledger verdicts last adjudicated r11)
+_R11_COHORT = (
     "pipeline_clean_corpus",
     "pipeline_incremental_curate",
     "scan_csv_infer",
@@ -161,6 +98,49 @@ _R11_TAIL = (
     "udtf_explode_tokens",
     "udtf_native_split",
 )
+# r12-age head (alphabetical)
+_R12_HEAD = (
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_histogram_equiwidth",
+    "cluster_kmeans",
+    "dedup_semantic_cluster",
+    "dq_benford_digits",
+    "dq_expectations",
+    "dq_fk_orphans",
+    "dq_outlier_zscore",
+    "dq_pk_violations",
+    "embed_gram_matrix",
+    "feature_drift_chi2",
+    "fn_date",
+    "fn_date_extended",
+    "fn_hash",
+    "fn_regexp",
+    "mm_embedding_norm",
+    "pack_sequences_audit",
+    "pipeline_dataset_mixture",
+    "pipeline_gdpr_delete",
+    "scan_binary_files",
+    "scan_parquet",
+    "scan_python_datasource",
+)
+# r12-age tail at positions 51-63: adjudicated only if the driver's
+# budget stretches past 50; else the r18 tier-2 head
+_R12_TAIL = (
+    "set_except",
+    "split_hash_8020",
+    "split_kfold",
+    "stream_dedup_exactly_once",
+    "text_bloom_decontaminate",
+    "text_repetition_score",
+    "text_span_dedup",
+    "udf_scalar",
+    "win_first_touch_attribution",
+    "win_forward_fill",
+    "win_lag_lead",
+    "win_session_paths",
+    "win_streaks",
+)
 
 
 def _priority_order(names: list[str]) -> list[str]:
@@ -169,15 +149,13 @@ def _priority_order(names: list[str]) -> list[str]:
             return (0, _HEADLINE.index(name), "")
         if name in _CHANGED_TIER:
             return (1, _CHANGED_TIER.index(name), "")
-        if name in _R9_COHORT:
-            return (2, _R9_COHORT.index(name), "")
-        if name in _R10_COHORT:
-            return (3, _R10_COHORT.index(name), "")
-        if name in _R11_HEAD:
-            return (4, _R11_HEAD.index(name), "")
-        if name in _R11_TAIL:
-            return (5, _R11_TAIL.index(name), "")
-        return (6, 0, name)
+        if name in _R11_COHORT:
+            return (2, _R11_COHORT.index(name), "")
+        if name in _R12_HEAD:
+            return (3, _R12_HEAD.index(name), "")
+        if name in _R12_TAIL:
+            return (4, _R12_TAIL.index(name), "")
+        return (5, 0, name)
 
     return sorted(names, key=tier)
 
