@@ -43,12 +43,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # is emitted in ADJUDICATION-PRIORITY order, not alphabetical. Round-17
 # policy (VERDICT r16 'do this' #1: retire the r11 cohort COMPLETELY +
 # the r12 head; tier arithmetic COUNTED before writing this comment):
-# 1 headline + 6 changed + 20 r11-age + 23 r12-age head = 50 slots
-# exactly; the 13 remaining r12-age keys ride at positions 51+ in case
+# 1 headline + 7 changed + 20 r11-age + 22 r12-age head = 50 slots
+# exactly; the 14 remaining r12-age keys ride at positions 51+ in case
 # the driver's budget stretches. Done-criterion (VERDICT r16 #1): after
 # CORRECTNESS_r17 the merged ledger has NO verdict older than r12.
 #   0. the headline training-set assembly (1 key, always adjudicated);
-#   1. changed-in-r17, 6 keys: mm_image_dhash and dedup_image_dhash
+#   1. changed-in-r17, 7 keys: mm_image_dhash and dedup_image_dhash
 #      (NEW: perceptual image fingerprints over real BMP decode +
 #      Hamming-banded LSH star/CC clustering — VERDICT r16 #3),
 #      mm_decode_jpeg_progressive (NEW: eighth codec, six-scan SOF2
@@ -56,13 +56,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #      text_bpe_learn_batched (NEW: window-conflict parallel-BPE
 #      rounds — VERDICT r16 #2a), training_set_bpe_features (NEW:
 #      tokenizer counts as a lookup feature table with on-demand
-#      expressions — VERDICT r16 #7), text_bpe_apply (CHANGED: reads
+#      expressions — VERDICT r16 #7), sim_image_hamming_topk (NEW:
+#      exact image kNN by dHash Hamming over the shared fingerprint
+#      table), text_bpe_apply (CHANGED: reads
 #      the FeatureStore-persisted merge table instead of re-running
 #      learn inline — VERDICT r16 #2);
 #   2. the COMPLETE r11-age cohort (20 keys, alphabetical — the exact
 #      list VERDICT r16 #1 enumerates);
-#   3. the r12-age head (23 of 36, alphabetical; the 13-key tail rides
-#      at positions 51-63 and is the r18 tier-2 head otherwise).
+#   3. the r12-age head (22 of 36, alphabetical; the 14-key tail rides
+#      at positions 51-64 and is the r18 tier-2 head otherwise).
 
 _HEADLINE = (
     "training_set_flagship",
@@ -73,6 +75,7 @@ _CHANGED_TIER = (
     "mm_decode_jpeg_progressive",
     "text_bpe_learn_batched",
     "training_set_bpe_features",
+    "sim_image_hamming_topk",
     "text_bpe_apply",
 )
 # r11-age cohort, complete (merged-ledger verdicts last adjudicated r11)
@@ -122,11 +125,11 @@ _R12_HEAD = (
     "pipeline_gdpr_delete",
     "scan_binary_files",
     "scan_parquet",
-    "scan_python_datasource",
 )
-# r12-age tail at positions 51-63: adjudicated only if the driver's
+# r12-age tail at positions 51-64: adjudicated only if the driver's
 # budget stretches past 50; else the r18 tier-2 head
 _R12_TAIL = (
+    "scan_python_datasource",
     "set_except",
     "split_hash_8020",
     "split_kfold",

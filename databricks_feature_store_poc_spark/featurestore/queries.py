@@ -384,9 +384,12 @@ def training_set_bpe_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         resolve_table={"bpe_doc_features": feats}.__getitem__,
         use_broadcast=False,
         on_demand_features={
+            # 1.0D / 0.0D: double literals — a bare 1.0 parses as
+            # DECIMAL(2,1) in Spark SQL and long*decimal stays DECIMAL,
+            # tripping the no-DECIMAL-output driver contract
             "bpe_tokens_per_word": (
-                "round(coalesce(n_bpe_tokens, 0) * 1.0"
-                " / nullif(coalesce(n_alpha_words, 0), 0), 6) + 0.0"
+                "round(coalesce(n_bpe_tokens, 0) * 1.0D"
+                " / nullif(coalesce(n_alpha_words, 0), 0), 6) + 0.0D"
             ),
             "is_token_heavy": (
                 "coalesce(n_bpe_tokens, 0) > coalesce(n_alpha_words, 0) * 2"

@@ -3522,3 +3522,74 @@ def mm_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     staged = d.select("doc_id", "text").mapInPandas(encode_batches, enc_schema)
     return staged.mapInPandas(_make_jpeg_progressive_decoder(), dec_schema)
+
+
+_DHASH_TOPK = 5
+_DHASH_QUERIES = 10
+
+
+@query(
+    "sim_image_hamming_topk",
+    oracle=f"""
+    WITH {_DHASH_PACKED_CTE},
+    fp AS (
+        SELECT doc_id, h_lo, h_hi FROM packed WHERE NOT is_null
+    )
+    SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+           CAST(bit_count(xor(q.h_lo, c.h_lo))
+                + bit_count(xor(q.h_hi, c.h_hi)) AS INT) AS hamming
+    FROM fp q JOIN fp c
+      ON q.doc_id < {_DHASH_QUERIES} AND c.doc_id <> q.doc_id
+    QUALIFY row_number() OVER (
+        PARTITION BY q.doc_id
+        ORDER BY bit_count(xor(q.h_lo, c.h_lo))
+                 + bit_count(xor(q.h_hi, c.h_hi)), c.doc_id
+    ) <= {_DHASH_TOPK}
+    """,
+)
+def sim_image_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 nearest IMAGES by dHash Hamming distance for the 10
+    query images — the similarity-search face of the image family
+    (pairs with dedup_image_dhash the way sim_cosine_topk pairs with
+    dedup_embedding_cosine). kNN by perceptual hash is the standard
+    image-retrieval baseline; the LSH-banded scale path for the
+    bounded-radius regime is sim-family sim_range_search's shape over
+    the same 4x16 bands (dedup_image_dhash builds exactly those
+    buckets).
+
+    Plan shape (the sim_cosine_topk convention): the query side is tiny
+    by construction and broadcast, so the corpus pass is map-only —
+    int64 XOR + bit_count per (query, candidate), all JVM-side; the
+    only shuffle is the per-query top-k window. Ties break on
+    neighbor_id so the cut is deterministic; fingerprints come from the
+    session-persisted dHash table (one decode per corpus, shared with
+    the dedup keys)."""
+    fps = image_dhash_fingerprints(spark, sf_dir).filter(
+        F.col("h_lo").isNotNull()
+    )
+    q = fps.filter(F.col("doc_id") < _DHASH_QUERIES).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("h_lo").alias("q_lo"),
+        F.col("h_hi").alias("q_hi"),
+    )
+    c = fps.select(
+        F.col("doc_id").alias("neighbor_id"),
+        F.col("h_lo").alias("c_lo"),
+        F.col("h_hi").alias("c_hi"),
+    )
+    from pyspark.sql.window import Window
+
+    pairs = F.broadcast(q).join(
+        c, F.col("neighbor_id") != F.col("query_id")
+    ).withColumn(
+        "hamming",
+        F.expr(
+            "cast(bit_count(q_lo ^ c_lo) + bit_count(q_hi ^ c_hi) as int)"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _DHASH_TOPK)
+        .select("query_id", "neighbor_id", "hamming")
+    )

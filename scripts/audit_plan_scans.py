@@ -59,6 +59,8 @@ TABLES = (
 # Standing flags, classified. Each reason states WHY the count is a
 # constant of the query's design rather than accidental recomputation.
 KNOWN_MULTI_SCAN = {
+    "text_bpe_apply": "tokenize-once-per-distinct-word design: vocabulary aggregate, corpus-occurrence join feed, and the doc spine are three NARROW pruned projections of documents (constant 3; caching the exploded corpus to save a scan would cost more than re-scanning pushed-down columns at 100 TB)",
+    "training_set_bpe_features": "same three-projection shape as text_bpe_apply (vocabulary, occurrences, spine) composed under create_training_set; constant by design",
     "stream_session_parity": "parity gate: a REAL streaming run and its batch twin both read events, then diff — re-derivation is the adjudicated claim",
     "text_tfidf_audit": "audit twin re-derives tf, df, and the primary's pipeline to compare them — the comparison IS the query",
     "pipeline_incremental_curate": "incremental contract: old-corpus and new-batch branches + novelty probe each scan documents; scan count fixed by the protocol, O(new docs) runtime",

@@ -831,6 +831,10 @@ TIMEOUT_MULTIPLIER = {
     # same structurally slow unrolled-learn oracle as text_bpe_apply,
     # plus the lookup join replay
     "training_set_bpe_features": 3.0,
+    # three unrolled batched rounds (pair counts + window + recursive
+    # applies) over the 500k-doc vocabulary — oracle volume, engine is
+    # seconds
+    "text_bpe_learn_batched": 3.0,
 }
 
 
