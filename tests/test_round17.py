@@ -434,3 +434,42 @@ def test_progressive_jpeg_corruption_and_contract():
     base[sof + 1] = 0xC0
     assert _decode_pjpeg_foreign(bytes(base))[4] in (False, None)
     assert _decode_pjpeg_foreign(None)[4] is None
+
+
+# --- sim_image_hamming_topk: deterministic cut --------------------------------
+
+
+def test_image_hamming_topk_ties_and_self_exclusion(spark, tmp_path):
+    """Hamming ties cut deterministically on neighbor_id; a query never
+    returns itself; exact clones rank first at distance 0."""
+    from databricks_feature_store_poc_spark.llm.multimodal import (
+        sim_image_hamming_topk,
+    )
+
+    base = "abcdefghij" * 12
+    rows = [
+        (0, base, "en", "a", len(base)),
+        (1, base, "en", "a", len(base)),          # clone of 0
+        (2, base[:40] + "z" + base[41:], "en", "a", len(base)),  # near
+        (3, "completely different text about engines", "en", "a", 39),
+        (4, None, None, "a", 0),                   # no fingerprint
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = sim_image_hamming_topk(spark, str(tmp_path)).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], r["hamming"])
+        )
+    assert 4 not in per_q  # NULL text query has no fingerprint
+    for q, nb in per_q.items():
+        assert all(n != q for n, _ in nb)
+        assert nb == sorted(nb, key=lambda t: (t[1], t[0]))
+    assert per_q[0][0] == (1, 0)  # clone first at distance 0
+    assert per_q[1][0] == (0, 0)
+    assert per_q[0][1][0] == 2    # near-dup second
