@@ -1637,15 +1637,22 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in spark.catalog.listTables():
             if t.name.startswith("bpe_merges_"):
                 fs.drop_table(t.name)
-        fs.create_table(
-            name,
-            ["merge_rank"],
-            text_bpe_learn(spark, sf_dir),
-            description=(
-                f"BPE merge table ({BPE_MERGES} merges) learned from "
-                f"{sf_dir}/documents.parquet"
-            ),
-        )
+        try:
+            fs.create_table(
+                name,
+                ["merge_rank"],
+                text_bpe_learn(spark, sf_dir),
+                description=(
+                    f"BPE merge table ({BPE_MERGES} merges) learned from "
+                    f"{sf_dir}/documents.parquet"
+                ),
+            )
+        except Exception:
+            # a concurrent process may have won the create race (the
+            # same fingerprint trains the same table); re-read unless
+            # the table is genuinely absent
+            if not spark.catalog.tableExists(name):
+                raise
     return fs.read_table(name)
 
 
