@@ -221,7 +221,7 @@ def test_bpe_merge_table_persists_and_rotates(spark, tmp_path):
 # --- mm_decode_jpeg_progressive: foreign dense-AC payloads ------------------
 
 
-def _ref_pjpeg(coeff_blocks, bw, bh, qtable):
+def _ref_pjpeg(coeff_blocks, bw, bh, qtable, dri=0):
     """Test-local GENERAL progressive encoder (successive approximation
     Al=1 -> 0 over arbitrary coefficients): DC first (floor point
     transform), AC first 1-63 at Al=1 (sign-magnitude point transform,
@@ -244,6 +244,8 @@ def _ref_pjpeg(coeff_blocks, bw, bh, qtable):
     ac_codes = jpeg_canonical_codes(JPEG_AC_BITS, JPEG_AC_VALS)
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(qtable)
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
     out += (
         b"\xff\xc2" + struct.pack(">H", 11) + b"\x08"
         + struct.pack(">HH", 8 * bh, 8 * bw) + b"\x01" + bytes([1, 0x11, 0])
@@ -259,7 +261,7 @@ def _ref_pjpeg(coeff_blocks, bw, bh, qtable):
 
     def scan(fn):
         entropy = bytearray()
-        state = {"acc": 0, "n": 0}
+        state = {"acc": 0, "n": 0, "rst": 0}
 
         def put(v, nb):
             state["acc"] = (state["acc"] << nb) | (v & ((1 << nb) - 1))
@@ -272,7 +274,15 @@ def _ref_pjpeg(coeff_blocks, bw, bh, qtable):
                 state["n"] -= 8
                 state["acc"] &= (1 << state["n"]) - 1
 
-        fn(put)
+        def rst():
+            # pad to byte boundary with 1s, then a raw RSTn marker
+            if state["n"]:
+                put((1 << (8 - state["n"])) - 1, 8 - state["n"])
+            entropy.append(0xFF)
+            entropy.append(0xD0 + (state["rst"] & 7))
+            state["rst"] += 1
+
+        fn(put, rst)
         if state["n"]:
             put((1 << (8 - state["n"])) - 1, 8 - state["n"])
         return bytes(entropy)
@@ -287,9 +297,12 @@ def _ref_pjpeg(coeff_blocks, bw, bh, qtable):
         c, ln = codes[sym]
         put(c, ln)
 
-    def dc_first(put):
+    def dc_first(put, rst):
         pred = 0
-        for zz in coeff_blocks:
+        for bi, zz in enumerate(coeff_blocks):
+            if dri and bi and bi % dri == 0:
+                rst()
+                pred = 0
             v = zz[0] >> 1  # DC: floor point transform
             diff = v - pred
             pred = v
@@ -298,8 +311,10 @@ def _ref_pjpeg(coeff_blocks, bw, bh, qtable):
             if cat:
                 put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
 
-    def ac_first(put):  # Al = 1, sign-magnitude point transform
-        for zz in coeff_blocks:
+    def ac_first(put, rst):  # Al = 1, sign-magnitude point transform
+        for bi, zz in enumerate(coeff_blocks):
+            if dri and bi and bi % dri == 0:
+                rst()
             t = [
                 (abs(zz[k]) >> 1) * (1 if zz[k] >= 0 else -1)
                 for k in range(64)
@@ -321,8 +336,10 @@ def _ref_pjpeg(coeff_blocks, bw, bh, qtable):
             if last < 63:
                 put_huff(put, ac_codes, 0x00)  # EOB
 
-    def ac_refine(put):  # Ah=1, Al=0
-        for zz in coeff_blocks:
+    def ac_refine(put, rst):  # Ah=1, Al=0
+        for bi, zz in enumerate(coeff_blocks):
+            if dri and bi and bi % dri == 0:
+                rst()
             absv = [abs(zz[k]) for k in range(64)]
             newly = [k for k in range(1, 64) if absv[k] == 1]
             eob = max(newly, default=0)
@@ -353,8 +370,10 @@ def _ref_pjpeg(coeff_blocks, bw, bh, qtable):
                 for b in br:
                     put(b, 1)
 
-    def dc_refine(put):
-        for zz in coeff_blocks:
+    def dc_refine(put, rst):
+        for bi, zz in enumerate(coeff_blocks):
+            if dri and bi and bi % dri == 0:
+                rst()
             put(zz[0] & 1, 1)
 
     out += sos(0x00, 0, 0, 0, 1) + scan(dc_first)
@@ -473,3 +492,31 @@ def test_image_hamming_topk_ties_and_self_exclusion(spark, tmp_path):
     assert per_q[0][0] == (1, 0)  # clone first at distance 0
     assert per_q[1][0] == (0, 0)
     assert per_q[0][1][0] == 2    # near-dup second
+
+
+def test_progressive_jpeg_restart_markers():
+    """DRI + RSTn through ALL progressive scan types: every scan must
+    byte-align at restarts, reset the DC predictor and EOBRUN, and
+    still reconstruct the exact coefficients."""
+    import random
+
+    from tests.test_round16 import _jpeg_reference_pixels
+
+    rng = random.Random(4242)
+    bw, bh = 4, 2  # 8 blocks, restart interval 3 -> uneven segments
+    qtable = [8] + [2 * (1 + (i % 7)) for i in range(63)]
+    blocks = []
+    for b in range(bw * bh):
+        zz = [0] * 64
+        zz[0] = rng.randint(-80, 80)
+        for _ in range(8):
+            zz[rng.randint(1, 63)] = rng.randint(-20, 20)
+        zz[9] = 1 if b % 3 == 0 else zz[9]  # some newly-nonzero refits
+        blocks.append(zz)
+    payload = _ref_pjpeg(blocks, bw, bh, qtable, dri=3)
+    img = _jpeg_reference_pixels(blocks, bw, bh, qtable)
+    want = int(
+        sum((i + 1) * int(p) for i, p in enumerate(img.reshape(-1))) % 65536
+    )
+    got = _decode_pjpeg_foreign(payload)
+    assert got == (8 * bw, 8 * bh, bw * bh, 4, True, want), got
