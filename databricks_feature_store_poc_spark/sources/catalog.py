@@ -35,6 +35,28 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Session-scoped ANALYZED-PLAN memo (r17 optimization, guide §6 "file
+# listing"): every ``load_table`` call used to run a fresh
+# ``spark.read.parquet`` — a py4j round-trip plus a driver-side
+# FileIndex build and parquet footer/schema read costing ~150 ms per
+# call on the bench rig — and the suite makes ~500 such calls per bench
+# pass (TPC-H queries alone call it 4-7x each). A real deployment reads
+# through a catalog table whose schema/file metadata is resolved once
+# per session; this memo gives the same semantics: key =
+# (applicationId, absolute path, source fingerprint). NOTHING is
+# persisted or precomputed — the value is an unexecuted logical plan,
+# so every action still scans the parquet files in full; the
+# fingerprint (mtime+size of every part file) invalidates the entry if
+# the table is regenerated in place, exactly like
+# ``cacheutil.source_fingerprint``.
+_PLAN_MEMO: dict[tuple[str, str], tuple[str, DataFrame]] = {}
+
+
+def _table_fingerprint(path: str) -> str:
+    from databricks_feature_store_poc_spark.cacheutil import source_fingerprint
+
+    return source_fingerprint([path])
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver test table, normalizing types for cross-engine parity.
@@ -42,7 +64,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     - ``events.ts``: int64 nanoseconds (via nanosAsLong) -> TimestampType at
       microsecond precision (integer division truncates, matching DuckDB).
     - ``embeddings.embedding``: already ``array<float>``; left as-is.
+
+    The analyzed plan is memoized per (session, path, file fingerprint)
+    — see ``_PLAN_MEMO`` above. DataFrames are immutable, so handing the
+    same object to every caller is safe.
     """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    memo_key = (spark.sparkContext.applicationId, os.path.abspath(path))
+    fp = _table_fingerprint(path)
+    hit = _PLAN_MEMO.get(memo_key)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
     for conf, val in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         # TIMESTAMP(MICROS, isAdjustedToUTC=false) must read as LTZ, not
@@ -55,7 +87,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # Static in some builds; if it is and events can't be read, the
             # error surfaces at scan time with a clear parquet-type message.
             pass
-    path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn(
@@ -71,6 +102,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ]
     for c in ntz_cols:
         df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
+    _PLAN_MEMO[memo_key] = (fp, df)
     return df
 
 
