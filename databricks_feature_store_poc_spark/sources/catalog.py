@@ -106,6 +106,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+_SCHEMA_MEMO: dict[tuple[str, str], tuple[str, T.StructType]] = {}
+
+
+def parquet_schema(spark: SparkSession, path: str) -> T.StructType:
+    """RAW parquet schema of ``path`` under the session's current parquet
+    read confs, memoized per (session, path, file fingerprint) — the
+    schema-probe twin of the ``load_table`` plan memo. The streaming
+    builders call ``spark.read.parquet(src).schema`` once per run just
+    to type their readStream; that probe costs a driver-side FileIndex +
+    footer read (~150 ms) each time for an answer that cannot change
+    while the fingerprint is stable."""
+    memo_key = (spark.sparkContext.applicationId, os.path.abspath(path))
+    fp = _table_fingerprint(path)
+    hit = _SCHEMA_MEMO.get(memo_key)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
+    schema = spark.read.parquet(path).schema
+    _SCHEMA_MEMO[memo_key] = (fp, schema)
+    return schema
+
+
 def parquet_row_count(sf_dir: str, name: str) -> int | None:
     """Table row count from parquet FOOTER metadata only — no data scan,
     no Spark job. Sums ``num_rows`` across footers, handling both the

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from databricks_feature_store_poc_spark.registry import query
-from databricks_feature_store_poc_spark.sources.catalog import load_table
+from databricks_feature_store_poc_spark.sources.catalog import load_table, parquet_schema
 
 
 def _stream_source_dir(sf_dir: str) -> str:
@@ -376,7 +376,7 @@ def run_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Schema must match the RAW file layout (ts = INT64 nanos under
     # nanosAsLong) — the batch-side TimestampType is a post-read cast.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(src).schema
+    raw_schema = parquet_schema(spark, src)
     stream = spark.readStream.schema(raw_schema).parquet(src)
     if dict(stream.dtypes)["ts"] == "bigint":  # nanosAsLong read path
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -511,7 +511,7 @@ def run_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Schema must match the RAW file layout (ts = INT64 nanos under
     # nanosAsLong) — the batch-side TimestampType is a post-read cast.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(src).schema
+    raw_schema = parquet_schema(spark, src)
     stream = spark.readStream.schema(raw_schema).parquet(src)
     if dict(stream.dtypes)["ts"] == "bigint":  # nanosAsLong read path
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -561,7 +561,7 @@ def run_stateful_counter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _stream_source_dir(sf_dir)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(src).schema
+    raw_schema = parquet_schema(spark, src)
     stream = spark.readStream.schema(raw_schema).parquet(src)
     if dict(stream.dtypes)["ts"] == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -612,7 +612,7 @@ def run_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tumbling runner) — completes the batch-vs-stream parity matrix."""
     src = _stream_source_dir(sf_dir)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(src).schema
+    raw_schema = parquet_schema(spark, src)
     stream = spark.readStream.schema(raw_schema).parquet(src)
     if dict(stream.dtypes)["ts"] == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -648,7 +648,7 @@ def run_foreach_batch_sink(spark: SparkSession, sf_dir: str, out_dir: str) -> in
     Returns the number of epochs written."""
     src = _stream_source_dir(sf_dir)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(src).schema
+    raw_schema = parquet_schema(spark, src)
     stream = spark.readStream.schema(raw_schema).parquet(src)
     if dict(stream.dtypes)["ts"] == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -757,7 +757,7 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Schema must match the RAW file layout (ts = INT64 nanos under
     # nanosAsLong) — the batch-side TimestampType is a post-read cast.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(staged).schema
+    raw_schema = parquet_schema(spark, staged)
     stream = spark.readStream.schema(raw_schema).parquet(staged)
     if dict(stream.dtypes)["ts"] == "bigint":  # nanosAsLong read path
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -814,7 +814,7 @@ def run_streaming_feature_maintenance(spark: SparkSession, sf_dir: str, table_ro
         ).repartition(3).write.mode("overwrite").parquet(staged)
 
     vt = VersionedFeatureTable(spark, table_root, "user_features")
-    schema = spark.read.parquet(staged).schema
+    schema = parquet_schema(spark, staged)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -879,7 +879,7 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Schema must match the RAW file layout (ts = INT64 nanos under
     # nanosAsLong) — the batch-side TimestampType is a post-read cast.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(src).schema
+    raw_schema = parquet_schema(spark, src)
 
     def side(event_type: str, prefix: str) -> DataFrame:
         s = spark.readStream.schema(raw_schema).parquet(src)
@@ -974,7 +974,7 @@ def run_transform_with_state_stream(spark: SparkSession, sf_dir: str) -> DataFra
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    raw_schema = spark.read.parquet(src).schema
+    raw_schema = parquet_schema(spark, src)
     stream = spark.readStream.schema(raw_schema).parquet(src)
     out_schema = T.StructType(
         [
