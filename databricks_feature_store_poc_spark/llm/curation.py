@@ -635,6 +635,14 @@ def text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "shingle", "bloom_pass", F.coalesce("lk", F.lit(False)).alias("leaked")
         )
+        # localCheckpoint (r17 optimization): marked is the decision
+        # table (guide §8 — decide on the lightweight proxy once) and is
+        # consumed by TWO branches (sh_stats aggregate, phase-2 verified
+        # filter); without truncation the probe's explode + bitmap join
+        # + groupBy re-executes per branch. One row per DISTINCT train
+        # shingle with two booleans — the cheapest representation of
+        # this corpus the query ever holds.
+        .localCheckpoint()
     )
     sh_stats = marked.agg(
         F.count(F.lit(1)).alias("n_train_shingles"),

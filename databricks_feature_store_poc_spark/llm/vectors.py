@@ -742,9 +742,17 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p")
         )
 
+    # localCheckpoint (r17 optimization): g2 is referenced FOUR times —
+    # the w0 init plus each matvec join — and without truncation every
+    # reference re-plans and re-executes the union + broadcast-shift
+    # subtree above it (measured 63 Spark jobs for one noop run of this
+    # query; guide §5 "localCheckpoint is a cheaper way to cut
+    # lineage"). The table is d x d = 4096 cells at ANY corpus size —
+    # constant-size state, corpus cost stays in the (session-persisted)
+    # gram pass.
     g2 = full.crossJoin(F.broadcast(pow2_keep(full, "s", 24))).select(
         "i", "j", F.expr("(s - pmod(s, p)) div p").alias("g")
-    )
+    ).localCheckpoint()
     w = g2.groupBy("i").agg(F.sum("g").cast("long").alias("w"))
     for _ in range(3):
         v = w.crossJoin(F.broadcast(pow2_keep(w, "w", 20))).select(

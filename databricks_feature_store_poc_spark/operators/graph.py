@@ -375,15 +375,18 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation; each hop shuffles the frontier/visited NODE sets (bounded
     by |V|, not |E|) through one join + one anti-join + one distinct.
     Hop count is fixed -> static per-hop plans, no driver loop state,
-    no collect. Each hop's frontier and visited sets are
-    `localCheckpoint()`ed (eager, lineage-truncating) before the count
-    aggregates and the next hop are derived: without it, the hop-3
-    counts plus the hop-2/3 join, anti-join and union all re-execute
-    the full upstream expansion (the DuckDB oracle needs MATERIALIZED
-    CTEs for exactly the same reason) — checkpointing makes each hop's
-    expansion run exactly once. The checkpointed state is node-set
-    sized (bounded by |V|), so the materialization cost is tiny next
-    to the joins it eliminates. On a frontier approaching |V| (this
+    no collect. Each hop's frontier set is `localCheckpoint()`ed
+    (eager, lineage-truncating) before the count aggregates and the
+    next hop are derived: without it, the hop-3 counts plus the
+    hop-2/3 join, anti-join and union all re-execute the full upstream
+    expansion (the DuckDB oracle needs MATERIALIZED CTEs for exactly
+    the same reason) — checkpointing makes each hop's expansion run
+    exactly once. The visited set is the plain union of the
+    checkpointed frontiers (disjoint by the anti-join, each internally
+    distinct, so no dedup shuffle and no second checkpoint per hop is
+    needed — r17). The checkpointed state is node-set sized (bounded
+    by |V|), so the materialization cost is tiny next to the joins it
+    eliminates. On a frontier approaching |V| (this
     dense bipartite graph saturates by hop 2-3), the anti-join's build
     side is the visited set — broadcastable while |visited| is small,
     hash-join after; AQE picks per hop."""
@@ -410,7 +413,14 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(visited, "node", "left_anti")
             .localCheckpoint()
         )
-        visited = visited.unionByName(frontier).distinct().localCheckpoint()
+        # visited(h) = visited(h-1) ∪ frontier(h): the two sides are
+        # DISJOINT (the anti-join above removed everything visited) and
+        # each internally distinct, so the bare union IS the distinct
+        # union — the .distinct() the oracle's UNION expresses is a
+        # no-op here and its per-hop shuffle + the extra checkpoint job
+        # were pure overhead (r17 optimization; union of checkpointed
+        # node sets re-reads in-memory partitions, nothing recomputes).
+        visited = visited.unionByName(frontier)
         hops.append(
             frontier.agg(F.count(F.lit(1)).cast("long").alias("n_frontier"))
             .crossJoin(
