@@ -430,6 +430,14 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
         )
         .agg(F.count(F.lit(1)).cast("int").alias("n_shared_bands"))
+        # localCheckpoint (r17 optimization): candidates feeds BOTH the
+        # exact-Jaccard verification and the final n_shared_bands
+        # join-back — without truncation the signature groupBy + band
+        # self-join executes twice per run (and dedup_minhash_audit,
+        # which calls this query, paid it twice more). The table is the
+        # LSH bucket output: O(candidate pairs) by construction, the
+        # smallest relation this pipeline holds.
+        .localCheckpoint()
     )
     # Verify ONLY the candidates — computing all exact pairs here would
     # defeat the LSH: verification cost must scale with bucket output.
