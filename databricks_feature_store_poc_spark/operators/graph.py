@@ -69,6 +69,17 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = ce.unionByName(
         ce.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    # Persist PRE-PARTITIONED on src (r17 optimization, guide §2.4 "two
+    # operations keyed the same way can share one exchange"): every
+    # consumer keys on src — pagerank's deg groupBy and its per-
+    # iteration contribution join, BFS's per-hop frontier expansion.
+    # Without this the |E| edge cache re-shuffled on EVERY one of those
+    # references (the r17 plan audit showed Sort+Exchange above the
+    # InMemoryTableScan per iteration); with it the cached partitioning
+    # satisfies the join/agg distribution and only the |V|-sized rank/
+    # frontier side moves. Partition count follows
+    # spark.sql.shuffle.partitions — conf-sized, not hardcoded.
+    edges = edges.repartition("src")
     from databricks_feature_store_poc_spark.cacheutil import session_persist
 
     return session_persist(
