@@ -1503,6 +1503,7 @@ def _make_jpeg_decoder():
     # import this repo, which a plain driver session's workers cannot
     # (the codec-family closure convention).
     zigzag = list(JPEG_ZIGZAG)
+    unzig = np.argsort(np.array(zigzag))  # once, not per dense block
 
     # IDCT basis: A[x, u] = 0.5 * C(u) * cos((2x+1) u pi / 16);
     # spatial = A @ F @ A.T
@@ -1517,16 +1518,36 @@ def _make_jpeg_decoder():
         ]
     )
 
+    # Decode-table memo, closure-local (the decoders pickle by value, so
+    # no module state): tables arrive once PER IMAGE but are identical
+    # across a corpus — rebuilding the lookup 2x per image was ~5% of
+    # decode wall (r17 profile: 10k build_decode calls per task).
+    _huff_memo = {}
+
     def build_decode(bits, vals):
-        table = {}
+        """Canonical mincode/maxcode/valptr arrays (T.81 F.15) — same
+        (length, code) -> symbol mapping the old dict held, decoded with
+        two list indexes instead of a tuple-key dict probe (r17)."""
+        key = (bytes(bits), bytes(vals))
+        hit = _huff_memo.get(key)
+        if hit is not None:
+            return hit
+        mincode = [0] * 17
+        maxcode = [-1] * 17
+        valptr = [0] * 17
         code = 0
         k = 0
         for length in range(1, 17):
-            for _ in range(bits[length - 1]):
-                table[(length, code)] = vals[k]
-                code += 1
-                k += 1
+            n = bits[length - 1]
+            if n:
+                valptr[length] = k
+                mincode[length] = code
+                code += n
+                k += n
+                maxcode[length] = code - 1
             code <<= 1
+        table = (mincode, maxcode, valptr, tuple(vals))
+        _huff_memo[key] = table
         return table
 
     class BitReader:
@@ -1587,18 +1608,32 @@ def _make_jpeg_decoder():
             return b
 
         def read_bits(self, n):
+            # Chunked MSB-first read (r17): consume up to a whole byte
+            # per step instead of one read_bit call per bit — identical
+            # bit order and identical _next_byte error points.
             v = 0
-            for _ in range(n):
-                v = (v << 1) | self.read_bit()
+            while n > 0:
+                if self.bit == 0:
+                    self.cur = self._next_byte()
+                avail = 8 - self.bit
+                take = avail if avail < n else n
+                v = (v << take) | (
+                    (self.cur >> (avail - take)) & ((1 << take) - 1)
+                )
+                self.bit = (self.bit + take) & 7
+                n -= take
             return v
 
     def decode_huff(br, table):
+        mincode, maxcode, valptr, vals = table
         code = 0
         for length in range(1, 17):
             code = (code << 1) | br.read_bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
+            # both bounds: dict semantics on corrupt streams — a code
+            # below mincode at this length must keep extending, exactly
+            # like the old dict miss
+            if mincode[length] <= code <= maxcode[length]:
+                return vals[valptr[length] + code - mincode[length]]
         raise ValueError("invalid huffman code")
 
     def extend(v, n):
@@ -1717,11 +1752,12 @@ def _make_jpeg_decoder():
                             return bad
                         br.skip_marker()
                         pred = 0
-                    coeffs = np.zeros(64, dtype=np.int64)
+                    # coeff buffer allocated LAZILY (r17): DC-only
+                    # blocks — the common case — never touch it
                     s = decode_huff(br, dct)
                     diff = extend(br.read_bits(s), s)
                     pred += diff
-                    coeffs[0] = pred
+                    coeffs = None
                     k = 1
                     while k < 64:
                         rs = decode_huff(br, act)
@@ -1734,6 +1770,8 @@ def _make_jpeg_decoder():
                         k += r
                         if k > 63:
                             return bad
+                        if coeffs is None:
+                            coeffs = np.zeros(64, dtype=np.int64)
                         coeffs[k] = extend(br.read_bits(size), size)
                         k += 1
                     if k == 1:
@@ -1744,16 +1782,19 @@ def _make_jpeg_decoder():
                         a = float(_A[0, 0])
                         c = min(
                             255,
-                            max(0, round((a * float(coeffs[0] * q[0])) * a)
+                            max(0, round((a * float(pred * q[0])) * a)
                                 + 128),
                         )
                         img[by * 8:(by + 1) * 8,
                             bx * 8:(bx + 1) * 8] = int(c)
                         mcu += 1
                         continue
+                    if coeffs is None:  # ZRL-advanced, no nonzero AC
+                        coeffs = np.zeros(64, dtype=np.int64)
+                    coeffs[0] = pred
                     fq = (
                         coeffs * np.array(q, dtype=np.int64)
-                    )[np.argsort(np.array(zigzag))].reshape(8, 8)
+                    )[unzig].reshape(8, 8)
                     spatial = _A @ fq.astype(np.float64) @ _A.T
                     block = np.clip(np.round(spatial) + 128, 0, 255)
                     img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = block
@@ -2031,16 +2072,36 @@ def _make_jpeg_color_decoder():
         ]
     )
 
+    # Decode-table memo, closure-local (the decoders pickle by value, so
+    # no module state): tables arrive once PER IMAGE but are identical
+    # across a corpus — rebuilding the lookup 2x per image was ~5% of
+    # decode wall (r17 profile: 10k build_decode calls per task).
+    _huff_memo = {}
+
     def build_decode(bits, vals):
-        table = {}
+        """Canonical mincode/maxcode/valptr arrays (T.81 F.15) — same
+        (length, code) -> symbol mapping the old dict held, decoded with
+        two list indexes instead of a tuple-key dict probe (r17)."""
+        key = (bytes(bits), bytes(vals))
+        hit = _huff_memo.get(key)
+        if hit is not None:
+            return hit
+        mincode = [0] * 17
+        maxcode = [-1] * 17
+        valptr = [0] * 17
         code = 0
         k = 0
         for length in range(1, 17):
-            for _ in range(bits[length - 1]):
-                table[(length, code)] = vals[k]
-                code += 1
-                k += 1
+            n = bits[length - 1]
+            if n:
+                valptr[length] = k
+                mincode[length] = code
+                code += n
+                k += n
+                maxcode[length] = code - 1
             code <<= 1
+        table = (mincode, maxcode, valptr, tuple(vals))
+        _huff_memo[key] = table
         return table
 
     class BitReader:
@@ -2088,18 +2149,32 @@ def _make_jpeg_color_decoder():
             return b
 
         def read_bits(self, n):
+            # Chunked MSB-first read (r17): consume up to a whole byte
+            # per step instead of one read_bit call per bit — identical
+            # bit order and identical _next_byte error points.
             v = 0
-            for _ in range(n):
-                v = (v << 1) | self.read_bit()
+            while n > 0:
+                if self.bit == 0:
+                    self.cur = self._next_byte()
+                avail = 8 - self.bit
+                take = avail if avail < n else n
+                v = (v << take) | (
+                    (self.cur >> (avail - take)) & ((1 << take) - 1)
+                )
+                self.bit = (self.bit + take) & 7
+                n -= take
             return v
 
     def decode_huff(br, table):
+        mincode, maxcode, valptr, vals = table
         code = 0
         for length in range(1, 17):
             code = (code << 1) | br.read_bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
+            # both bounds: dict semantics on corrupt streams — a code
+            # below mincode at this length must keep extending, exactly
+            # like the old dict miss
+            if mincode[length] <= code <= maxcode[length]:
+                return vals[valptr[length] + code - mincode[length]]
         raise ValueError("invalid huffman code")
 
     def extend(v, n):
@@ -2107,11 +2182,14 @@ def _make_jpeg_color_decoder():
             return 0
         return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
 
+    unzig = np.argsort(np.array(zigzag))  # once, not per dense block
+
     def decode_block(br, dct, act, q, pred):
-        coeffs = np.zeros(64, dtype=np.int64)
+        # coeff buffer allocated LAZILY (r17): the DC-only block — the
+        # overwhelmingly common case in flat regions — never touches it
         s = decode_huff(br, dct)
         pred += extend(br.read_bits(s), s)
-        coeffs[0] = pred
+        coeffs = None
         k = 1
         while k < 64:
             rs = decode_huff(br, act)
@@ -2124,19 +2202,26 @@ def _make_jpeg_color_decoder():
             k += r
             if k > 63:
                 raise ValueError("AC run past 63")
+            if coeffs is None:
+                coeffs = np.zeros(64, dtype=np.int64)
             coeffs[k] = extend(br.read_bits(size), size)
             k += 1
         if k == 1:
             # DC-only: bit-identical 1-coefficient IDCT (see the
             # grayscale decoder) — the overwhelmingly common block in
-            # flat image regions, and a ~10x decode win there
+            # flat image regions, and a ~10x decode win there. Returns
+            # the SCALAR (r17: numpy broadcasts it into the plane slice;
+            # the old per-block np.full was ~7% of decode wall).
             a = float(_A[0, 0])
             c = min(
                 255,
-                max(0, round((a * float(coeffs[0] * q[0])) * a) + 128),
+                max(0, round((a * float(pred * q[0])) * a) + 128),
             )
-            return np.full((8, 8), int(c), dtype=np.int64), pred
-        fq = (coeffs * q)[np.argsort(np.array(zigzag))].reshape(8, 8)
+            return int(c), pred
+        if coeffs is None:  # ZRL-advanced but no nonzero AC decoded
+            coeffs = np.zeros(64, dtype=np.int64)
+        coeffs[0] = pred
+        fq = (coeffs * q)[unzig].reshape(8, 8)
         spatial = _A @ fq.astype(np.float64) @ _A.T
         return np.clip(np.round(spatial) + 128, 0, 255).astype(np.int64), pred
 
@@ -2961,16 +3046,36 @@ def _make_jpeg_progressive_decoder():
         ]
     )
 
+    # Decode-table memo, closure-local (the decoders pickle by value, so
+    # no module state): tables arrive once PER IMAGE but are identical
+    # across a corpus — rebuilding the lookup 2x per image was ~5% of
+    # decode wall (r17 profile: 10k build_decode calls per task).
+    _huff_memo = {}
+
     def build_decode(bits, vals):
-        table = {}
+        """Canonical mincode/maxcode/valptr arrays (T.81 F.15) — same
+        (length, code) -> symbol mapping the old dict held, decoded with
+        two list indexes instead of a tuple-key dict probe (r17)."""
+        key = (bytes(bits), bytes(vals))
+        hit = _huff_memo.get(key)
+        if hit is not None:
+            return hit
+        mincode = [0] * 17
+        maxcode = [-1] * 17
+        valptr = [0] * 17
         code = 0
         k = 0
         for length in range(1, 17):
-            for _ in range(bits[length - 1]):
-                table[(length, code)] = vals[k]
-                code += 1
-                k += 1
+            n = bits[length - 1]
+            if n:
+                valptr[length] = k
+                mincode[length] = code
+                code += n
+                k += n
+                maxcode[length] = code - 1
             code <<= 1
+        table = (mincode, maxcode, valptr, tuple(vals))
+        _huff_memo[key] = table
         return table
 
     class BitReader:
@@ -3024,18 +3129,32 @@ def _make_jpeg_progressive_decoder():
             return b
 
         def read_bits(self, n):
+            # Chunked MSB-first read (r17): consume up to a whole byte
+            # per step instead of one read_bit call per bit — identical
+            # bit order and identical _next_byte error points.
             v = 0
-            for _ in range(n):
-                v = (v << 1) | self.read_bit()
+            while n > 0:
+                if self.bit == 0:
+                    self.cur = self._next_byte()
+                avail = 8 - self.bit
+                take = avail if avail < n else n
+                v = (v << take) | (
+                    (self.cur >> (avail - take)) & ((1 << take) - 1)
+                )
+                self.bit = (self.bit + take) & 7
+                n -= take
             return v
 
     def decode_huff(br, table):
+        mincode, maxcode, valptr, vals = table
         code = 0
         for length in range(1, 17):
             code = (code << 1) | br.read_bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
+            # both bounds: dict semantics on corrupt streams — a code
+            # below mincode at this length must keep extending, exactly
+            # like the old dict miss
+            if mincode[length] <= code <= maxcode[length]:
+                return vals[valptr[length] + code - mincode[length]]
         raise ValueError("invalid huffman code")
 
     def extend(v, n):
