@@ -1145,44 +1145,60 @@ def _make_gif_decoder():
     tests drive it with a genuinely compressed stream)."""
     import struct
 
+    # Base-table memo (r17): the literal table is a function of
+    # min_code_size alone, but was rebuilt per image AND per CLEAR code
+    # as a dict comprehension (~0.9 s of the sf0.1 decode task). A LIST
+    # indexed by code value (slots for CLEAR/END keep indexes aligned,
+    # never looked up — both are intercepted first) makes the reset a
+    # C-speed list.copy() and the table probe an index bound check;
+    # len(table) tracks the old next_code exactly.
+    _lzw_base: dict[int, list] = {}
+
     def lzw_decode(data: bytes, min_size: int) -> bytes | None:
         clear = 1 << min_size
         end = clear + 1
+        base = _lzw_base.get(min_size)
+        if base is None:
+            base = [bytes([i]) for i in range(clear)] + [None, None]
+            _lzw_base[min_size] = base
         width = min_size + 1
-        next_code = end + 1
-        table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+        table = base.copy()
         out = bytearray()
         prev: bytes | None = None
-        bitpos = 0
-        total_bits = len(data) * 8
+        # LSB-first accumulator (r17): pull whole bytes instead of the
+        # old per-bit loop — identical code stream, identical
+        # ran-off-the-stream condition (fewer than `width` bits left).
+        acc = 0
+        accbits = 0
+        pos = 0
+        n = len(data)
         while True:
-            if bitpos + width > total_bits:
-                return None  # ran off the stream without END
-            v = 0
-            for b in range(width):  # GIF packs codes LSB-first
-                v |= (
-                    (data[(bitpos + b) >> 3] >> ((bitpos + b) & 7)) & 1
-                ) << b
-            bitpos += width
+            while accbits < width:
+                if pos >= n:
+                    return None  # ran off the stream without END
+                acc |= data[pos] << accbits
+                pos += 1
+                accbits += 8
+            v = acc & ((1 << width) - 1)
+            acc >>= width
+            accbits -= width
             if v == clear:
-                table = {i: bytes([i]) for i in range(clear)}
-                next_code = end + 1
+                table = base.copy()
                 width = min_size + 1
                 prev = None
                 continue
             if v == end:
                 return bytes(out)
-            if v in table:
+            if v < len(table):
                 entry = table[v]
-            elif v == next_code and prev is not None:
+            elif v == len(table) and prev is not None:
                 entry = prev + prev[:1]  # the KwKwK self-reference case
             else:
                 return None  # corrupt code
             out += entry
             if prev is not None:
-                table[next_code] = prev + entry[:1]
-                next_code += 1
-                if next_code == (1 << width) and width < 12:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
                     width += 1
             prev = entry
 
@@ -1352,6 +1368,10 @@ def mm_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     import struct
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # constant grayscale color table — hoisted out of to_gif (r17:
+        # the per-image genexpr was 3.8M iterations per sf0.1 task)
+        gct = bytes(v for i in range(256) for v in (i, i, i))
+
         def to_gif(text) -> bytes | None:
             if text is None:
                 return None
@@ -1377,7 +1397,6 @@ def mm_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
                     bitlen -= 8
             if bitlen:
                 out.append(acc & 0xFF)
-            gct = bytes(v for i in range(256) for v in (i, i, i))
             parts = [
                 b"GIF87a",
                 struct.pack("<HHBBB", w, h, 0xF7, 0, 0),
@@ -2693,13 +2712,25 @@ def _make_dhash_decoder():
                 .reshape(h, w, 3)
                 .sum(axis=2)
             )
-            g = np.empty((8, 9), dtype=np.int64)
-            for i in range(8):
-                r0, r1 = (i * h) // 8, ((i + 1) * h) // 8
-                for j in range(9):
-                    c0, c1 = (j * w) // 9, ((j + 1) * w) // 9
-                    block = luma3[r0:r1, c0:c1]
-                    g[i, j] = int(block.sum()) // (block.size * 3)
+            # 8x9 block means via a summed-area table (r17): one
+            # vectorized pass replaces 72 per-cell numpy .sum() calls
+            # (~40% of the fingerprint task's wall). Exact: int64
+            # prefix sums, nonnegative, so // floor-divides identically
+            # to the old int(block.sum()) // (block.size * 3).
+            P = np.zeros((h + 1, w + 1), dtype=np.int64)
+            P[1:, 1:] = luma3.cumsum(axis=0).cumsum(axis=1)
+            rb = (np.arange(9, dtype=np.int64) * h) // 8
+            cb = (np.arange(10, dtype=np.int64) * w) // 9
+            bs = (
+                P[np.ix_(rb[1:], cb[1:])]
+                - P[np.ix_(rb[:-1], cb[1:])]
+                - P[np.ix_(rb[1:], cb[:-1])]
+                + P[np.ix_(rb[:-1], cb[:-1])]
+            )
+            sizes = (
+                (rb[1:] - rb[:-1])[:, None] * (cb[1:] - cb[:-1])[None, :] * 3
+            )
+            g = bs // sizes
             bits = (g[:, :8] < g[:, 1:]).astype(np.int64).ravel()
             h_lo = int((bits[:32] << w32).sum())
             h_hi = int((bits[32:] << w32).sum())
