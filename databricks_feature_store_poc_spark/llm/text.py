@@ -663,8 +663,13 @@ def text_tfidf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    # localCheckpoint (r17 optimization): the emitted (doc_id, term)
+    # witness set is consumed by BOTH the tf join and the per-doc count,
+    # and each reference re-executed the whole topterms pipeline
+    # (explode + two hash aggregates + window). O(3 x docs) rows.
+    emitted = out.select("doc_id", "term").localCheckpoint()
     joined = tf.join(
-        out.select("doc_id", "term").withColumn("emitted", F.lit(1)),
+        emitted.withColumn("emitted", F.lit(1)),
         ["doc_id", "term"],
         "left",
     )
@@ -673,7 +678,7 @@ def text_tfidf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("emitted") == 1, F.col("tf"))).alias("min_emitted_tf"),
         F.max(F.when(F.col("emitted").isNull(), F.col("tf"))).alias("max_omitted_tf"),
     )
-    n_out = out.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    n_out = emitted.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_terms"))
     return n_out.join(per_doc, "doc_id").select(
         "doc_id",
         "n_terms",
