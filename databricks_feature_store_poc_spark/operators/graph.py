@@ -259,9 +259,11 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count over partitionBy(c) → filter degree <= {JACCARD_HUB_CAP} →
     count over partitionBy(s) carried on every row), so the capped,
     degree-annotated projection is a single subtree. The pair
-    self-join's two sides are that identical subtree, and both need
-    the same hash exchange on ``c`` — Spark's ReuseExchange computes
-    it ONCE. Because each row already carries its supplier's degree,
+    self-join's two sides are that identical subtree, materialized ONCE
+    via localCheckpoint (r17: the plan audit showed ReuseExchange does
+    not fire here — the per-side rename projections defeat exchange
+    canonicalization, so the projection executed twice before). Because
+    each row already carries its supplier's degree,
     the pair groupBy aggregates dx/dy with MAX (degree is functionally
     dependent on the supplier) and the two post-hoc degree joins
     disappear entirely; TakeOrderedAndProject serves the top-k. At
@@ -293,6 +295,14 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d", F.count(F.lit(1)).over(Window.partitionBy("s")).cast("long")
         )
         .drop("cd")
+        # localCheckpoint (r17): the pair self-join's two sides are this
+        # identical subtree, but the r17 plan audit showed ReuseExchange
+        # does NOT fire (the rename projections above the exchange defeat
+        # canonicalization — 0 ReusedExchange nodes), so the orders x
+        # lineitem join + distinct + both degree windows executed TWICE.
+        # Materialized once: O(bipartite edges) rows, the projection this
+        # pipeline holds anyway.
+        .localCheckpoint()
     )
     a = bip.select("c", F.col("s").alias("x"), F.col("d").alias("dx"))
     b = bip.select("c", F.col("s").alias("y"), F.col("d").alias("dy"))

@@ -449,6 +449,11 @@ def feature_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double").alias("hour_value"),
             F.count(F.lit(1)).alias("n_events"),
         )
+        # localCheckpoint (r17): hourly feeds the bounds aggregate AND
+        # the grid-fill join — the raw-events rollup ran twice (the r11
+        # audit had already cut it from three to two; this makes it
+        # one). O(user-hours) rows — the operator's own output grain.
+        .localCheckpoint()
     )
     half = RESAMPLE_HALF_SPAN_HOURS
     # Span-probe short-circuit (VERDICT r11 #6): the clamp lo/hi =
