@@ -638,6 +638,10 @@ def sim_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim_cosine_topk(spark, sf_dir)
         .select("query_id", "neighbor_id")
         .distinct()
+        # localCheckpoint (r17): the exact ground truth feeds BOTH audit
+        # sides (quantized hits + float hits) — the brute-force exact
+        # top-k executed twice per run otherwise. O(queries x k) rows.
+        .localCheckpoint()
     )
 
     def per_query_hits(ann: DataFrame) -> DataFrame:
