@@ -634,14 +634,15 @@ def sim_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side dequantize, no extra fit or shuffle."""
     # distinct pairs on both sides — same set-metric contract as
     # _recall_audit (duplicate vec_ids would otherwise fan the join)
+    # NOTE (r17 optimization round): a localCheckpoint here was tried
+    # and REVERTED — the two audit sides reference this subtree
+    # verbatim (no renames), so AQE's runtime stage reuse already
+    # computes it once, and the eager checkpoint job made the query 13%
+    # slower in a matched-window A/B (2.41 -> 2.74 s).
     exact = (
         sim_cosine_topk(spark, sf_dir)
         .select("query_id", "neighbor_id")
         .distinct()
-        # localCheckpoint (r17): the exact ground truth feeds BOTH audit
-        # sides (quantized hits + float hits) — the brute-force exact
-        # top-k executed twice per run otherwise. O(queries x k) rows.
-        .localCheckpoint()
     )
 
     def per_query_hits(ann: DataFrame) -> DataFrame:

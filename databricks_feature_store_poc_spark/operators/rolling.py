@@ -442,6 +442,11 @@ def feature_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
     )
+    # NOTE (r17 optimization round): a localCheckpoint on hourly was
+    # tried and REVERTED — the bounds aggregate and the grid-fill join
+    # reference the rollup verbatim, AQE's runtime stage reuse already
+    # shares the exchange, and the eager checkpoint job regressed the
+    # query ~13-18% in two A/B windows.
     hourly = (
         e.groupBy("user_id", F.date_trunc("hour", "ts").alias("hb"))
         .agg(
@@ -449,11 +454,6 @@ def feature_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double").alias("hour_value"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        # localCheckpoint (r17): hourly feeds the bounds aggregate AND
-        # the grid-fill join — the raw-events rollup ran twice (the r11
-        # audit had already cut it from three to two; this makes it
-        # one). O(user-hours) rows — the operator's own output grain.
-        .localCheckpoint()
     )
     half = RESAMPLE_HALF_SPAN_HOURS
     # Span-probe short-circuit (VERDICT r11 #6): the clamp lo/hi =
