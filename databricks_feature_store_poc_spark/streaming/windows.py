@@ -429,11 +429,12 @@ def stream_true_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     double cast, so the comparison is bit-exact, not tolerance-based.
     """
     streamed = run_tumbling_stream(spark, sf_dir)
-    # localCheckpoint (r17 optimization): the batch twin feeds both
-    # exceptAll directions — without truncation the events windowed agg
-    # executes twice. O(windows) rows; the streamed side is a memory
-    # sink scan and stays lazy.
-    batch = stream_tumbling(spark, sf_dir).localCheckpoint()
+    # NOTE (r17 optimization round): a localCheckpoint on the batch twin
+    # was tried and REVERTED across all three parity gates — both
+    # exceptAll directions reference the twin verbatim, AQE's runtime
+    # stage reuse already shares the aggregate, and the eager checkpoint
+    # job regressed the three gates 20% in a matched-window A/B.
+    batch = stream_tumbling(spark, sf_dir)
     diff = streamed.exceptAll(batch).unionAll(batch.exceptAll(streamed))
     n_diff = diff.agg(F.count(F.lit(1)).alias("n_diff_rows"))
     return (
@@ -493,9 +494,6 @@ def stream_stateful_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0),
             ).cast("long").alias("total_cents"),
         )
-        # localCheckpoint (r17): referenced by both exceptAll directions
-        # — the events groupBy executed twice otherwise. O(users) rows.
-        .localCheckpoint()
     )
     diff = final.exceptAll(batch).unionAll(batch.exceptAll(final))
     n_diff = diff.agg(F.count(F.lit(1)).alias("n_diff_rows"))
@@ -1069,11 +1067,6 @@ def stream_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch.crossJoin(F.broadcast(wm))
         .filter(F.col("session_end") <= F.col("w"))
         .drop("w")
-        # localCheckpoint (r17): closed feeds both exceptAll directions
-        # AND the n_closed_sessions count — the batch sessionization
-        # (window + groupBy over events) executed up to three times.
-        # O(closed sessions) rows.
-        .localCheckpoint()
     )
     diff = streamed.exceptAll(closed).unionAll(closed.exceptAll(streamed))
     n_diff = diff.agg(F.count(F.lit(1)).alias("n_diff_rows"))
