@@ -23,19 +23,105 @@ from pyspark.sql import DataFrame, SparkSession
 _CACHE: dict[tuple, DataFrame] = {}
 
 
+def app_id(spark: SparkSession) -> str:
+    """applicationId without the per-call py4j round-trip: immutable for
+    the life of a SparkContext, so cache it ON the context object (a
+    restarted session is a NEW object -> recomputed). Memo keys across
+    the engine hit this on every call (~500+ per bench pass), so the
+    round-trip was pure per-query floor (r18, VERDICT r17 #1)."""
+    sc = spark.sparkContext
+    app = getattr(sc, "_graft_app_id", None)
+    if app is None:
+        app = sc.applicationId
+        sc._graft_app_id = app
+    return app
+
+
 def source_fingerprint(paths: list[str]) -> str:
     h = hashlib.sha256()
     for src in paths:
-        parts = [src]
-        if os.path.isdir(src):
-            parts = sorted(os.path.join(src, p) for p in os.listdir(src)) or [src]
-        for p in parts:
-            try:
-                st = os.stat(p)
-                h.update(f"{p}:{st.st_mtime_ns}:{st.st_size};".encode())
-            except OSError:
-                h.update(f"{p}:missing;".encode())
+        # scandir batches the per-file stat into the directory walk
+        # (DirEntry.stat() is served from the dirent where the OS
+        # provides it) — the listdir+stat-per-file version cost one
+        # extra syscall per part file, which at ~5k staged files per
+        # binary corpus was a measurable slice of the per-query floor
+        # (r18, VERDICT r17 'do this' #1).
+        entries = None
+        try:
+            with os.scandir(src) as it:
+                entries = sorted(it, key=lambda e: e.path)
+        except NotADirectoryError:
+            pass
+        except OSError:
+            h.update(f"{src}:missing;".encode())
+            continue
+        if entries is not None:
+            if not entries:
+                entries = None  # empty dir: fall through to stat(src)
+            else:
+                for e in entries:
+                    try:
+                        st = e.stat()
+                        h.update(
+                            f"{e.path}:{st.st_mtime_ns}:{st.st_size};".encode()
+                        )
+                    except OSError:
+                        h.update(f"{e.path}:missing;".encode())
+                continue
+        try:
+            st = os.stat(src)
+            h.update(f"{src}:{st.st_mtime_ns}:{st.st_size};".encode())
+        except OSError:
+            h.update(f"{src}:missing;".encode())
     return h.hexdigest()[:16]
+
+
+# localCheckpoint lifecycle ledger (r18, VERDICT r17 'do this' #5):
+# checkpointed RDD blocks pin MEMORY_AND_DISK storage until the JVM's
+# ContextCleaner eventually notices (measured 62 -> 126 MB over four
+# bench passes of the four heaviest checkpointing queries in r17). The
+# engine's checkpoints are all consumed by the SINGLE action the caller
+# runs on the returned plan, so the harnesses (bench.py, tests/harness)
+# release them explicitly right after that action. Releasing truncates
+# the lineage-free blocks, so a released DataFrame must not be executed
+# again — which is exactly the bench/oracle lifecycle (build -> one
+# action -> discard). Long-lived interactive sessions that hold query
+# results across calls should simply not call release_checkpoints.
+_TRACKED_CKPTS: list[tuple[str, object]] = []
+
+
+def tracked_local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``df.localCheckpoint(eager)`` + register the checkpointed RDD so
+    ``release_checkpoints`` can unpersist its blocks after the consuming
+    action. Falls back to an untracked checkpoint if the JVM plan shape
+    is not the expected LogicalRDD (never breaks the query)."""
+    out = df.localCheckpoint(eager=eager)
+    try:
+        # Dataset.localCheckpoint returns Dataset.ofRows(LogicalRDD(...));
+        # LogicalRDD.rdd() is the persisted internal-row RDD.
+        jrdd = out._jdf.queryExecution().analyzed().rdd()
+        _TRACKED_CKPTS.append((app_id(df.sparkSession), jrdd))
+    except Exception:
+        pass
+    return out
+
+
+def release_checkpoints(spark: SparkSession) -> int:
+    """Unpersist every tracked checkpoint's blocks (non-blocking) and
+    clear the ledger. Call ONLY after the action consuming the current
+    query's plan has completed. Returns the number released."""
+    n = 0
+    app = app_id(spark)
+    for a, jrdd in _TRACKED_CKPTS:
+        if a != app:
+            continue  # owning session gone; blocks died with it
+        try:
+            jrdd.unpersist(False)
+            n += 1
+        except Exception:
+            pass
+    _TRACKED_CKPTS.clear()
+    return n
 
 
 def session_get(
@@ -46,14 +132,14 @@ def session_get(
     skip the construction when a live entry already exists. Returns
     None on miss or stale fingerprint (the next session_persist call
     evicts stale entries)."""
-    key = (spark.sparkContext.applicationId, kind, source_fingerprint(source_paths))
+    key = (app_id(spark), kind, source_fingerprint(source_paths))
     return _CACHE.get(key)
 
 
 def session_persist(
     spark: SparkSession, kind: str, source_paths: list[str], df: DataFrame
 ) -> DataFrame:
-    app = spark.sparkContext.applicationId
+    app = app_id(spark)
     key = (app, kind, source_fingerprint(source_paths))
     for k in [k for k in _CACHE if k != key and (k[0] != app or k[:2] == key[:2])]:
         try:

@@ -79,7 +79,11 @@ def _overwrite_barrier(
     if is_local is None:
         is_local = spark.sparkContext.master.startswith("local")
     if is_local:
-        return df.localCheckpoint(eager=True)
+        from databricks_feature_store_poc_spark.cacheutil import (
+            tracked_local_checkpoint,
+        )
+
+        return tracked_local_checkpoint(df)
     if spark.sparkContext.getCheckpointDir() is not None:
         return df.checkpoint(eager=True)
     from pyspark import StorageLevel

@@ -23,6 +23,9 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from databricks_feature_store_poc_spark.llm.dedup import shingle_expr
+from databricks_feature_store_poc_spark.cacheutil import (
+    tracked_local_checkpoint as _ckpt,
+)
 from databricks_feature_store_poc_spark.registry import query
 from databricks_feature_store_poc_spark.sources.catalog import load_table
 
@@ -642,7 +645,7 @@ def text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # + groupBy re-executes per branch. One row per DISTINCT train
         # shingle with two booleans — the cheapest representation of
         # this corpus the query ever holds.
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     sh_stats = marked.agg(
         F.count(F.lit(1)).alias("n_train_shingles"),

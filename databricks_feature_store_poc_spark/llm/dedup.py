@@ -32,6 +32,10 @@ import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from databricks_feature_store_poc_spark.cacheutil import app_id as _app_id
+from databricks_feature_store_poc_spark.cacheutil import (
+    tracked_local_checkpoint as _ckpt,
+)
 from databricks_feature_store_poc_spark.registry import query
 from databricks_feature_store_poc_spark.sources.catalog import load_table
 
@@ -114,7 +118,7 @@ def shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     (session, sf_dir): deterministic content, so reuse is invisible to
     callers except in wall time.
     """
-    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    cache_key = (_app_id(spark), sf_dir)
     cached = _INDEX_CACHE.get(cache_key)
     if cached is not None:
         return cached
@@ -144,7 +148,7 @@ def shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Evict superseded entries (oldest-first; dicts preserve insertion
     # order). Entries from dead sessions just get dropped — unpersist on a
     # stopped SparkContext raises, and their storage died with the JVM.
-    app_id = spark.sparkContext.applicationId
+    app_id = _app_id(spark)
     while len(_INDEX_CACHE) > _INDEX_CACHE_MAX:
         old_key, old_df = next(iter(_INDEX_CACHE.items()))
         del _INDEX_CACHE[old_key]
@@ -281,30 +285,31 @@ _MINHASH_BANDS = 4
 _MH_MASK = (1 << 48) - 1
 
 
-def _mh_h12_spark() -> tuple[F.Column, F.Column]:
-    """(h1, h2) 48-bit halves of one md5(shingle)."""
-    d = F.md5(F.col("shingle"))
-    return (
-        F.conv(F.substring(d, 1, 12), 16, 10).cast("long"),
-        F.conv(F.substring(d, 13, 12), 16, 10).cast("long"),
-    )
-
-
-def _mh_lane_spark(i: int) -> F.Column:
-    """Lane i over pre-projected h1/h2 columns (K-M composition)."""
-    return (F.col("mh_h1") + F.lit(i) * F.col("mh_h2")).bitwiseAND(
-        F.lit(_MH_MASK)
-    )
-
-
 def _mh_sigs_spark(idx: DataFrame, n_lanes: int) -> DataFrame:
     """Per-doc minhash signature columns mh0..mh{n-1} from a
     (doc_id, shingle) index — one md5 per shingle, lanes by integer
-    arithmetic, one groupBy."""
-    h1, h2 = _mh_h12_spark()
-    hashed = idx.select("doc_id", h1.alias("mh_h1"), h2.alias("mh_h2"))
+    arithmetic, one groupBy.
+
+    Built from sql-string expressions (r18 floor, VERDICT r17 #1): the
+    column-object form cost ~1,500 py4j round-trips per build (16 lanes
+    x ~8 ops each, 3-4 builds per bench pass across the minhash family);
+    one parsed expression per column is ~50. The parsed SQL is the
+    IDENTICAL expression tree (same functions, same casts, same
+    precedence), so the analyzed plan and results are unchanged —
+    re-verified against the oracle and pinned by the existing
+    signature-equivalence tests."""
+    hashed = idx.selectExpr(
+        "doc_id",
+        "CAST(conv(substring(md5(shingle), 1, 12), 16, 10) AS BIGINT)"
+        " AS mh_h1",
+        "CAST(conv(substring(md5(shingle), 13, 12), 16, 10) AS BIGINT)"
+        " AS mh_h2",
+    )
     return hashed.groupBy("doc_id").agg(
-        *[F.min(_mh_lane_spark(i)).alias(f"mh{i}") for i in range(n_lanes)]
+        *[
+            F.expr(f"min((mh_h1 + {i} * mh_h2) & {_MH_MASK}) AS mh{i}")
+            for i in range(n_lanes)
+        ]
     )
 
 
@@ -397,39 +402,34 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = _mh_sigs_spark(idx, _MINHASH_LANES)
     # 4 bands of 4 rows; the JOIN KEY is the band's minhash 4-tuple
     # itself (oracle-reproducible), not a hash of it.
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        *[
-                            F.col(f"mh{b * 4 + r}").alias(f"k{r}")
-                            for r in range(4)
-                        ],
-                    )
-                    for b in range(_MINHASH_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.k0", "bk.k1", "bk.k2", "bk.k3")
+    # expression-string form (r18 floor, VERDICT r17 #1): identical
+    # plan to the old column-object construction, ~1/10th the py4j
+    # round-trips during build
+    band_structs = ", ".join(
+        "named_struct('band', {b}, {ks})".format(
+            b=b,
+            ks=", ".join(f"'k{r}', mh{b * 4 + r}" for r in range(4)),
+        )
+        for b in range(_MINHASH_BANDS)
+    )
+    bands = sigs.selectExpr(
+        "doc_id", f"explode(array({band_structs})) AS bk"
+    ).selectExpr("doc_id", "bk.band", "bk.k0", "bk.k1", "bk.k2", "bk.k3")
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.k0") == F.col("b.k0"))
-            & (F.col("a.k1") == F.col("b.k1"))
-            & (F.col("a.k2") == F.col("b.k2"))
-            & (F.col("a.k3") == F.col("b.k3"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            F.expr(
+                "a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1"
+                " AND a.k2 = b.k2 AND a.k3 = b.k3"
+                " AND a.doc_id < b.doc_id"
+            ),
         )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .agg(F.count(F.lit(1)).cast("int").alias("n_shared_bands"))
+        .agg(F.expr("CAST(count(1) AS INT) AS n_shared_bands"))
         # localCheckpoint (r17 optimization): candidates feeds BOTH the
         # exact-Jaccard verification and the final n_shared_bands
         # join-back — without truncation the signature groupBy + band
@@ -437,7 +437,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # which calls this query, paid it twice more). The table is the
         # LSH bucket output: O(candidate pairs) by construction, the
         # smallest relation this pipeline holds.
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     # Verify ONLY the candidates — computing all exact pairs here would
     # defeat the LSH: verification cost must scale with bucket output.
@@ -1063,7 +1063,7 @@ def dedup_embedding_cosine(
             F.pmod(F.hash("vec_id"), F.lit(n_blocks)) == blk
         ).collect()
         if rows:
-            part = one_block(rows).localCheckpoint(eager=True)
+            part = _ckpt(one_block(rows))
             one_block.last_bc.destroy()
             parts.append(part)
     out = parts[0]

@@ -1495,6 +1495,233 @@ def jpeg_canonical_codes(bits, vals):
     return codes
 
 
+def _jpeg_entropy_tools():
+    """Shared JPEG entropy-decode kernel for the three decoders
+    (grayscale / color / progressive): an accumulator BitReader plus a
+    16-bit table-lookup Huffman decoder (r18 optimization, guide §4.2 —
+    the r17 profile still showed 0.67 M per-bit Python calls per color
+    task; this removes the per-bit loop entirely).
+
+    Called INSIDE each decoder factory so every object here is a
+    closure-local dynamic class/function that cloudpickle serializes BY
+    VALUE — executors never import this repo (the codec-family
+    convention).
+
+    Semantics are bit-identical to the r17 per-bit reader by
+    construction:
+
+    - ``_fill`` loads bytes with EXACTLY the old ``_next_byte`` rules
+      (0xFF00 unstuffing, stop-at-marker, stop-at-truncation) but
+      best-effort: insufficient bits raise only when a consumer
+      actually needs them, which is the same observable outcome as the
+      old raise-at-the-bit (every path maps to the decoders' broad
+      ``except`` -> diagnostic row).
+    - ``decode_huff`` indexes a 65536-entry LUT built canonically per
+      (bits, vals) with SHORTEST-CODE-WINS fill order (lengths 16 down
+      to 1), which reproduces the old loop's first-match-at-shortest-
+      length semantics even for Kraft-violating foreign tables; windows
+      shorter than 16 real bits are zero-padded, and a hit longer than
+      the available bits raises exactly where the old loop would have
+      hit truncation.
+    - ``sync()`` rewinds prefetched-but-unconsumed whole bytes back
+      onto the buffer (a loaded byte was 2 source bytes iff it was a
+      stuffed 0xFF, i.e. the pair FF 00 — unambiguous because a plain
+      0xFF cannot appear unstuffed in entropy data) and discards
+      partial pad bits, restoring the old reader's exact ``pos``
+      invariant at restart boundaries and scan ends.
+    """
+    import numpy as np
+
+    _huff_memo = {}
+
+    def build_decode(bits, vals):
+        """65536-entry Huffman LUT: entry[w] = (code_length << 8) | symbol
+        for the shortest code that is a prefix of the 16-bit window w;
+        0 where no code matches. Memoized per table bytes (tables repeat
+        across a corpus; rebuilding was ~5% of decode wall pre-r17)."""
+        key = (bytes(bits), bytes(vals))
+        hit = _huff_memo.get(key)
+        if hit is not None:
+            return hit
+        lut = np.zeros(65536, dtype=np.uint16)
+        # mincode/valptr per T.81 F.15, filled longest-length first so
+        # shorter codes overwrite overlaps (old loop checked lengths
+        # ascending and returned the first match).
+        spans = []
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            n = bits[length - 1]
+            if n:
+                spans.append((length, code, k, n))
+                code += n
+                k += n
+            code <<= 1
+        for length, mincode, valptr, n in reversed(spans):
+            shift = 16 - length
+            for i in range(n):
+                c = mincode + i
+                if c >= (1 << length):
+                    break  # Kraft-violating tail: unreachable codes
+                lut[c << shift:(c + 1) << shift] = (
+                    (length << 8) | vals[valptr + i]
+                )
+        table = lut.tolist()  # plain-list indexing beats np scalar get
+        _huff_memo[key] = table
+        return table
+
+    class BitReader:
+        """Entropy-segment bit reader with an MSB-first accumulator:
+        unstuffs 0xFF00, stops at any other marker, byte-realigns (and
+        rewinds prefetch) on restart. ``acc`` always holds exactly
+        ``nbits`` valid low bits (consumers re-mask after every take)."""
+
+        __slots__ = ("buf", "pos", "acc", "nbits", "marker", "exhausted")
+
+        def __init__(self, buf: bytes, pos: int):
+            self.buf = buf
+            self.pos = pos
+            self.acc = 0
+            self.nbits = 0
+            self.marker = None
+            self.exhausted = False
+
+        def _fill(self, target):
+            """Best-effort: load whole bytes until >= target bits are
+            buffered, or the stream ends (truncation / marker / past a
+            previously-seen marker). Never raises — consumers raise
+            when the bits they need are not there, which is the same
+            observable point the old per-byte reader raised at."""
+            if self.exhausted:
+                return
+            buf = self.buf
+            pos = self.pos
+            lim = len(buf)
+            acc = self.acc
+            nb = self.nbits
+            while nb < target:
+                if pos >= lim:
+                    self.exhausted = True
+                    break
+                b = buf[pos]
+                if b == 0xFF:
+                    if pos + 1 >= lim:
+                        self.exhausted = True  # truncated marker
+                        break
+                    nxt = buf[pos + 1]
+                    if nxt != 0x00:
+                        self.marker = nxt
+                        self.exhausted = True
+                        break
+                    pos += 2  # stuffed 0xFF00 -> data byte 0xFF
+                else:
+                    pos += 1
+                acc = (acc << 8) | b
+                nb += 8
+            self.acc = acc
+            self.nbits = nb
+            self.pos = pos
+
+        def sync(self):
+            """Rewind prefetched-but-unconsumed whole bytes onto the
+            buffer and discard partial pad bits: afterwards ``pos`` is
+            byte-exact — identical to the old reader after its
+            ``byte_align()`` (a partially-consumed byte counts as
+            consumed; untouched bytes do not)."""
+            pos = self.pos
+            buf = self.buf
+            for _ in range(self.nbits >> 3):
+                if pos >= 2 and buf[pos - 1] == 0x00 and buf[pos - 2] == 0xFF:
+                    pos -= 2  # stuffed pair fed one 0xFF data byte
+                else:
+                    pos -= 1
+            self.pos = pos
+            self.acc = 0
+            self.nbits = 0
+            self.marker = None
+            self.exhausted = False
+
+        byte_align = sync  # spec name at restart boundaries
+
+        def peek_marker(self):
+            """At a byte boundary (post-sync), check for a marker
+            without consuming."""
+            if (
+                self.nbits == 0
+                and self.pos + 1 < len(self.buf)
+                and self.buf[self.pos] == 0xFF
+                and self.buf[self.pos + 1] != 0x00
+            ):
+                return self.buf[self.pos + 1]
+            return None
+
+        def skip_marker(self):
+            self.pos += 2
+            self.acc = 0
+            self.nbits = 0
+            self.marker = None
+            self.exhausted = False
+
+        def read_bit(self):
+            nb = self.nbits
+            if nb == 0:
+                self._fill(1)
+                nb = self.nbits
+                if nb == 0:
+                    raise ValueError("truncated entropy data")
+            nb -= 1
+            self.nbits = nb
+            if self.acc >> nb:
+                self.acc &= (1 << nb) - 1
+                return 1
+            return 0
+
+        def read_bits(self, n):
+            if n <= 0:
+                return 0
+            nb = self.nbits
+            if nb < n:
+                self._fill(n)
+                nb = self.nbits
+                if nb < n:
+                    raise ValueError("truncated entropy data")
+            nb -= n
+            self.nbits = nb
+            v = self.acc >> nb
+            self.acc &= (1 << nb) - 1
+            return v
+
+    def decode_huff(br, lut):
+        n = br.nbits
+        if n < 16:
+            br._fill(25)  # overshoot: one fill serves ~2 symbols
+            n = br.nbits
+        if n >= 16:
+            w = br.acc >> (n - 16)
+        else:
+            w = (br.acc << (16 - n)) & 0xFFFF  # zero-padded tail window
+        v = lut[w]
+        ln = v >> 8
+        if ln == 0 or ln > n:
+            # no code matches (invalid stream) or the matching code
+            # needs bits past the end (truncation) — both routes hit
+            # the decoders' broad except -> diagnostic row, exactly
+            # like the old per-bit loop's two raise points.
+            raise ValueError("bad huffman code")
+        n -= ln
+        br.nbits = n
+        br.acc &= (1 << n) - 1
+        return v & 0xFF
+
+    def extend(v, n):
+        """T.81 F.2.2.1 EXTEND: recover signed value from n raw bits."""
+        if n == 0:
+            return 0
+        return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+    return BitReader, build_decode, decode_huff, extend
+
+
 def _make_jpeg_decoder():
     """Factory for mm_decode_jpeg's decode stage (closure =>
     cloudpickle by-value, the codec-family convention). The decoder is
@@ -1537,129 +1764,11 @@ def _make_jpeg_decoder():
         ]
     )
 
-    # Decode-table memo, closure-local (the decoders pickle by value, so
-    # no module state): tables arrive once PER IMAGE but are identical
-    # across a corpus — rebuilding the lookup 2x per image was ~5% of
-    # decode wall (r17 profile: 10k build_decode calls per task).
-    _huff_memo = {}
-
-    def build_decode(bits, vals):
-        """Canonical mincode/maxcode/valptr arrays (T.81 F.15) — same
-        (length, code) -> symbol mapping the old dict held, decoded with
-        two list indexes instead of a tuple-key dict probe (r17)."""
-        key = (bytes(bits), bytes(vals))
-        hit = _huff_memo.get(key)
-        if hit is not None:
-            return hit
-        mincode = [0] * 17
-        maxcode = [-1] * 17
-        valptr = [0] * 17
-        code = 0
-        k = 0
-        for length in range(1, 17):
-            n = bits[length - 1]
-            if n:
-                valptr[length] = k
-                mincode[length] = code
-                code += n
-                k += n
-                maxcode[length] = code - 1
-            code <<= 1
-        table = (mincode, maxcode, valptr, tuple(vals))
-        _huff_memo[key] = table
-        return table
-
-    class BitReader:
-        """Entropy-segment bit reader: unstuffs 0xFF00, stops at any
-        other marker (reporting it), byte-realigns on restart."""
-
-        def __init__(self, buf: bytes, pos: int):
-            self.buf = buf
-            self.pos = pos
-            self.bit = 0
-            self.marker = None
-
-        def _next_byte(self):
-            if self.marker is not None:
-                raise ValueError("read past marker")
-            if self.pos >= len(self.buf):
-                raise ValueError("truncated entropy data")
-            b = self.buf[self.pos]
-            if b == 0xFF:
-                if self.pos + 1 >= len(self.buf):
-                    raise ValueError("truncated marker")
-                nxt = self.buf[self.pos + 1]
-                if nxt == 0x00:
-                    self.pos += 2
-                    return 0xFF
-                self.marker = nxt
-                raise ValueError("marker in entropy data")
-            self.pos += 1
-            return b
-
-        def byte_align(self):
-            """Discard pad bits of a partially-consumed byte (the byte
-            itself was already read off the buffer, so only the bit
-            cursor resets) — spec behavior before a restart marker."""
-            self.bit = 0
-
-        def peek_marker(self):
-            """At a byte boundary, check for a marker without consuming."""
-            if (
-                self.bit == 0
-                and self.pos + 1 < len(self.buf)
-                and self.buf[self.pos] == 0xFF
-                and self.buf[self.pos + 1] != 0x00
-            ):
-                return self.buf[self.pos + 1]
-            return None
-
-        def skip_marker(self):
-            self.pos += 2
-            self.bit = 0
-            self.marker = None
-
-        def read_bit(self):
-            if self.bit == 0:
-                self.cur = self._next_byte()
-            b = (self.cur >> (7 - self.bit)) & 1
-            self.bit = (self.bit + 1) & 7
-            return b
-
-        def read_bits(self, n):
-            # Chunked MSB-first read (r17): consume up to a whole byte
-            # per step instead of one read_bit call per bit — identical
-            # bit order and identical _next_byte error points.
-            v = 0
-            while n > 0:
-                if self.bit == 0:
-                    self.cur = self._next_byte()
-                avail = 8 - self.bit
-                take = avail if avail < n else n
-                v = (v << take) | (
-                    (self.cur >> (avail - take)) & ((1 << take) - 1)
-                )
-                self.bit = (self.bit + take) & 7
-                n -= take
-            return v
-
-    def decode_huff(br, table):
-        mincode, maxcode, valptr, vals = table
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | br.read_bit()
-            # both bounds: dict semantics on corrupt streams — a code
-            # below mincode at this length must keep extending, exactly
-            # like the old dict miss
-            if mincode[length] <= code <= maxcode[length]:
-                return vals[valptr[length] + code - mincode[length]]
-        raise ValueError("invalid huffman code")
-
-    def extend(v, n):
-        """T.81 F.2.2.1 EXTEND: recover signed value from n raw bits."""
-        if n == 0:
-            return 0
-        return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+    # Accumulator BitReader + 16-bit LUT Huffman decoder, shared across
+    # the three JPEG decoders (r18, guide §4.2) — see _jpeg_entropy_tools
+    # for the bit-exactness argument. Instantiated INSIDE the factory so
+    # everything still pickles by value.
+    BitReader, build_decode, decode_huff, extend = _jpeg_entropy_tools()
 
     def parse(payload):
         if payload is None:
@@ -1818,9 +1927,11 @@ def _make_jpeg_decoder():
                     block = np.clip(np.round(spatial) + 128, 0, 255)
                     img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = block
                     mcu += 1
-            # after the scan: expect EOI. A partially-consumed byte was
-            # already read off the buffer (its remaining bits are the
-            # encoder's pad), so the next marker starts at br.pos.
+            # after the scan: expect EOI. sync() drops the pad bits of a
+            # partially-consumed byte and rewinds prefetched-but-unused
+            # bytes, so the next marker starts exactly at br.pos (the
+            # old per-byte reader's invariant).
+            br.sync()
             endpos = br.pos
             consistent = (
                 endpos + 2 <= len(p)
@@ -2091,115 +2202,11 @@ def _make_jpeg_color_decoder():
         ]
     )
 
-    # Decode-table memo, closure-local (the decoders pickle by value, so
-    # no module state): tables arrive once PER IMAGE but are identical
-    # across a corpus — rebuilding the lookup 2x per image was ~5% of
-    # decode wall (r17 profile: 10k build_decode calls per task).
-    _huff_memo = {}
-
-    def build_decode(bits, vals):
-        """Canonical mincode/maxcode/valptr arrays (T.81 F.15) — same
-        (length, code) -> symbol mapping the old dict held, decoded with
-        two list indexes instead of a tuple-key dict probe (r17)."""
-        key = (bytes(bits), bytes(vals))
-        hit = _huff_memo.get(key)
-        if hit is not None:
-            return hit
-        mincode = [0] * 17
-        maxcode = [-1] * 17
-        valptr = [0] * 17
-        code = 0
-        k = 0
-        for length in range(1, 17):
-            n = bits[length - 1]
-            if n:
-                valptr[length] = k
-                mincode[length] = code
-                code += n
-                k += n
-                maxcode[length] = code - 1
-            code <<= 1
-        table = (mincode, maxcode, valptr, tuple(vals))
-        _huff_memo[key] = table
-        return table
-
-    class BitReader:
-        def __init__(self, buf: bytes, pos: int):
-            self.buf = buf
-            self.pos = pos
-            self.bit = 0
-
-        def _next_byte(self):
-            if self.pos >= len(self.buf):
-                raise ValueError("truncated entropy data")
-            b = self.buf[self.pos]
-            if b == 0xFF:
-                if self.pos + 1 >= len(self.buf):
-                    raise ValueError("truncated marker")
-                if self.buf[self.pos + 1] == 0x00:
-                    self.pos += 2
-                    return 0xFF
-                raise ValueError("marker in entropy data")
-            self.pos += 1
-            return b
-
-        def byte_align(self):
-            self.bit = 0
-
-        def peek_marker(self):
-            if (
-                self.bit == 0
-                and self.pos + 1 < len(self.buf)
-                and self.buf[self.pos] == 0xFF
-                and self.buf[self.pos + 1] != 0x00
-            ):
-                return self.buf[self.pos + 1]
-            return None
-
-        def skip_marker(self):
-            self.pos += 2
-            self.bit = 0
-
-        def read_bit(self):
-            if self.bit == 0:
-                self.cur = self._next_byte()
-            b = (self.cur >> (7 - self.bit)) & 1
-            self.bit = (self.bit + 1) & 7
-            return b
-
-        def read_bits(self, n):
-            # Chunked MSB-first read (r17): consume up to a whole byte
-            # per step instead of one read_bit call per bit — identical
-            # bit order and identical _next_byte error points.
-            v = 0
-            while n > 0:
-                if self.bit == 0:
-                    self.cur = self._next_byte()
-                avail = 8 - self.bit
-                take = avail if avail < n else n
-                v = (v << take) | (
-                    (self.cur >> (avail - take)) & ((1 << take) - 1)
-                )
-                self.bit = (self.bit + take) & 7
-                n -= take
-            return v
-
-    def decode_huff(br, table):
-        mincode, maxcode, valptr, vals = table
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | br.read_bit()
-            # both bounds: dict semantics on corrupt streams — a code
-            # below mincode at this length must keep extending, exactly
-            # like the old dict miss
-            if mincode[length] <= code <= maxcode[length]:
-                return vals[valptr[length] + code - mincode[length]]
-        raise ValueError("invalid huffman code")
-
-    def extend(v, n):
-        if n == 0:
-            return 0
-        return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+    # Accumulator BitReader + 16-bit LUT Huffman decoder, shared across
+    # the three JPEG decoders (r18, guide §4.2) — see _jpeg_entropy_tools
+    # for the bit-exactness argument. Instantiated INSIDE the factory so
+    # everything still pickles by value.
+    BitReader, build_decode, decode_huff, extend = _jpeg_entropy_tools()
 
     unzig = np.argsort(np.array(zigzag))  # once, not per dense block
 
@@ -2384,6 +2391,7 @@ def _make_jpeg_color_decoder():
                                 c0 = (mx * hf + bx) * 8
                                 planes[ci][r0:r0 + 8, c0:c0 + 8] = block
                     mcu += 1
+            br.sync()  # drop pad bits + rewind prefetch: exact pos
             endpos = br.pos
             consistent = (
                 endpos + 2 <= len(p)
@@ -3077,121 +3085,11 @@ def _make_jpeg_progressive_decoder():
         ]
     )
 
-    # Decode-table memo, closure-local (the decoders pickle by value, so
-    # no module state): tables arrive once PER IMAGE but are identical
-    # across a corpus — rebuilding the lookup 2x per image was ~5% of
-    # decode wall (r17 profile: 10k build_decode calls per task).
-    _huff_memo = {}
-
-    def build_decode(bits, vals):
-        """Canonical mincode/maxcode/valptr arrays (T.81 F.15) — same
-        (length, code) -> symbol mapping the old dict held, decoded with
-        two list indexes instead of a tuple-key dict probe (r17)."""
-        key = (bytes(bits), bytes(vals))
-        hit = _huff_memo.get(key)
-        if hit is not None:
-            return hit
-        mincode = [0] * 17
-        maxcode = [-1] * 17
-        valptr = [0] * 17
-        code = 0
-        k = 0
-        for length in range(1, 17):
-            n = bits[length - 1]
-            if n:
-                valptr[length] = k
-                mincode[length] = code
-                code += n
-                k += n
-                maxcode[length] = code - 1
-            code <<= 1
-        table = (mincode, maxcode, valptr, tuple(vals))
-        _huff_memo[key] = table
-        return table
-
-    class BitReader:
-        def __init__(self, buf: bytes, pos: int):
-            self.buf = buf
-            self.pos = pos
-            self.bit = 0
-            self.marker = None
-
-        def _next_byte(self):
-            if self.marker is not None:
-                raise ValueError("read past marker")
-            if self.pos >= len(self.buf):
-                raise ValueError("truncated entropy data")
-            b = self.buf[self.pos]
-            if b == 0xFF:
-                if self.pos + 1 >= len(self.buf):
-                    raise ValueError("truncated marker")
-                nxt = self.buf[self.pos + 1]
-                if nxt == 0x00:
-                    self.pos += 2
-                    return 0xFF
-                self.marker = nxt
-                raise ValueError("marker in entropy data")
-            self.pos += 1
-            return b
-
-        def byte_align(self):
-            self.bit = 0
-
-        def peek_marker(self):
-            if (
-                self.bit == 0
-                and self.pos + 1 < len(self.buf)
-                and self.buf[self.pos] == 0xFF
-                and self.buf[self.pos + 1] != 0x00
-            ):
-                return self.buf[self.pos + 1]
-            return None
-
-        def skip_marker(self):
-            self.pos += 2
-            self.bit = 0
-            self.marker = None
-
-        def read_bit(self):
-            if self.bit == 0:
-                self.cur = self._next_byte()
-            b = (self.cur >> (7 - self.bit)) & 1
-            self.bit = (self.bit + 1) & 7
-            return b
-
-        def read_bits(self, n):
-            # Chunked MSB-first read (r17): consume up to a whole byte
-            # per step instead of one read_bit call per bit — identical
-            # bit order and identical _next_byte error points.
-            v = 0
-            while n > 0:
-                if self.bit == 0:
-                    self.cur = self._next_byte()
-                avail = 8 - self.bit
-                take = avail if avail < n else n
-                v = (v << take) | (
-                    (self.cur >> (avail - take)) & ((1 << take) - 1)
-                )
-                self.bit = (self.bit + take) & 7
-                n -= take
-            return v
-
-    def decode_huff(br, table):
-        mincode, maxcode, valptr, vals = table
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | br.read_bit()
-            # both bounds: dict semantics on corrupt streams — a code
-            # below mincode at this length must keep extending, exactly
-            # like the old dict miss
-            if mincode[length] <= code <= maxcode[length]:
-                return vals[valptr[length] + code - mincode[length]]
-        raise ValueError("invalid huffman code")
-
-    def extend(v, n):
-        if n == 0:
-            return 0
-        return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+    # Accumulator BitReader + 16-bit LUT Huffman decoder, shared across
+    # the three JPEG decoders (r18, guide §4.2) — see _jpeg_entropy_tools
+    # for the bit-exactness argument. Instantiated INSIDE the factory so
+    # everything still pickles by value.
+    BitReader, build_decode, decode_huff, extend = _jpeg_entropy_tools()
 
     def parse(payload):
         if payload is None:
@@ -3385,7 +3283,9 @@ def _make_jpeg_progressive_decoder():
                                 eobrun -= 1
                         mcu += 1
                     n_scans += 1
-                    # scan's pad bits: discard; next marker at br.pos
+                    # scan's pad bits: discard (sync also rewinds any
+                    # prefetched bytes); next marker at br.pos
+                    br.sync()
                     pos = br.pos
                     continue
                 pos = pos + 2 + seglen

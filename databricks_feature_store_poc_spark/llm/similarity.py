@@ -29,6 +29,7 @@ import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from databricks_feature_store_poc_spark.cacheutil import app_id as _app_id
 from databricks_feature_store_poc_spark.registry import query
 from databricks_feature_store_poc_spark.sources.catalog import load_table
 
@@ -58,7 +59,7 @@ def _corpus_fingerprint(sf_dir: str) -> str:
 
 
 def _index_cache(spark, kind: str, sf_dir: str, df: "DataFrame") -> "DataFrame":
-    app = spark.sparkContext.applicationId
+    app = _app_id(spark)
     key = (app, kind, sf_dir, _corpus_fingerprint(sf_dir))
     # Evict anything this session can no longer serve: entries from other
     # (stopped) applications and stale fingerprints of the same corpus.
@@ -300,7 +301,7 @@ def _ivf_fit(spark: SparkSession, sf_dir: str):
     """
     import numpy as np
 
-    app = spark.sparkContext.applicationId
+    app = _app_id(spark)
     fp = _corpus_fingerprint(sf_dir)
     memo_key = (app, sf_dir, fp)
     idx_key = (app, "ivf", sf_dir, fp)

@@ -19,6 +19,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from databricks_feature_store_poc_spark.cacheutil import (
+    tracked_local_checkpoint as _ckpt,
+)
 from databricks_feature_store_poc_spark.registry import query
 from databricks_feature_store_poc_spark.sources.catalog import (
     load_table,
@@ -667,7 +670,7 @@ def text_tfidf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # witness set is consumed by BOTH the tf join and the per-doc count,
     # and each reference re-executed the whole topterms pipeline
     # (explode + two hash aggregates + window). O(3 x docs) rows.
-    emitted = out.select("doc_id", "term").localCheckpoint()
+    emitted = _ckpt(out.select("doc_id", "term"))
     joined = tf.join(
         emitted.withColumn("emitted", F.lit(1)),
         ["doc_id", "term"],
@@ -1606,7 +1609,7 @@ def _bpe_learn_merges(
         # checkpoint lineage every round: k nested replaces over an
         # exploded-and-regrouped base re-run the whole prefix per
         # round's argmax job otherwise
-        syms = syms.localCheckpoint(eager=False)
+        syms = _ckpt(syms, eager=False)
         if round_walls is not None:
             round_walls.append(round(_time.perf_counter() - t0, 3))
     return merges
@@ -1941,7 +1944,7 @@ def text_bpe_learn_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f" ' {c['lhs']}{c['rhs']} ')"
                 ),
             )
-        syms = syms.localCheckpoint(eager=False)
+        syms = _ckpt(syms, eager=False)
     schema = (
         "round int, merge_rank int, lhs string, rhs string,"
         " merged string, pair_count long"

@@ -24,6 +24,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from databricks_feature_store_poc_spark.cacheutil import (
+    tracked_local_checkpoint as _ckpt,
+)
 from databricks_feature_store_poc_spark.registry import query
 from databricks_feature_store_poc_spark.sources.catalog import load_table
 
@@ -752,7 +755,7 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gram pass.
     g2 = full.crossJoin(F.broadcast(pow2_keep(full, "s", 24))).select(
         "i", "j", F.expr("(s - pmod(s, p)) div p").alias("g")
-    ).localCheckpoint()
+    ).transform(_ckpt)
     w = g2.groupBy("i").agg(F.sum("g").cast("long").alias("w"))
     for _ in range(3):
         v = w.crossJoin(F.broadcast(pow2_keep(w, "w", 20))).select(

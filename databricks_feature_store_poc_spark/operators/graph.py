@@ -37,6 +37,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from databricks_feature_store_poc_spark.cacheutil import (
+    tracked_local_checkpoint as _ckpt,
+)
 from databricks_feature_store_poc_spark.registry import query
 from databricks_feature_store_poc_spark.sources.catalog import load_table
 
@@ -108,7 +111,7 @@ def pagerank(edges: DataFrame, iters: int = ITERS) -> DataFrame:
     # checkpointed table is |V|-row.
     deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).alias("outdeg")
-    ).localCheckpoint()
+    ).transform(_ckpt)
     n1 = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     # rank0 = SCALE div N; teleport base = (15 * (SCALE div N)) div 100.
     ranks = deg.crossJoin(F.broadcast(n1)).select(
@@ -302,7 +305,7 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         # lineitem join + distinct + both degree windows executed TWICE.
         # Materialized once: O(bipartite edges) rows, the projection this
         # pipeline holds anyway.
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     a = bip.select("c", F.col("s").alias("x"), F.col("d").alias("dx"))
     b = bip.select("c", F.col("s").alias("y"), F.col("d").alias("dy"))
@@ -423,7 +426,7 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(BFS_SOURCES)
         .select((F.col("o_custkey") * 2).alias("node"))
     )
-    frontier = sources.localCheckpoint()
+    frontier = _ckpt(sources)
     visited = frontier
     hops = []
     for hop in range(1, BFS_HOPS + 1):
@@ -432,7 +435,7 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited, "node", "left_anti")
-            .localCheckpoint()
+            .transform(_ckpt)
         )
         # visited(h) = visited(h-1) ∪ frontier(h): the two sides are
         # DISJOINT (the anti-join above removed everything visited) and

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from databricks_feature_store_poc_spark import cacheutil
+from databricks_feature_store_poc_spark.cacheutil import app_id as _app_id
 from databricks_feature_store_poc_spark.registry import query
 from databricks_feature_store_poc_spark.sources.catalog import load_table
 
@@ -48,7 +49,7 @@ def _run_scoped_path(spark: SparkSession, name: str, sf_dir: str) -> str:
     different SFs (or concurrent sessions) never race on an overwrite,
     and a re-read of the directory always sees THIS session's write."""
     sf = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    app = spark.sparkContext.applicationId.replace("-", "_")
+    app = _app_id(spark).replace("-", "_")
     return os.path.join(_staging_root(), f"spark_graft_{name}_{sf}_{app}")
 
 
@@ -299,7 +300,7 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan; every action still reads the files — keyed like the staging
     # itself; manifest-backed table formats exist at scale for exactly
     # this listing cost.
-    memo_key = (spark.sparkContext.applicationId, out)
+    memo_key = (_app_id(spark), out)
     hit = _BINFILES_MEMO.get(memo_key)
     if hit is not None and hit[0] == fp:
         files = hit[1]

@@ -19,6 +19,49 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _install_jvm_function_cache() -> None:
+    """Cache the py4j handles of ``org.apache.spark.sql.functions``
+    members per live JVM view (r18 floor optimization, VERDICT r17 #1).
+
+    Stock ``pyspark.sql.utils._get_jvm_function`` resolves the functions
+    class AND the member with two uncached py4j reflection round-trips on
+    EVERY ``F.xxx(...)`` call — measured 3.35 round-trips / 0.48 ms per
+    F.lit on this rig, ~60% of the 232k build-side py4j calls a bench
+    pass makes. The handles are immutable for the life of the JVM, so
+    memoize them in the JVMView's instance dict (a restarted context
+    creates a fresh JVMView -> fresh cache; ``__dict__`` access bypasses
+    JVMView.__getattr__'s reflection path). Pure call-path memo: the
+    miss path is byte-for-byte the stock lookup, so every constructed
+    Column is identical.
+    """
+    try:
+        import pyspark.sql.functions.builtin as _psu
+
+        if getattr(_psu._get_jvm_function, "_graft_cached", False):
+            return
+        _orig = _psu._get_jvm_function
+
+        def _cached_get_jvm_function(name, sc):
+            jvm = sc._jvm
+            cache = jvm.__dict__.get("_graft_fn_cache")
+            if cache is None:
+                cache = {}
+                jvm.__dict__["_graft_fn_cache"] = cache
+            fn = cache.get(name)
+            if fn is None:
+                fn = _orig(name, sc)
+                cache[name] = fn
+            return fn
+
+        _cached_get_jvm_function._graft_cached = True
+        _psu._get_jvm_function = _cached_get_jvm_function
+    except Exception:
+        pass  # non-classic backends: stock path untouched
+
+
+_install_jvm_function_cache()
+
+
 def _default_driver_mem() -> str:
     """Driver heap default: explicit env wins; otherwise size to the host.
 
@@ -51,6 +94,17 @@ DEFAULT_CONFS: dict[str, str] = {
     # scheduling overhead. At scale AQE targets its advisory partition
     # size either way — this is safe in both directions.
     "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+    # r18 floor optimization (VERDICT r17 #1): PySpark 4 wraps EVERY
+    # Column/DataFrame method with a call-site capture that pushes the
+    # Python stack fragment to the JVM (PySparkCurrentOrigin) — measured
+    # 11 py4j round-trips per Column operator vs 1 with it off, ~0.5 ms
+    # each, across the ~230k build-side calls a bench pass makes. The
+    # switch below is Spark's own documented opt-out ("Providing
+    # DataFrame debugging options to reduce performance slowdown",
+    # pyspark/errors/utils.py); it only drops the enriched PySpark
+    # call-site line from error messages — plans, results and errors
+    # themselves are unchanged.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # The driver testdata stores timestamps as parquet TIMESTAMP(MICROS)

@@ -58,23 +58,25 @@ def _table_fingerprint(path: str) -> str:
     return source_fingerprint([path])
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver test table, normalizing types for cross-engine parity.
+def _app_id(spark: SparkSession) -> str:
+    """Cached applicationId — see cacheutil.app_id (r18)."""
+    from databricks_feature_store_poc_spark.cacheutil import app_id
 
-    - ``events.ts``: int64 nanoseconds (via nanosAsLong) -> TimestampType at
-      microsecond precision (integer division truncates, matching DuckDB).
-    - ``embeddings.embedding``: already ``array<float>``; left as-is.
+    return app_id(spark)
 
-    The analyzed plan is memoized per (session, path, file fingerprint)
-    — see ``_PLAN_MEMO`` above. DataFrames are immutable, so handing the
-    same object to every caller is safe.
-    """
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    memo_key = (spark.sparkContext.applicationId, os.path.abspath(path))
-    fp = _table_fingerprint(path)
-    hit = _PLAN_MEMO.get(memo_key)
-    if hit is not None and hit[0] == fp:
-        return hit[1]
+
+_CONFS_ASSERTED: set[str] = set()
+
+
+def ensure_parquet_read_confs(spark: SparkSession) -> None:
+    """Assert the two parquet read confs the testdata needs, ONCE per
+    session (nothing in the engine ever resets them, and conf.set is a
+    py4j round-trip that used to run per load_table call / per streaming
+    run). Hit and miss paths of the plan memo both route through here,
+    so session conf state is identical either way (ADVICE r17 #1)."""
+    app = _app_id(spark)
+    if app in _CONFS_ASSERTED:
+        return
     for conf, val in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         # TIMESTAMP(MICROS, isAdjustedToUTC=false) must read as LTZ, not
@@ -87,6 +89,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # Static in some builds; if it is and events can't be read, the
             # error surfaces at scan time with a clear parquet-type message.
             pass
+    _CONFS_ASSERTED.add(app)
+    # One dead-session sweep per new session (ADVICE r17 #3): drop memo
+    # entries (and asserted-flag ids) from stopped applications so
+    # multi-session processes can't grow these maps without bound.
+    for memo in (_PLAN_MEMO, _SCHEMA_MEMO):
+        for k in [k for k in memo if k[0] != app]:
+            memo.pop(k, None)
+    _CONFS_ASSERTED.intersection_update({app})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver test table, normalizing types for cross-engine parity.
+
+    - ``events.ts``: int64 nanoseconds (via nanosAsLong) -> TimestampType at
+      microsecond precision (integer division truncates, matching DuckDB).
+    - ``embeddings.embedding``: already ``array<float>``; left as-is.
+
+    The analyzed plan is memoized per (session, path, file fingerprint)
+    — see ``_PLAN_MEMO`` above. DataFrames are immutable, so handing the
+    same object to every caller is safe.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ensure_parquet_read_confs(spark)
+    memo_key = (_app_id(spark), os.path.abspath(path))
+    fp = _table_fingerprint(path)
+    hit = _PLAN_MEMO.get(memo_key)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
     df = spark.read.parquet(path)
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn(
@@ -110,14 +140,19 @@ _SCHEMA_MEMO: dict[tuple[str, str], tuple[str, T.StructType]] = {}
 
 
 def parquet_schema(spark: SparkSession, path: str) -> T.StructType:
-    """RAW parquet schema of ``path`` under the session's current parquet
-    read confs, memoized per (session, path, file fingerprint) — the
-    schema-probe twin of the ``load_table`` plan memo. The streaming
-    builders call ``spark.read.parquet(src).schema`` once per run just
-    to type their readStream; that probe costs a driver-side FileIndex +
-    footer read (~150 ms) each time for an answer that cannot change
-    while the fingerprint is stable."""
-    memo_key = (spark.sparkContext.applicationId, os.path.abspath(path))
+    """RAW parquet schema of ``path`` under the ENGINE's parquet read
+    confs (nanosAsLong=true, inferTimestampNTZ=false — asserted here via
+    :func:`ensure_parquet_read_confs`, so callers no longer need their
+    own per-run conf.set round-trip; ADVICE r17 #2: the memo is only
+    valid under those confs, and this function now pins them itself),
+    memoized per (session, path, file fingerprint) — the schema-probe
+    twin of the ``load_table`` plan memo. The streaming builders call
+    ``spark.read.parquet(src).schema`` once per run just to type their
+    readStream; that probe costs a driver-side FileIndex + footer read
+    (~150 ms) each time for an answer that cannot change while the
+    fingerprint is stable."""
+    ensure_parquet_read_confs(spark)
+    memo_key = (_app_id(spark), os.path.abspath(path))
     fp = _table_fingerprint(path)
     hit = _SCHEMA_MEMO.get(memo_key)
     if hit is not None and hit[0] == fp:

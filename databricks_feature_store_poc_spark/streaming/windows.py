@@ -374,8 +374,9 @@ def run_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     src = _stream_source_dir(sf_dir)
     # Schema must match the RAW file layout (ts = INT64 nanos under
-    # nanosAsLong) — the batch-side TimestampType is a post-read cast.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # nanosAsLong, asserted once per session inside parquet_schema —
+    # the per-run conf.set round-trip was removed in r18) — the
+    # batch-side TimestampType is a post-read cast.
     raw_schema = parquet_schema(spark, src)
     stream = spark.readStream.schema(raw_schema).parquet(src)
     if dict(stream.dtypes)["ts"] == "bigint":  # nanosAsLong read path
@@ -514,8 +515,9 @@ def run_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions close once the stream drains."""
     src = _stream_source_dir(sf_dir)
     # Schema must match the RAW file layout (ts = INT64 nanos under
-    # nanosAsLong) — the batch-side TimestampType is a post-read cast.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # nanosAsLong, asserted once per session inside parquet_schema —
+    # the per-run conf.set round-trip was removed in r18) — the
+    # batch-side TimestampType is a post-read cast.
     raw_schema = parquet_schema(spark, src)
     stream = spark.readStream.schema(raw_schema).parquet(src)
     if dict(stream.dtypes)["ts"] == "bigint":  # nanosAsLong read path
@@ -565,7 +567,6 @@ def run_stateful_counter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     src = _stream_source_dir(sf_dir)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = parquet_schema(spark, src)
     stream = spark.readStream.schema(raw_schema).parquet(src)
     if dict(stream.dtypes)["ts"] == "bigint":
@@ -616,7 +617,6 @@ def run_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stream_sliding through a real streaming plan (complete mode, like
     the tumbling runner) — completes the batch-vs-stream parity matrix."""
     src = _stream_source_dir(sf_dir)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = parquet_schema(spark, src)
     stream = spark.readStream.schema(raw_schema).parquet(src)
     if dict(stream.dtypes)["ts"] == "bigint":
@@ -652,7 +652,6 @@ def run_foreach_batch_sink(spark: SparkSession, sf_dir: str, out_dir: str) -> in
     sink pattern for stores without transactional streaming writes.
     Returns the number of epochs written."""
     src = _stream_source_dir(sf_dir)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = parquet_schema(spark, src)
     stream = spark.readStream.schema(raw_schema).parquet(src)
     if dict(stream.dtypes)["ts"] == "bigint":
@@ -760,8 +759,9 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             except OSError:
                 pass  # vanished under us — another run's GC won
     # Schema must match the RAW file layout (ts = INT64 nanos under
-    # nanosAsLong) — the batch-side TimestampType is a post-read cast.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # nanosAsLong, asserted once per session inside parquet_schema —
+    # the per-run conf.set round-trip was removed in r18) — the
+    # batch-side TimestampType is a post-read cast.
     raw_schema = parquet_schema(spark, staged)
     stream = spark.readStream.schema(raw_schema).parquet(staged)
     if dict(stream.dtypes)["ts"] == "bigint":  # nanosAsLong read path
@@ -882,8 +882,9 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     src = _stream_source_dir(sf_dir)
     # Schema must match the RAW file layout (ts = INT64 nanos under
-    # nanosAsLong) — the batch-side TimestampType is a post-read cast.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # nanosAsLong, asserted once per session inside parquet_schema —
+    # the per-run conf.set round-trip was removed in r18) — the
+    # batch-side TimestampType is a post-read cast.
     raw_schema = parquet_schema(spark, src)
 
     def side(event_type: str, prefix: str) -> DataFrame:
@@ -974,7 +975,6 @@ def run_transform_with_state_stream(spark: SparkSession, sf_dir: str) -> DataFra
             pass
 
     src = _stream_source_dir(sf_dir)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",

@@ -191,6 +191,10 @@ def main() -> int:
     load_all_queries()
     names = args or sorted(QUERIES)
     failed = []
+    from databricks_feature_store_poc_spark.cacheutil import (
+        release_checkpoints,
+    )
+
     for name in names:
         try:
             r = compare(
@@ -201,6 +205,9 @@ def main() -> int:
         except Exception as e:
             print(f"  {name}: ERROR {type(e).__name__}: {e}")
             failed.append(name)
+        # the collect above fully consumed the plan: release this
+        # query's localCheckpoint blocks (r18, VERDICT r17 #5)
+        release_checkpoints(spark)
     print(f"\n{len(names) - len(failed)}/{len(names)} passed"
           + (f"; FAILED: {failed}" if failed else ""))
     return 1 if failed else 0
