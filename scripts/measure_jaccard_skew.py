@@ -76,47 +76,56 @@ def main() -> int:
         float(top1) / stats["total_pairs"] if stats["total_pairs"] else None
     )
 
-    # (b) task-time distribution of the isolated pair join
+    # (b) per-PARTITION pair load under the join's actual partitioning
+    # (hash(c) into spark.sql.shuffle.partitions) — the direct form of
+    # the guide §2.5 max/median question for this stage: a task's work
+    # is the sum of cd²/2 over the c keys hashed to it.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    per_part = (
+        capped.select(
+            F.expr(f"pmod(hash(c), {n_part}) AS part"),
+            F.expr("cd * (cd - 1) / 2 AS pairs"),
+        )
+        .groupBy("part")
+        .agg(F.sum("pairs").alias("pairs"))
+        .agg(
+            F.count(F.lit(1)).alias("parts"),
+            F.max("pairs").alias("max_part"),
+            F.expr("percentile(pairs, 0.5)").alias("p50_part"),
+        )
+        .collect()[0]
+        .asDict()
+    )
+    per_part["max_over_median_part"] = (
+        per_part["max_part"] / per_part["p50_part"]
+        if per_part["p50_part"]
+        else None
+    )
+
+    # isolated end-to-end wall for reference
     from databricks_feature_store_poc_spark.registry import (
         QUERIES,
         load_all_queries,
     )
 
     load_all_queries()
-    sc = spark.sparkContext
     t0 = time.perf_counter()
     QUERIES["graph_jaccard_neighbors"](spark, SF_DIR).write.format(
         "noop"
     ).mode("overwrite").save()
     wall = time.perf_counter() - t0
-    tracker = sc.statusTracker()
-    task_stats = []
-    for sid in tracker.getJobIdsForGroup() or []:
-        pass  # job-group API not used; read stage infos instead
-    # Pull per-stage (numTasks, executorRunTime) from the REST-less
-    # status API: max task time needs the UI; approximate with stage
-    # wall via StageInfo (py4j AppStatusStore).
-    store = sc._jsc.sc().statusStore()
-    stages = store.stageList(None)
-    per_stage = []
-    n = stages.size()
-    for i in range(n):
-        s = stages.apply(i)
-        per_stage.append(
-            {
-                "stage": s.stageId(),
-                "tasks": s.numCompleteTasks(),
-                "runtime_ms": s.executorRunTime(),
-            }
-        )
     out = {
         "sf_dir": SF_DIR,
         "hub_cap": JACCARD_HUB_CAP,
+        "shuffle_partitions": n_part,
         "per_key_pairs": {
             k: (float(v) if v is not None else None) for k, v in stats.items()
         },
+        "per_partition_pairs": {
+            k: (float(v) if v is not None else None)
+            for k, v in per_part.items()
+        },
         "isolated_wall_s": round(wall, 3),
-        "stages_tail": per_stage[-12:],
     }
     path = os.path.join(REPO, "scripts", "jaccard_skew_r18.json")
     with open(path, "w") as f:

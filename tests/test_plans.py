@@ -416,3 +416,18 @@ def test_plan_scan_audit_no_unexplained_multiscans():
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
     )
     assert p.returncode == 0, p.stdout[-3000:]
+
+
+def test_pagerank_edge_cache_has_no_build_side_repartition(spark):
+    """r18 (VERDICT r17 #2 resolution): the r17 `.repartition("src")`
+    before the edge-cache persist was REVERTED — under the session
+    default canChangeCachedPlanOutputPartitioning=true AQE re-partitions
+    the cached plan anyway, so the repartition only added Exchanges at
+    cache build (pagerank plan 70 -> 62, plans/r18). Pin the reverted
+    shape: no REPARTITION_BY_COL Exchange anywhere in the pagerank plan
+    (re-adding the one-liner is the documented cluster deployment knob,
+    not the local default)."""
+    from databricks_feature_store_poc_spark.plans.inspect import physical_plan
+
+    df = QUERIES["graph_pagerank"](spark, SF_SMOKE)
+    assert "REPARTITION_BY_COL" not in physical_plan(df)
