@@ -617,9 +617,16 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     since every real group counts >= 1). Same pin on [agg_cube] and
     [agg_grouping_sets]."""
     o = load_table(spark, sf_dir, "orders")
-    return o.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+    # two-level shape, same move as agg_cube (r18, guide §2.3): Expand
+    # multiplies the ~15-row (status, priority) pre-aggregate instead of
+    # the full orders table; COUNT/decimal-SUM re-aggregate exactly.
+    base = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(_dec("o_totalprice")).alias("psum"),
+    )
+    return base.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.sum("pn").alias("n"),
+        F.sum("psum").cast("double").alias("sum_price"),
     )
 
 
@@ -635,11 +642,27 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over two low-cardinality dims: all 4 grouping combinations."""
+    """CUBE over two low-cardinality dims: all 4 grouping combinations.
+
+    Two-level shape (r18, guide §2.3 "aggregate before you shuffle" /
+    VERDICT r17 #8): Catalyst plans a naive cube as Expand(4x) over the
+    FULL fact table followed by the aggregate — at sf0.1 that is 2.4 M
+    expanded rows, at 100 TB it is 4x the fact shuffle-side. Both
+    aggregates here are exactly decomposable (COUNT = sum of partial
+    counts; SUM over DECIMAL is associative with no rounding), so
+    pre-aggregate per (returnflag, linestatus) — ~6 rows — and cube the
+    partials: Expand now multiplies 6 rows, not 600 k, and the fact
+    table is aggregated map-side exactly once. Same groups, same exact
+    decimal totals, same double cast at the end; oracle-hash equal by
+    construction and re-verified."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(_dec("l_quantity")).alias("psum"),
+    )
+    return base.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("pn").alias("n"),
+        F.sum("psum").cast("double").alias("sum_qty"),
     )
 
 
